@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One registered engine query: a Spark-first implementation plus (where
+  * SQL-expressible) a semantically identical DuckDB oracle. See SURVEY.md §2
+  * Part B for the QID contract this implements.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      build: (SparkSession, String) => DataFrame): Q =
+    Q(name, build, Some(oracle))
+  def noOracle(name: String)(build: (SparkSession, String) => DataFrame): Q =
+    Q(name, build, None)
+}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Canonicalization helpers (SURVEY.md §2, determinism rules).
+  *
+  * Floating-point sums are order-dependent, and Spark/DuckDB will not add
+  * partials in the same order. Any aggregate over a DOUBLE measure therefore
+  * routes through DECIMAL(38,6): the cast rounds each input to a fixed grid
+  * (identically in both engines, since the doubles are ~1e-15 away from their
+  * decimal-valued sources), decimal addition is exact and order-free, and the
+  * final cast back to DOUBLE is the deterministic IEEE nearest value.
+  */
+object Canon {
+  /** Order-independent exact sum of a double measure, returned as double. */
+  def sumDec(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  /** DuckDB rendering of [[sumDec]]. */
+  def sumDecSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+  /** Deterministic mean: exact decimal sum divided by count, in double. */
+  def avgDec(c: Column): Column = sumDec(c) / count(c)
+  def avgDecSql(e: String): String =
+    s"(${sumDecSql(e)} / CAST(count($e) AS DOUBLE))"
+  /** Total order over all output columns (ascending, nulls first — matches
+    * the `NULLS FIRST` spelled out in every oracle's ORDER BY). */
+  def orderAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Canon, Q, Tables}
+import graft.Canon.{avgDec, avgDecSql, orderAll, sumDec, sumDecSql}
+import graft.functions.WeightedMeanCents
+
+/** Aggregation surface (SURVEY.md §2 Q30–Q37).
+  *
+  * Generalizes the reference's per-pixel band math + re-grid reductions
+  * (`utils/conversion.py:15-17`, `sources/meteosat.py:177-185`) into the full
+  * hash-aggregate family. All double measures go through [[Canon.sumDec]] for
+  * cross-engine determinism; Catalyst plans these as partial+final hash
+  * aggregates (map-side combine), which is the scale-out shape we want: the
+  * shuffle carries one row per (partition, group), not per input row.
+  */
+object Aggregates {
+
+  val all: Seq[Q] = Seq(
+
+    // Q30 — TPC-H Q1 shape: multi-measure hash agg with low-cardinality keys.
+    Q("q30_hash_agg",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumDecSql("l_quantity")} AS sum_qty,
+         |  ${sumDecSql("l_extendedprice")} AS sum_base_price,
+         |  ${sumDecSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sumDecSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${avgDecSql("l_quantity")} AS avg_qty,
+         |  ${avgDecSql("l_extendedprice")} AS avg_price,
+         |  ${avgDecSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.t(s, dir, "lineitem")
+        orderAll(li
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sumDec(col("l_quantity")).as("sum_qty"),
+            sumDec(col("l_extendedprice")).as("sum_base_price"),
+            sumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            avgDec(col("l_quantity")).as("avg_qty"),
+            avgDec(col("l_extendedprice")).as("avg_price"),
+            avgDec(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order")))
+    },
+
+    // Q31 — global (grand) aggregate, no grouping key.
+    Q("q31_global_agg",
+      s"""SELECT count(*) AS n_rows,
+         |  ${sumDecSql("l_extendedprice")} AS total_price,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sumDec(col("l_extendedprice")).as("total_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    },
+
+    // Q32 — exact distinct counts (expand + two-phase agg under the hood).
+    Q("q32_count_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")))
+    },
+
+    // Q33 — HLL approximate distinct. Sketch internals differ across engines,
+    // so no SQL oracle (driver does rows-only); AggregatesSpec bounds the
+    // estimate to ±5% of exact per SURVEY §2.
+    Q.noOracle("q33_approx_distinct") { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))
+    },
+
+    // Q34 — ROLLUP with grouping_id (Spark) == GROUPING(a, b) (DuckDB): both
+    // are MSB-first bitmasks over the grouping columns.
+    Q("q34_rollup",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  count(*) AS n, ${sumDecSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sumDec(col("l_quantity")).as("sum_qty"))
+          .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
+    },
+
+    // Q35 — min_by/max_by. The ordering value embeds the unique l_orderkey so
+    // ties on l_shipdate cannot make the winner engine-dependent.
+    Q("q35_min_by",
+      """SELECT l_returnflag,
+        |  arg_min(l_orderkey, CAST(epoch(l_shipdate) AS BIGINT) * 10000000 + l_orderkey) AS first_order,
+        |  arg_max(l_orderkey, CAST(epoch(l_shipdate) AS BIGINT) * 10000000 + l_orderkey) AS last_order
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ord = unix_timestamp(col("l_shipdate")) * lit(10000000L) + col("l_orderkey")
+      orderAll(Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min_by(col("l_orderkey"), ord).as("first_order"),
+          max_by(col("l_orderkey"), ord).as("last_order")))
+    },
+
+    // Q36 — collect_list, sorted post-hoc since collection order is
+    // partition-dependent (SURVEY §2 canonicalization).
+    Q("q36_collect_list",
+      """SELECT o_orderpriority, list_sort(list(o_totalprice)) AS prices
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(array_sort(collect_list(col("o_totalprice"))).as("prices"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Q37 — custom typed Aggregator (weighted mean, exact integer buffer).
+    Q("q37_weighted_mean",
+      s"""SELECT l_returnflag,
+         |  ${WeightedMeanCents.oracleSql("l_extendedprice", "l_quantity")} AS wmean_price
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(WeightedMeanCents.column(
+          col("l_extendedprice"), col("l_quantity")).as("wmean_price")))
+    })
+}
