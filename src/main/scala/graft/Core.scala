@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** One registered engine query: a Spark-first implementation plus (where
   * SQL-expressible) a semantically identical DuckDB oracle. See SURVEY.md §2
@@ -25,8 +25,19 @@ object Q {
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load one test table. `events.ts` is TIMESTAMP(NANOS) in the parquet
+    * footer, which Spark 4 rejects; it is read as raw nanos via the legacy
+    * flag and truncated to microseconds — the same conversion DuckDB applies
+    * implicitly, so both engines see identical values. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
 }
 
 /** Canonicalization helpers (SURVEY.md §2, determinism rules).

@@ -8,7 +8,12 @@ object SparkEntry {
 
   /** Every registered query, grouped by SURVEY.md §2 Part-B family. */
   def registry: Seq[Q] =
-    operators.Aggregates.all
+    operators.Projections.all ++
+      operators.Joins.all ++
+      operators.Aggregates.all ++
+      operators.Windows.all ++
+      operators.SetOps.all ++
+      functions.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape (SURVEY §7 slice 0). */

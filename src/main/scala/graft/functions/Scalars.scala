@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.{Q, Tables}
+import graft.Canon.orderAll
+
+/** Scalar-function surface (SURVEY.md §2 Q60–Q65): string, date/time, math,
+  * array, map/struct, JSON — all `org.apache.spark.sql.functions._`
+  * (codegen'd), no UDFs.
+  *
+  * Reference analogs: filename regex (`utils/eumdacapi.py:70-71`), timestamp
+  * truncation/formatting (`sources/meteosat.py:74,161`), slot arithmetic
+  * (`sources/meteosat.py:88-93`), band arrays (`sources/meteosat.py:21`),
+  * state/catalog JSON (`sources/meteosat.py:64-78`).
+  */
+object Scalars {
+
+  val all: Seq[Q] = Seq(
+
+    // Q60 — string functions.
+    Q("q60_string",
+      """SELECT p_partkey,
+        |  substring(p_name, 1, 8) AS sub,
+        |  upper(p_brand) AS up, lower(p_type) AS lo,
+        |  trim(concat(' ', p_brand, ' ')) AS tr,
+        |  concat_ws('#', p_brand, p_type) AS cc,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  length(p_name) AS len,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_up,
+        |  printf('%s-%03d', p_brand, p_size) AS fmt
+        |FROM part
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "part").select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("sub"),
+        upper(col("p_brand")).as("up"), lower(col("p_type")).as("lo"),
+        trim(concat(lit(" "), col("p_brand"), lit(" "))).as("tr"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("cc"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        length(col("p_name")).as("len"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_up"),
+        format_string("%s-%03d", col("p_brand"), col("p_size")).as("fmt"))
+        .orderBy(col("p_partkey").asc_nulls_first)
+    },
+
+    // Q61 — date/time functions. The `slot` column is the reference's 15-min
+    // slot bucketing (`sources/meteosat.py:88-93`); epoch seconds use
+    // floor() on both sides (DuckDB CAST(double AS BIGINT) rounds, so the
+    // oracle floors explicitly).
+    Q("q61_datetime",
+      """SELECT event_id,
+        |  date_trunc('hour', ts) AS hr,
+        |  CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mo,
+        |  CAST(dayofmonth(ts) AS INT) AS dom,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+        |  ts + INTERVAL '15 minutes' AS plus15,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS slot
+        |FROM events
+        |ORDER BY event_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "events").select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).as("hr"),
+        year(col("ts")).as("yr"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm").as("fmt"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("plus15"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        timestamp_seconds(floor(unix_timestamp(col("ts")) / 900) * 900)
+          .as("slot"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+
+    // Q62 — math functions. sqrt is IEEE-correctly-rounded (safe to compare
+    // exactly); ln is not mandated so it is rounded to 6dp on both sides.
+    Q("q62_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice - 10000) AS ab,
+        |  ceil(l_discount * 100) AS ce, floor(l_tax * 100) AS fl,
+        |  round(l_quantity) AS rq,
+        |  l_quantity * l_quantity AS sq,
+        |  sqrt(l_quantity) AS sr,
+        |  round(ln(l_extendedprice), 6) AS lnp,
+        |  l_orderkey % 7 AS md,
+        |  greatest(l_discount, l_tax) AS gr, least(l_discount, l_tax) AS le
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - 10000).as("ab"),
+        ceil(col("l_discount") * 100).as("ce"),
+        floor(col("l_tax") * 100).as("fl"),
+        round(col("l_quantity")).as("rq"),
+        (col("l_quantity") * col("l_quantity")).as("sq"),
+        sqrt(col("l_quantity")).as("sr"),
+        round(log(col("l_extendedprice")), 6).as("lnp"),
+        pmod(col("l_orderkey"), lit(7)).as("md"),
+        greatest(col("l_discount"), col("l_tax")).as("gr"),
+        least(col("l_discount"), col("l_tax")).as("le"))
+        .orderBy(col("l_orderkey").asc_nulls_first,
+          col("l_linenumber").asc_nulls_first)
+        .limit(5000)
+    },
+
+    // Q63 — array / higher-order functions over the 64-dim embeddings.
+    // Sums run left-to-right sequentially in both engines (Spark `aggregate`
+    // HOF vs DuckDB list_reduce), in double — deterministic.
+    Q("q63_array",
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  embedding[1:3] AS head3,
+        |  list_sort(embedding)[1:2] AS low2,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |              (a, x) -> a + x) AS total
+        |FROM embeddings
+        |ORDER BY vec_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        slice(array_sort(col("embedding")), 1, 2).as("low2"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        aggregate(
+          transform(col("embedding"), x => x.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x).as("total"))
+        .orderBy(col("vec_id").asc_nulls_first)
+    },
+
+    // Q64 — map/struct construction + field access (composites-dict analog,
+    // meteosat.py:18-24). Output is scalar so the oracle can compute the
+    // same values without engine-specific map serialization.
+    Q("q64_map_struct",
+      """SELECT n_nationkey, n_name AS mapped_name, n_regionkey AS struct_rk,
+        |  2 AS n_keys
+        |FROM nation
+        |ORDER BY n_nationkey NULLS FIRST""".stripMargin) { (s, dir) =>
+      val m = map(lit("name"), col("n_name"),
+        lit("key"), col("n_nationkey").cast("string"))
+      Tables.t(s, dir, "nation").select(
+        col("n_nationkey"),
+        element_at(m, "name").as("mapped_name"),
+        struct(col("n_regionkey").as("rk"), col("n_name").as("nm"))
+          .getField("rk").as("struct_rk"),
+        size(map_keys(m)).as("n_keys"))
+        .orderBy(col("n_nationkey").asc_nulls_first)
+    },
+
+    // Q65 — JSON functions over events.props (state/catalog JSON analog).
+    // to_json output is rebuilt by concatenation in the oracle to avoid
+    // engine-specific spacing.
+    Q("q65_json",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2,
+        |  '{"k":' || json_extract_string(props, '$.k') || '}' AS js
+        |FROM events
+        |ORDER BY event_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.t(s, dir, "events").select(
+        col("event_id"),
+        k.as("k"),
+        (from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k") * 2).as("k2"),
+        to_json(struct(k.as("k"))).as("js"))
+        .orderBy(col("event_id").asc_nulls_first)
+    })
+}

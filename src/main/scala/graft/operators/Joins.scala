@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.Canon.{orderAll, sumDec, sumDecSql}
+
+/** Join surface (SURVEY.md §2 Q20–Q27).
+  *
+  * The headline custom piece is the as-of join (Q26/Q26b) — the reference's
+  * exact-slot-match selection (`sources/meteosat.py:105-122`): search window
+  * bounds the scan, selection is equality on the truncated timestamp,
+  * earliest candidate wins, and a miss leaves the slot unmatched (cursor
+  * stall). Both are composed from built-ins (equi/range join + window
+  * row_number), which Catalyst plans as shuffled joins + partial windows —
+  * no custom Strategy needed (SURVEY §7).
+  */
+object Joins {
+
+  val all: Seq[Q] = Seq(
+
+    // Q20 — inner equi-join (shuffle or broadcast, Catalyst's pick; the
+    // broadcast-forced variant is Q25).
+    Q("q20_inner_join",
+      """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST,
+        |  c_mktsegment NULLS FIRST, o_totalprice NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      orderAll(o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"))
+        .limit(5000)
+    },
+
+    // Q21 — full outer join with unmatched rows on BOTH sides (each input is
+    // filtered to a proper subset first).
+    Q("q21_full_outer",
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  coalesce(c.c_mktsegment, 'NO_CUST') AS seg
+        |FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST, seg NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val c = Tables.t(s, dir, "customer").filter(col("c_acctbal") < 0)
+      val o = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      orderAll(c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(c("c_custkey"), o("o_orderkey"),
+          coalesce(c("c_mktsegment"), lit("NO_CUST")).as("seg"))).limit(5000)
+    },
+
+    // Q22 — left semi (EXISTS) + left anti (NOT EXISTS), tagged.
+    Q("q22_semi_anti",
+      """SELECT 'has_orders' AS tag, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag NULLS FIRST, c_custkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(lit("has_orders").as("tag"), col("c_custkey"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(lit("no_orders").as("tag"), col("c_custkey"))
+        orderAll(semi.unionAll(anti))
+    },
+
+    // Q23 — cross join (tiny dims only; 5 x 25 rows).
+    Q("q23_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "region").crossJoin(Tables.t(s, dir, "nation"))
+          .select("r_name", "n_name"))
+    },
+
+    // Q24 — theta (non-equi) join: for each supplier, how many suppliers
+    // hold a strictly larger balance (BNLJ; left join keeps the maximum).
+    Q("q24_theta_join",
+      """SELECT s1.s_suppkey, count(s2.s_suppkey) AS n_richer
+        |FROM supplier s1 LEFT JOIN supplier s2
+        |  ON s2.s_acctbal > s1.s_acctbal
+        |GROUP BY s1.s_suppkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val s1 = Tables.t(s, dir, "supplier").alias("s1")
+        val s2 = Tables.t(s, dir, "supplier").alias("s2")
+        orderAll(s1.join(s2, col("s2.s_acctbal") > col("s1.s_acctbal"), "left")
+          .groupBy(col("s1.s_suppkey").as("s_suppkey"))
+          .agg(count(col("s2.s_suppkey")).as("n_richer")))
+    },
+
+    // Q25 — broadcast-hint equi-join chain: fact(lineitem) with two
+    // broadcast dims. Plan shape (BroadcastHashJoin x2) asserted in PlanSpec.
+    Q("q25_broadcast_join",
+      s"""SELECT p_brand, s_nationkey,
+         |  count(*) AS n,
+         |  ${sumDecSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY p_brand, s_nationkey
+         |ORDER BY p_brand NULLS FIRST, s_nationkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.t(s, dir, "lineitem")
+        val p = Tables.t(s, dir, "part")
+        val su = Tables.t(s, dir, "supplier")
+        orderAll(li
+          .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .groupBy(col("p_brand"), col("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue")))
+    },
+
+    // Q26 — as-of join (backward): each purchase event matched to the most
+    // recent click by the same user at or before it. Equi key (user) bounds
+    // the join; window row_number picks the winner; ties break on event_id
+    // so the result is engine-independent. Purchases with no prior click
+    // survive with NULL (left join) — the reference's miss/stall semantics.
+    Q("q26_asof_join",
+      """SELECT p_id, p_ts, c_id, c_ts FROM (
+        |  SELECT p.event_id AS p_id, p.ts AS p_ts,
+        |         c.event_id AS c_id, c.ts AS c_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1
+        |ORDER BY p_id NULLS FIRST, p_ts NULLS FIRST, c_id NULLS FIRST,
+        |  c_ts NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase").alias("p")
+      val c = ev.filter(col("event_type") === "click").alias("c")
+      val joined = p.join(c,
+        col("p.user_id") === col("c.user_id") && col("c.ts") <= col("p.ts"),
+        "left")
+      val w = Window.partitionBy(col("p.event_id"))
+        .orderBy(col("c.ts").desc_nulls_last, col("c.event_id").desc_nulls_last)
+      orderAll(joined
+        .select(col("p.event_id").as("p_id"), col("p.ts").as("p_ts"),
+          col("c.event_id").as("c_id"), col("c.ts").as("c_ts"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn"))
+    },
+
+    // Q26b — the reference's exact slot-match (meteosat.py:105-122): a
+    // generated 15-min slot spine, candidates matched on equality of the
+    // minute-truncated timestamp, earliest (ts, event_id) candidate wins,
+    // unmatched slots survive as NULL (the cursor-stall case). The spine is
+    // built distributively (agg row -> sequence -> explode), no collect.
+    Q("q26b_slot_match",
+      """WITH bounds AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(min(ts)) / 900) * 900 AS BIGINT) * 1000000) AS lo,
+        |         make_timestamp(CAST(floor(epoch(max(ts)) / 900) * 900 AS BIGINT) * 1000000) AS hi
+        |  FROM events),
+        |slots AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS slot
+        |  FROM bounds),
+        |cands AS (
+        |  SELECT date_trunc('minute', ts) AS slot_key, event_id, ts,
+        |         row_number() OVER (PARTITION BY date_trunc('minute', ts)
+        |           ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+        |  FROM events)
+        |SELECT s.slot, c.event_id AS matched_event
+        |FROM slots s LEFT JOIN cands c ON c.slot_key = s.slot AND c.rn = 1
+        |ORDER BY slot NULLS FIRST, matched_event NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.t(s, dir, "events")
+        val slotOf = (c: org.apache.spark.sql.Column) =>
+          timestamp_seconds(floor(unix_timestamp(c) / 900) * 900)
+        val bounds = ev.agg(slotOf(min(col("ts"))).as("lo"),
+          slotOf(max(col("ts"))).as("hi"))
+        val slots = bounds.select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 15 MINUTES"))).as("slot"))
+        val w = Window.partitionBy(col("slot_key"))
+          .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+        val cands = ev
+          .select(date_trunc("minute", col("ts")).as("slot_key"),
+            col("event_id"), col("ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        orderAll(slots.join(cands, slots("slot") === cands("slot_key"), "left")
+          .select(col("slot"), col("event_id").as("matched_event")))
+    },
+
+    // Q27 — interval/range join: equi key + time-range predicate (lineitem
+    // shipped within 60 days of its order date).
+    Q("q27_range_join",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${sumDecSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  AND l_shipdate >= o_orderdate
+         |  AND l_shipdate < o_orderdate + INTERVAL '60 days'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      val o = Tables.t(s, dir, "orders")
+      orderAll(li.join(o,
+          li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice")).as("revenue")))
+    })
+}

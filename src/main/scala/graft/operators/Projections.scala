@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Canon.orderAll
+
+/** Projection / filter surface (SURVEY.md §2 Q10–Q15).
+  *
+  * Generalizes the reference's band selection (`sources/meteosat.py:177-185`)
+  * and bbox clip (`utils/conversion.py:22-37` — a conjunctive range
+  * predicate). All predicates/projections here are plain Catalyst
+  * expressions, so they whole-stage-codegen and push down to the Parquet
+  * scan (asserted in PlanSpec).
+  */
+object Projections {
+
+  val all: Seq[Q] = Seq(
+
+    // Q10 — projection + rename + row-local arithmetic (deterministic in
+    // double: same IEEE ops in both engines, no reassociation).
+    Q("q10_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  l_extendedprice * l_tax AS tax_amount
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |  qty NULLS FIRST, revenue NULLS FIRST, tax_amount NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * col("l_tax")).as("tax_amount"))).limit(5000)
+    },
+
+    // Q11 — comparison + boolean predicate algebra.
+    Q("q11_filter",
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem
+        |WHERE (l_quantity > 45 AND l_discount <= 0.02)
+        |   OR (NOT (l_returnflag <> 'R') AND l_tax >= 0.07)
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      orderAll(li.filter(
+          (col("l_quantity") > 45 && col("l_discount") <= 0.02) ||
+          (!(col("l_returnflag") =!= "R") && col("l_tax") >= 0.07))
+        .select("l_orderkey", "l_linenumber")).limit(5000)
+    },
+
+    // Q12 — BETWEEN range predicate (the bbox-clip analog, meteosat.py:36).
+    Q("q12_between",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1996-12-31 23:59:59'
+        |  AND l_quantity BETWEEN 10 AND 20
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |  l_quantity NULLS FIRST, l_shipdate NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01 00:00:00").cast("timestamp"),
+          lit("1996-12-31 23:59:59").cast("timestamp")))
+        .filter(col("l_quantity").between(10, 20))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
+        .limit(5000)
+    },
+
+    // Q13 — IN list + IS [NOT] NULL.
+    Q("q13_in_null",
+      """SELECT o_orderkey, o_orderpriority,
+        |  (o_custkey IS NULL) AS cust_missing
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_totalprice IS NOT NULL
+        |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  cust_missing NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").isNull.as("cust_missing"))).limit(5000)
+    },
+
+    // Q14 — LIKE and regex predicates (rlike == unanchored search, same as
+    // DuckDB regexp_matches).
+    Q("q14_like",
+      """SELECT p_partkey, p_name, p_type
+        |FROM part
+        |WHERE p_type LIKE '%ECO%' OR regexp_matches(p_name, '^(red|blue) ')
+        |ORDER BY p_partkey NULLS FIRST, p_name NULLS FIRST, p_type NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "part")
+        .filter(col("p_type").like("%ECO%") ||
+          col("p_name").rlike("^(red|blue) "))
+        .select("p_partkey", "p_name", "p_type")).limit(5000)
+    },
+
+    // Q15 — conditional projection (CASE WHEN) feeding an aggregate.
+    Q("q15_case_when",
+      """SELECT CASE WHEN l_quantity >= 40 THEN 'high'
+        |            WHEN l_quantity >= 20 THEN 'mid'
+        |            ELSE 'low' END AS qty_class,
+        |  CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS flag_class,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY qty_class NULLS FIRST, flag_class NULLS FIRST, n NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "lineitem")
+          .select(
+            when(col("l_quantity") >= 40, "high")
+              .when(col("l_quantity") >= 20, "mid")
+              .otherwise("low").as("qty_class"),
+            when(col("l_returnflag") === "R", "returned")
+              .otherwise("kept").as("flag_class"))
+          .groupBy("qty_class", "flag_class")
+          .agg(count(lit(1)).as("n")))
+    })
+}

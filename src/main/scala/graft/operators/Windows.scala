@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+import graft.Canon.orderAll
+
+/** Window-function surface (SURVEY.md §2 Q40–Q44).
+  *
+  * Slot-gap detection (Q41) is the reference's cursor-advance check
+  * (`sources/meteosat.py:88-93`) expressed as lag over the event stream.
+  * Running/range frames use DECIMAL accumulation — window prefix sums over
+  * doubles are evaluation-order-dependent across engines (segment-tree vs
+  * incremental), decimals are exact either way.
+  */
+object Windows {
+
+  val all: Seq[Q] = Seq(
+
+    // Q40 — ranking family. rank/dense_rank/percent_rank run over a
+    // coarse bucket (real ties, deterministic outputs); row_number/ntile
+    // need a total order so they run over (price desc, key).
+    Q("q40_ranking",
+      """SELECT o_orderkey, o_orderpriority, bucket,
+        |  rank() OVER wt AS rk, dense_rank() OVER wt AS drk,
+        |  percent_rank() OVER wt AS prk,
+        |  row_number() OVER wu AS rn, ntile(4) OVER wu AS nt
+        |FROM (SELECT *, CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+        |      FROM orders)
+        |WINDOW
+        |  wt AS (PARTITION BY o_orderpriority ORDER BY bucket ASC NULLS LAST),
+        |  wu AS (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST)
+        |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  bucket NULLS FIRST, rk NULLS FIRST, drk NULLS FIRST, prk NULLS FIRST,
+        |  rn NULLS FIRST, nt NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+      val wt = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("bucket").asc_nulls_last)
+      val wu = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc_nulls_last,
+          col("o_orderkey").asc_nulls_last)
+      orderAll(o.select(
+        col("o_orderkey"), col("o_orderpriority"), col("bucket"),
+        rank().over(wt).as("rk"), dense_rank().over(wt).as("drk"),
+        percent_rank().over(wt).as("prk"),
+        row_number().over(wu).as("rn"), ntile(4).over(wu).as("nt")))
+        .limit(5000)
+    },
+
+    // Q41 — lag/lead: inter-event gap per user (slot-gap detection analog).
+    Q("q41_lag_lead",
+      """SELECT event_id, user_id, ts,
+        |  lag(ts) OVER w AS prev_ts, lead(ts) OVER w AS next_ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s,
+        |  lag(event_id, 1, -1) OVER w AS prev_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST,
+        |  prev_ts NULLS FIRST, next_ts NULLS FIRST, gap_s NULLS FIRST,
+        |  prev_id NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+      orderAll(Tables.t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"),
+        lead(col("ts"), 1).over(w).as("next_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_s"),
+        lag(col("event_id"), 1, -1).over(w).as("prev_id"))).limit(5000)
+    },
+
+    // Q42 — running aggregate, row frame (exact decimal accumulation).
+    Q("q42_running_agg",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS run_sum,
+        |  count(*) OVER w AS run_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
+        |  run_sum NULLS FIRST, run_n NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orderAll(Tables.t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(38, 6))).over(w).cast("double")
+          .as("run_sum"),
+        count(lit(1)).over(w).as("run_n"))).limit(5000)
+    },
+
+    // Q43 — range frame: trailing 1-hour window per user, keyed on epoch
+    // seconds (floored identically on both sides).
+    Q("q43_range_frame",
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, n_1h NULLS FIRST,
+        |  sum_1h NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600L, Window.currentRow)
+      orderAll(Tables.t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(38, 6))).over(w).cast("double")
+          .as("sum_1h"))).limit(5000)
+    },
+
+    // Q44 — top-k per group via row_number (the scalable top-k shape: the
+    // window runs partition-local after one shuffle on the group key).
+    Q("q44_topk_per_group",
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC NULLS LAST, event_id ASC NULLS LAST) AS rn
+        |  FROM events)
+        |WHERE rn <= 5
+        |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST, value NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc_nulls_last, col("event_id").asc_nulls_last)
+        orderAll(Tables.t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 5)
+          .drop("rn"))
+    })
+}
