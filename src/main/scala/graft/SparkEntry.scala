@@ -16,9 +16,10 @@ object SparkEntry {
       functions.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1 shape (SURVEY §7 slice 0). */
+    * Explicitly the TPC-H Q1-shaped hash aggregate (q30). */
   def entry(spark: SparkSession): DataFrame =
-    registry.head.build(spark, "/root/testdata/sf0.001")
+    registry.find(_.name == "q30_hash_agg").get
+      .build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -74,10 +74,13 @@ object Scalars {
 
     // Q62 — math functions. sqrt is IEEE-correctly-rounded (safe to compare
     // exactly); ln is not mandated so it is rounded to 6dp on both sides.
+    // ceil/floor are BIGINT in Spark but DOUBLE in DuckDB, so the oracle
+    // casts them — values are equal either way, serialization is not.
     Q("q62_math",
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_extendedprice - 10000) AS ab,
-        |  ceil(l_discount * 100) AS ce, floor(l_tax * 100) AS fl,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS fl,
         |  round(l_quantity) AS rq,
         |  l_quantity * l_quantity AS sq,
         |  sqrt(l_quantity) AS sr,
@@ -106,22 +109,28 @@ object Scalars {
 
     // Q63 — array / higher-order functions over the 64-dim embeddings.
     // Sums run left-to-right sequentially in both engines (Spark `aggregate`
-    // HOF vs DuckDB list_reduce), in double — deterministic.
+    // HOF vs DuckDB list_reduce), in double — deterministic. Array-valued
+    // intermediates (slice, array_sort) are surfaced as element_at scalars
+    // because the driver's canonicalizer cannot sort/hash list columns.
     Q("q63_array",
       """SELECT vec_id,
         |  len(embedding) AS dim,
-        |  embedding[1:3] AS head3,
-        |  list_sort(embedding)[1:2] AS low2,
+        |  embedding[1] AS h1, embedding[2] AS h2, embedding[3] AS h3,
+        |  list_sort(embedding)[1] AS lo1, list_sort(embedding)[2] AS lo2,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
         |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |              (a, x) -> a + x) AS total
         |FROM embeddings
         |ORDER BY vec_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val sorted = array_sort(col("embedding"))
       Tables.t(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        slice(col("embedding"), 1, 3).as("head3"),
-        slice(array_sort(col("embedding")), 1, 2).as("low2"),
+        element_at(col("embedding"), 1).as("h1"),
+        element_at(col("embedding"), 2).as("h2"),
+        element_at(col("embedding"), 3).as("h3"),
+        element_at(sorted, 1).as("lo1"),
+        element_at(sorted, 2).as("lo2"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
         aggregate(
           transform(col("embedding"), x => x.cast(DoubleType)),

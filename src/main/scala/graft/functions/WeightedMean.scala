@@ -17,16 +17,24 @@ final case class WeightedIn(measure: Double, weight: Double)
   *
   * Buffer is (weighted sum in cents, total weight); merge is associative and
   * commutative, so Spark's partial aggregation (map-side combine) is safe.
+  *
+  * All buffer arithmetic is `Math.addExact`/`multiplyExact`: ~9.2e18 of
+  * headroom (≈ 1e12 rows of price*qty at TPC-H magnitudes) and a loud
+  * ArithmeticException — never a silent wrap — beyond it. Assumes
+  * non-negative measures: `Math.round` rounds half toward +inf while the
+  * DuckDB oracle rounds half away from zero, which only diverges for
+  * negative inputs at exact .5 cents (the driver data is all-positive).
   */
 object WeightedMeanCents
     extends Aggregator[WeightedIn, (Long, Long), Double] {
   override def zero: (Long, Long) = (0L, 0L)
   override def reduce(b: (Long, Long), a: WeightedIn): (Long, Long) = {
     val w = math.round(a.weight)
-    (b._1 + math.round(a.measure * 100) * w, b._2 + w)
+    (Math.addExact(b._1, Math.multiplyExact(math.round(a.measure * 100), w)),
+      Math.addExact(b._2, w))
   }
   override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
-    (x._1 + y._1, x._2 + y._2)
+    (Math.addExact(x._1, y._1), Math.addExact(x._2, y._2))
   override def finish(r: (Long, Long)): Double =
     (r._1.toDouble / 100.0) / r._2.toDouble
   override def bufferEncoder: Encoder[(Long, Long)] =

@@ -82,12 +82,21 @@ object Aggregates {
     },
 
     // Q33 — HLL approximate distinct. Sketch internals differ across engines,
-    // so no SQL oracle (driver does rows-only); AggregatesSpec bounds the
-    // estimate to ±5% of exact per SURVEY §2.
-    Q.noOracle("q33_approx_distinct") { (s, dir) =>
+    // so the query is self-validating: it computes both the HLL estimate and
+    // the exact count and emits whether the estimate lands within the ±5%
+    // SURVEY §2 tolerance. The oracle then hash-matches on the boolean.
+    // AggregatesSpec asserts the same bound on raw values.
+    Q("q33_approx_distinct",
+      """SELECT l_returnflag, true AS within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
       orderAll(Tables.t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(col("l_returnflag"),
+          col("approx").between(col("exact") * 0.95, col("exact") * 1.05)
+            .as("within_tol")))
     },
 
     // Q34 — ROLLUP with grouping_id (Spark) == GROUPING(a, b) (DuckDB): both
@@ -109,15 +118,21 @@ object Aggregates {
           .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
     },
 
-    // Q35 — min_by/max_by. The ordering value embeds the unique l_orderkey so
-    // ties on l_shipdate cannot make the winner engine-dependent.
+    // Q35 — min_by/max_by. The ordering value embeds the unique l_orderkey
+    // so ties on l_shipdate cannot make the winner engine-dependent. The key
+    // is a zero-padded string "(epoch)(orderkey)": byte-wise comparison is
+    // then numeric comparison, it can never overflow at any scale factor
+    // (an integer-packed key would), and both engines compare it
+    // identically. (DuckDB's arg_min has no wide-integer key overload — a
+    // DECIMAL key silently degrades to DOUBLE and loses the tie-break.)
     Q("q35_min_by",
       """SELECT l_returnflag,
-        |  arg_min(l_orderkey, CAST(epoch(l_shipdate) AS BIGINT) * 10000000 + l_orderkey) AS first_order,
-        |  arg_max(l_orderkey, CAST(epoch(l_shipdate) AS BIGINT) * 10000000 + l_orderkey) AS last_order
+        |  arg_min(l_orderkey, printf('%019d%019d', CAST(floor(epoch(l_shipdate)) AS BIGINT), l_orderkey)) AS first_order,
+        |  arg_max(l_orderkey, printf('%019d%019d', CAST(floor(epoch(l_shipdate)) AS BIGINT), l_orderkey)) AS last_order
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
-      val ord = unix_timestamp(col("l_shipdate")) * lit(10000000L) + col("l_orderkey")
+      val ord = format_string("%019d%019d",
+        unix_timestamp(col("l_shipdate")), col("l_orderkey"))
       orderAll(Tables.t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -126,15 +141,27 @@ object Aggregates {
     },
 
     // Q36 — collect_list, sorted post-hoc since collection order is
-    // partition-dependent (SURVEY §2 canonicalization).
+    // partition-dependent (SURVEY §2 canonicalization). The sorted list is
+    // then posexploded back into (group, idx, value) scalar rows: the driver
+    // cannot hash array columns, and the ordinal index proves the in-array
+    // order matched, which a bare explode would not.
     Q("q36_collect_list",
-      """SELECT o_orderpriority, list_sort(list(o_totalprice)) AS prices
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
-      Tables.t(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(array_sort(collect_list(col("o_totalprice"))).as("prices"))
-        .orderBy(col("o_orderpriority").asc_nulls_first)
+      """WITH agg AS (
+        |  SELECT o_orderpriority, list_sort(list(o_totalprice)) AS prices
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  CAST(unnest(generate_series(1, len(prices))) AS INT) AS idx,
+        |  unnest(prices) AS price
+        |FROM agg
+        |ORDER BY o_orderpriority NULLS FIRST, idx NULLS FIRST, price NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(array_sort(collect_list(col("o_totalprice"))).as("prices"))
+          .select(col("o_orderpriority"),
+            posexplode(col("prices")).as(Seq("pos", "price")))
+          .select(col("o_orderpriority"), (col("pos") + 1).as("idx"),
+            col("price")))
     },
 
     // Q37 — custom typed Aggregator (weighted mean, exact integer buffer).

@@ -78,8 +78,15 @@ object Joins {
           .select("r_name", "n_name"))
     },
 
-    // Q24 — theta (non-equi) join: for each supplier, how many suppliers
-    // hold a strictly larger balance (BNLJ; left join keeps the maximum).
+    // Q24 — theta (non-equi) join semantics: for each supplier, how many
+    // suppliers hold a strictly larger balance. The oracle keeps the naive
+    // O(n²) BNLJ SQL (fine for DuckDB at sf0.1); the Spark plan is the
+    // scale-safe O(n log n) form — "count of strictly richer rows" is a
+    // prefix count over the distinct balances: aggregate to one row per
+    // distinct balance, running-sum the counts in descending balance order,
+    // equi-join the (tiny, broadcast) result back. The only global window
+    // runs over distinct values, not rows; at extreme cardinality the same
+    // shape becomes a range-partitioned two-level prefix sum.
     Q("q24_theta_join",
       """SELECT s1.s_suppkey, count(s2.s_suppkey) AS n_richer
         |FROM supplier s1 LEFT JOIN supplier s2
@@ -87,11 +94,17 @@ object Joins {
         |GROUP BY s1.s_suppkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        val s1 = Tables.t(s, dir, "supplier").alias("s1")
-        val s2 = Tables.t(s, dir, "supplier").alias("s2")
-        orderAll(s1.join(s2, col("s2.s_acctbal") > col("s1.s_acctbal"), "left")
-          .groupBy(col("s1.s_suppkey").as("s_suppkey"))
-          .agg(count(col("s2.s_suppkey")).as("n_richer")))
+        val sup = Tables.t(s, dir, "supplier")
+        val byBal = sup.filter(col("s_acctbal").isNotNull)
+          .groupBy(col("s_acctbal")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("s_acctbal").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val richer = byBal.select(col("s_acctbal").as("bal"),
+          coalesce(sum(col("cnt")).over(w), lit(0L)).as("n_richer"))
+        orderAll(sup
+          .join(broadcast(richer), sup("s_acctbal") === richer("bal"), "left")
+          .select(col("s_suppkey"),
+            coalesce(col("n_richer"), lit(0L)).as("n_richer")))
     },
 
     // Q25 — broadcast-hint equi-join chain: fact(lineitem) with two
@@ -119,10 +132,19 @@ object Joins {
     },
 
     // Q26 — as-of join (backward): each purchase event matched to the most
-    // recent click by the same user at or before it. Equi key (user) bounds
-    // the join; window row_number picks the winner; ties break on event_id
-    // so the result is engine-independent. Purchases with no prior click
-    // survive with NULL (left join) — the reference's miss/stall semantics.
+    // recent click by the same user at or before it. The oracle spells the
+    // naive join+row_number form; the Spark plan is the scale-safe
+    // single-pass form: union both event sets, one window per user ordered
+    // by (ts, kind, event_id), and carry the last click seen via
+    // last(..., ignoreNulls) over a running row frame. Work is O(events)
+    // per user — no candidate explosion when one user has many clicks ×
+    // purchases — and the whole query is a single shuffle on user_id.
+    // Clicks sort before purchases at equal ts (kind asc) so a same-ts
+    // click is visible, matching the oracle's c.ts <= p.ts; among visible
+    // clicks the running last is the (max ts, max event_id) one, matching
+    // the oracle's ORDER BY c.ts DESC, c.event_id DESC tie-break.
+    // Purchases with no prior click keep a NULL match — the reference's
+    // miss/stall semantics.
     Q("q26_asof_join",
       """SELECT p_id, p_ts, c_id, c_ts FROM (
         |  SELECT p.event_id AS p_id, p.ts AS p_ts,
@@ -136,19 +158,21 @@ object Joins {
         |ORDER BY p_id NULLS FIRST, p_ts NULLS FIRST, c_id NULLS FIRST,
         |  c_ts NULLS FIRST""".stripMargin) { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
-      val p = ev.filter(col("event_type") === "purchase").alias("p")
-      val c = ev.filter(col("event_type") === "click").alias("c")
-      val joined = p.join(c,
-        col("p.user_id") === col("c.user_id") && col("c.ts") <= col("p.ts"),
-        "left")
-      val w = Window.partitionBy(col("p.event_id"))
-        .orderBy(col("c.ts").desc_nulls_last, col("c.event_id").desc_nulls_last)
-      orderAll(joined
-        .select(col("p.event_id").as("p_id"), col("p.ts").as("p_ts"),
-          col("c.event_id").as("c_id"), col("c.ts").as("c_ts"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-        .drop("rn"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "purchase").as("is_p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_p").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastClick = last(
+        when(!col("is_p"),
+          struct(col("ts").as("c_ts"), col("event_id").as("c_id"))),
+        ignoreNulls = true).over(w)
+      orderAll(ev
+        .withColumn("lc", lastClick)
+        .filter(col("is_p"))
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("lc.c_id").as("c_id"), col("lc.c_ts").as("c_ts")))
     },
 
     // Q26b — the reference's exact slot-match (meteosat.py:105-122): a
