@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Every registered query, grouped by SURVEY.md §2 Part-B family. */
   def registry: Seq[Q] =
-    operators.Projections.all ++
+    sources.Sources.all ++
+      operators.Projections.all ++
       operators.Joins.all ++
       operators.Aggregates.all ++
       operators.Windows.all ++

@@ -1,0 +1,226 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.Canon.{orderAll, sumDec, sumDecSql}
+
+/** Scratch-dir management for source/sink round-trip queries. Each query
+  * gets a per-(query, input-dir) directory under `target/graft-io`, wiped on
+  * every invocation so re-runs are deterministic. On a real cluster this
+  * would be a shared filesystem / object-store prefix; the layout and
+  * commit behavior (Spark's FileCommitProtocol) are identical.
+  */
+object IO {
+  def scratch(name: String, inputDir: String): String = {
+    val base = new java.io.File(
+      sys.props.getOrElse("graft.io.dir", "target/graft-io"))
+    val d = new java.io.File(base,
+      s"$name-${Integer.toHexString(inputDir.hashCode)}")
+    deleteRec(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+  def deleteRec(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRec)
+    f.delete(): Unit
+  }
+}
+
+/** Source/sink surface (SURVEY.md §2 Q01–Q06).
+  *
+  * The reference's IO is a path-encoded partitioned file layout
+  * (`sources/meteosat.py:152-183`), binary blob ingestion
+  * (`sources/meteosat.py:130-139`), and JSON state/catalog documents
+  * (`utils/eumdacapi.py:47-65`). Here each becomes a Spark reader/writer
+  * round-trip whose read-back is oracle-checked against the original
+  * parquet table — content equality, not file-byte equality (SURVEY §2
+  * canonicalization for Q04/Q06).
+  */
+object Sources {
+
+  /** Post-staging schema of the events stream (ts already micros). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage `events` into a scratch DIRECTORY of `nFiles` time-range-sorted
+    * parquet files (a streaming file source reads directories, and the
+    * landing-zone copy normalizes the TIMESTAMP(NANOS) footer to micros).
+    * Files are range-split on `ts` and their modification times set in
+    * range order, so `maxFilesPerTrigger` replays history in event-time
+    * order — the reference's slot-by-slot arrival (`meteosat.py:88-100`).
+    * Cached per (dir, nFiles): staging is idempotent and reused across the
+    * streaming queries of one session.
+    */
+  def stageEvents(s: SparkSession, dir: String, nFiles: Int = 1): String =
+    stageCache.computeIfAbsent(s"$dir#$nFiles", _ => {
+      val out = IO.scratch(s"events_stage$nFiles", dir)
+      Tables.t(s, dir, "events")
+        .repartitionByRange(nFiles, col("ts"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      // mtimes in ts-range order (FileStreamSource orders by mtime):
+      // part file names carry the range-partition index prefix part-NNNNN.
+      val files = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L): Unit
+      }
+      out
+    })
+
+  /** `events` as a file STREAM over the staged directory. Callers pick the
+    * trigger / files-per-batch. Used by Q06 and the Q70–Q77 surface. */
+  def eventsStream(s: SparkSession, dir: String, nFiles: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val staged = stageEvents(s, dir, nFiles)
+    val r = s.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(staged)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Q01 — parquet scan, explicitly registered: projection + predicate are
+    // pushed into the scan (PushedFilters/ReadSchema asserted in PlanSpec).
+    Q("q01_parquet_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity > 49
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |  l_quantity NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 49)
+        .select("l_orderkey", "l_linenumber", "l_quantity"))
+    },
+
+    // Q02 — CSV round-trip with an EXPLICIT schema (no inferSchema in any
+    // production path — SURVEY §1.3). Doubles survive exactly because
+    // Spark's CSV writer emits the shortest round-trippable representation.
+    Q("q02_csv_scan",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST,
+        |  c_nationkey NULLS FIRST, c_acctbal NULLS FIRST,
+        |  c_mktsegment NULLS FIRST""".stripMargin) { (s, dir) =>
+      val out = IO.scratch("q02_csv_scan", dir)
+      Tables.t(s, dir, "customer")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      orderAll(s.read.schema(schema).option("header", "true").csv(out))
+    },
+
+    // Q03 — nested JSON round-trip: rows nested into struct+array documents
+    // (the reference's catalog/state JSON shape, eumdacapi.py:47-65), read
+    // back with an explicit nested schema and flattened.
+    Q("q03_json_scan",
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+        |  c_mktsegment AS tag0
+        |FROM customer
+        |ORDER BY id NULLS FIRST, name NULLS FIRST, bal NULLS FIRST,
+        |  tag0 NULLS FIRST""".stripMargin) { (s, dir) =>
+      val out = IO.scratch("q03_json_scan", dir)
+      Tables.t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
+            .as("info"),
+          array(col("c_mktsegment")).as("tags"))
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("info", StructType(Seq(
+          StructField("name", StringType),
+          StructField("bal", DoubleType)))),
+        StructField("tags", ArrayType(StringType))))
+      orderAll(s.read.schema(schema).json(out)
+        .select(col("id"), col("info.name").as("name"),
+          col("info.bal").as("bal"), element_at(col("tags"), 1).as("tag0")))
+    },
+
+    // Q04 — binaryFile scan (multimodal-blob ingestion, A7–A9 analog): a
+    // document subset is materialized as one UTF-8 blob file per doc by the
+    // EXECUTORS (foreachPartition — no driver collect), scanned back as
+    // binary, and decoded; identity is recovered from the path. Writes are
+    // idempotent (fixed name, fixed content) so task retries are safe. The
+    // one-file-per-row layout is test-harness-only; at scale blobs ride
+    // inside Parquet/Avro containers (see Q94).
+    Q("q04_binary_scan",
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id NULLS FIRST, n_chars_text NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val out = IO.scratch("q04_binary_scan", dir)
+        Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 200).select("doc_id", "text")
+          .foreachPartition { (it: Iterator[Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%06d.txt"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        orderAll(s.read.format("binaryFile").load(s"$out/*.txt")
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+              .cast(LongType).as("doc_id"),
+            length(col("content").cast(StringType)).as("n_chars_text")))
+    },
+
+    // Q05 — partitioned parquet sink (the reference's path-encoded layout,
+    // meteosat.py:152-183): write lineitem partitioned by return flag, read
+    // back through partition discovery with a partition-pruning filter, and
+    // verify content. Partition pruning on the read-back is asserted in
+    // PlanSpec.
+    Q("q05_partitioned_sink",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${sumDecSql("l_quantity")} AS sum_qty
+         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+         |  n NULLS FIRST, sum_qty NULLS FIRST""".stripMargin) { (s, dir) =>
+      val out = IO.scratch("q05_partitioned_sink", dir)
+      Tables.t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      orderAll(s.read.parquet(out)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
+    },
+
+    // Q06 — streaming file source → streaming parquet sink, exactly-once:
+    // the file sink's _spark_metadata commit log plus the checkpoint offset
+    // log reproduce the reference's fsync-then-atomic-rename cursor commit
+    // (utils/fs.py:21-48). Trigger.AvailableNow drains the source and
+    // stops; the read-back sees only committed files.
+    Q("q06_stream_sink",
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id NULLS FIRST, event_type NULLS FIRST,
+        |  value NULLS FIRST""".stripMargin) { (s, dir) =>
+      val out = IO.scratch("q06_stream_sink", dir)
+      val q = eventsStream(s, dir, nFiles = 4, maxFilesPerTrigger = Some(1))
+        .select("event_id", "event_type", "value")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      orderAll(s.read.parquet(s"$out/data"))
+    })
+}
