@@ -9,6 +9,7 @@ object SparkEntry {
   /** Every registered query, grouped by SURVEY.md §2 Part-B family. */
   def registry: Seq[Q] =
     sources.Sources.all ++
+      streaming.Streams.all ++
       operators.Projections.all ++
       operators.Joins.all ++
       operators.Aggregates.all ++

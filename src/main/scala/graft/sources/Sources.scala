@@ -13,11 +13,15 @@ import graft.Canon.{orderAll, sumDec, sumDecSql}
   * commit behavior (Spark's FileCommitProtocol) are identical.
   */
 object IO {
+  /** The scratch path for (query, input dir) WITHOUT wiping it — for use
+    * inside foreachBatch closures after [[scratch]] prepared the dir. */
+  def scratchPath(name: String, inputDir: String): String =
+    new java.io.File(
+      new java.io.File(sys.props.getOrElse("graft.io.dir", "target/graft-io")),
+      s"$name-${Integer.toHexString(inputDir.hashCode)}").getAbsolutePath
+
   def scratch(name: String, inputDir: String): String = {
-    val base = new java.io.File(
-      sys.props.getOrElse("graft.io.dir", "target/graft-io"))
-    val d = new java.io.File(base,
-      s"$name-${Integer.toHexString(inputDir.hashCode)}")
+    val d = new java.io.File(scratchPath(name, inputDir))
     deleteRec(d)
     d.mkdirs()
     d.getAbsolutePath

@@ -1,0 +1,305 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.Canon.{orderAll, sumDec, sumDecSql}
+import graft.sources.{IO, Sources}
+
+/** Structured Streaming surface (SURVEY.md §2 Q70–Q77) — the reference's
+  * core identity: an interval-triggered, cursor-checkpointed incremental
+  * pipeline (`main.py:28-29`, `sources/meteosat.py:61-122`,
+  * `utils/fs.py:21-48`).
+  *
+  * Harness shape: every query replays the staged `events` directory as a
+  * file stream in 4 time-range-ordered files, one file per micro-batch
+  * (`Trigger.AvailableNow` + maxFilesPerTrigger=1 — four genuine
+  * incremental batches with state carried across them, then a final
+  * no-data batch that advances the watermark). Results land in a parquet
+  * sink (or a foreachBatch snapshot) and the read-back is compared to a
+  * batch-mode DuckDB oracle over the same rows — the batch/stream
+  * equivalence check from SURVEY §5.5.
+  *
+  * Append-mode windowed queries only emit windows the final watermark
+  * (max event time − 45 min) has passed, so their oracles carry the same
+  * cutoff predicate. Late-data DROPPING (rows below the watermark) cannot
+  * happen in this time-ordered replay; that path is exercised with an
+  * out-of-order MemoryStream in StreamingSpec.
+  */
+object Streams {
+
+  private def trigger = Trigger.AvailableNow()
+
+  /** Run `df` to a parquet file sink (exactly-once via _spark_metadata +
+    * checkpoint, the fs.py:21-48 analog), block, return the read-back. */
+  private def toParquet(s: SparkSession, name: String, dir: String,
+      df: DataFrame): DataFrame = {
+    val out = IO.scratch(name, dir)
+    df.writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .trigger(trigger).start().awaitTermination()
+    s.read.parquet(s"$out/data")
+  }
+
+  /** Run `df` via foreachBatch with the given output mode, block. */
+  private def viaForeachBatch(name: String, dir: String, df: DataFrame,
+      mode: String)(f: (DataFrame, Long) => Unit): String = {
+    val out = IO.scratch(name, dir)
+    df.writeStream.outputMode(mode)
+      .foreachBatch((b: DataFrame, id: Long) => f(b, id))
+      .option("checkpointLocation", s"$out/chk")
+      .trigger(trigger).start().awaitTermination()
+    out
+  }
+
+  /** 15-min tumbling slot of ts, as DuckDB SQL (shared by the oracles). */
+  private def slotSql(ts: String): String =
+    s"make_timestamp(CAST(floor(epoch($ts) / 900) * 900 AS BIGINT) * 1000000)"
+
+  /** Watermark cutoff: latest event time minus the 45-min delay (the
+    * reference's publication-latency guard, meteosat.py:93). */
+  private val cutoffSql: String =
+    "(SELECT max(ts) - INTERVAL '45 minutes' FROM events)"
+
+  val all: Seq[Q] = Seq(
+
+    // Q70 — tumbling-window aggregate (the 15-min slot cadence,
+    // main.py:29). Complete mode: each trigger re-emits the full snapshot
+    // via foreachBatch-overwrite (an idempotent snapshot sink), so the
+    // final state equals the batch aggregation with no watermark cutoff.
+    Q("q70_tumbling",
+      s"""SELECT ${slotSql("ts")} AS wstart, event_type, count(*) AS n,
+         |  ${sumDecSql("value")} AS sum_val
+         |FROM events GROUP BY 1, 2
+         |ORDER BY wstart NULLS FIRST, event_type NULLS FIRST, n NULLS FIRST,
+         |  sum_val NULLS FIRST""".stripMargin) { (s, dir) =>
+      val agg = Sources.eventsStream(s, dir, 4, Some(1))
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_val"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("sum_val"))
+      val out = viaForeachBatch("q70_tumbling", dir, agg, "complete") {
+        (b, _) => b.write.mode("overwrite").parquet(
+          IO.scratchPath("q70_tumbling", dir) + "/snap")
+      }
+      orderAll(s.read.parquet(s"$out/snap"))
+    },
+
+    // Q71 — sliding-window aggregate (±30-min search window around each
+    // slot, meteosat.py:106-107): 30-min windows sliding by 15, so every
+    // event lands in exactly two windows.
+    Q("q71_sliding",
+      s"""WITH e AS (SELECT event_type, value, ${slotSql("ts")} AS slot
+         |  FROM events),
+         |w AS (SELECT event_type, value,
+         |  unnest([slot, slot - INTERVAL '15 minutes']) AS wstart FROM e)
+         |SELECT wstart, event_type, count(*) AS n,
+         |  ${sumDecSql("value")} AS sum_val
+         |FROM w GROUP BY 1, 2
+         |ORDER BY wstart NULLS FIRST, event_type NULLS FIRST, n NULLS FIRST,
+         |  sum_val NULLS FIRST""".stripMargin) { (s, dir) =>
+      val agg = Sources.eventsStream(s, dir, 4, Some(1))
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_val"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("sum_val"))
+      val out = viaForeachBatch("q71_sliding", dir, agg, "complete") {
+        (b, _) => b.write.mode("overwrite").parquet(
+          IO.scratchPath("q71_sliding", dir) + "/snap")
+      }
+      orderAll(s.read.parquet(s"$out/snap"))
+    },
+
+    // Q72 — session windows (1-hour inactivity gap) per user, append mode:
+    // a session is emitted once the watermark passes its end (= last event
+    // + gap), so the oracle is the gaps-and-islands batch equivalent with
+    // the same cutoff.
+    Q("q72_session",
+      s"""WITH o AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0
+         |      END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |t AS (SELECT user_id, ts,
+         |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+         |sess AS (SELECT user_id, min(ts) AS session_start,
+         |    max(ts) + INTERVAL '1 hour' AS session_end, count(*) AS n
+         |  FROM t GROUP BY user_id, sid)
+         |SELECT user_id, session_start, session_end, n FROM sess
+         |WHERE session_end <= $cutoffSql
+         |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST,
+         |  session_end NULLS FIRST, n NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(toParquet(s, "q72_session", dir,
+        Sources.eventsStream(s, dir, 4, Some(1))
+          .withWatermark("ts", "45 minutes")
+          .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n"))))
+    },
+
+    // Q73 — watermark + tumbling window in append mode (the −45-min
+    // bootstrap guard, meteosat.py:93): only windows the final watermark
+    // passed are in the sink; the oracle applies the same cutoff.
+    Q("q73_watermark",
+      s"""WITH agg AS (
+         |  SELECT ${slotSql("ts")} AS wstart, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT wstart, event_type, n FROM agg
+         |WHERE wstart + INTERVAL '15 minutes' <= $cutoffSql
+         |ORDER BY wstart NULLS FIRST, event_type NULLS FIRST, n NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(toParquet(s, "q73_watermark", dir,
+          Sources.eventsStream(s, dir, 4, Some(1))
+            .withWatermark("ts", "45 minutes")
+            .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("wstart"), col("event_type"),
+              col("n"))))
+    },
+
+    // Q74 — streaming dedup (idempotent re-ingestion, A17): the staged
+    // stream carries every event TWICE (a simulated double-download);
+    // dropDuplicatesWithinWatermark keeps the first arrival per event_id.
+    Q("q74_dedup",
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id NULLS FIRST, event_type NULLS FIRST,
+        |  value NULLS FIRST""".stripMargin) { (s, dir) =>
+      val staged = stageEventsDoubled(s, dir)
+      val stream = s.readStream.schema(Sources.eventsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .withWatermark("ts", "45 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "event_type", "value")
+      orderAll(toParquet(s, "q74_dedup", dir, stream))
+    },
+
+    // Q75 — arbitrary stateful processing: the reference's incremental
+    // cursor (meteosat.py:61-122) as mapGroupsWithState. Per user the
+    // state is a monotone cursor over 15-min slots: it advances only
+    // forward (A3), counts each slot once however many events land in it,
+    // and survives across micro-batches via the state store (A2/A16).
+    // Update-mode emissions are tagged with the batch id; the LAST
+    // emission per user is the final state, compared to the batch oracle.
+    Q("q75_stateful_cursor",
+      s"""SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+         |  max(ts) AS last_ts,
+         |  count(DISTINCT ${slotSql("ts")}) AS n_slots
+         |FROM events GROUP BY user_id
+         |ORDER BY user_id NULLS FIRST, n_events NULLS FIRST,
+         |  first_ts NULLS FIRST, last_ts NULLS FIRST, n_slots NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val stream = Sources.eventsStream(s, dir, 4, Some(1))
+          .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id")
+          .as[(Long, Long, Long)]
+        val updates = stream.groupByKey(_._1)
+          .mapGroupsWithState[CursorState, CursorOut](
+            GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+            // Files are ts-range-ordered, so batches arrive in event-time
+            // order; within a batch we sort (iterator order is undefined).
+            val evs = it.toArray.sortBy(e => (e._2, e._3))
+            var st = state.getOption.getOrElse(CursorState(0, Long.MaxValue,
+              Long.MinValue, Long.MinValue, 0))
+            evs.foreach { case (_, tsUs, _) =>
+              val slot = Math.floorDiv(tsUs, 900L * 1000000L)
+              st = CursorState(
+                st.nEvents + 1,
+                math.min(st.firstTs, tsUs),
+                math.max(st.lastTs, tsUs),
+                math.max(st.lastSlot, slot),
+                st.nSlots + (if (slot > st.lastSlot) 1 else 0))
+            }
+            state.update(st)
+            CursorOut(uid, st.nEvents, st.firstTs, st.lastTs, st.nSlots)
+          }
+        val out = viaForeachBatch("q75_stateful_cursor", dir,
+          updates.toDF(), "update") { (b, id) =>
+          b.withColumn("batch_id", lit(id)).write.mode("append")
+            .parquet(IO.scratchPath("q75_stateful_cursor", dir) + "/log")
+        }
+        val log = s.read.parquet(s"$out/log")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("batch_id").desc)
+        orderAll(log
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n_events"),
+            timestamp_micros(col("first_ts")).as("first_ts"),
+            timestamp_micros(col("last_ts")).as("last_ts"), col("n_slots")))
+    },
+
+    // Q76 — stream-static join (slot-vs-catalog matching, A6): the event
+    // stream joins the static customer dim (broadcast — the dim is small
+    // and the join is stateless, so append mode passes rows through).
+    Q("q76_stream_static_join",
+      """SELECT event_id, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id NULLS FIRST, c_mktsegment NULLS FIRST,
+        |  value NULLS FIRST""".stripMargin) { (s, dir) =>
+      val cust = broadcast(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = Sources.eventsStream(s, dir, 4, Some(1))
+        .join(cust, col("user_id") === col("c_custkey"))
+        .select("event_id", "c_mktsegment", "value")
+      orderAll(toParquet(s, "q76_stream_static_join", dir, joined))
+    },
+
+    // Q77 — foreachBatch sink with exactly-once semantics: each batch
+    // lands in its own batch_id partition via idempotent dynamic-partition
+    // overwrite — a replayed batch rewrites the same partition to the
+    // same content, the reference's temp-file-then-atomic-rename commit
+    // (utils/fs.py:21-48).
+    Q("q77_foreach_batch",
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id NULLS FIRST, event_type NULLS FIRST,
+        |  value NULLS FIRST""".stripMargin) { (s, dir) =>
+      val stream = Sources.eventsStream(s, dir, 4, Some(1))
+        .select("event_id", "event_type", "value")
+      val out = viaForeachBatch("q77_foreach_batch", dir, stream, "append") {
+        (b, id) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(IO.scratchPath("q77_foreach_batch", dir) + "/data")
+      }
+      orderAll(s.read.parquet(s"$out/data")
+        .select("event_id", "event_type", "value"))
+    })
+
+  /** Staging variant for Q74: every event appears twice (two unioned
+    * copies range-split together, so each duplicate pair lands in the
+    * same micro-batch). */
+  private val dupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageEventsDoubled(s: SparkSession, dir: String): String =
+    dupCache.computeIfAbsent(dir, _ => {
+      val out = IO.scratch("events_stage_dup", dir)
+      val ev = Tables.t(s, dir, "events")
+      ev.unionAll(ev)
+        .repartitionByRange(4, col("ts"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L): Unit
+      }
+      out
+    })
+}
+
+/** Q75 cursor state: monotone slot cursor + run statistics (micros). */
+final case class CursorState(nEvents: Long, firstTs: Long, lastTs: Long,
+    lastSlot: Long, nSlots: Long)
+
+/** Q75 per-batch emission. */
+final case class CursorOut(user_id: Long, n_events: Long, first_ts: Long,
+    last_ts: Long, n_slots: Long)
