@@ -15,7 +15,9 @@ object SparkEntry {
       operators.Aggregates.all ++
       operators.Windows.all ++
       operators.SetOps.all ++
-      functions.Scalars.all
+      operators.LlmPipeline.all ++
+      functions.Scalars.all ++
+      functions.Udfs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Explicitly the TPC-H Q1-shaped hash aggregate (q30). */
