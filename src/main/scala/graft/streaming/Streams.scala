@@ -206,17 +206,8 @@ object Streams {
             // Files are ts-range-ordered, so batches arrive in event-time
             // order; within a batch we sort (iterator order is undefined).
             val evs = it.toArray.sortBy(e => (e._2, e._3))
-            var st = state.getOption.getOrElse(CursorState(0, Long.MaxValue,
-              Long.MinValue, Long.MinValue, 0))
-            evs.foreach { case (_, tsUs, _) =>
-              val slot = Math.floorDiv(tsUs, 900L * 1000000L)
-              st = CursorState(
-                st.nEvents + 1,
-                math.min(st.firstTs, tsUs),
-                math.max(st.lastTs, tsUs),
-                math.max(st.lastSlot, slot),
-                st.nSlots + (if (slot > st.lastSlot) 1 else 0))
-            }
+            var st = state.getOption.getOrElse(CursorState.zero)
+            evs.foreach { case (_, tsUs, _) => st = st.advance(tsUs) }
             state.update(st)
             CursorOut(uid, st.nEvents, st.firstTs, st.lastTs, st.nSlots)
           }
@@ -296,9 +287,35 @@ object Streams {
     })
 }
 
-/** Q75 cursor state: monotone slot cursor + run statistics (micros). */
+/** Q75 cursor state: monotone slot cursor + run statistics (micros).
+  *
+  * Replicates the reference's cursor discipline
+  * (`sources/meteosat.py:61-122`): the slot cursor only moves FORWARD
+  * (A3 — an event in an already-passed slot never rewinds it), each
+  * 15-min slot is counted once however many events land in it, and the
+  * state is the only thing carried between ticks (A2/A16). Golden-trace
+  * tested in CursorSpec (SURVEY §5 item 4).
+  */
 final case class CursorState(nEvents: Long, firstTs: Long, lastTs: Long,
-    lastSlot: Long, nSlots: Long)
+    lastSlot: Long, nSlots: Long) {
+  /** Fold one event (micros) into the cursor. */
+  def advance(tsUs: Long): CursorState = {
+    val slot = Math.floorDiv(tsUs, CursorState.slotUs)
+    CursorState(
+      nEvents + 1,
+      math.min(firstTs, tsUs),
+      math.max(lastTs, tsUs),
+      math.max(lastSlot, slot),
+      nSlots + (if (slot > lastSlot) 1 else 0))
+  }
+}
+
+object CursorState {
+  /** 15 minutes in microseconds (the reference slot step, meteosat.py:90). */
+  val slotUs: Long = 900L * 1000000L
+  val zero: CursorState =
+    CursorState(0, Long.MaxValue, Long.MinValue, Long.MinValue, 0)
+}
 
 /** Q75 per-batch emission. */
 final case class CursorOut(user_id: Long, n_events: Long, first_ts: Long,

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{WeightedIn, WeightedMeanCents}
+
+class AggregatesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q33: HLL estimate is within ±5% of exact per group (SURVEY §2)") {
+    val rows = Tables.t(spark, TestSpark.sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(approx >= exact * 0.95 && approx <= exact * 1.05,
+        s"flag=${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("WeightedMeanCents: fold+merge equals the direct weighted mean") {
+    val xs = Seq(WeightedIn(10.00, 2), WeightedIn(5.50, 3), WeightedIn(0.25, 1))
+    val (a, b) = xs.splitAt(1)
+    val partA = a.foldLeft(WeightedMeanCents.zero)(WeightedMeanCents.reduce)
+    val partB = b.foldLeft(WeightedMeanCents.zero)(WeightedMeanCents.reduce)
+    val merged = WeightedMeanCents.merge(partA, partB)
+    val direct = xs.map(x => x.measure * x.weight).sum / xs.map(_.weight).sum
+    assert(math.abs(WeightedMeanCents.finish(merged) - direct) < 1e-9)
+    // merge is commutative (required for partial aggregation)
+    assert(WeightedMeanCents.merge(partB, partA) == merged)
+  }
+
+  test("WeightedMeanCents: overflow fails loudly, never wraps") {
+    val big = (Long.MaxValue - 10, 1L)
+    intercept[ArithmeticException] {
+      WeightedMeanCents.reduce(big, WeightedIn(1e15, 1e3))
+    }
+    intercept[ArithmeticException] {
+      WeightedMeanCents.merge(big, big)
+    }
+  }
+
+  test("q35 tie-break key: zero-padded string order == numeric order") {
+    def key(epoch: Long, id: Long) = f"$epoch%019d$id%019d"
+    assert(key(100, 999999999999L) < key(101, 0))
+    assert(key(100, 5) < key(100, 50))
+    assert(key(1700000000L, 1) < key(1700000900L, 0))
+  }
+}

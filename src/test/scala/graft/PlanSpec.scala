@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY §5 item 6): the queries must not merely
+  * return the right rows — they must plan the way a 100 TB run needs.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  /** Untruncated PushedFilters of every parquet scan in the plan (the
+    * toString form elides long filter lists; AQE hides scans behind a
+    * leaf AdaptiveSparkPlanExec). */
+  private def scanFilters(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanFilters(a.initialPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metadata.getOrElse("PushedFilters", ""))
+    }.flatten
+
+  private def pushedFilters(name: String): String =
+    scanFilters(SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan).mkString(";")
+
+  test("q25: both dims join as BroadcastHashJoin") {
+    val p = planOf("q25_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2,
+      s"expected 2 broadcast hash joins in:\n$p")
+  }
+
+  test("q12: range predicates are pushed to the parquet scan") {
+    val pf = pushedFilters("q12_between")
+    assert(pf.contains("GreaterThanOrEqual(l_quantity,10.0)"), pf)
+    assert(pf.contains("LessThanOrEqual(l_quantity,20.0)"), pf)
+    assert(pf.contains("GreaterThanOrEqual(l_shipdate"), pf)
+  }
+
+  test("q01: filter + projection reach the scan") {
+    val pf = pushedFilters("q01_parquet_scan")
+    assert(pf.contains("GreaterThan(l_quantity,49.0)"), pf)
+    val p = planOf("q01_parquet_scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("q24: the theta-join semantics plan with no nested-loop join") {
+    val p = planOf("q24_theta_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q26: the as-of join is a single-pass window, no join at all") {
+    val p = planOf("q26_asof_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // exactly one shuffle for the per-user window; the final orderBy adds
+    // one range exchange (oracle canonicalization only).
+    assert("hashpartitioning\\(user_id".r.findAllMatchIn(p).nonEmpty, p)
+  }
+
+  test("q92: the query side of the top-k cosine is broadcast") {
+    val p = planOf("q92_cosine_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query has a distinct name and an oracle") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty,
+      s"queries without oracle (rows-only check): $noOracle")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming semantics the file-replay harness cannot show (its files are
+  * time-ordered, so nothing ever arrives late): watermark-based late-data
+  * DROPPING and cross-batch dedup, driven by an out-of-order MemoryStream
+  * (SURVEY §5 item 5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01T00:00Z +
+
+  test("watermark drops rows later than 45 minutes behind max event time") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "45 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in window 00:00 + one far ahead at 03:00 that
+      // will push the watermark to 02:15 after this batch commits.
+      input.addData((ts(0), 1L), (ts(5), 2L), (ts(180), 3L))
+      q.processAllAvailable()
+      // batch 2: a LATE row for window 00:00 (ts=00:10 << watermark 02:15)
+      // must be dropped, not added; plus a fresh row at 04:00 advancing
+      // the watermark to 03:15 so window 03:00 flushes too.
+      input.addData((ts(10), 4L), (ts(240), 5L))
+      q.processAllAvailable()
+      val out = spark.table("wm_test")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+      // window 00:00 was finalized with 2 rows — the late row is gone
+      assert(out(ts(0).getTime) == 2L)
+      // window 03:00 flushed with exactly its one on-time row
+      assert(out(ts(180).getTime) == 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "45 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dd_test")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 100L), (ts(1), 101L))
+      q.processAllAvailable()
+      input.addData((ts(2), 100L), (ts(3), 102L)) // 100 is a re-delivery
+      q.processAllAvailable()
+      val ids = spark.table("dd_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(100L, 101L, 102L))
+    } finally q.stop()
+  }
+
+  test("stateful cursor carries state across micro-batches (Q75 engine path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.streaming.CursorState
+    implicit val ctx = spark.sqlContext
+    val slotMin = 15L
+    val input = MemoryStream[(Long, Timestamp)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[CursorState, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var st = state.getOption.getOrElse(CursorState.zero)
+        it.toArray.sortBy(_._2.getTime).foreach { e =>
+          st = st.advance(e._2.getTime * 1000L)
+        }
+        state.update(st)
+        (uid, st.nEvents, st.nSlots)
+      }
+    val q = counted.toDF("user_id", "n_events", "n_slots")
+      .writeStream.format("memory").queryName("cur_test")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(slotMin)))
+      q.processAllAvailable()
+      input.addData((1L, ts(slotMin + 1)), (1L, ts(3 * slotMin)))
+      q.processAllAvailable()
+      val last = spark.table("cur_test").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).last
+      // 5 events total over slots {0, 1, 3} — state survived the batch gap
+      assert(last == ((5L, 3L)))
+    } finally q.stop()
+  }
+}
