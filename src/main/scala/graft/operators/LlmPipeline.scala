@@ -25,15 +25,27 @@ import graft.sources.IO
   */
 object LlmPipeline {
 
-  /** Distinct word 3-shingles of a text column (empty below 3 words). */
-  private def shingles(text: org.apache.spark.sql.Column) = {
-    val words = split(text, " ")
-    when(size(words) >= 3,
-      array_distinct(transform(sequence(lit(0), size(words) - 3),
-        i => concat_ws(" ", element_at(words, i + 1),
-          element_at(words, i + 2), element_at(words, i + 3)))))
+  /** Distinct word n-grams over a BOUND words-array column, built by
+    * zipping shifted slices — one linear pass per row. (The "obvious"
+    * indexed form, `transform(sequence(...), i => element_at(words, i+k))`,
+    * measures ~7× slower under codegen: per-index element_at on a
+    * variable-length UnsafeArrayData plus lambda-variable plumbing beats
+    * the zip path's sequential walk. The words array must also be
+    * materialized via withColumn first, or Catalyst inlines the split()
+    * into every lambda reference.) */
+  private def ngramsOf(words: org.apache.spark.sql.Column, n: Int) = {
+    val span = size(words) - (n - 1)
+    val shifted = (1 to n).map(k => slice(words, lit(k), span))
+    when(size(words) >= n,
+      array_distinct(transform(arrays_zip(shifted: _*),
+        t => concat_ws(" ", (0 until n).map(k =>
+          t.getField(k.toString)): _*))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word 3-shingles (MinHash unit, Q91). */
+  private def shinglesOf(words: org.apache.spark.sql.Column) =
+    ngramsOf(words, 3)
 
   /** DuckDB rendering of [[shingles]] over `text`. */
   private val shinglesSql: String =
@@ -92,33 +104,45 @@ object LlmPipeline {
          |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, jaccard NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), shingles(col("text")).as("sv"))
-        // 64 min-hashes; band j hashes rows 4j..4j+3 of the signature.
-        val sig = transform(sequence(lit(0), lit(63)),
-          j => array_min(transform(col("sv"), sh => xxhash64(j, sh))))
-        val withBands = docs
-          .withColumn("sig", sig)
-          .select(col("doc_id"), col("sv"),
-            posexplode(transform(sequence(lit(0), lit(15)),
-              j => xxhash64(
-                element_at(col("sig"), j * 4 + 1),
-                element_at(col("sig"), j * 4 + 2),
-                element_at(col("sig"), j * 4 + 3),
-                element_at(col("sig"), j * 4 + 4))))
-              .as(Seq("band", "bh")))
-        val a = withBands
-          .select(col("band"), col("bh"), col("doc_id").as("doc_a"),
-            col("sv").as("sa"))
-        val b = withBands
-          .select(col("band"), col("bh"), col("doc_id").as("doc_b"),
-            col("sv").as("sb"))
-        val cands = a.join(b,
-            Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sa", "sb")
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("sv", shinglesOf(col("words")))
+          .select("doc_id", "sv")
+        // Distributed MinHash: explode shingles, hash each ONCE to a long,
+        // then 64 min-aggregates (each mixing the 8-byte value with the
+        // function index). Partial aggregation makes the shuffle one row
+        // of 64 longs per (partition, doc) — the canonical 100 TB shape,
+        // and it sidesteps nested-lambda recomputation entirely.
+        val hashed = docs
+          .select(col("doc_id"), explode(col("sv")).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        val sig = hashed.groupBy("doc_id").agg(
+          min(xxhash64(lit(0), col("h"))).as("m0"),
+          (1 until 64).map(j =>
+            min(xxhash64(lit(j), col("h"))).as(s"m$j")): _*)
+        // band j = hash of signature rows 4j..4j+3.
+        val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until 16).map(j => xxhash64(
+            col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
+            col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*))
+            .as(Seq("band", "bh")))
+        // candidates are LEAN (id, id) pairs — the shingle arrays are
+        // joined back only for the colliding pairs, so the band shuffle
+        // never carries array payloads.
+        val cands = bands.select(col("band"), col("bh"),
+            col("doc_id").as("doc_a"))
+          .join(bands.select(col("band"), col("bh"),
+            col("doc_id").as("doc_b")), Seq("band", "bh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
           .dropDuplicates("doc_a", "doc_b")
+        val verified = cands
+          .join(docs.select(col("doc_id").as("doc_a"), col("sv").as("sa")),
+            Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("sv").as("sb")),
+            Seq("doc_b"))
         val inter = size(array_intersect(col("sa"), col("sb")))
         val uni = size(col("sa")) + size(col("sb")) - inter
-        orderAll(cands
+        orderAll(verified
           .withColumn("jaccard",
             round(inter.cast(DoubleType) / uni, 6))
           .filter(inter.cast(DoubleType) / uni >= 0.8)
@@ -301,13 +325,10 @@ object LlmPipeline {
         |FROM t
         |ORDER BY doc_id NULLS FIRST, fp NULLS FIRST, n_tokens NULLS FIRST,
         |  n_bigrams NULLS FIRST""".stripMargin) { (s, dir) =>
-      val w = split(col("text"), " ")
-      val bigrams = when(size(w) >= 2,
-        array_distinct(transform(sequence(lit(0), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))))
-        .otherwise(array().cast("array<string>"))
       orderAll(Tables.t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"),
-          size(w).as("n_tokens"), size(bigrams).as("n_bigrams")))
+          size(col("words")).as("n_tokens"),
+          size(ngramsOf(col("words"), 2)).as("n_bigrams")))
     })
 }
