@@ -75,15 +75,18 @@ object Udfs {
     },
 
     // Q83 — cosine similarity between consecutive embeddings, via the
-    // codegen'd HOF fast path (Similarity.cosine), no UDF. Rounded to 6dp
-    // on both sides (the quotient's last bits are the one place the
-    // engines' compilers may differ).
+    // custom codegen Catalyst Expression (graft.plans.CosineSimilarity —
+    // registered per session; bit-identical to the zip_with/aggregate HOF
+    // form, asserted in ExpressionSpec). Rounded to 6dp on both sides
+    // (the quotient's last bits are the one place the engines' compilers
+    // may differ).
     Q("q83_cosine_hof",
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
          |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST, cos_sim NULLS FIRST""".stripMargin) {
       (s, dir) =>
+        graft.plans.CosineSimilarity.register(s)
         val e = Tables.t(s, dir, "embeddings")
         val a = e.select(col("vec_id").as("vec_a"),
           col("embedding").as("ea"))
@@ -91,6 +94,6 @@ object Udfs {
           col("embedding").as("eb"))
         orderAll(a.join(b, col("vec_b") === col("vec_a") + 1)
           .select(col("vec_a"), col("vec_b"),
-            round(Similarity.cosine(col("ea"), col("eb")), 6).as("cos_sim")))
+            round(expr("cosine_sim(ea, eb)"), 6).as("cos_sim")))
     })
 }

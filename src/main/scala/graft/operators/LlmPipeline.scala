@@ -156,6 +156,8 @@ object LlmPipeline {
     // (or IVF coarse quantization) bucketing both sides so each query
     // scans one bucket, with this brute-force form as the in-bucket
     // scorer; tie-break on (cos DESC, vec_id ASC) keeps top-k stable.
+    // Scoring runs through the codegen CosineSimilarity expression (one
+    // fused loop per pair; bit-identical to the HOF/oracle formulation).
     Q("q92_cosine_topk",
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
          |  FROM embeddings WHERE vec_id < 10),
@@ -174,16 +176,14 @@ object LlmPipeline {
          |FROM ranked WHERE rnk <= 5
          |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
          |  cos_sim NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.plans.CosineSimilarity.register(s)
       val e = Tables.t(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id"), col("embedding"),
-        sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("cn"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
       val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("qn"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val scored = corpus.crossJoin(broadcast(queries))
         .select(col("query_id"), col("vec_id"),
-          round(Similarity.dot(col("qe"), col("embedding")) /
-            (col("qn") * col("cn")), 6).as("cos_sim"))
+          round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
       orderAll(scored

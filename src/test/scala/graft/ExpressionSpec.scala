@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.plans.CosineSimilarity
+
+/** The custom codegen CosineSimilarity expression must be a drop-in for
+  * the HOF formulation: same values to the last bit, correct null
+  * handling, and it must actually code-generate.
+  */
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cosine_sim is bit-identical to the zip_with/aggregate HOF form") {
+    CosineSimilarity.register(spark)
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val diffs = a.join(b, col("vb") === col("va") + 1)
+      .select(expr("cosine_sim(ea, eb)").as("custom"),
+        Similarity.cosine(col("ea"), col("eb")).as("hof"))
+      .filter(col("custom") =!= col("hof")) // bitwise: any ULP diff survives
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("cosine_sim of a vector with itself is 1.0 (exact)") {
+    CosineSimilarity.register(spark)
+    val bad = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(expr("cosine_sim(embedding, embedding)").as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("null input propagates to null output") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+    val r = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("the expression participates in whole-stage codegen") {
+    CosineSimilarity.register(spark)
+    val df = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(expr("cosine_sim(embedding, embedding)").as("c"))
+    // the projection must sit inside a codegen stage ("*(n)" marker) ...
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("cosine_sim")), plan)
+    // ... and the generated code must actually compile: with fallback off,
+    // a Janino error in doGenCode would throw here.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.write.format("noop").mode("overwrite").save()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // nullSafeEval path (used by constant folding / fallback) must match.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val mk = (xs: Seq[Float]) => Literal.create(xs,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val e = CosineSimilarity(mk(Seq(1f, 0f, 2f)), mk(Seq(0.5f, 1f, -2f)))
+    val got = e.eval(null).asInstanceOf[Double]
+    val exp = {
+      val (a, b) = (Seq(1f, 0f, 2f), Seq(0.5f, 1f, -2f))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    assert(got == exp)
+  }
+}
