@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Property-based algebraic laws (SURVEY §5 item 3) over generated
+  * datasets at varying partition counts — the invariants 100 TB execution
+  * depends on (partial aggregation, shuffle invariance, dedup stability).
+  */
+object AlgebraProps extends Properties("algebra") {
+
+  // Spark jobs per case are milliseconds-cheap but not free; 10 diverse
+  // cases per law is the budget.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withMaxDiscardRatio(10)
+
+  private lazy val spark = TestSpark.spark
+
+  private val row: Gen[(Int, Int, String)] = for {
+    a <- Gen.chooseNum(-50, 50)
+    b <- Gen.chooseNum(0, 5)
+    s <- Gen.oneOf("x", "y", "z")
+  } yield (a, b, s)
+  private val rows: Gen[List[(Int, Int, String)]] =
+    Gen.listOfN(40, row).flatMap(l => Gen.choose(0, 40).map(l.take))
+  private val parts: Gen[Int] = Gen.choose(1, 7)
+
+  private def df(xs: List[(Int, Int, String)], n: Int) = {
+    import spark.implicits._
+    spark.createDataset(xs).toDF("a", "b", "s").repartition(n)
+  }
+
+  private def bag(d: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    d.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  property("filter commutes with projection over disjoint columns") =
+    forAll(rows, parts) { (xs, n) =>
+      val base = df(xs, n)
+      bag(base.filter(col("a") > 0).select("b", "s")) ==
+        bag(base.select(col("a"), col("b"), col("s"))
+          .filter(col("a") > 0).select("b", "s"))
+    }
+
+  property("unionAll counts are additive") = forAll(rows, rows, parts) {
+    (xs, ys, n) =>
+      df(xs, n).unionAll(df(ys, n)).count() == xs.length + ys.length
+  }
+
+  property("left_semi equals inner-join-then-distinct-left") =
+    forAll(rows, rows, parts) { (xs, ys, n) =>
+      val (l, r) = (df(xs, n), df(ys, n).select(col("b").as("rb")))
+      val semi = l.join(r, l("b") === r("rb"), "left_semi")
+      val viaInner = l.join(r.distinct(), l("b") === r("rb"), "inner")
+        .select(l("a"), l("b"), l("s"))
+      bag(semi) == bag(viaInner)
+    }
+
+  property("row_number is a 1..n permutation within every partition key") =
+    forAll(rows, parts) { (xs, n) =>
+      val w = Window.partitionBy("s").orderBy("a", "b")
+      val rns = df(xs, n).withColumn("rn", row_number().over(w))
+        .groupBy("s").agg(collect_list("rn").as("rns"))
+        .collect().map(_.getSeq[Int](1).sorted)
+      rns.forall(g => g == (1 to g.length))
+    }
+
+  property("dropDuplicates is idempotent and keeps one row per key") =
+    forAll(rows, parts) { (xs, n) =>
+      val once = df(xs, n).dropDuplicates("a", "b", "s")
+      val twice = once.dropDuplicates("a", "b", "s")
+      bag(once) == bag(twice) &&
+        once.count() == xs.distinct.length
+    }
+
+  property("decimal-routed sum is partition-count invariant and exact") =
+    forAll(rows) { xs =>
+      // doubles with 2dp: decimal(38,6) accumulation is exact, so any
+      // partitioning must give the identical double back.
+      val vals = xs.map { case (a, b, _) => a + b / 100.0 }
+      import spark.implicits._
+      val sums = List(1, 3, 7).map { n =>
+        spark.createDataset(vals).toDF("v").repartition(n)
+          .agg(Canon.sumDec(col("v"))).collect()(0)
+      }
+      xs.isEmpty || (sums.distinct.length == 1 &&
+        math.abs(sums.head.getDouble(0) -
+          BigDecimal(vals.map(BigDecimal(_)).sum.toDouble).toDouble) < 1e-9)
+    }
+
+  property("intersect is contained in both inputs") =
+    forAll(rows, rows, parts) { (xs, ys, n) =>
+      val inter = df(xs, n).intersect(df(ys, n)).collect().map(_.toString).toSet
+      inter.subsetOf(xs.map(t => s"[${t._1},${t._2},${t._3}]").toSet) &&
+        inter.subsetOf(ys.map(t => s"[${t._1},${t._2},${t._3}]").toSet)
+    }
+}
