@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector replicating the reference's remote catalog
+  * search (`utils/eumdacapi.py:30-67`): a deterministic product catalog —
+  * one record per 15-minute acquisition slot — whose *source* understands
+  * range predicates, LIMIT, and column pruning, exactly like the EUMETSAT
+  * REST endpoint the reference pushes `dtstart/dtend`, `c=100` and its
+  * sort into (SURVEY §3.2, §4 "custom DSv2 connector").
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.CatalogSource")
+  *   .option("start", "1704067200")   // epoch seconds, inclusive
+  *   .option("end",   "1706659200")   // epoch seconds, exclusive
+  *   .load()                          // identifier STRING, ts TIMESTAMP
+  * }}}
+  *
+  * Pushdown semantics: ts-range filters narrow which slots are ever
+  * GENERATED (the remote-scan analog — unmatched slots never cross the
+  * "network"), and a pushed LIMIT caps generation per partition. All
+  * filters are also returned as residuals so Spark re-applies them —
+  * pruning is an optimization, never a correctness dependence. The slot
+  * range splits into one input partition per day, so the scan
+  * parallelizes like any file source.
+  */
+class CatalogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CatalogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CatalogTable(
+      properties.getOrDefault("start", "1704067200").toLong,
+      properties.getOrDefault("end", "1706659200").toLong)
+}
+
+object CatalogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("identifier", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
+  val slotSeconds = 900L
+}
+
+private[sources] class CatalogTable(startSec: Long, endSec: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"slot_catalog[$startSec,$endSec)"
+  override def schema(): StructType = CatalogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new CatalogScanBuilder(startSec, endSec)
+}
+
+private[sources] class CatalogScanBuilder(startSec: Long, endSec: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+
+  private var lo = startSec
+  private var hi = endSec
+  private var limit = Long.MaxValue
+  private var pushed = Array.empty[Filter]
+  private var required = CatalogSource.schema
+
+  private def toEpochSec(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(Math.floorDiv(t.getTime, 1000L))
+    case i: java.time.Instant => Some(i.getEpochSecond)
+    case _ => None
+  }
+
+  /** Narrow [lo, hi) from ts bounds; every filter stays residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case GreaterThan("ts", v) =>
+        toEpochSec(v).exists { s => lo = math.max(lo, s + 1); true }
+      case GreaterThanOrEqual("ts", v) =>
+        toEpochSec(v).exists { s => lo = math.max(lo, s); true }
+      case LessThan("ts", v) =>
+        toEpochSec(v).exists { s => hi = math.min(hi, s); true }
+      case LessThanOrEqual("ts", v) =>
+        toEpochSec(v).exists { s => hi = math.min(hi, s + 1); true }
+      case EqualTo("ts", v) =>
+        toEpochSec(v).exists { s =>
+          lo = math.max(lo, s); hi = math.min(hi, s + 1); true }
+      case IsNotNull("ts") | IsNotNull("identifier") => true
+      case _ => false
+    }
+    pushed = accepted
+    filters // all residual: Spark re-applies exact semantics
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // a pushed limit still needs Spark's global limit (it caps per partition)
+  override def isPartiallyPushed: Boolean = true
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new CatalogScan(lo, hi, limit, required, pushed.length)
+}
+
+private[sources] class CatalogScan(lo: Long, hi: Long, limit: Long,
+    required: StructType, nPushed: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-slot-catalog range=[$lo,$hi) pushedFilters=$nPushed limit=" +
+      (if (limit == Long.MaxValue) "none" else limit.toString)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val day = 86400L
+    val firstSlot = Math.floorDiv(lo + CatalogSource.slotSeconds - 1,
+      CatalogSource.slotSeconds) * CatalogSource.slotSeconds
+    if (firstSlot >= hi) return Array.empty
+    // one partition per UTC day in range — the scan parallelizes and a
+    // narrowed range prunes whole partitions before any row exists.
+    val firstDay = Math.floorDiv(firstSlot, day)
+    val lastDay = Math.floorDiv(hi - 1, day)
+    (firstDay to lastDay).map { d =>
+      CatalogPartition(
+        math.max(firstSlot, d * day),
+        math.min(hi, (d + 1) * day),
+        limit): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CatalogReaderFactory(required)
+}
+
+private[sources] case class CatalogPartition(fromSec: Long, untilSec: Long,
+    limit: Long) extends InputPartition
+
+private[sources] class CatalogReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CatalogPartition]
+    new PartitionReader[InternalRow] {
+      private var slot = Math.floorDiv(
+        cp.fromSec + CatalogSource.slotSeconds - 1,
+        CatalogSource.slotSeconds) * CatalogSource.slotSeconds
+      private var emitted = 0L
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (slot >= cp.untilSec || emitted >= cp.limit) false
+        else {
+          val values = required.fields.map(_.name match {
+            case "identifier" => UTF8String.fromString(s"MSG4-$slot")
+            case "ts" => java.lang.Long.valueOf(slot * 1000000L) // micros
+          })
+          current = InternalRow.fromSeq(values.toIndexedSeq)
+          slot += CatalogSource.slotSeconds
+          emitted += 1
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -206,6 +206,26 @@ object Sources {
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
     },
 
+    // Q07 (beyond-survey) — the custom DSv2 slot-catalog source
+    // (CatalogSource): range predicates and limits push INTO the source,
+    // the remote-catalog-scan analog of eumdacapi.py:30-43. The pushed
+    // range prunes whole day-partitions before a row is generated
+    // (asserted in PlanSpec); the oracle regenerates the same slots with
+    // generate_series.
+    Q("q07_catalog_pushdown",
+      """SELECT 'MSG4-' || CAST(CAST(floor(epoch(g)) AS BIGINT) AS VARCHAR)
+        |    AS identifier, g AS ts
+        |FROM (SELECT unnest(generate_series(
+        |  TIMESTAMP '2024-01-10 00:00:00',
+        |  TIMESTAMP '2024-01-11 23:45:00',
+        |  INTERVAL '15 minutes')) AS g)
+        |ORDER BY identifier NULLS FIRST, ts NULLS FIRST""".stripMargin) {
+      (s, _) =>
+        orderAll(s.read.format("graft.sources.CatalogSource").load()
+          .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-12 00:00:00").cast("timestamp")))
+    },
+
     // Q06 — streaming file source → streaming parquet sink, exactly-once:
     // the file sink's _spark_metadata commit log plus the checkpoint offset
     // log reproduce the reference's fsync-then-atomic-rename cursor commit

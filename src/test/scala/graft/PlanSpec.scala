@@ -63,6 +63,14 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllMatchIn(p).nonEmpty, p)
   }
 
+  test("q07: the DSv2 catalog source receives the pushed ts range") {
+    val p = planOf("q07_catalog_pushdown")
+    // 2024-01-10T00:00Z .. 2024-01-12T00:00Z in epoch seconds — the scan
+    // itself reports the narrowed generation range.
+    assert(p.contains("graft-slot-catalog range=[1704844800,1705017600)"), p)
+    assert(p.contains("pushedFilters=") && !p.contains("pushedFilters=0"), p)
+  }
+
   test("q92: the query side of the top-k cosine is broadcast") {
     val p = planOf("q92_cosine_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
