@@ -330,5 +330,119 @@ object LlmPipeline {
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"),
           size(col("words")).as("n_tokens"),
           size(ngramsOf(col("words"), 2)).as("n_bigrams")))
+    },
+
+    // Q98 (beyond-survey) — SimHash near-dup: a 32-bit per-document
+    // fingerprint from md5-derived token hashes (md5 is the one hash both
+    // engines share bit-for-bit), candidate pairs via 4×8-bit band
+    // buckets, exact Hamming verification ≤ 3. With 4 bands, any pair
+    // within Hamming 3 shares at least one identical band (pigeonhole),
+    // so banded recall is exact — the Spark side NEVER compares all
+    // pairs, while the sf0.01 oracle can afford to.
+    Q("q98_simhash", simhashOracleSql) { (s, dir) =>
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("t")), 1, 8), 16, 10)
+            .cast(LongType).as("h"))
+      val sums = tok.groupBy("doc_id").agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("s0"),
+        (1 until 32).map(j =>
+          sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)
+            .as(s"s$j")): _*)
+      val simhash = (0 until 32)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sh = sums.select(col("doc_id"), simhash.as("sh"))
+      val bands = sh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("sh"), 8 * k).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "bk")))
+      val cands = bands
+        .select(col("band"), col("bk"), col("doc_id").as("doc_a"),
+          col("sh").as("sha"))
+        .join(bands.select(col("band"), col("bk"),
+          col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("band", "bk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val ham = bit_count(col("sha").bitwiseXOR(col("shb")))
+      orderAll(cands.filter(ham <= 3)
+        .select(col("doc_a"), col("doc_b"), ham.as("hamming")))
+    },
+
+    // Q99 (beyond-survey) — the documented LSH scale path for Q92:
+    // bucket both sides on an 8-bit comparison code (bit i = whether
+    // embedding[2i+1] > embedding[2i+2] — a crude but deterministic
+    // projection family), then rank by cosine ONLY within the query's
+    // bucket. Per-query candidate work drops from O(N) to O(N/256); the
+    // recall trade is the approximation, applied identically by the
+    // oracle.
+    Q("q99_bucketed_ann", bucketedAnnOracleSql) { (s, dir) =>
+      graft.plans.CosineSimilarity.register(s)
+      val code = (0 until 8)
+        .map(i => when(element_at(col("embedding"), 2 * i + 1) >
+          element_at(col("embedding"), 2 * i + 2), lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), code.as("bucket"))
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val scored = e.join(broadcast(queries), Seq("bucket"))
+        .select(col("query_id"), col("vec_id"),
+          round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      orderAll(scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "rnk", "vec_id", "cos_sim"))
     })
+
+  /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs
+    * Hamming (affordable at sf0.01 — 500 docs). */
+  private def simhashOracleSql: String = {
+    val sumCols = (0 until 32)
+      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+    val shExpr = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+       |s AS (SELECT doc_id, $sumCols FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $shExpr AS sh FROM s)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, hamming NULLS FIRST""".stripMargin
+  }
+
+  /** DuckDB oracle for Q99: same bucketing + in-bucket cosine top-3. */
+  private def bucketedAnnOracleSql: String = {
+    val codeExpr = (0 until 8)
+      .map(i => s"(CASE WHEN embedding[${2 * i + 1}] > " +
+        s"embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $codeExpr AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
+       |  WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(${Similarity.dotSql("q.qe", "e.embedding")} /
+       |      (sqrt(${Similarity.dotSql("q.qe", "q.qe")}) *
+       |       sqrt(${Similarity.dotSql("e.embedding", "e.embedding")})), 6)
+       |      AS cos_sim
+       |  FROM q JOIN e ON q.bucket = e.bucket),
+       |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
+       |  cos_sim NULLS FIRST""".stripMargin
+  }
 }
