@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Windows.all ++
       operators.SetOps.all ++
       operators.LlmPipeline.all ++
+      operators.Multimodal.all ++
       functions.Scalars.all ++
       functions.Udfs.all
 
