@@ -164,6 +164,48 @@ object Aggregates {
             col("price")))
     },
 
+    // Q38 (beyond-survey) — exact interpolated percentiles. Both engines
+    // interpolate linearly at rank (n−1)·p over the sorted values; the
+    // result is rounded to 6dp on both sides and posexploded to scalar
+    // rows (arrays don't canonicalize).
+    Q("q38_percentile",
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(unnest(generate_series(1, 3)) AS INT) AS idx,
+        |  round(unnest(qs), 6) AS q
+        |FROM agg
+        |ORDER BY l_returnflag NULLS FIRST, idx NULLS FIRST, q NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+            .as("qs"))
+          .select(col("l_returnflag"),
+            posexplode(col("qs")).as(Seq("pos", "qraw")))
+          .select(col("l_returnflag"), (col("pos") + 1).as("idx"),
+            round(col("qraw"), 6).as("q")))
+    },
+
+    // Q39 (beyond-survey) — approximate percentile sketch, self-validating
+    // like Q33: the estimate must land within ±5% of the exact median
+    // (t-digest/GK internals differ per engine, so only the tolerance
+    // booleans are hash-matched).
+    Q("q39_approx_percentile",
+      """SELECT l_returnflag, true AS within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5D)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5D)").as("ex"))
+        .select(col("l_returnflag"),
+          col("ap").between(col("ex") * 0.95, col("ex") * 1.05)
+            .as("within_tol")))
+    },
+
     // Q37 — custom typed Aggregator (weighted mean, exact integer buffer).
     Q("q37_weighted_mean",
       s"""SELECT l_returnflag,
