@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{CursorStore, Processed, SlotPipeline, Stalled}
+
+/** System-level golden trace of the Part A pipeline replica
+  * (meteosat.py:82-122,187-188 semantics): bootstrap, one-slot-per-tick,
+  * exact match, stall-on-missing, commit-after-success, crash replay.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val T0 = Instant.parse("2024-01-01T12:00:00Z")
+
+  private def mkCatalog(slots: Seq[String]) = {
+    import spark.implicits._
+    slots.map(s => (s"MSG4-$s", java.sql.Timestamp.from(Instant.parse(s))))
+      .toDF("identifier", "ts")
+  }
+  private def mkSource(tss: Seq[String]) = {
+    import spark.implicits._
+    tss.zipWithIndex.map { case (s, i) =>
+      (i.toLong, java.sql.Timestamp.from(Instant.parse(s)), 1.0)
+    }.toDF("event_id", "ts", "value")
+  }
+  private def fresh(name: String): (String, String) = {
+    val root = graft.sources.IO.scratch(s"pipeline_$name", "spec")
+    (s"$root/state.json", s"$root/out")
+  }
+
+  test("bootstrap slot is hour-truncated now minus 45 minutes (A3)") {
+    val (state, out) = fresh("bootstrap")
+    val p = new SlotPipeline(spark, state, out)
+    assert(p.nextSlot(Instant.parse("2024-01-01T12:34:56Z")) ==
+      Instant.parse("2024-01-01T11:15:00Z"))
+  }
+
+  test("golden trace: advance, advance, stall forever on a missing slot (A3/A6/A17)") {
+    val (state, out) = fresh("trace")
+    val p = new SlotPipeline(spark, state, out)
+    // bootstrap slot = 11:15; catalog has 11:15, 11:30, 12:00 — 11:45 missing
+    val catalog = mkCatalog(Seq("2024-01-01T11:15:00Z",
+      "2024-01-01T11:30:00Z", "2024-01-01T12:00:00Z"))
+    val source = mkSource(Seq("2024-01-01T11:16:00Z",
+      "2024-01-01T11:31:00Z", "2024-01-01T11:32:00Z"))
+    val r1 = p.tick(catalog, source, T0)
+    assert(r1 == Processed(Instant.parse("2024-01-01T11:15:00Z"),
+      "MSG4-2024-01-01T11:15:00Z", 1))
+    val r2 = p.tick(catalog, source, T0)
+    assert(r2 == Processed(Instant.parse("2024-01-01T11:30:00Z"),
+      "MSG4-2024-01-01T11:30:00Z", 2))
+    // 11:45 has no product: the cursor must stall there on EVERY
+    // subsequent tick — never skip ahead to the existing 12:00 product.
+    (1 to 3).foreach { _ =>
+      assert(p.tick(catalog, source, T0) ==
+        Stalled(Instant.parse("2024-01-01T11:45:00Z")))
+    }
+    // state still points at the last committed slot
+    assert(CursorStore.read(Paths.get(state)) ==
+      Some(Instant.parse("2024-01-01T11:30:00Z")))
+  }
+
+  test("exact match on minute truncation; earliest (ts, id) candidate wins (A6)") {
+    val (state, out) = fresh("exact")
+    CursorStore.commit(Paths.get(state),
+      Instant.parse("2024-01-01T11:00:00Z"), T0) // next = 11:15
+    val p = new SlotPipeline(spark, state, out)
+    // two candidates inside minute 11:15 (off-by-seconds) + one at 11:14
+    // that must NOT match; earliest second wins, id breaks ties
+    val catalog = mkCatalog(Seq("2024-01-01T11:14:59Z",
+      "2024-01-01T11:15:30Z", "2024-01-01T11:15:10Z"))
+    p.tick(catalog, mkSource(Nil), T0) match {
+      case Processed(_, id, _) => assert(id == "MSG4-2024-01-01T11:15:10Z")
+      case r => fail(s"expected a hit, got $r")
+    }
+  }
+
+  test("crash between publish and commit replays the slot idempotently (A16/A17)") {
+    val (state, out) = fresh("crash")
+    CursorStore.commit(Paths.get(state),
+      Instant.parse("2024-01-01T11:00:00Z"), T0)
+    val p = new SlotPipeline(spark, state, out)
+    val catalog = mkCatalog(Seq("2024-01-01T11:15:00Z"))
+    val source = mkSource(Seq("2024-01-01T11:16:00Z", "2024-01-01T11:17:00Z"))
+    intercept[RuntimeException] {
+      p.tick(catalog, source, T0,
+        afterWrite = () => throw new RuntimeException("crash"))
+    }
+    // cursor did not advance -> same slot replays; partition overwrite
+    // makes the re-publish idempotent
+    assert(p.nextSlot(T0) == Instant.parse("2024-01-01T11:15:00Z"))
+    assert(p.tick(catalog, source, T0) ==
+      Processed(Instant.parse("2024-01-01T11:15:00Z"),
+        "MSG4-2024-01-01T11:15:00Z", 2))
+    assert(spark.read.parquet(out).count() == 2) // no duplicates
+  }
+
+  test("cursor file is the reference's JSON shape and written atomically (A16)") {
+    val (state, _) = fresh("atomic")
+    CursorStore.commit(Paths.get(state),
+      Instant.parse("2024-01-01T11:30:00Z"), T0)
+    val json = new String(Files.readAllBytes(Paths.get(state)))
+    assert(json.contains("\"date\": \"2024-01-01T11:30:00Z\""))
+    assert(json.contains("\"last_updated\""))
+    // no stray temp files left behind
+    val dir = Paths.get(state).getParent.toFile.list()
+    assert(!dir.exists(_.endsWith(".tmp")), dir.mkString(","))
+  }
+
+  test("the DSv2 catalog source drives a tick end-to-end (A4 pushdown path)") {
+    val (state, out) = fresh("dsv2")
+    CursorStore.commit(Paths.get(state),
+      Instant.parse("2024-01-09T23:45:00Z"), T0) // next = 2024-01-10T00:00
+    val p = new SlotPipeline(spark, state, out)
+    val catalog = spark.read.format("graft.sources.CatalogSource").load()
+    val source = mkSource(Seq("2024-01-10T00:05:00Z"))
+    p.tick(catalog, source, T0) match {
+      case Processed(slot, id, n) =>
+        assert(slot == Instant.parse("2024-01-10T00:00:00Z"))
+        assert(id == "MSG4-1704844800") // the source's slot identifier
+        assert(n == 1)
+      case r => fail(s"expected a hit, got $r")
+    }
+  }
+}
