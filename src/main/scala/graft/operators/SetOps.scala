@@ -74,5 +74,65 @@ object SetOps {
       val both = c.intersect(o).select(lit("both").as("tag"), col("k"))
       val custOnly = c.except(o).select(lit("cust_only").as("tag"), col("k"))
       orderAll(both.unionAll(custOnly))
+    },
+
+    // Q54 (beyond-survey) — pivot with an explicit value list (dynamic
+    // pivot would need a driver-side distinct scan — never at scale).
+    // The oracle spells the equivalent conditional aggregation.
+    Q("q54_pivot",
+      s"""SELECT l_linestatus,
+         |  ${graft.Canon.sumDecSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS A,
+         |  ${graft.Canon.sumDecSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS N,
+         |  ${graft.Canon.sumDecSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS R
+         |FROM lineitem GROUP BY l_linestatus
+         |ORDER BY l_linestatus NULLS FIRST, A NULLS FIRST, N NULLS FIRST,
+         |  R NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(graft.Canon.sumDec(col("l_quantity"))))
+    },
+
+    // Q55 (beyond-survey) — unpivot/melt back to long form: the inverse
+    // reshape, stacking measure columns into (measure, value) rows.
+    Q("q55_unpivot",
+      """SELECT o_orderkey, measure, value FROM (
+        |  SELECT o_orderkey, 'total' AS measure, o_totalprice AS value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'key2' AS measure,
+        |    CAST(o_custkey AS DOUBLE) AS value FROM orders)
+        |ORDER BY o_orderkey NULLS FIRST, measure NULLS FIRST,
+        |  value NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      orderAll(Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("total"),
+          col("o_custkey").cast("double").as("key2"))
+        .unpivot(Array(col("o_orderkey")), Array(col("total"), col("key2")),
+          "measure", "value")).limit(5000)
+    },
+
+    // Q56 (beyond-survey) — SQL-authored correlated scalar subquery over
+    // temp views: Catalyst decorrelates it into an aggregate + left join
+    // (no per-row subquery execution — asserted by the absence of any
+    // re-scan loop; the plan is a plain join).
+    Q("q56_correlated_subquery",
+      s"""SELECT o_orderkey, o_totalprice,
+         |  (SELECT count(*) FROM lineitem l
+         |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+         |FROM orders o
+         |ORDER BY o_orderkey NULLS FIRST, o_totalprice NULLS FIRST,
+         |  n_items NULLS FIRST
+         |LIMIT 5000""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT count(*) FROM lineitem_v l
+          |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+          |FROM orders_v o
+          |ORDER BY o_orderkey ASC NULLS FIRST, o_totalprice ASC NULLS FIRST,
+          |  n_items ASC NULLS FIRST
+          |LIMIT 5000""".stripMargin)
     })
 }
