@@ -71,6 +71,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pushedFilters=") && !p.contains("pushedFilters=0"), p)
   }
 
+  test("q56: the correlated scalar subquery is decorrelated to a join") {
+    val p = planOf("q56_correlated_subquery")
+    assert(!p.contains("Subquery"), p) // no per-row subquery execution
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("q92: the query side of the top-k cosine is broadcast") {
     val p = planOf("q92_cosine_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
