@@ -242,6 +242,39 @@ object Streams {
       orderAll(toParquet(s, "q76_stream_static_join", dir, joined))
     },
 
+    // Q78 (beyond-survey) — stream-STREAM interval join: purchases match
+    // clicks of the same user within the preceding 30 minutes, both
+    // sides unbounded streams. Watermarks bound the join state (clicks
+    // older than watermark − 30 min are evicted); because the join
+    // window (30 min) is inside the watermark delay (45 min) and the
+    // replay is time-ordered, no match can be missed — the final sink
+    // equals the batch interval join, which is the oracle.
+    Q("q78_stream_stream_join",
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST, 3 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val ev = Sources.eventsStream(s, dir, 4, Some(1))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "45 minutes")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "45 minutes")
+        val joined = p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+        orderAll(toParquet(s, "q78_stream_stream_join", dir, joined))
+    },
+
     // Q77 — foreachBatch sink with exactly-once semantics: each batch
     // lands in its own batch_id partition via idempotent dynamic-partition
     // overwrite — a replayed batch rewrites the same partition to the
