@@ -192,6 +192,31 @@ object LlmPipeline {
         .select("query_id", "rnk", "vec_id", "cos_sim"))
     },
 
+    // Q92b (beyond-survey) — embedding-cosine NEAR-DUP: the dedup framing
+    // of similarity search. Candidate pairs come from the same 8-bit
+    // bucketing as Q99 (never all-pairs — at 100 TB candidates are
+    // O(Σ bucket²), tunable by code width); survivors are pairs scoring
+    // cosine ≥ 0.3. The bucket approximation is part of the operator's
+    // contract and the oracle applies it identically.
+    Q("q92b_cosine_neardup", cosineNeardupOracleSql) { (s, dir) =>
+      graft.plans.CosineSimilarity.register(s)
+      val code = (0 until 8)
+        .map(i => when(element_at(col("embedding"), 2 * i + 1) >
+          element_at(col("embedding"), 2 * i + 2), lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), code.as("bucket"))
+      val pairs = e.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"))
+        .join(e.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb")), Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(expr("cosine_sim(ea, eb)"), 6).as("cos_sim"))
+      orderAll(pairs.filter(col("cos_sim") >= 0.3))
+    },
+
     // Q93 — text analysis: tokenize → language filter → term frequency →
     // top-10 terms per language. Explode + two-phase hash agg; the window
     // ranks only the (lang, token) aggregate, which is already small.
@@ -418,6 +443,25 @@ object LlmPipeline {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, hamming NULLS FIRST""".stripMargin
+  }
+
+  /** DuckDB oracle for Q92b: identical bucketing + cosine ≥ 0.3 pairs. */
+  private def cosineNeardupOracleSql: String = {
+    val codeExpr = (0 until 8)
+      .map(i => s"(CASE WHEN embedding[${2 * i + 1}] > " +
+        s"embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $codeExpr AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${Similarity.dotSql("a.embedding", "b.embedding")} /
+       |      (sqrt(${Similarity.dotSql("a.embedding", "a.embedding")}) *
+       |       sqrt(${Similarity.dotSql("b.embedding", "b.embedding")})), 6)
+       |      AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+       |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST, cos_sim NULLS FIRST""".stripMargin
   }
 
   /** DuckDB oracle for Q99: same bucketing + in-bucket cosine top-3. */
