@@ -47,6 +47,22 @@ object LlmPipeline {
   private def shinglesOf(words: org.apache.spark.sql.Column) =
     ngramsOf(words, 3)
 
+  /** 8-bit LSH bucket code over an embedding column (bit i = whether
+    * element 2i+1 > element 2i+2) — the single definition shared by Q99,
+    * Q92b and their oracles so the bucket family can never diverge
+    * between sites or engines. */
+  private def bucketCode: org.apache.spark.sql.Column = (0 until 8)
+    .map(i => when(element_at(col("embedding"), 2 * i + 1) >
+      element_at(col("embedding"), 2 * i + 2), lit(1 << i))
+      .otherwise(lit(0)))
+    .reduce(_ + _)
+
+  /** DuckDB rendering of [[bucketCode]]. */
+  private def bucketCodeSql: String = (0 until 8)
+    .map(i => s"(CASE WHEN embedding[${2 * i + 1}] > " +
+      s"embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
+    .mkString(" + ")
+
   /** DuckDB rendering of [[shingles]] over `text`. */
   private val shinglesSql: String =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -163,10 +179,7 @@ object LlmPipeline {
          |  FROM embeddings WHERE vec_id < 10),
          |scored AS (
          |  SELECT query_id, vec_id,
-         |    round(${Similarity.dotSql("qe", "embedding")} /
-         |      (sqrt(${Similarity.dotSql("qe", "qe")}) *
-         |       sqrt(${Similarity.dotSql("embedding", "embedding")})), 6)
-         |      AS cos_sim
+         |    round(${Similarity.cosineSql("qe", "embedding")}, 6) AS cos_sim
          |  FROM q CROSS JOIN embeddings),
          |ranked AS (SELECT query_id, vec_id, cos_sim,
          |    row_number() OVER (PARTITION BY query_id
@@ -200,13 +213,8 @@ object LlmPipeline {
     // contract and the oracle applies it identically.
     Q("q92b_cosine_neardup", cosineNeardupOracleSql) { (s, dir) =>
       graft.plans.CosineSimilarity.register(s)
-      val code = (0 until 8)
-        .map(i => when(element_at(col("embedding"), 2 * i + 1) >
-          element_at(col("embedding"), 2 * i + 2), lit(1 << i))
-          .otherwise(lit(0)))
-        .reduce(_ + _)
       val e = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), code.as("bucket"))
+        .select(col("vec_id"), col("embedding"), bucketCode.as("bucket"))
       val pairs = e.select(col("bucket"), col("vec_id").as("vec_a"),
           col("embedding").as("ea"))
         .join(e.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -404,13 +412,8 @@ object LlmPipeline {
     // oracle.
     Q("q99_bucketed_ann", bucketedAnnOracleSql) { (s, dir) =>
       graft.plans.CosineSimilarity.register(s)
-      val code = (0 until 8)
-        .map(i => when(element_at(col("embedding"), 2 * i + 1) >
-          element_at(col("embedding"), 2 * i + 2), lit(1 << i))
-          .otherwise(lit(0)))
-        .reduce(_ + _)
       val e = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), code.as("bucket"))
+        .select(col("vec_id"), col("embedding"), bucketCode.as("bucket"))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("bucket"))
@@ -446,39 +449,26 @@ object LlmPipeline {
   }
 
   /** DuckDB oracle for Q92b: identical bucketing + cosine ≥ 0.3 pairs. */
-  private def cosineNeardupOracleSql: String = {
-    val codeExpr = (0 until 8)
-      .map(i => s"(CASE WHEN embedding[${2 * i + 1}] > " +
-        s"embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding, $codeExpr AS bucket
+  private def cosineNeardupOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketCodeSql AS bucket
        |  FROM embeddings),
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(${Similarity.dotSql("a.embedding", "b.embedding")} /
-       |      (sqrt(${Similarity.dotSql("a.embedding", "a.embedding")}) *
-       |       sqrt(${Similarity.dotSql("b.embedding", "b.embedding")})), 6)
+       |    round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6)
        |      AS cos_sim
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
        |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST, cos_sim NULLS FIRST""".stripMargin
-  }
 
   /** DuckDB oracle for Q99: same bucketing + in-bucket cosine top-3. */
   private def bucketedAnnOracleSql: String = {
-    val codeExpr = (0 until 8)
-      .map(i => s"(CASE WHEN embedding[${2 * i + 1}] > " +
-        s"embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding, $codeExpr AS bucket
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketCodeSql AS bucket
        |  FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
        |  WHERE vec_id < 20),
        |scored AS (
        |  SELECT q.query_id, e.vec_id,
-       |    round(${Similarity.dotSql("q.qe", "e.embedding")} /
-       |      (sqrt(${Similarity.dotSql("q.qe", "q.qe")}) *
-       |       sqrt(${Similarity.dotSql("e.embedding", "e.embedding")})), 6)
+       |    round(${Similarity.cosineSql("q.qe", "e.embedding")}, 6)
        |      AS cos_sim
        |  FROM q JOIN e ON q.bucket = e.bucket),
        |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
