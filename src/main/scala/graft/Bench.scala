@@ -35,7 +35,9 @@ object Bench {
       case (name, fn) =>
         once(fn) // warm-up: JIT, codegen cache, file listing, page cache
         val (a, b) = (once(fn), once(fn))
-        name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+        // any failed run marks the query failed — a flaky query must not
+        // masquerade as a healthy timing
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

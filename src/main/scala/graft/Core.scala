@@ -17,8 +17,9 @@ object Q {
   def apply(name: String, oracle: String)(
       build: (SparkSession, String) => DataFrame): Q =
     Q(name, build, Some(oracle))
-  def noOracle(name: String)(build: (SparkSession, String) => DataFrame): Q =
-    Q(name, build, None)
+  // NOTE: there is deliberately no oracle-less constructor — every query
+  // must carry a DuckDB oracle (PlanSpec enforces it); tolerance-checked
+  // operators encode their bound as a hash-matchable boolean (q33, q39).
 }
 
 /** Loaders for the driver-generated test tables (TESTDATA.md). */

@@ -159,6 +159,11 @@ object Joins {
         |  c_ts NULLS FIRST""".stripMargin) { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
         .filter(col("event_type").isin("click", "purchase"))
+        // a null-ts CLICK can never satisfy the oracle's c.ts <= p.ts,
+        // but asc ordering would sort it first and make it visible to
+        // every purchase — drop it. (A null-ts purchase needs no guard:
+        // it sorts before all clicks and correctly matches nothing.)
+        .filter(col("event_type") === "purchase" || col("ts").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
           (col("event_type") === "purchase").as("is_p"))
       val w = Window.partitionBy(col("user_id"))

@@ -26,6 +26,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // Right/full outer would emit every unmatched right row once PER
+    // REPLICA — only left-preserving join types are salting-equivalent.
+    require(Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin does not preserve '$joinType' semantics " +
+        "(the replicated right side duplicates unmatched right rows)")
     val salted = left.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val replicated = right.withColumn("__salt",

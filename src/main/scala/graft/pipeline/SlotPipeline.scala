@@ -108,14 +108,20 @@ final class SlotPipeline(spark: SparkSession, stateFile: String,
         // A10–A15 analog: process the slot's source rows and publish them
         // under a slot-keyed partition (path-encoded layout).
         val slotEnd = java.sql.Timestamp.from(slot.plusSeconds(slotStep))
+        // cache spans the write + count so the slot's source rows are
+        // filtered once, not twice (a slot is 15 min of data — bounded)
         val out = source
           .filter(col("ts") >= lit(slotTs) && col("ts") < lit(slotEnd))
           .withColumn("slot_key",
             lit(DateTimeFormatter.ISO_INSTANT.format(slot).replace(":", "-")))
-        out.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("slot_key").parquet(outputDir)
-        val n = out.count()
+          .cache()
+        val n =
+          try {
+            out.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("slot_key").parquet(outputDir)
+            out.count()
+          } finally out.unpersist()
         afterWrite() // crash seam: fires between publish and commit
         CursorStore.commit(statePath, slot, now) // A16: commit is LAST
         Processed(slot, id, n)

@@ -90,7 +90,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   val name = "cosine_sim"
 
-  private val builder: Seq[Expression] => Expression = {
+  private[plans] val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimilarity(a, b)
     case exprs => throw new IllegalArgumentException(
       s"$name expects 2 arguments, got ${exprs.length}")
@@ -111,5 +111,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
         CosineSimilarity.name),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      CosineSimilarity.builder)) // same arity-checked builder as register()
 }

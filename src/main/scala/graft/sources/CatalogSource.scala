@@ -85,7 +85,11 @@ private[sources] class CatalogScanBuilder(startSec: Long, endSec: Long)
       case GreaterThanOrEqual("ts", v) =>
         toEpochSec(v).exists { s => lo = math.max(lo, s); true }
       case LessThan("ts", v) =>
-        toEpochSec(v).exists { s => hi = math.min(hi, s); true }
+        // s+1, not s: the bound may carry sub-second precision the
+        // floored epoch loses (ts < 00:15:00.5 still admits the 00:15:00
+        // slot). Over-generating one slot is safe — the residual filter
+        // trims it; under-generating would lose rows.
+        toEpochSec(v).exists { s => hi = math.min(hi, s + 1); true }
       case LessThanOrEqual("ts", v) =>
         toEpochSec(v).exists { s => hi = math.min(hi, s + 1); true }
       case EqualTo("ts", v) =>

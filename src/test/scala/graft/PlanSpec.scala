@@ -66,8 +66,10 @@ class PlanSpec extends AnyFunSuite {
   test("q07: the DSv2 catalog source receives the pushed ts range") {
     val p = planOf("q07_catalog_pushdown")
     // 2024-01-10T00:00Z .. 2024-01-12T00:00Z in epoch seconds — the scan
-    // itself reports the narrowed generation range.
-    assert(p.contains("graft-slot-catalog range=[1704844800,1705017600)"), p)
+    // itself reports the narrowed generation range. The upper bound is
+    // end+1: LessThan prunes conservatively (the pushed bound may carry
+    // sub-second precision) and the residual filter trims the extra slot.
+    assert(p.contains("graft-slot-catalog range=[1704844800,1705017601)"), p)
     assert(p.contains("pushedFilters=") && !p.contains("pushedFilters=0"), p)
   }
 
