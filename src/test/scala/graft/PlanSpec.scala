@@ -63,6 +63,21 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllMatchIn(p).nonEmpty, p)
   }
 
+  test("q05: the partition filter prunes the read-back scan") {
+    val plan = SparkEntry.queries("q05_partitioned_sink")(
+      spark, TestSpark.sfDir).queryExecution.executedPlan
+    val partFilters = plan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata.getOrElse("PartitionFilters", "")
+        }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metadata.getOrElse("PartitionFilters", ""))
+    }.flatten.mkString(";")
+    assert(partFilters.contains("l_returnflag"), partFilters)
+  }
+
   test("q07: the DSv2 catalog source receives the pushed ts range") {
     val p = planOf("q07_catalog_pushdown")
     // 2024-01-10T00:00Z .. 2024-01-12T00:00Z in epoch seconds — the scan
