@@ -44,6 +44,31 @@ object Scalars {
         .orderBy(col("p_partkey").asc_nulls_first)
     },
 
+    // Q66 (beyond-survey) — string distance + padding/translation: the
+    // fuzzy-matching toolbox (levenshtein is the classic dirty-identifier
+    // matcher) plus the fixed-width formatting family.
+    Q("q66_string_distance",
+      """SELECT p_partkey,
+        |  levenshtein(substr(p_name, 1, 10), p_brand) AS lev,
+        |  lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '#') AS rp,
+        |  translate(p_type, 'AEO', 'aeo') AS tr,
+        |  reverse(p_brand) AS rev,
+        |  repeat('-', p_size % 5) AS gauge
+        |FROM part
+        |ORDER BY p_partkey NULLS FIRST, lev NULLS FIRST, lp NULLS FIRST,
+        |  rp NULLS FIRST, tr NULLS FIRST, rev NULLS FIRST, gauge NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "part").select(
+          col("p_partkey"),
+          levenshtein(substring(col("p_name"), 1, 10), col("p_brand"))
+            .as("lev"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "#").as("rp"),
+          translate(col("p_type"), "AEO", "aeo").as("tr"),
+          reverse(col("p_brand")).as("rev"),
+          expr("repeat('-', CAST(p_size % 5 AS INT))").as("gauge")))
+    },
+
     // Q61 — date/time functions. The `slot` column is the reference's 15-min
     // slot bucketing (`sources/meteosat.py:88-93`); epoch seconds use
     // floor() on both sides (DuckDB CAST(double AS BIGINT) rounds, so the

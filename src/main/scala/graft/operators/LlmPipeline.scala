@@ -119,50 +119,44 @@ object LlmPipeline {
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
          |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, jaccard NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        val docs = Tables.t(s, dir, "documents")
-          .withColumn("words", split(col("text"), " "))
-          .withColumn("sv", shinglesOf(col("words")))
-          .select("doc_id", "sv")
-        // Distributed MinHash: explode shingles, hash each ONCE to a long,
-        // then 64 min-aggregates (each mixing the 8-byte value with the
-        // function index). Partial aggregation makes the shuffle one row
-        // of 64 longs per (partition, doc) — the canonical 100 TB shape,
-        // and it sidesteps nested-lambda recomputation entirely.
-        val hashed = docs
-          .select(col("doc_id"), explode(col("sv")).as("sh"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-        val sig = hashed.groupBy("doc_id").agg(
-          min(xxhash64(lit(0), col("h"))).as("m0"),
-          (1 until 64).map(j =>
-            min(xxhash64(lit(j), col("h"))).as(s"m$j")): _*)
-        // band j = hash of signature rows 4j..4j+3.
-        val bands = sig.select(col("doc_id"),
-          posexplode(array((0 until 16).map(j => xxhash64(
-            col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
-            col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*))
-            .as(Seq("band", "bh")))
-        // candidates are LEAN (id, id) pairs — the shingle arrays are
-        // joined back only for the colliding pairs, so the band shuffle
-        // never carries array payloads.
-        val cands = bands.select(col("band"), col("bh"),
-            col("doc_id").as("doc_a"))
-          .join(bands.select(col("band"), col("bh"),
-            col("doc_id").as("doc_b")), Seq("band", "bh"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-          .dropDuplicates("doc_a", "doc_b")
-        val verified = cands
-          .join(docs.select(col("doc_id").as("doc_a"), col("sv").as("sa")),
-            Seq("doc_a"))
-          .join(docs.select(col("doc_id").as("doc_b"), col("sv").as("sb")),
-            Seq("doc_b"))
-        val inter = size(array_intersect(col("sa"), col("sb")))
-        val uni = size(col("sa")) + size(col("sb")) - inter
-        orderAll(verified
-          .withColumn("jaccard",
-            round(inter.cast(DoubleType) / uni, 6))
-          .filter(inter.cast(DoubleType) / uni >= 0.8)
-          .select("doc_a", "doc_b", "jaccard"))
+        orderAll(neardupPairs(s, dir).select("doc_a", "doc_b", "jaccard"))
+    },
+
+    // Q91b (beyond-survey) — near-dup CLUSTERING: connected components
+    // over the verified near-dup pairs, assigning every clustered
+    // document the minimum doc_id of its component — what an actual
+    // dedup pass keys its keep/drop decision on. Iterative min-label
+    // propagation: per round one join + one aggregate, lineage truncated
+    // via localCheckpoint; rounds are bounded by the component diameter
+    // (driver sees only a scalar per round — the standard distributed
+    // connected-components shape, cf. GraphFrames/large-star).
+    Q("q91b_neardup_clusters", neardupClustersOracleSql) { (s, dir) =>
+      val pairs = neardupPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels
+          .join(nbrMin, labels("id") === nbrMin("id2"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint() // truncate the per-round lineage
+        val changes = next.alias("n")
+          .join(labels.alias("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels = next
+        converged = changes == 0
+        iter += 1
+      }
+      orderAll(labels
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
     },
 
     // Q92 — similarity search: brute-force top-k cosine of a bounded
@@ -447,6 +441,81 @@ object LlmPipeline {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, hamming NULLS FIRST""".stripMargin
   }
+
+  /** The banded-MinHash verified near-dup pairs (doc_a, doc_b, jaccard ≥
+    * 0.8) shared by Q91 (pair listing) and Q91b (clustering).
+    *
+    * Distributed MinHash: explode shingles, hash each ONCE to a long,
+    * then 64 min-aggregates (each mixing the 8-byte value with the
+    * function index). Partial aggregation makes the shuffle one row of
+    * 64 longs per (partition, doc) — the canonical 100 TB shape, and it
+    * sidesteps nested-lambda recomputation entirely. Candidates are LEAN
+    * (id, id) pairs — the shingle arrays join back only for colliding
+    * pairs, so the band shuffle never carries array payloads.
+    */
+  private def neardupPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sv", shinglesOf(col("words")))
+      .select("doc_id", "sv")
+    val hashed = docs
+      .select(col("doc_id"), explode(col("sv")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sig = hashed.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("h"))).as("m0"),
+      (1 until 64).map(j =>
+        min(xxhash64(lit(j), col("h"))).as(s"m$j")): _*)
+    // band j = hash of signature rows 4j..4j+3.
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 16).map(j => xxhash64(
+        col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
+        col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*))
+        .as(Seq("band", "bh")))
+    val cands = bands.select(col("band"), col("bh"),
+        col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bh"),
+        col("doc_id").as("doc_b")), Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sv").as("sa")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sv").as("sb")),
+        Seq("doc_b"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val uni = size(col("sa")) + size(col("sb")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
+      .filter(inter.cast(DoubleType) / uni >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DuckDB oracle for Q91b: exact all-pairs near-dup edges + recursive
+    * transitive closure; cluster id = min reachable doc_id. */
+  private def neardupClustersOracleSql: String =
+    s"""WITH RECURSIVE
+       |sh AS (SELECT doc_id, $shinglesSql AS sv FROM documents),
+       |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+       |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a
+       |ORDER BY doc_id NULLS FIRST, cluster_id NULLS FIRST""".stripMargin
 
   /** DuckDB oracle for Q92b: identical bucketing + cosine ≥ 0.3 pairs. */
   private def cosineNeardupOracleSql: String =

@@ -139,5 +139,40 @@ object Windows {
             row_number().over(w).as("rn"))
           .filter(col("rn") <= 5)
           .drop("rn"))
+    },
+
+    // Q45 (beyond-survey) — value-navigation window functions over a full
+    // frame: first/last/nth need ROWS BETWEEN UNBOUNDED PRECEDING AND
+    // UNBOUNDED FOLLOWING plus a UNIQUE ordering, or the "last" value is
+    // whatever row the engine saw most recently. cume_dist is k/n over
+    // the unique order — the same exact division in both engines.
+    Q("q45_window_values",
+      """SELECT o_orderkey, o_orderpriority,
+        |  first_value(o_orderkey) OVER wf AS first_k,
+        |  last_value(o_orderkey) OVER wf AS last_k,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_k,
+        |  cume_dist() OVER wo AS cd
+        |FROM orders
+        |WINDOW
+        |  wf AS (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC NULLS LAST
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wo AS (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC NULLS LAST)
+        |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  first_k NULLS FIRST, last_k NULLS FIRST, second_k NULLS FIRST,
+        |  cd NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val ord = Seq(col("o_totalprice").asc_nulls_last,
+        col("o_orderkey").asc_nulls_last)
+      val wf = Window.partitionBy(col("o_orderpriority")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wo = Window.partitionBy(col("o_orderpriority")).orderBy(ord: _*)
+      orderAll(Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          first(col("o_orderkey")).over(wf).as("first_k"),
+          last(col("o_orderkey")).over(wf).as("last_k"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_k"),
+          cume_dist().over(wo).as("cd"))).limit(5000)
     })
 }
