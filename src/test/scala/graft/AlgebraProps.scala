@@ -95,4 +95,63 @@ object AlgebraProps extends Properties("algebra") {
       inter.subsetOf(xs.map(t => s"[${t._1},${t._2},${t._3}]").toSet) &&
         inter.subsetOf(ys.map(t => s"[${t._1},${t._2},${t._3}]").toSet)
     }
+
+  // ---- plan-rewrite equivalence laws: the scale-safe formulations the
+  // engine ships (q24 prefix-count, q26 union+window) must agree with the
+  // naive quadratic formulations they replaced, on arbitrary data. ----
+
+  property("q24 rewrite: prefix-count of richer rows == theta-join count") =
+    forAll(rows, parts) { (xs, n) =>
+      // treat (a) as the balance, (index) as the unique key
+      import spark.implicits._
+      val sup = xs.zipWithIndex.map { case ((a, _, _), i) => (i.toLong, a) }
+        .toDF("k", "bal").repartition(n)
+      val naive = sup.alias("s1")
+        .join(sup.alias("s2"), col("s2.bal") > col("s1.bal"), "left")
+        .groupBy(col("s1.k").as("k"))
+        .agg(count(col("s2.k")).as("n_richer"))
+      val byBal = sup.groupBy(col("bal")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("bal").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val richer = byBal.select(col("bal").as("b2"),
+        coalesce(sum(col("cnt")).over(w), lit(0L)).as("n_richer"))
+      val fast = sup.join(richer, col("bal") === col("b2"), "left")
+        .select(col("k"), coalesce(col("n_richer"), lit(0L)).as("n_richer"))
+      bag(naive) == bag(fast)
+    }
+
+  property("q26 rewrite: union+running-last == join+row_number as-of") =
+    forAll(Gen.listOfN(30, for {
+      u <- Gen.chooseNum(0, 3) // few users -> dense per-user histories
+      t <- Gen.chooseNum(0, 50)
+      p <- Gen.oneOf(true, false)
+    } yield (u, t, p)), parts) { (evs, n) =>
+      import spark.implicits._
+      val ev = evs.zipWithIndex.map { case ((u, t, p), i) =>
+        (u.toLong, t.toLong, i.toLong, p)
+      }.toDF("user_id", "ts", "event_id", "is_p").repartition(n)
+      // naive: left join purchases to earlier-or-equal clicks, keep latest
+      val p = ev.filter(col("is_p")).select(col("user_id").as("pu"),
+        col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val c = ev.filter(!col("is_p")).select(col("user_id").as("cu"),
+        col("ts").as("c_ts"), col("event_id").as("c_id"))
+      val wj = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+      val naive = p.join(c,
+          col("pu") === col("cu") && col("c_ts") <= col("p_ts"), "left")
+        .withColumn("rn", row_number().over(wj)).filter(col("rn") === 1)
+        .select(col("p_id"), col("c_id"), col("c_ts"))
+      // shipped: single window pass (mirrors Joins.scala q26)
+      val ww = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_p").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastClick = last(
+        when(!col("is_p"),
+          struct(col("ts").as("c_ts"), col("event_id").as("c_id"))),
+        ignoreNulls = true).over(ww)
+      val fast = ev.withColumn("lc", lastClick).filter(col("is_p"))
+        .select(col("event_id").as("p_id"), col("lc.c_id").as("c_id"),
+          col("lc.c_ts").as("c_ts"))
+      bag(naive) == bag(fast)
+    }
 }
