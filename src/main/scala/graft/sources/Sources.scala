@@ -226,6 +226,46 @@ object Sources {
             col("ts") < lit("2024-01-12 00:00:00").cast("timestamp")))
     },
 
+    // Q08 (beyond-survey) — ORC round-trip: the second columnar format
+    // (built into Spark). Content equality against the parquet source
+    // proves the format conversion is lossless.
+    Q("q08_orc_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_orderkey NULLS FIRST, o_orderstatus NULLS FIRST,
+        |  o_totalprice NULLS FIRST, o_orderdate NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val out = IO.scratch("q08_orc_roundtrip", dir)
+        Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+          .write.mode("overwrite").option("compression", "zstd").orc(out)
+        orderAll(s.read.orc(out))
+    },
+
+    // Q09 (beyond-survey) — deterministic hash-based sampling: the stable
+    // 10% sample every training-data pipeline needs (rerunnable, engine-
+    // independent, whole-order granularity). Spark's sample() is
+    // partition-RNG based and NOT reproducible across engines or
+    // repartitioning; hashing the key is. md5 is the shared hash
+    // (see duckdb-oracle notes); the first 4 hex chars mod 10 pick the
+    // bucket.
+    Q("q09_stable_sample",
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sumDecSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)
+         |  AS INT) % 10 = 0
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST,
+         |  sum_qty NULLS FIRST""".stripMargin) { (s, dir) =>
+      val bucket = conv(substring(md5(col("l_orderkey").cast("string")), 1, 4),
+        16, 10).cast("int") % 10
+      orderAll(Tables.t(s, dir, "lineitem")
+        .filter(bucket === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
+    },
+
     // Q06 — streaming file source → streaming parquet sink, exactly-once:
     // the file sink's _spark_metadata commit log plus the checkpoint offset
     // log reproduce the reference's fsync-then-atomic-rename cursor commit
