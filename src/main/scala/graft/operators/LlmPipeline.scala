@@ -132,9 +132,14 @@ object LlmPipeline {
     // connected-components shape, cf. GraphFrames/large-star).
     Q("q91b_neardup_clusters", neardupClustersOracleSql) { (s, dir) =>
       val pairs = neardupPairs(s, dir).select("doc_a", "doc_b")
+      // materialize the edge list ONCE: it is tiny (one row per near-dup
+      // direction), and without this every propagation round — plus every
+      // convergence count — would lazily re-execute the whole MinHash
+      // pipeline it derives from.
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
+        .localCheckpoint()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
       var converged = false
