@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The user-facing operator library — the programmatic surface behind the
+  * oracle-checked query registry. Every operator here is the same
+  * implementation the registry verifies (the q9x queries delegate to
+  * these), parameterized for reuse:
+  *
+  *  - [[exactDedup]] — digest groupBy (one shuffle on the hash)
+  *  - [[wordNgrams]] — zip-sliced n-gram construction (O(n) per row)
+  *  - [[minHashNearDups]] — banded-MinHash candidate pairs + exact
+  *    Jaccard verification; never all-pairs
+  *  - [[nearDupClusters]] — connected components over a pair list
+  *  - [[cosineTopK]] — exact top-k cosine of a bounded query set
+  *  - [[stableSample]] — reproducible hash-bucket sampling
+  *
+  * Streaming/pipeline entry points live beside these:
+  * [[graft.pipeline.SlotPipeline]] (cursor-driven slot ingestion) and
+  * [[graft.sources.Sources.eventsStream]] (landing-zone file streams).
+  */
+object Engine {
+
+  /** Distinct word n-grams of a BOUND words-array column (see
+    * LlmPipeline scaladoc for why the array must be materialized and why
+    * slicing beats indexed lambdas ~7×). */
+  def wordNgrams(words: Column, n: Int): Column = {
+    require(n >= 1)
+    val span = size(words) - (n - 1)
+    val shifted = (1 to n).map(k => slice(words, lit(k), span))
+    when(size(words) >= n,
+      array_distinct(transform(arrays_zip(shifted: _*),
+        t => concat_ws(" ", (0 until n).map(k =>
+          t.getField(k.toString)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group identical content by digest. Returns
+    * (content_hash, keeper_id = min id, n_copies). */
+  def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate pairs via banded MinHash + exact verification.
+    *
+    * `numHashes` must be `bands` × rows-per-band; miss probability for a
+    * pair at Jaccard J is (1 − J^r)^b. Candidate generation is an
+    * equi-join on (band, band-hash) — O(colliding pairs), never O(n²).
+    * Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, doc_a <
+    * doc_b.
+    */
+  def minHashNearDups(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.8, numHashes: Int = 64,
+      bands: Int = 16, shingleWords: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val docs = df
+      .withColumn("__words", split(col(text), " "))
+      .withColumn("__sv", wordNgrams(col("__words"), shingleWords))
+      .select(col(id).as("__id"), col("__sv"))
+    val hashed = docs
+      .select(col("__id"), explode(col("__sv")).as("__sh"))
+      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
+    val sig = hashed.groupBy("__id").agg(
+      min(xxhash64(lit(0), col("__h"))).as("m0"),
+      (1 until numHashes).map(j =>
+        min(xxhash64(lit(j), col("__h"))).as(s"m$j")): _*)
+    val bandCols = (0 until bands).map { j =>
+      xxhash64((0 until rowsPerBand)
+        .map(r => col(s"m${rowsPerBand * j + r}")): _*)
+    }
+    val banded = sig.select(col("__id"),
+      posexplode(array(bandCols: _*)).as(Seq("__band", "__bh")))
+    val cands = banded
+      .select(col("__band"), col("__bh"), col("__id").as("doc_a"))
+      .join(banded.select(col("__band"), col("__bh"),
+        col("__id").as("doc_b")), Seq("__band", "__bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = cands
+      .join(docs.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
+        Seq("doc_a"))
+      .join(docs.select(col("__id").as("doc_b"), col("__sv").as("__sb")),
+        Seq("doc_b"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val uni = size(col("__sa")) + size(col("__sb")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
+      .filter(inter.cast(DoubleType) / uni >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Connected components over an undirected pair list: every node gets
+    * the minimum id of its component. Iterative min-label propagation;
+    * rounds bounded by component diameter, lineage truncated each round,
+    * driver sees only a scalar per round. */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .localCheckpoint() // tiny; avoids re-running the producing pipeline
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changes = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Exact top-k cosine of a bounded query set against a corpus; the
+    * query side is broadcast. Returns (query_id, rnk, vec_id, cos_sim)
+    * with deterministic (cos DESC, id ASC) tie-break. For unbounded query
+    * sets use bucketed ANN (see q99) — this is the exact baseline. */
+  def cosineTopK(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    val scored = corpus.select(col(id).as("vec_id"), col(vec).as("__e"))
+      .crossJoin(broadcast(
+        queries.select(col(qid).as("query_id"), col(qvec).as("__qe"))))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("cosine_sim(__qe, __e)"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
+  /** Reproducible hash-bucket sample: keeps rows whose key falls in the
+    * first `pctBuckets` of 100 md5-derived buckets — stable across
+    * engines, reruns and repartitioning (Spark's sample() is neither). */
+  def stableSample(key: Column, pctBuckets: Int): Column = {
+    require(pctBuckets >= 0 && pctBuckets <= 100)
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100 < pctBuckets
+  }
+}

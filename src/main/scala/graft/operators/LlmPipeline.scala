@@ -25,27 +25,14 @@ import graft.sources.IO
   */
 object LlmPipeline {
 
-  /** Distinct word n-grams over a BOUND words-array column, built by
-    * zipping shifted slices — one linear pass per row. (The "obvious"
-    * indexed form, `transform(sequence(...), i => element_at(words, i+k))`,
-    * measures ~7× slower under codegen: per-index element_at on a
-    * variable-length UnsafeArrayData plus lambda-variable plumbing beats
-    * the zip path's sequential walk. The words array must also be
-    * materialized via withColumn first, or Catalyst inlines the split()
-    * into every lambda reference.) */
-  private def ngramsOf(words: org.apache.spark.sql.Column, n: Int) = {
-    val span = size(words) - (n - 1)
-    val shifted = (1 to n).map(k => slice(words, lit(k), span))
-    when(size(words) >= n,
-      array_distinct(transform(arrays_zip(shifted: _*),
-        t => concat_ws(" ", (0 until n).map(k =>
-          t.getField(k.toString)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** Distinct word 3-shingles (MinHash unit, Q91). */
-  private def shinglesOf(words: org.apache.spark.sql.Column) =
-    ngramsOf(words, 3)
+  /** Distinct word n-grams over a BOUND words-array column — delegates to
+    * the library operator [[graft.Engine.wordNgrams]] (zip-sliced, one
+    * linear pass per row; the indexed-lambda form measures ~7× slower
+    * under codegen, and the words array must be materialized via
+    * withColumn first or Catalyst inlines the split() into every lambda
+    * reference). */
+  private def ngramsOf(words: org.apache.spark.sql.Column, n: Int) =
+    graft.Engine.wordNgrams(words, n)
 
   /** 8-bit LSH bucket code over an embedding column (bit i = whether
     * element 2i+1 > element 2i+2) — the single definition shared by Q99,
@@ -88,10 +75,8 @@ object LlmPipeline {
         |ORDER BY content_hash NULLS FIRST, keeper_id NULLS FIRST,
         |  n_copies NULLS FIRST""".stripMargin) { (s, dir) =>
       val d = Tables.t(s, dir, "documents")
-      orderAll(d.unionAll(d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keeper_id"),
-          count(lit(1)).as("n_copies")))
+      orderAll(graft.Engine.exactDedup(d.unionAll(d),
+        col("doc_id"), col("text")))
     },
 
     // Q91 — near-duplicate detection: 3-word shingles → 64-hash MinHash
@@ -119,7 +104,7 @@ object LlmPipeline {
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
          |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, jaccard NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        orderAll(neardupPairs(s, dir).select("doc_a", "doc_b", "jaccard"))
+        orderAll(neardupPairs(s, dir))
     },
 
     // Q91b (beyond-survey) — near-dup CLUSTERING: connected components
@@ -131,37 +116,8 @@ object LlmPipeline {
     // (driver sees only a scalar per round — the standard distributed
     // connected-components shape, cf. GraphFrames/large-star).
     Q("q91b_neardup_clusters", neardupClustersOracleSql) { (s, dir) =>
-      val pairs = neardupPairs(s, dir).select("doc_a", "doc_b")
-      // materialize the edge list ONCE: it is tiny (one row per near-dup
-      // direction), and without this every propagation round — plus every
-      // convergence count — would lazily re-execute the whole MinHash
-      // pipeline it derives from.
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-          .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels
-          .join(nbrMin, labels("id") === nbrMin("id2"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint() // truncate the per-round lineage
-        val changes = next.alias("n")
-          .join(labels.alias("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        labels = next
-        converged = changes == 0
-        iter += 1
-      }
-      orderAll(labels
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
+      orderAll(graft.Engine.nearDupClusters(
+        neardupPairs(s, dir).select("doc_a", "doc_b")))
     },
 
     // Q92 — similarity search: brute-force top-k cosine of a bounded
@@ -188,20 +144,10 @@ object LlmPipeline {
          |FROM ranked WHERE rnk <= 5
          |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
          |  cos_sim NULLS FIRST""".stripMargin) { (s, dir) =>
-      graft.plans.CosineSimilarity.register(s)
       val e = Tables.t(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id"), col("embedding"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val scored = corpus.crossJoin(broadcast(queries))
-        .select(col("query_id"), col("vec_id"),
-          round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      orderAll(scored
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "rnk", "vec_id", "cos_sim"))
+      orderAll(graft.Engine.cosineTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
     },
 
     // Q92b (beyond-survey) — embedding-cosine NEAR-DUP: the dedup framing
@@ -448,54 +394,13 @@ object LlmPipeline {
   }
 
   /** The banded-MinHash verified near-dup pairs (doc_a, doc_b, jaccard ≥
-    * 0.8) shared by Q91 (pair listing) and Q91b (clustering).
-    *
-    * Distributed MinHash: explode shingles, hash each ONCE to a long,
-    * then 64 min-aggregates (each mixing the 8-byte value with the
-    * function index). Partial aggregation makes the shuffle one row of
-    * 64 longs per (partition, doc) — the canonical 100 TB shape, and it
-    * sidesteps nested-lambda recomputation entirely. Candidates are LEAN
-    * (id, id) pairs — the shingle arrays join back only for colliding
-    * pairs, so the band shuffle never carries array payloads.
-    */
+    * 0.8) shared by Q91 (pair listing) and Q91b (clustering) — the
+    * library operator [[graft.Engine.minHashNearDups]] applied to the
+    * documents table with default parameters. */
   private def neardupPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.t(s, dir, "documents")
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("sv", shinglesOf(col("words")))
-      .select("doc_id", "sv")
-    val hashed = docs
-      .select(col("doc_id"), explode(col("sv")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val sig = hashed.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("h"))).as("m0"),
-      (1 until 64).map(j =>
-        min(xxhash64(lit(j), col("h"))).as(s"m$j")): _*)
-    // band j = hash of signature rows 4j..4j+3.
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until 16).map(j => xxhash64(
-        col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
-        col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*))
-        .as(Seq("band", "bh")))
-    val cands = bands.select(col("band"), col("bh"),
-        col("doc_id").as("doc_a"))
-      .join(bands.select(col("band"), col("bh"),
-        col("doc_id").as("doc_b")), Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    val verified = cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sv").as("sa")),
-        Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sv").as("sb")),
-        Seq("doc_b"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val uni = size(col("sa")) + size(col("sb")) - inter
-    verified
-      .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
-      .filter(inter.cast(DoubleType) / uni >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Engine.minHashNearDups(
+      Tables.t(s, dir, "documents"), "doc_id", "text")
 
   /** DuckDB oracle for Q91b: exact all-pairs near-dup edges + recursive
     * transitive closure; cluster id = min reachable doc_id. */

@@ -254,14 +254,12 @@ object Sources {
          |  ${sumDecSql("l_quantity")} AS sum_qty
          |FROM lineitem
          |WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)
-         |  AS INT) % 10 = 0
+         |  AS INT) % 100 < 10
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST,
          |  sum_qty NULLS FIRST""".stripMargin) { (s, dir) =>
-      val bucket = conv(substring(md5(col("l_orderkey").cast("string")), 1, 4),
-        16, 10).cast("int") % 10
       orderAll(Tables.t(s, dir, "lineitem")
-        .filter(bucket === 0)
+        .filter(graft.Engine.stableSample(col("l_orderkey"), 10))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
     },
