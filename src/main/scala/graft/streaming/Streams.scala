@@ -248,7 +248,11 @@ object Streams {
     // older than watermark − 30 min are evicted); because the join
     // window (30 min) is inside the watermark delay (45 min) and the
     // replay is time-ordered, no match can be missed — the final sink
-    // equals the batch interval join, which is the oracle.
+    // equals the batch interval join, which is the oracle. (Batch-count
+    // tradeoff, measured at sf0.1: fewer/larger batches leave the join
+    // state unevicted within a batch and probe cost explodes (2 files ->
+    // 20 s); more batches multiply the doubled per-trigger state-store
+    // cost of a two-sided join (8 files -> 30 s); 4 is the knee, ~14 s.)
     Q("q78_stream_stream_join",
       """SELECT p.event_id AS p_id, c.event_id AS c_id,
         |  p.user_id AS user_id
