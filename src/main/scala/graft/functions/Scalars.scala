@@ -163,6 +163,66 @@ object Scalars {
         .orderBy(col("vec_id").asc_nulls_first)
     },
 
+    // Q67 (beyond-survey) — array SET operations (union/intersect/except/
+    // overlap/position/flatten). Outputs are sizes and scalars: the set
+    // results themselves are order-ambiguous across engines. DuckDB's
+    // list_position matches Spark's array_position 0-for-missing.
+    Q("q67_array_setops",
+      """WITH t AS (SELECT p_partkey,
+        |    string_split(lower(p_name), ' ') AS a,
+        |    string_split(lower(p_type), ' ') AS b
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+        |  CAST(len(list_intersect(a, b)) AS INT) AS n_inter,
+        |  CAST(len(list_filter(list_distinct(a),
+        |    x -> NOT list_contains(b, x))) AS INT) AS n_except,
+        |  list_has_any(a, b) AS has_common,
+        |  CAST(list_position(a, 'green') AS BIGINT) AS pos_green,
+        |  CAST(len(flatten([a, b])) AS INT) AS n_flat
+        |FROM t
+        |ORDER BY p_partkey NULLS FIRST, n_union NULLS FIRST,
+        |  n_inter NULLS FIRST, n_except NULLS FIRST, has_common NULLS FIRST,
+        |  pos_green NULLS FIRST, n_flat NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "part")
+          .withColumn("a", split(lower(col("p_name")), " "))
+          .withColumn("b", split(lower(col("p_type")), " "))
+          .select(col("p_partkey"),
+            size(array_union(col("a"), col("b"))).as("n_union"),
+            size(array_intersect(col("a"), col("b"))).as("n_inter"),
+            size(array_except(col("a"), col("b"))).as("n_except"),
+            arrays_overlap(col("a"), col("b")).as("has_common"),
+            array_position(col("a"), "green").as("pos_green"),
+            size(flatten(array(col("a"), col("b")))).as("n_flat")))
+    },
+
+    // Q68 (beyond-survey) — regexp family: extract-all, global replace,
+    // match counting. Array output is reduced to size + guarded first
+    // element (ANSI element_at throws on out-of-bounds).
+    Q("q68_regexp",
+      """SELECT p_partkey,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+        |  CASE WHEN len(regexp_extract_all(p_name, '[a-z]+')) >= 1
+        |    THEN regexp_extract_all(p_name, '[a-z]+')[1] END AS first_word,
+        |  regexp_replace(p_type, '[AEIOU]', '*', 'g') AS starred,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels
+        |FROM part
+        |ORDER BY p_partkey NULLS FIRST, n_words NULLS FIRST,
+        |  first_word NULLS FIRST, starred NULLS FIRST, n_vowels NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val words = regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))
+        orderAll(Tables.t(s, dir, "part")
+          .withColumn("w", words)
+          .select(col("p_partkey"),
+            size(col("w")).as("n_words"),
+            when(size(col("w")) >= 1, element_at(col("w"), 1))
+              .as("first_word"),
+            regexp_replace(col("p_type"), "[AEIOU]", "*").as("starred"),
+            size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+              .as("n_vowels")))
+    },
+
     // Q64 — map/struct construction + field access (composites-dict analog,
     // meteosat.py:18-24). Output is scalar so the oracle can compute the
     // same values without engine-specific map serialization.
