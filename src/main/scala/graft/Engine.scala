@@ -51,6 +51,13 @@ object Engine {
     * equi-join on (band, band-hash) — O(colliding pairs), never O(n²).
     * Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, doc_a <
     * doc_b.
+    *
+    * Documents shorter than `shingleWords` words have NO shingles and are
+    * excluded entirely — they can never appear in the output, even as
+    * exact duplicates of each other; route short texts through
+    * [[exactDedup]] (or lower `shingleWords`). The banded signature table
+    * is locally checkpointed (it is read twice by the candidate
+    * self-join); the shingle table is cheap and recomputed per reference.
     */
   def minHashNearDups(df: DataFrame, id: String, text: String,
       threshold: Double = 0.8, numHashes: Int = 64,
@@ -74,6 +81,8 @@ object Engine {
     }
     val banded = sig.select(col("__id"),
       posexplode(array(bandCols: _*)).as(Seq("__band", "__bh")))
+      .localCheckpoint() // the 64-hash signature pipeline runs ONCE, not
+                         // once per side of the candidate self-join
     val cands = banded
       .select(col("__band"), col("__bh"), col("__id").as("doc_a"))
       .join(banded.select(col("__band"), col("__bh"),
@@ -94,17 +103,24 @@ object Engine {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Connected components over an undirected pair list: every node gets
-    * the minimum id of its component. Iterative min-label propagation;
-    * rounds bounded by component diameter, lineage truncated each round,
-    * driver sees only a scalar per round. */
+  /** Connected components over an undirected pair list (first two columns
+    * = the edge endpoints): every node gets the minimum id of its
+    * component. Iterative min-label propagation; rounds bounded by the
+    * component diameter, lineage truncated and the previous round's
+    * blocks freed each round, driver sees only a scalar per round.
+    * Throws IllegalStateException if `maxIterations` rounds don't reach a
+    * fixpoint — a silent partial answer would assign one component
+    * multiple cluster ids. */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    require(pairs.columns.length >= 2,
+      "nearDupClusters expects a two-column (src, dst) pair DataFrame")
     val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
       .localCheckpoint() // tiny; avoids re-running the producing pipeline
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -119,10 +135,14 @@ object Engine {
       val changes = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist() // next is checkpointed; the old blocks can go
       labels = next
       converged = changes == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIterations rounds " +
+        "(component diameter exceeds the cap); raise maxIterations")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -143,6 +163,34 @@ object Engine {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
+  /** Backward as-of match in a single window pass (the scale-safe form of
+    * q26 — no join, no candidate explosion under skew): rows where
+    * `isTarget` holds are matched to the most recent NON-target row of
+    * the same key at or before their timestamp. Null-timestamp source
+    * rows are dropped (they can never satisfy ts ≤ target-ts); ties at
+    * equal ts resolve source-before-target, then max id — identical to
+    * the naive join + row_number formulation (AlgebraProps proves it).
+    * Returns (p_id, p_ts, c_id, c_ts); unmatched targets keep NULLs.
+    */
+  def asOfMatch(events: DataFrame, key: String, ts: String, id: String,
+      isTarget: Column): DataFrame = {
+    val ev = events
+      .filter(isTarget || col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__ts"), col(id).as("__id"),
+        isTarget.as("__t"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__t").asc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastSrc = last(
+      when(!col("__t"),
+        struct(col("__ts").as("c_ts"), col("__id").as("c_id"))),
+      ignoreNulls = true).over(w)
+    ev.withColumn("__lc", lastSrc)
+      .filter(col("__t"))
+      .select(col("__id").as("p_id"), col("__ts").as("p_ts"),
+        col("__lc.c_id").as("c_id"), col("__lc.c_ts").as("c_ts"))
   }
 
   /** Reproducible hash-bucket sample: keeps rows whose key falls in the

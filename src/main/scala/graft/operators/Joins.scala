@@ -157,27 +157,11 @@ object Joins {
         |) WHERE rn = 1
         |ORDER BY p_id NULLS FIRST, p_ts NULLS FIRST, c_id NULLS FIRST,
         |  c_ts NULLS FIRST""".stripMargin) { (s, dir) =>
-      val ev = Tables.t(s, dir, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        // a null-ts CLICK can never satisfy the oracle's c.ts <= p.ts,
-        // but asc ordering would sort it first and make it visible to
-        // every purchase — drop it. (A null-ts purchase needs no guard:
-        // it sorts before all clicks and correctly matches nothing.)
-        .filter(col("event_type") === "purchase" || col("ts").isNotNull)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_type") === "purchase").as("is_p"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_p").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val lastClick = last(
-        when(!col("is_p"),
-          struct(col("ts").as("c_ts"), col("event_id").as("c_id"))),
-        ignoreNulls = true).over(w)
-      orderAll(ev
-        .withColumn("lc", lastClick)
-        .filter(col("is_p"))
-        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
-          col("lc.c_id").as("c_id"), col("lc.c_ts").as("c_ts")))
+      orderAll(graft.Engine.asOfMatch(
+        Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase")),
+        key = "user_id", ts = "ts", id = "event_id",
+        isTarget = col("event_type") === "purchase"))
     },
 
     // Q26b — the reference's exact slot-match (meteosat.py:105-122): a

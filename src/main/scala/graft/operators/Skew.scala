@@ -29,7 +29,7 @@ object Skew {
     // Right/full outer would emit every unmatched right row once PER
     // REPLICA — only left-preserving join types are salting-equivalent.
     require(Set("inner", "cross", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti")
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
       .contains(joinType.toLowerCase),
       s"saltedJoin does not preserve '$joinType' semantics " +
         "(the replicated right side duplicates unmatched right rows)")

@@ -141,17 +141,10 @@ object AlgebraProps extends Properties("algebra") {
           col("pu") === col("cu") && col("c_ts") <= col("p_ts"), "left")
         .withColumn("rn", row_number().over(wj)).filter(col("rn") === 1)
         .select(col("p_id"), col("c_id"), col("c_ts"))
-      // shipped: single window pass (mirrors Joins.scala q26)
-      val ww = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_p").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val lastClick = last(
-        when(!col("is_p"),
-          struct(col("ts").as("c_ts"), col("event_id").as("c_id"))),
-        ignoreNulls = true).over(ww)
-      val fast = ev.withColumn("lc", lastClick).filter(col("is_p"))
-        .select(col("event_id").as("p_id"), col("lc.c_id").as("c_id"),
-          col("lc.c_ts").as("c_ts"))
+      // shipped: THE production operator (the same code q26 runs)
+      val fast = Engine.asOfMatch(ev, "user_id", "ts", "event_id",
+          col("is_p"))
+        .select(col("p_id"), col("c_id"), col("c_ts"))
       bag(naive) == bag(fast)
     }
 }

@@ -58,9 +58,10 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q26_asof_join")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
-    // exactly one shuffle for the per-user window; the final orderBy adds
-    // one range exchange (oracle canonicalization only).
-    assert("hashpartitioning\\(user_id".r.findAllMatchIn(p).nonEmpty, p)
+    // exactly one shuffle for the per-key window (Engine.asOfMatch names
+    // the key __k); the final orderBy adds one range exchange (oracle
+    // canonicalization only).
+    assert("hashpartitioning\\(__k".r.findAllMatchIn(p).nonEmpty, p)
   }
 
   test("q05: the partition filter prunes the read-back scan") {
