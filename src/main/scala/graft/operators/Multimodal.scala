@@ -61,12 +61,17 @@ object Multimodal {
     // multimodal blob column, stub decoder in place of a codec. The
     // oracle recomputes the byte statistics from the source text (the
     // corpus is pure ASCII, so UTF-8 byte values == character codes).
+    // byte_sum is CAST to BIGINT because DuckDB types list_aggregate's
+    // sum as HUGEINT, which pandas serializes as float64 and the hash
+    // gate would mismatch Spark's BIGINT (round-2 red row). n_bytes and
+    // feat_dim use strlen (octet length), matching the Spark side's
+    // UTF-8 content.length even for non-ASCII text.
     Q("q94b_media_features",
       """SELECT doc_id, 'text' AS modality,
-        |  CAST(length(text) AS INT) AS n_bytes,
-        |  list_aggregate(list_transform(string_split(text, ''),
-        |    c -> ascii(c)), 'sum') AS byte_sum,
-        |  CAST(length(text) % 64 + 1 AS INT) AS feat_dim
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(list_aggregate(list_transform(string_split(text, ''),
+        |    c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum,
+        |  CAST(strlen(text) % 64 + 1 AS INT) AS feat_dim
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, modality NULLS FIRST,
         |  n_bytes NULLS FIRST, byte_sum NULLS FIRST, feat_dim NULLS FIRST""".stripMargin) {

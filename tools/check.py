@@ -10,9 +10,37 @@ name, rows in produced order). Reports per-query PASS/FAIL + first diff.
 
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 """
-import json, math, sys
+import json, math, re, sys
 
 import duckdb
+
+# Canonical type families. The driver serializes both sides through pandas
+# before hashing, so types that pandas maps to different dtypes MUST agree
+# at the SQL level even when Python `==` would call the values equal. Two
+# rounds were lost to this class (r1 q62 DOUBLE-vs-BIGINT, r2 q94b
+# HUGEINT→float64); this check kills it. HUGEINT deliberately canonicalizes
+# to itself: pandas degrades it to float64, so an oracle must always CAST
+# it away explicitly.
+def canon_type(t):
+    s = t.upper()
+    s = s.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
+    s = re.sub(r"TIMESTAMP_\w+", "TIMESTAMP", s)
+    s = re.sub(r"\b(UBIGINT|UINTEGER|USMALLINT|UTINYINT"
+               r"|BIGINT|INTEGER|SMALLINT|TINYINT)\b", "INT", s)
+    s = re.sub(r"\b(DOUBLE|FLOAT|REAL)\b", "FLOAT", s)
+    s = re.sub(r"DECIMAL\(\d+,\s*(\d+)\)", r"DECIMAL(\1)", s)
+    return s
+
+def type_mismatch(con, sql, out_parquet):
+    """Returns a list of 'col: spark_type != oracle_type' strings (empty =
+    consistent). Compares DuckDB DESCRIBE of the dumped parquet vs the
+    oracle SQL, canonicalized per family."""
+    def describe(q):
+        return {r[0]: canon_type(r[1]) for r in con.sql(q).fetchall()}
+    got = describe(f"DESCRIBE SELECT * FROM '{out_parquet}'")
+    exp = describe(f"DESCRIBE {sql}")
+    return [f"{c}: spark {got[c]} != oracle {exp[c]}"
+            for c in sorted(set(got) & set(exp)) if got[c] != exp[c]]
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -46,6 +74,7 @@ def main():
         if only and name not in only:
             continue
         try:
+            bad_types = type_mismatch(con, sql, f"{out_dir}/{name}/*.parquet")
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols, grows = canon(got.fetchall(), got.columns)
             exp = con.sql(sql)
@@ -54,7 +83,10 @@ def main():
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if gcols != ecols:
+        if bad_types:
+            print(f"FAIL {name}: dtype divergence: {'; '.join(bad_types)}")
+            n_fail += 1
+        elif gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
         elif len(grows) != len(erows):
