@@ -47,8 +47,11 @@ object CursorStore {
 
 /** One tick's outcome. */
 sealed trait TickResult { def slot: Instant }
-/** The slot was matched, processed, and committed. */
-final case class Processed(slot: Instant, productId: String, rows: Long)
+/** The slot was matched, processed, and committed. `blobEntries` counts
+  * decompressed archive members when a [[BlobFetcher]] is injected (0
+  * when the tick runs without a transport). */
+final case class Processed(slot: Instant, productId: String, rows: Long,
+    blobEntries: Long = 0L)
     extends TickResult
 /** No catalog product matched the slot exactly — the cursor did NOT
   * advance; the same slot is retried next tick (meteosat.py:101-103). */
@@ -70,7 +73,7 @@ final case class Stalled(slot: Instant) extends TickResult
   *    between write and commit replays the slot idempotently (A17).
   */
 final class SlotPipeline(spark: SparkSession, stateFile: String,
-    outputDir: String) {
+    outputDir: String, fetcher: Option[BlobFetcher] = None) {
   private val slotStep = 15L * 60
   private val statePath: Path = Paths.get(stateFile)
 
@@ -122,9 +125,49 @@ final class SlotPipeline(spark: SparkSession, stateFile: String,
               .partitionBy("slot_key").parquet(outputDir)
             out.count()
           } finally out.unpersist()
+        // A7/A8 analog: when a transport is injected, fetch the matched
+        // product's archive and publish its decompressed members under
+        // the same slot partition — same dynamic-overwrite idempotency,
+        // so a crash-replay republishes bit-identically.
+        val nBlobs = fetcher.fold(0L) { f =>
+          implicit val s: SparkSession = spark
+          import spark.implicits._
+          val entries = Blobs
+            .fetchAndExplode(spark.createDataset(Seq(id)), f)
+            .withColumn("slot_key",
+              lit(DateTimeFormatter.ISO_INSTANT.format(slot).replace(":", "-")))
+            .cache()
+          try {
+            entries.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("slot_key").parquet(s"$outputDir-blobs")
+            entries.count()
+          } finally entries.unpersist()
+        }
         afterWrite() // crash seam: fires between publish and commit
         CursorStore.commit(statePath, slot, now) // A16: commit is LAST
-        Processed(slot, id, n)
+        Processed(slot, id, n, nBlobs)
     }
+  }
+
+  /** The reference's scheduler loop (`main.py:28-29`: an interval trigger
+    * with `max_instances=1`) re-expressed: ticks run strictly serialized —
+    * one in flight, ever — at a fixed wall-clock cadence, until `maxTicks`
+    * ticks ran or the pipeline stalls (`stopOnStall`). `intervalMs = 0`
+    * runs back-to-back (the test cadence). Returns the tick trace. */
+  def run(catalog: DataFrame, source: DataFrame, now: () => Instant,
+      maxTicks: Int, intervalMs: Long = 0L,
+      stopOnStall: Boolean = true): Seq[TickResult] = {
+    val trace = Vector.newBuilder[TickResult]
+    var i = 0
+    var stalled = false
+    while (i < maxTicks && !(stalled && stopOnStall)) {
+      if (i > 0 && intervalMs > 0) Thread.sleep(intervalMs)
+      val r = tick(catalog, source, now())
+      trace += r
+      stalled = r.isInstanceOf[Stalled]
+      i += 1
+    }
+    trace.result()
   }
 }

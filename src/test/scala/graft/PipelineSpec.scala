@@ -4,7 +4,8 @@ import java.nio.file.{Files, Paths}
 import java.time.Instant
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.pipeline.{CursorStore, Processed, SlotPipeline, Stalled}
+import graft.pipeline.{Blobs, CursorStore, LocalDirFetcher, Processed,
+  SlotPipeline, Stalled}
 
 /** System-level golden trace of the Part A pipeline replica
   * (meteosat.py:82-122,187-188 semantics): bootstrap, one-slot-per-tick,
@@ -73,7 +74,7 @@ class PipelineSpec extends AnyFunSuite {
     val catalog = mkCatalog(Seq("2024-01-01T11:14:59Z",
       "2024-01-01T11:15:30Z", "2024-01-01T11:15:10Z"))
     p.tick(catalog, mkSource(Nil), T0) match {
-      case Processed(_, id, _) => assert(id == "MSG4-2024-01-01T11:15:10Z")
+      case Processed(_, id, _, _) => assert(id == "MSG4-2024-01-01T11:15:10Z")
       case r => fail(s"expected a hit, got $r")
     }
   }
@@ -110,6 +111,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(!dir.exists(_.endsWith(".tmp")), dir.mkString(","))
   }
 
+  private def stageZip(dir: String, id: String,
+      entries: (String, String)*): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, body) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    Files.write(Paths.get(dir, s"$id.zip"), bos.toByteArray): Unit
+  }
+
+  test("a tick with a transport fetches + unzips the product archive (A7/A8)") {
+    val (state, out) = fresh("fetch")
+    CursorStore.commit(Paths.get(state),
+      Instant.parse("2024-01-01T11:00:00Z"), T0) // next = 11:15
+    val stage = graft.sources.IO.scratch("pipeline_fetch_stage", "spec")
+    val id = "MSG4-2024-01-01T11:15:00Z"
+    stageZip(stage, id, "scene.nat" -> "raster-bytes",
+      "manifest.xml" -> "<m/>")
+    val p = new SlotPipeline(spark, state, out,
+      fetcher = Some(LocalDirFetcher(stage)))
+    val r = p.tick(mkCatalog(Seq("2024-01-01T11:15:00Z")),
+      mkSource(Seq("2024-01-01T11:16:00Z")), T0)
+    assert(r == Processed(Instant.parse("2024-01-01T11:15:00Z"), id, 1, 2))
+    // the decompressed members landed slot-partitioned next to the data
+    val blobs = spark.read.parquet(s"$out-blobs")
+      .collect().map(row => (row.getAs[String]("entry"),
+        new String(row.getAs[Array[Byte]]("content"), "UTF-8"))).toMap
+    assert(blobs == Map("scene.nat" -> "raster-bytes",
+      "manifest.xml" -> "<m/>"))
+  }
+
+  test("unzip skips directories and preserves member bytes") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("sub/")) // directory entry
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("sub/a.bin"))
+    z.write(Array[Byte](0, 1, 2, -1))
+    z.closeEntry()
+    z.close()
+    val es = Blobs.unzip("X", bos.toByteArray)
+    assert(es.map(_.entry) == Seq("sub/a.bin"))
+    assert(es.head.content.toSeq == Seq[Byte](0, 1, 2, -1))
+  }
+
+  test("run() serializes ticks and stops at the first stall (A1 max_instances=1)") {
+    val (state, out) = fresh("loop")
+    val p = new SlotPipeline(spark, state, out)
+    // bootstrap 11:15; products at 11:15 and 11:30, then a gap
+    val catalog = mkCatalog(Seq("2024-01-01T11:15:00Z",
+      "2024-01-01T11:30:00Z"))
+    val trace = p.run(catalog, mkSource(Nil), () => T0, maxTicks = 5)
+    // two hits, then ONE stall ends the loop — never 5 ticks
+    assert(trace.map(_.slot) == Seq(
+      Instant.parse("2024-01-01T11:15:00Z"),
+      Instant.parse("2024-01-01T11:30:00Z"),
+      Instant.parse("2024-01-01T11:45:00Z")))
+    assert(trace.last == Stalled(Instant.parse("2024-01-01T11:45:00Z")))
+    // the cursor reflects the last COMMITTED slot, not the stalled one
+    assert(CursorStore.read(Paths.get(state)) ==
+      Some(Instant.parse("2024-01-01T11:30:00Z")))
+  }
+
   test("the DSv2 catalog source drives a tick end-to-end (A4 pushdown path)") {
     val (state, out) = fresh("dsv2")
     CursorStore.commit(Paths.get(state),
@@ -118,7 +185,7 @@ class PipelineSpec extends AnyFunSuite {
     val catalog = spark.read.format("graft.sources.CatalogSource").load()
     val source = mkSource(Seq("2024-01-10T00:05:00Z"))
     p.tick(catalog, source, T0) match {
-      case Processed(slot, id, n) =>
+      case Processed(slot, id, n, _) =>
         assert(slot == Instant.parse("2024-01-10T00:00:00Z"))
         assert(id == "MSG4-1704844800") // the source's slot identifier
         assert(n == 1)
