@@ -193,6 +193,49 @@ object Engine {
         col("__lc.c_id").as("c_id"), col("__lc.c_ts").as("c_ts"))
   }
 
+  /** Per-row count of rows with a strictly greater value — the scale-safe
+    * form of the q24 theta join, with no NLJ and no GLOBAL window. Two
+    * levels: (1) aggregate to one row per distinct value (the theta join's
+    * quadratic blow-up dies here); (2) equi-width-bucket the value domain
+    * and run the prefix sum WITHIN each bucket — a partitioned window, so
+    * the exchange is hash, not single-partition; (3) cross-bucket suffix
+    * totals are ≤ `buckets` scalars — they ship to the driver once (the
+    * same bounded collect as range partitioning's boundary sampling,
+    * never the data path) and come back as a literal lookup map. Rows
+    * with a NULL value get 0, mirroring SQL `>` three-valued logic.
+    * Bucketing casts to double for RANGE assignment only; grouping and
+    * comparison stay on the exact value, so decimals lose nothing. */
+  def withCountGreater(df: DataFrame, value: Column,
+      as: String = "n_greater", buckets: Int = 256): DataFrame = {
+    require(buckets >= 1)
+    val byVal = df.filter(value.isNotNull)
+      .groupBy(value.as("__v")).agg(count(lit(1)).as("__cnt"))
+    val bounds = byVal.agg(min(col("__v").cast(DoubleType)),
+      max(col("__v").cast(DoubleType))).head()
+    if (bounds.isNullAt(0)) return df.withColumn(as, lit(0L))
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+    def bucketOf(c: Column): Column = least(
+      floor((c.cast(DoubleType) - lit(lo)) / lit(width)),
+      lit(buckets - 1)).cast("int")
+    val bucketed = byVal.withColumn("__b",
+      coalesce(bucketOf(col("__v")), lit(buckets - 1))) // NaN → top bucket
+    val totals = bucketed.groupBy("__b").agg(sum("__cnt").as("__bt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val above = totals.map { case (b, _) =>
+      b -> totals.collect { case (b2, t) if b2 > b => t }.sum
+    }
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perVal = bucketed
+      .withColumn("__local", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .select(col("__v"), (col("__local") +
+        coalesce(element_at(typedLit(above), col("__b")), lit(0L))).as(as))
+    df.join(perVal, value === col("__v"), "left")
+      .withColumn(as, coalesce(col(as), lit(0L)))
+      .drop("__v")
+  }
+
   /** Reproducible hash-bucket sample: keeps rows whose key falls in the
     * first `pctBuckets` of 100 md5-derived buckets — stable across
     * engines, reruns and repartitioning (Spark's sample() is neither). */

@@ -81,12 +81,11 @@ object Joins {
     // Q24 — theta (non-equi) join semantics: for each supplier, how many
     // suppliers hold a strictly larger balance. The oracle keeps the naive
     // O(n²) BNLJ SQL (fine for DuckDB at sf0.1); the Spark plan is the
-    // scale-safe O(n log n) form — "count of strictly richer rows" is a
-    // prefix count over the distinct balances: aggregate to one row per
-    // distinct balance, running-sum the counts in descending balance order,
-    // equi-join the (tiny, broadcast) result back. The only global window
-    // runs over distinct values, not rows; at extreme cardinality the same
-    // shape becomes a range-partitioned two-level prefix sum.
+    // scale-safe two-level prefix count (Engine.withCountGreater): one row
+    // per distinct balance, an equi-width-bucketed PARTITIONED window for
+    // the in-bucket prefix, and a driver-literal lookup for the ≤256
+    // cross-bucket suffix totals — no global window, no NLJ (both asserted
+    // in PlanSpec; equivalence to the naive form proven in AlgebraProps).
     Q("q24_theta_join",
       """SELECT s1.s_suppkey, count(s2.s_suppkey) AS n_richer
         |FROM supplier s1 LEFT JOIN supplier s2
@@ -95,16 +94,9 @@ object Joins {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val sup = Tables.t(s, dir, "supplier")
-        val byBal = sup.filter(col("s_acctbal").isNotNull)
-          .groupBy(col("s_acctbal")).agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy(col("s_acctbal").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val richer = byBal.select(col("s_acctbal").as("bal"),
-          coalesce(sum(col("cnt")).over(w), lit(0L)).as("n_richer"))
-        orderAll(sup
-          .join(broadcast(richer), sup("s_acctbal") === richer("bal"), "left")
-          .select(col("s_suppkey"),
-            coalesce(col("n_richer"), lit(0L)).as("n_richer")))
+        orderAll(graft.Engine.withCountGreater(
+          sup.select("s_suppkey", "s_acctbal"), col("s_acctbal"), "n_richer")
+          .select("s_suppkey", "n_richer"))
     },
 
     // Q25 — broadcast-hint equi-join chain: fact(lineitem) with two

@@ -168,13 +168,23 @@ object Sources {
         |ORDER BY doc_id NULLS FIRST, n_chars_text NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val out = IO.scratch("q04_binary_scan", dir)
+        // Hadoop FileSystem API (not java.nio): the identical code writes
+        // to HDFS/S3A on a cluster; the scheme comes from the path + the
+        // session's Hadoop conf, shipped serializably to the executors.
+        val hc = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
         Tables.t(s, dir, "documents")
           .filter(col("doc_id") < 200).select("doc_id", "text")
           .foreachPartition { (it: Iterator[Row]) =>
+            val base = new org.apache.hadoop.fs.Path(out)
+            val fs = base.getFileSystem(hc.value)
             it.foreach { r =>
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%06d.txt"),
-                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val p = new org.apache.hadoop.fs.Path(
+                base, f"doc_${r.getLong(0)}%06d.txt")
+              val os = fs.create(p, true) // overwrite: retries idempotent
+              try os.write(r.getString(1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally os.close()
             }
           }
         orderAll(s.read.format("binaryFile").load(s"$out/*.txt")

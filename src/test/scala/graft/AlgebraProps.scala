@@ -110,13 +110,10 @@ object AlgebraProps extends Properties("algebra") {
         .join(sup.alias("s2"), col("s2.bal") > col("s1.bal"), "left")
         .groupBy(col("s1.k").as("k"))
         .agg(count(col("s2.k")).as("n_richer"))
-      val byBal = sup.groupBy(col("bal")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("bal").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val richer = byBal.select(col("bal").as("b2"),
-        coalesce(sum(col("cnt")).over(w), lit(0L)).as("n_richer"))
-      val fast = sup.join(richer, col("bal") === col("b2"), "left")
-        .select(col("k"), coalesce(col("n_richer"), lit(0L)).as("n_richer"))
+      // the SHIPPED implementation, with a tiny bucket count so the law
+      // exercises bucket-boundary capping and cross-bucket carry
+      val fast = graft.Engine.withCountGreater(sup, col("bal"), "n_richer",
+        buckets = 3).select("k", "n_richer")
       bag(naive) == bag(fast)
     }
 

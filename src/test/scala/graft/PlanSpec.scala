@@ -54,6 +54,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q24: every window in the plan is partitioned (no single-partition exchange)") {
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windows(a.initialPlan)
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      }.flatten
+    val plan = SparkEntry.queries("q24_theta_join")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan
+    val ws = windows(plan)
+    assert(ws.nonEmpty, "expected the in-bucket prefix window")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window (global sort bottleneck at scale): $w"))
+  }
+
   test("q26: the as-of join is a single-pass window, no join at all") {
     val p = planOf("q26_asof_join")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
