@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Benchmark main (driver contract): runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
@@ -11,6 +12,15 @@ import org.apache.spark.sql.SparkSession
   * pass and the MINIMUM of two subsequent runs is reported, so JVM/
   * codegen/session warm-up is not billed to whichever query runs first
   * and one-off GC/IO stalls don't distort a query's number.
+  *
+  * Streaming queries additionally report their micro-batch count and
+  * seconds/trigger (via a StreamingQueryListener), decomposing their cost
+  * into the fixed per-trigger state-store/checkpoint machinery vs data
+  * volume: at production scale that cost amortizes per trigger, not per
+  * row, so a 5-trigger replay's wall-time is NOT a per-row throughput
+  * number. Listener events are async, so the count is the per-query delta
+  * across all three passes divided by 3 — exact for the deterministic
+  * replays used here.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +33,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val triggers = new java.util.concurrent.atomic.AtomicLong()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        triggers.incrementAndGet(): Unit
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -33,16 +53,22 @@ object Bench {
     // across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        val trig0 = triggers.get()
         once(fn) // warm-up: JIT, codegen cache, file listing, page cache
         val (a, b) = (once(fn), once(fn))
         // any failed run marks the query failed — a flaky query must not
         // masquerade as a healthy timing
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        val sec = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+        val nTrig = math.round((triggers.get() - trig0) / 3.0)
+        (name, sec, nTrig)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val st = results.collect { case (k, v, n) if n > 0 && v > 0 =>
+      f""""$k":{"sec":$v,"n_triggers":$n,"sec_per_trigger":${v / n}%.3f}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -236,12 +236,15 @@ object Engine {
       .drop("__v")
   }
 
-  /** Reproducible hash-bucket sample: keeps rows whose key falls in the
-    * first `pctBuckets` of 100 md5-derived buckets — stable across
-    * engines, reruns and repartitioning (Spark's sample() is neither). */
-  def stableSample(key: Column, pctBuckets: Int): Column = {
-    require(pctBuckets >= 0 && pctBuckets <= 100)
+  /** Reproducible hash sample: keeps rows whose md5-derived 16-bit value
+    * falls below `pct`% of the 2^16 range — stable across engines, reruns
+    * and repartitioning (Spark's sample() is neither). Thresholding the
+    * raw hash (v·100 < pct·65536, exact integer arithmetic) instead of
+    * `v % 100 < pct` avoids the 65536-mod-100 bucket-skew where residues
+    * 0–35 were systematically over-represented. */
+  def stableSample(key: Column, pct: Int): Column = {
+    require(pct >= 0 && pct <= 100)
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100 < pctBuckets
+      .cast("int") * 100 < pct * 65536
   }
 }

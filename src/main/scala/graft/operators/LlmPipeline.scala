@@ -88,6 +88,11 @@ object LlmPipeline {
     // band false-positive, so both sides produce the same pair set. At
     // scale only the banded join exists — candidates are O(matching
     // pairs), never O(n²).
+    // TRIAGE NOTE: the oracle is deliberately EXACT while the operator is
+    // probabilistic-recall — a q91/q91b hash mismatch on a fresh/larger
+    // dataset most likely means a borderline J≈0.8 pair fell in the 2e-4
+    // banding miss window, not a bug; confirm by checking whether the
+    // missing pair's bands all collided before suspecting the operator.
     Q("q91_minhash_neardup",
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sv FROM documents),
          |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),

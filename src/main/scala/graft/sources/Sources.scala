@@ -257,14 +257,15 @@ object Sources {
     // independent, whole-order granularity). Spark's sample() is
     // partition-RNG based and NOT reproducible across engines or
     // repartitioning; hashing the key is. md5 is the shared hash
-    // (see duckdb-oracle notes); the first 4 hex chars mod 10 pick the
-    // bucket.
+    // (see duckdb-oracle notes); a row is kept when its 16-bit hash
+    // value falls below 10% of the 2^16 range (raw-threshold form — no
+    // 65536-mod-100 bucket skew).
     Q("q09_stable_sample",
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sumDecSql("l_quantity")} AS sum_qty
          |FROM lineitem
          |WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)
-         |  AS INT) % 100 < 10
+         |  AS INT) * 100 < 10 * 65536
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST,
          |  sum_qty NULLS FIRST""".stripMargin) { (s, dir) =>
