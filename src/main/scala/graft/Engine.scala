@@ -103,6 +103,70 @@ object Engine {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** N-gram Jaccard similarity join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family) — the deterministic-recall alternative to
+    * [[minHashNearDups]]: candidate generation is EXACT, not
+    * probabilistic.
+    *
+    * Theorem (prefix filter): order every document's n-gram set by one
+    * global total order; if two sets have Jaccard ≥ t, their prefixes of
+    * length |s| − ⌈t·|s|⌉ + 1 must share at least one n-gram. So an
+    * equi-join on prefix n-grams finds EVERY qualifying pair, and exact
+    * verification removes the false positives — recall 1.0 by
+    * construction, which is why this operator's oracle can be exact
+    * all-pairs with no triage note (contrast q91's banding-miss note).
+    *
+    * The global order is (document frequency ASC, n-gram ASC): rare
+    * n-grams first, so the hot stopword-ish n-grams land at the END of
+    * each set and almost never enter a prefix — the candidate join's key
+    * distribution is anti-skewed by construction, which is what makes
+    * this shape survive 100 TB (the df join shuffles on n-gram once, and
+    * prefixes are O(1−t) of each set).
+    *
+    * `thresholdPct` is an integer percentage so the prefix length is
+    * computed in exact integer arithmetic (⌈t·n⌉ = (n·pct + 99) div 100)
+    * — a float ⌈⌉ at the boundary could shorten a prefix and silently
+    * lose recall. Returns (doc_a, doc_b, jaccard), doc_a < doc_b,
+    * jaccard ≥ pct/100.
+    */
+  def jaccardJoin(df: DataFrame, id: String, text: String,
+      thresholdPct: Int = 60, ngramWords: Int = 2): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    val docs = df
+      .withColumn("__words", split(col(text), " "))
+      .withColumn("__sv", wordNgrams(col("__words"), ngramWords))
+      .filter(size(col("__sv")) >= 1)
+      .select(col(id).as("__id"), col("__sv"))
+      .localCheckpoint() // read three times: token explode + both verify sides
+    val tok = docs.select(col("__id"), explode(col("__sv")).as("__t"))
+    val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val byDoc = Window.partitionBy(col("__id"))
+    val pref = tok.join(dfreq, Seq("__t"))
+      .withColumn("__rn", row_number().over(
+        byDoc.orderBy(col("__df").asc, col("__t").asc)))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .filter(col("__rn") <=
+        col("__n") - expr(s"(__n * $thresholdPct + 99) div 100") + 1)
+      .select(col("__t"), col("__id"))
+      .localCheckpoint() // the prefix pipeline runs once, not per join side
+    val cands = pref.withColumnRenamed("__id", "doc_a")
+      .join(pref.withColumnRenamed("__id", "doc_b"), Seq("__t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = cands
+      .join(docs.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
+        Seq("doc_a"))
+      .join(docs.select(col("__id").as("doc_b"), col("__sv").as("__sb")),
+        Seq("doc_b"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val uni = size(col("__sa")) + size(col("__sb")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
+      .filter(inter * 100 >= uni * thresholdPct)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Connected components over an undirected pair list (first two columns
     * = the edge endpoints): every node gets the minimum id of its
     * component. Iterative min-label propagation; rounds bounded by the

@@ -118,6 +118,34 @@ object Aggregates {
           .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
     },
 
+    // Q34b (beyond-survey) — GROUPING SETS that neither ROLLUP nor CUBE
+    // express: ((flag,status),(status),()) — the per-cell detail, the
+    // status margin WITHOUT the flag margin, and the grand total. Spark 4's
+    // Dataset.groupingSets plans this as a single Expand + one hash
+    // aggregate (one scan, no self-union) — the same physical shape DuckDB
+    // uses, and the right one at 100 TB: k grouping sets cost one shuffle,
+    // not k.
+    Q("q34b_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  count(*) AS n, ${sumDecSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sumDec(col("l_quantity")).as("sum_qty"))
+          .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
+    },
+
     // Q35 — min_by/max_by. The ordering value embeds the unique l_orderkey
     // so ties on l_shipdate cannot make the winner engine-dependent. The key
     // is a zero-padded string "(epoch)(orderkey)": byte-wise comparison is

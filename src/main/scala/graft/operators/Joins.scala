@@ -196,6 +196,89 @@ object Joins {
           .select(col("slot"), col("event_id").as("matched_event")))
     },
 
+    // Q28 (beyond-survey) — multi-join analytic flagship, TPC-H Q3 shape:
+    // segment-filtered customers ⨝ date-filtered orders ⨝ lineitem,
+    // revenue per order, global top-10. The scale story: both filters are
+    // pushed to the parquet scans BEFORE the joins (so the fact-side
+    // shuffle carries only surviving rows), customer is the small side and
+    // broadcastable, the final top-10 is TakeOrderedAndProject (no global
+    // sort), and AQE is free to turn the orders⨝lineitem shuffle join
+    // into a broadcast join at runtime when the filtered side collapses.
+    Q("q28_star_join",
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${sumDecSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last,
+          col("l_orderkey").asc_nulls_first)
+        .limit(10)
+    },
+
+    // Q29 (beyond-survey) — snowflake flagship, TPC-H Q5 shape: a 6-way
+    // join (region → nation → customer & supplier → orders → lineitem)
+    // with the local-supplier condition (customer and supplier share a
+    // nation), revenue per nation. Dimension chain region→nation is
+    // broadcast (25 rows after the region filter); customer and supplier
+    // are broadcast against the fact pipeline, so the only shuffle the
+    // fact table pays is orders⨝lineitem on the order key plus the final
+    // 25-group aggregate — the canonical star-schema plan at 100 TB.
+    Q("q29_snowflake_join",
+      s"""SELECT n_name, count(*) AS n,
+         |  ${sumDecSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND s_nationkey = n_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY n_name NULLS FIRST, n NULLS FIRST, revenue NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = Tables.t(s, dir, "nation")
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = Tables.t(s, dir, "lineitem")
+        val su = Tables.t(s, dir, "supplier")
+        val dims = c
+          .join(broadcast(n.join(broadcast(r),
+            n("n_regionkey") === r("r_regionkey"))),
+            c("c_nationkey") === n("n_nationkey"))
+        orderAll(li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(dims), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+            su("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue")))
+    },
+
     // Q27 — interval/range join: equi key + time-range predicate (lineitem
     // shipped within 60 days of its order date).
     Q("q27_range_join",

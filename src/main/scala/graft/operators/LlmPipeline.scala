@@ -50,6 +50,14 @@ object LlmPipeline {
       s"embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
     .mkString(" + ")
 
+  /** DuckDB distinct word-bigram list over a pre-split words column `w`
+    * (the Q91c n-gram family; matches [[graft.Engine.wordNgrams]] n=2). */
+  private val bigramsSql: String =
+    """CASE WHEN len(w) >= 2 THEN
+      |  list_distinct(list_transform(generate_series(1, len(w) - 1),
+      |    i -> concat_ws(' ', w[i], w[i+1])))
+      |ELSE [] END""".stripMargin.replace("\n", " ")
+
   /** DuckDB rendering of [[shingles]] over `text`. */
   private val shinglesSql: String =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -123,6 +131,38 @@ object LlmPipeline {
     Q("q91b_neardup_clusters", neardupClustersOracleSql) { (s, dir) =>
       orderAll(graft.Engine.nearDupClusters(
         neardupPairs(s, dir).select("doc_a", "doc_b")))
+    },
+
+    // Q91c (beyond-survey) — n-gram Jaccard similarity join via PREFIX
+    // FILTERING (AllPairs/PPJoin family): the deterministic-recall
+    // complement to Q91's MinHash. One global (df ASC, n-gram ASC) order,
+    // prefix length |s| − ⌈t·|s|⌉ + 1 in exact integer arithmetic, an
+    // equi-join on prefix n-grams for candidates, exact verification
+    // after. Recall is 1.0 BY THEOREM, so — unlike q91 — the exact
+    // all-pairs oracle must match on any dataset; no triage note needed.
+    // Rare-first ordering anti-skews the candidate join (hot n-grams
+    // almost never enter a prefix), which is the 100 TB survival trait.
+    Q("q91c_jaccard_join",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE i * 100 >= (sa.n + sb.n - i) * 60
+         |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, jaccard NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.jaccardJoin(
+          Tables.t(s, dir, "documents"), "doc_id", "text",
+          thresholdPct = 60, ngramWords = 2))
     },
 
     // Q92 — similarity search: brute-force top-k cosine of a bounded
@@ -199,6 +239,36 @@ object LlmPipeline {
       orderAll(tf.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10)
         .select("lang", "rnk", "token", "tf"))
+    },
+
+    // Q93b (beyond-survey) — token COUNTING, whitespace vs a BPE-ish
+    // pretokenizer: the GPT-2 pretokenizer regex family (contraction
+    // suffixes | space-prefixed letter runs | digit runs | punctuation
+    // runs | whitespace), minus its lookahead clause — RE2 (DuckDB) has
+    // no lookahead, and dropping it only splits trailing-space runs,
+    // identically in both engines. Pure per-row projection (no shuffle);
+    // the per-token explode variant is Q93 — this is the counting form a
+    // corpus-statistics pass runs at 100 TB.
+    Q("q93b_bpe_tokens",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+        |    AS b FROM documents)
+        |SELECT doc_id, CAST(len(w) AS INT) AS n_ws,
+        |  CAST(len(b) AS INT) AS n_bpe,
+        |  round(CAST(len(b) AS DOUBLE) / len(w), 6) AS bpe_per_ws
+        |FROM t
+        |ORDER BY doc_id NULLS FIRST, n_ws NULLS FIRST, n_bpe NULLS FIRST,
+        |  bpe_per_ws NULLS FIRST""".stripMargin) { (s, dir) =>
+      val pat =
+        "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      val ws = split(col("text"), " ")
+      val bpe = regexp_extract_all(col("text"), lit(pat), lit(0))
+      orderAll(Tables.t(s, dir, "documents").select(
+        col("doc_id"),
+        size(ws).as("n_ws"),
+        size(bpe).as("n_bpe"),
+        round(size(bpe).cast(DoubleType) / size(ws), 6).as("bpe_per_ws")))
     },
 
     // Q94 — multimodal column round-trip: content as an opaque BINARY
@@ -375,6 +445,46 @@ object LlmPipeline {
       orderAll(scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("query_id", "rnk", "vec_id", "cos_sim"))
+    },
+
+    // Q99b (beyond-survey) — IVF (inverted-file) ANN: the coarse-quantizer
+    // alternative to Q99's hash buckets. A FIXED bounded centroid set (in
+    // production: offline k-means output; here: 8 deterministic seed
+    // vectors) is broadcast; every corpus vector is assigned to its
+    // nearest centroid (one broadcast join + per-vector argmax — N×8
+    // rows, never N²), and each query probes its nprobe=2 nearest cells
+    // via an equi-join on the cell id. Per-query candidate work is
+    // nprobe/k of the corpus; at scale k is tuned toward √N so assignment
+    // stays broadcastable while cells stay small. Ranking ties break on
+    // (cos DESC, id ASC) and assignment ties on (cos DESC, cid ASC) —
+    // over ROUNDED cosines, so both engines argmax identical values.
+    Q("q99b_ivf_ann", ivfAnnOracleSql) { (s, dir) =>
+      graft.plans.CosineSimilarity.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      def nearestCells(src: org.apache.spark.sql.DataFrame, idAs: String,
+          vecAs: String, nprobe: Int) = {
+        val w = Window.partitionBy(col(idAs))
+          .orderBy(col("__cos").desc, col("cid").asc)
+        src.crossJoin(broadcast(cent))
+          .select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+            col("cid"), round(expr(s"cosine_sim($vecAs, ce)"), 6).as("__cos"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= nprobe)
+          .select(col(idAs), col(vecAs), col("cid").as("cell"))
+      }
+      val cells = nearestCells(e, "vec_id", "embedding", nprobe = 1)
+      val probes = nearestCells(e.filter(col("vec_id") < 20),
+        "query_id", "qe", nprobe = 2)
+      val scored = cells.join(broadcast(probes), Seq("cell"))
+        .select(col("query_id"), col("vec_id"),
+          round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      orderAll(scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "rnk", "vec_id", "cos_sim"))
     })
 
   /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs
@@ -443,6 +553,47 @@ object LlmPipeline {
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
        |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST, cos_sim NULLS FIRST""".stripMargin
+
+  /** The Q99b coarse-quantizer seed set: 8 fixed vec_ids, all present at
+    * every scale factor (embeddings carry vec_id 0–499 at minimum). */
+  private def ivfCentroidIds: Seq[Long] =
+    Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)
+
+  /** DuckDB oracle for Q99b: identical centroid set, assignment argmax,
+    * nprobe=2 probing and in-cell top-3 — over the same rounded cosines. */
+  private def ivfAnnOracleSql: String = {
+    val ids = ivfCentroidIds.mkString(", ")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6) DESC,
+       |      c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, embedding, cid AS cell FROM assign
+       |  WHERE rn = 1),
+       |qassign AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6) DESC,
+       |      c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 20),
+       |probes AS (SELECT query_id, qe, cid AS cell FROM qassign
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id,
+       |    round(${Similarity.cosineSql("p.qe", "c.embedding")}, 6)
+       |      AS cos_sim
+       |  FROM probes p JOIN cells c ON p.cell = c.cell),
+       |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
+       |  cos_sim NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB oracle for Q99: same bucketing + in-bucket cosine top-3. */
   private def bucketedAnnOracleSql: String = {

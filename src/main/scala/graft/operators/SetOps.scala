@@ -134,5 +134,29 @@ object SetOps {
           |ORDER BY o_orderkey ASC NULLS FIRST, o_totalprice ASC NULLS FIRST,
           |  n_items ASC NULLS FIRST
           |LIMIT 5000""".stripMargin)
+    },
+
+    // Q57 (beyond-survey) — NOT IN with a nullable probe column: SQL's
+    // three-valued logic (a NULL probe can never pass NOT IN against a
+    // non-empty set) makes this a NULL-AWARE anti join, not a plain one.
+    // The nullable side is synthesized with nullif (the test tables carry
+    // no NULL keys). Scale shape: Spark's optimizeNullAwareAntiJoin
+    // (default on, single-column NOT IN + broadcastable subquery) plans a
+    // BroadcastHashJoin LeftAnti — the naive fallback is a
+    // BroadcastNestedLoopJoin, which PlanSpec asserts is absent.
+    Q("q57_not_in_null",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE nullif(o_custkey, 7) NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+        |ORDER BY o_orderkey NULLS FIRST, o_custkey NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables.t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders_v
+          |WHERE nullif(o_custkey, 7) NOT IN
+          |  (SELECT c_custkey FROM customer_v WHERE c_acctbal < -900)
+          |ORDER BY o_orderkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST
+          |LIMIT 5000""".stripMargin)
     })
 }

@@ -54,6 +54,30 @@ class EngineSpec extends AnyFunSuite {
     assert(frac > 0.05 && frac < 0.16, s"fraction $frac")
   }
 
+  test("jaccardJoin: prefix filtering finds EXACTLY the brute-force pairs (recall 1.0)") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val got = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = 60, ngramWords = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute force: all pairs, exact bigram Jaccard, same integer-exact
+    // threshold — the prefix-filter theorem says the sets must be EQUAL
+    // (not just contained), unlike MinHash's probabilistic recall.
+    val sets = docs
+      .withColumn("sv", Engine.wordNgrams(split(col("text"), " "), 2))
+      .filter(size(col("sv")) >= 1)
+      .select(col("doc_id"), col("sv"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("sv").as("sa"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sv").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val uni = size(col("sa")) + size(col("sb")) - inter
+    val want = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(inter * 100 >= uni * 60)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "test needs at least one qualifying pair")
+    assert(got == want)
+  }
+
   test("exactDedup: doubled input halves to one keeper per distinct text") {
     val d = Tables.t(spark, TestSpark.sfDir, "documents")
     val out = Engine.exactDedup(d.unionAll(d), col("doc_id"), col("text"))

@@ -116,6 +116,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q57: NOT IN plans as a null-aware hash anti join, not a nested loop") {
+    val p = planOf("q57_not_in_null")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q28: filters reach the scans and the dim join is broadcast") {
+    val pf = pushedFilters("q28_star_join")
+    assert(pf.contains("EqualTo(c_mktsegment,BUILDING)"), pf)
+    assert(pf.contains("GreaterThan(l_shipdate"), pf)
+    assert(pf.contains("LessThan(o_orderdate"), pf)
+    val p = planOf("q28_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-10, no global sort
+  }
+
+  test("q29: all three dimension joins are broadcast; no cartesian") {
+    val p = planOf("q29_snowflake_join")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q91c: the similarity join is equi-join driven (no cartesian/NLJ)") {
+    val p = planOf("q91c_jaccard_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
