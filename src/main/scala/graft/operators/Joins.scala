@@ -200,10 +200,12 @@ object Joins {
     // segment-filtered customers ⨝ date-filtered orders ⨝ lineitem,
     // revenue per order, global top-10. The scale story: both filters are
     // pushed to the parquet scans BEFORE the joins (so the fact-side
-    // shuffle carries only surviving rows), customer is the small side and
-    // broadcastable, the final top-10 is TakeOrderedAndProject (no global
-    // sort), and AQE is free to turn the orders⨝lineitem shuffle join
-    // into a broadcast join at runtime when the filtered side collapses.
+    // shuffle carries only surviving rows), the final top-10 is
+    // TakeOrderedAndProject (no global sort), and no broadcast is forced:
+    // customer post-filter is 1/5 of a 100 TB-scale table, far past
+    // Spark's 8 GB broadcast-build ceiling, so AQE decides at runtime —
+    // it broadcasts when the filtered side's measured size collapses and
+    // shuffle-joins otherwise (r3 advice, Joins.scala q28/q29).
     Q("q28_star_join",
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  ${sumDecSql("l_extendedprice * (1 - l_discount)")} AS revenue
@@ -223,7 +225,7 @@ object Joins {
       val li = Tables.t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
@@ -235,11 +237,14 @@ object Joins {
     // Q29 (beyond-survey) — snowflake flagship, TPC-H Q5 shape: a 6-way
     // join (region → nation → customer & supplier → orders → lineitem)
     // with the local-supplier condition (customer and supplier share a
-    // nation), revenue per nation. Dimension chain region→nation is
-    // broadcast (25 rows after the region filter); customer and supplier
-    // are broadcast against the fact pipeline, so the only shuffle the
-    // fact table pays is orders⨝lineitem on the order key plus the final
-    // 25-group aggregate — the canonical star-schema plan at 100 TB.
+    // nation), revenue per nation. Only the region→nation chain carries
+    // an explicit broadcast hint — it is BOUNDED by the data model (25
+    // nations, 5 regions, at every SF), which is the one case a hint is
+    // honest. Customer and supplier GROW with SF (8 GB broadcast-build
+    // ceiling at 100 TB — r3 advice), so they get no hint: AQE broadcasts
+    // them at runtime iff their measured post-join size permits, else the
+    // fact pipeline shuffle-joins on the key — the canonical star-schema
+    // plan either way.
     Q("q29_snowflake_join",
       s"""SELECT n_name, count(*) AS n,
          |  ${sumDecSql("l_extendedprice * (1 - l_discount)")} AS revenue
@@ -270,8 +275,8 @@ object Joins {
             c("c_nationkey") === n("n_nationkey"))
         orderAll(li
           .join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(dims), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          .join(dims, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey") &&
             su("s_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n"),

@@ -246,13 +246,16 @@ object LlmPipeline {
     // suffixes | space-prefixed letter runs | digit runs | punctuation
     // runs | whitespace), minus its lookahead clause — RE2 (DuckDB) has
     // no lookahead, and dropping it only splits trailing-space runs,
-    // identically in both engines. Pure per-row projection (no shuffle);
-    // the per-token explode variant is Q93 — this is the counting form a
-    // corpus-statistics pass runs at 100 TB.
+    // identically in both engines. Whitespace is spelled as the explicit
+    // class [ \t\n\x0B\f\r] rather than \s, because Java's \s includes
+    // vertical tab while RE2's does not (r3 advice) — the explicit class
+    // is engine-identical by construction. Pure per-row projection (no
+    // shuffle); the per-token explode variant is Q93 — this is the
+    // counting form a corpus-statistics pass runs at 100 TB.
     Q("q93b_bpe_tokens",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
         |  regexp_extract_all(text,
-        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+')
         |    AS b FROM documents)
         |SELECT doc_id, CAST(len(w) AS INT) AS n_ws,
         |  CAST(len(b) AS INT) AS n_bpe,
@@ -261,7 +264,8 @@ object LlmPipeline {
         |ORDER BY doc_id NULLS FIRST, n_ws NULLS FIRST, n_bpe NULLS FIRST,
         |  bpe_per_ws NULLS FIRST""".stripMargin) { (s, dir) =>
       val pat =
-        "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|" +
+          " ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
       val ws = split(col("text"), " ")
       val bpe = regexp_extract_all(col("text"), lit(pat), lit(0))
       orderAll(Tables.t(s, dir, "documents").select(
