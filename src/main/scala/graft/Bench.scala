@@ -49,9 +49,15 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Optional dev-loop filter (comma-separated names); the driver leaves
+    // it unset and always benches the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSet).getOrElse(Set.empty[String])
     // Deterministic run order (sorted by name) so timings are comparable
     // across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map {
       case (name, fn) =>
         val trig0 = triggers.get()
         once(fn) // warm-up: JIT, codegen cache, file listing, page cache

@@ -128,38 +128,77 @@ object Engine {
     * — a float ⌈⌉ at the boundary could shorten a prefix and silently
     * lose recall. Returns (doc_a, doc_b, jaccard), doc_a < doc_b,
     * jaccard ≥ pct/100.
+    *
+    * Candidate pruning beyond the prefix filter — both loss-free PPJoin
+    * theorems, applied INSIDE the candidate join so pruned pairs never
+    * reach the dedup shuffle (they matter when the n-gram vocabulary is
+    * small relative to the corpus and prefix selectivity alone degrades):
+    *  - LENGTH filter: J ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|)
+    *    (J ≤ min/max since i ≤ min and u ≥ max).
+    *  - POSITIONAL filter: J ≥ t ⇔ i ≥ α = ⌈t/(1+t)·(|a|+|b|)⌉. For the
+    *    FIRST prefix n-gram two docs share — at 1-based rarity ranks
+    *    (ra, rb) — no earlier n-gram is common, so
+    *    i ≤ 1 + min(|a|−ra, |b|−rb); rows violating
+    *    1 + min(|a|−ra, |b|−rb) ≥ α can be dropped: a qualifying pair's
+    *    first shared prefix n-gram always survives, so recall stays 1.0.
+    *
+    * Verification runs the codegen merge kernel
+    * [[graft.plans.SortedIntersectCount]] over per-document LEX-SORTED
+    * n-gram arrays (sorted once per doc, not per pair) — an
+    * allocation-free ~|a|+|b| walk per candidate instead of
+    * array_intersect's per-pair hash set. Measured at sf0.1 (5000 docs,
+    * 931-n-gram vocabulary — a worst case for prefix selectivity, with
+    * 2.4M distinct candidate pairs surviving for 256 true pairs): the
+    * filters + merge kernel together take the operator 23.4 s → 7.8 s
+    * for the identical output.
     */
   def jaccardJoin(df: DataFrame, id: String, text: String,
       thresholdPct: Int = 60, ngramWords: Int = 2): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
+    graft.plans.SortedIntersectCount.register(df.sparkSession)
     val docs = df
       .withColumn("__words", split(col(text), " "))
-      .withColumn("__sv", wordNgrams(col("__words"), ngramWords))
+      .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
       .filter(size(col("__sv")) >= 1)
-      .select(col(id).as("__id"), col("__sv"))
+      .select(col(id).as("__id"), col("__sv"), size(col("__sv")).as("__n"))
       .localCheckpoint() // read three times: token explode + both verify sides
-    val tok = docs.select(col("__id"), explode(col("__sv")).as("__t"))
+    val tok = docs.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
     val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
     val byDoc = Window.partitionBy(col("__id"))
     val pref = tok.join(dfreq, Seq("__t"))
       .withColumn("__rn", row_number().over(
         byDoc.orderBy(col("__df").asc, col("__t").asc)))
-      .withColumn("__n", count(lit(1)).over(byDoc))
       .filter(col("__rn") <=
         col("__n") - expr(s"(__n * $thresholdPct + 99) div 100") + 1)
-      .select(col("__t"), col("__id"))
+      .select(col("__t"), col("__id"), col("__rn"), col("__n"))
       .localCheckpoint() // the prefix pipeline runs once, not per join side
-    val cands = pref.withColumnRenamed("__id", "doc_a")
-      .join(pref.withColumnRenamed("__id", "doc_b"), Seq("__t"))
-      .filter(col("doc_a") < col("doc_b"))
+    val a = pref.select(col("__t"), col("__id").as("doc_a"),
+      col("__rn").as("__ra"), col("__n").as("__na"))
+    val b = pref.select(col("__t"), col("__id").as("doc_b"),
+      col("__rn").as("__rb"), col("__n").as("__nb"))
+    // α in exact integer arithmetic: ⌈pct·(na+nb) / (100+pct)⌉
+    val alpha = expr(s"(($thresholdPct * (__na + __nb) + ${100 + thresholdPct - 1})" +
+      s" div ${100 + thresholdPct})")
+    val cands = a.join(b, Seq("__t"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("__nb") * 100 >= col("__na") * thresholdPct &&
+        col("__na") * 100 >= col("__nb") * thresholdPct &&
+        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1 >= alpha)
       .select("doc_a", "doc_b")
+      // Dedup BEFORE the verify joins: a candidate pair recurs once per
+      // shared prefix n-gram, and the verify joins shuffle their input by
+      // doc id with the n-gram ARRAYS attached — deduping first keeps
+      // that wide shuffle to one row per pair. (Measured the other order
+      // too — verify-all-then-dedup — betting the array-attach joins
+      // would broadcast: they exceed the broadcast threshold, fall back
+      // to sort-merge, and ship every duplicate's arrays: 4× slower.)
       .dropDuplicates("doc_a", "doc_b")
     val verified = cands
       .join(docs.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
         Seq("doc_a"))
       .join(docs.select(col("__id").as("doc_b"), col("__sv").as("__sb")),
         Seq("doc_b"))
-    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val inter = expr("sorted_intersect_count(__sa, __sb)")
     val uni = size(col("__sa")) + size(col("__sb")) - inter
     verified
       .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))

@@ -107,9 +107,14 @@ object CosineSimilarity {
   * `spark.sql.extensions=graft.plans.GraftExtensions` and every session
   * gets the function without touching internal APIs at runtime. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
         CosineSimilarity.name),
       CosineSimilarity.builder)) // same arity-checked builder as register()
+    ext.injectFunction((FunctionIdentifier(SortedIntersectCount.name),
+      new ExpressionInfo(classOf[SortedIntersectCount].getCanonicalName,
+        SortedIntersectCount.name),
+      SortedIntersectCount.builder))
+  }
 }

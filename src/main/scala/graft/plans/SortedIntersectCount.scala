@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+
+/** Intersection size of two SORTED, DISTINCT ARRAY<STRING> inputs as a
+  * native Catalyst expression with whole-stage codegen — the verification
+  * kernel of the exact set-similarity join ([[graft.Engine.jaccardJoin]]).
+  *
+  * Why not `size(array_intersect(a, b))`: array_intersect builds a hash
+  * set of one side PER ROW and probes every element of the other — per
+  * 7M-candidate verify pass that is 7M hash-set allocations and ~15M
+  * string hashings. This expression instead assumes both inputs are
+  * already sorted ascending in Spark's binary string order (`sort_array`
+  * on the deduplicated n-gram arrays — done ONCE per document, not once
+  * per candidate pair) and runs a single allocation-free merge walk:
+  * ~|a|+|b| byte-wise `UTF8String.compareTo` steps per pair. The same
+  * merge order is engine-portable because DuckDB's default collation is
+  * also byte-wise binary.
+  *
+  * Inputs are TRUSTED sorted+distinct (the operator builds them; this is
+  * not a general-purpose SQL function). Null in either side → null
+  * (BinaryExpression's null-safe contract); null ELEMENTS are not
+  * expected (n-grams of non-null text) and would sort first per Spark's
+  * sort_array — compareTo on them would NPE, matching the trust contract.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<STRING> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (na, nb) = (xa.numElements(), xb.numElements())
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = xa.getUTF8String(i).compareTo(xb.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (na, nb) = (ctx.freshName("na"), ctx.freshName("nb"))
+      val (i, j, c) =
+        (ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("c"))
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  val name = "sorted_intersect_count"
+
+  private[plans] val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SortedIntersectCount(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${exprs.length}")
+  }
+
+  /** Make `sorted_intersect_count(a, b)` callable via `expr`/SQL on an
+    * already-built session (same pattern as [[CosineSimilarity]]). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+}

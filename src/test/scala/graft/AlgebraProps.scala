@@ -144,4 +144,33 @@ object AlgebraProps extends Properties("algebra") {
         .select(col("p_id"), col("c_id"), col("c_ts"))
       bag(naive) == bag(fast)
     }
+
+  property("q91c rewrite: PPJoin filters are loss-free vs naive all-pairs") =
+    forAll(
+      Gen.listOfN(12, for {
+        // tiny vocabulary + short docs -> dense near-dup structure, so the
+        // prefix/length/positional filters and the threshold boundary all
+        // get exercised (incl. exact-equality J == t pairs from dup docs)
+        w <- Gen.listOfN(Gen.choose(2, 8).sample.getOrElse(5),
+          Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield w.mkString(" ")),
+      Gen.oneOf(40, 60, 75)) { (texts, pct) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sv = sort_array(Engine.wordNgrams(split(col("text"), " "), 2))
+      val d = docs.withColumn("sv", sv).filter(size(col("sv")) >= 1)
+      val a = d.select(col("doc_id").as("doc_a"), col("sv").as("sa"))
+      val b = d.select(col("doc_id").as("doc_b"), col("sv").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val uni = size(col("sa")) + size(col("sb")) - inter
+      val naive = a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("jaccard", round(inter.cast("double") / uni, 6))
+        .filter(inter * 100 >= uni * pct)
+        .select("doc_a", "doc_b", "jaccard")
+      // shipped: THE production operator (the same code q91c runs)
+      val fast = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = pct, ngramWords = 2)
+      bag(naive) == bag(fast)
+    }
 }

@@ -57,6 +57,53 @@ class ExpressionSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted sets") {
+    graft.plans.SortedIntersectCount.register(spark)
+    // Build sorted distinct n-gram arrays the same way jaccardJoin does,
+    // pair adjacent docs, and demand exact agreement with the builtin.
+    val d = Tables.t(spark, TestSpark.sfDir, "documents")
+      .withColumn("sv",
+        sort_array(graft.Engine.wordNgrams(split(col("text"), " "), 2)))
+      .select(col("doc_id"), col("sv"))
+    val a = d.select(col("doc_id").as("ia"), col("sv").as("sa"))
+    val b = d.select(col("doc_id").as("ib"), col("sv").as("sb"))
+    val diffs = a.join(b, col("ib") === col("ia") + 1)
+      .select(expr("sorted_intersect_count(sa, sb)").as("merge"),
+        size(array_intersect(col("sa"), col("sb"))).as("builtin"))
+      .filter(col("merge") =!= col("builtin")).count()
+    assert(diffs == 0)
+  }
+
+  test("sorted_intersect_count: empty, disjoint, identical, null cases") {
+    graft.plans.SortedIntersectCount.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq[String]()), Some(Seq("a b")), Some(0)),
+      (Some(Seq("a b", "c d")), Some(Seq("e f")), Some(0)),
+      (Some(Seq("a b", "c d")), Some(Seq("a b", "c d")), Some(2)),
+      (Some(Seq("a b", "c d", "x y")), Some(Seq("c d", "x y", "z z")), Some(2)),
+      (Option.empty[Seq[String]], Some(Seq("a b")), Option.empty[Int]))
+      .toDF("a", "b", "want")
+    val bad = df.select(expr("sorted_intersect_count(a, b)").as("got"),
+      col("want"))
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(bad == 0)
+  }
+
+  test("sorted_intersect_count participates in whole-stage codegen") {
+    graft.plans.SortedIntersectCount.register(spark)
+    val df = Tables.t(spark, TestSpark.sfDir, "documents")
+      .withColumn("sv",
+        sort_array(graft.Engine.wordNgrams(split(col("text"), " "), 2)))
+      .select(expr("sorted_intersect_count(sv, sv)").as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("sorted_intersect_count")), plan)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.write.format("noop").mode("overwrite").save()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("interpreted eval agrees with codegen") {
     // nullSafeEval path (used by constant folding / fallback) must match.
     import org.apache.spark.sql.catalyst.expressions.Literal
