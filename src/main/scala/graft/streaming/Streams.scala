@@ -32,6 +32,31 @@ object Streams {
 
   private def trigger = Trigger.AvailableNow()
 
+  /** State-store partition count for the staged replays.
+    *
+    * A stateful streaming query's state partitioning is `spark.sql
+    * .shuffle.partitions` AT FIRST START and is then pinned into the
+    * checkpoint forever — so unlike batch shuffles (where AQE coalesces
+    * to fit the data) it is a CAPACITY DECISION the query must make
+    * explicitly, not inherit from whatever the session's batch default
+    * happens to be. Every state partition costs a delta-file commit per
+    * operator per micro-batch regardless of data volume; inheriting the
+    * batch default of 32 made each replay pay 32 (×2 per join side)
+    * commits per trigger for a few hundred live keys — measured 3×
+    * per-trigger overhead on the tumbling agg and stream-stream join vs
+    * this setting. Size it to expected live-key cardinality / executor
+    * count at deployment (the reference's cadence is a handful of keys
+    * per 15-min slot, main.py:28-29); repartitioning state later means a
+    * new checkpoint, which is exactly why it is declared here per-query.
+    */
+  private val statePartitions = 8
+
+  private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Run `df` to a parquet file sink (exactly-once via _spark_metadata +
     * checkpoint, the fs.py:21-48 analog), block, return the read-back. */
   private def toParquet(s: SparkSession, name: String, dir: String,
@@ -64,7 +89,12 @@ object Streams {
   private val cutoffSql: String =
     "(SELECT max(ts) - INTERVAL '45 minutes' FROM events)"
 
-  val all: Seq[Q] = Seq(
+  /** Registered streaming queries — every builder runs under the explicit
+    * [[statePartitions]] state sizing (see scaladoc above). */
+  val all: Seq[Q] = raw.map(q =>
+    q.copy(build = (s, dir) => withStatePartitions(s)(q.build(s, dir))))
+
+  private def raw: Seq[Q] = Seq(
 
     // Q70 — tumbling-window aggregate (the 15-min slot cadence,
     // main.py:29). Complete mode: each trigger re-emits the full snapshot
