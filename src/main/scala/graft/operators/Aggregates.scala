@@ -244,5 +244,85 @@ object Aggregates {
         .groupBy(col("l_returnflag"))
         .agg(WeightedMeanCents.column(
           col("l_extendedprice"), col("l_quantity")).as("wmean_price")))
+    },
+
+    // Q33b (beyond-survey) — MERGEABLE distinct sketches, the two-level
+    // shape 100 TB demands: per-shard HLL sketches (Apache DataSketches
+    // via hll_sketch_agg — map-side, fixed-size state) are UNIONED into a
+    // global estimate (hll_union_agg) without ever re-reading the data.
+    // This is the property approx_count_distinct (q33) exercises only
+    // implicitly; here the partial→merge hand-off is explicit, exactly
+    // how a fleet of executors (or days of incremental runs) would
+    // combine per-partition cardinality state. Sketch internals are
+    // engine-specific, so like q33 the query is self-validating: the
+    // merged estimate must land within ±5% of the exact distinct count
+    // and only the boolean is hash-matched.
+    Q("q33b_hll_union",
+      """SELECT CAST(8 AS BIGINT) AS n_shards, true AS within_tol
+        |ORDER BY n_shards NULLS FIRST, within_tol NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val shards = Tables.t(s, dir, "orders")
+          .groupBy((col("o_orderkey") % 8).as("shard"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        val merged = shards.agg(
+          count(lit(1)).as("n_shards"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = Tables.t(s, dir, "orders")
+          .agg(countDistinct(col("o_custkey")).as("exact"))
+        orderAll(merged.crossJoin(exact)
+          .select(col("n_shards"),
+            col("est").between(col("exact") * 0.95, col("exact") * 1.05)
+              .as("within_tol")))
+    },
+
+    // Q46 (beyond-survey) — statistical aggregates (correlation, sample
+    // covariance, sample stddev) made CROSS-ENGINE DETERMINISTIC: the
+    // five moments (Σx, Σy, Σxy, Σx², Σy²) are computed as exact
+    // order-free decimal sums (the Canon.sumDec discipline), and the
+    // closed-form statistics are then derived in double from those exact
+    // values — identical IEEE operations on identical inputs in both
+    // engines, so the results are bit-identical with no tolerance needed.
+    // A naive corr()/stddev() aggregate is order-dependent in its float
+    // accumulation and can NOT hash-match across engines; Spark's builtin
+    // corr is still exercised, validated against the deterministic form
+    // (±1e-9, far wider than its real partition-order wobble).
+    Q("q46_stats", {
+      def m(e: String) = sumDecSql(e)
+      s"""WITH mo AS (SELECT l_returnflag,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    ${m("l_quantity")} AS sx, ${m("l_extendedprice")} AS sy,
+         |    ${m("l_quantity * l_extendedprice")} AS sxy,
+         |    ${m("l_quantity * l_quantity")} AS sxx,
+         |    ${m("l_extendedprice * l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  round((n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+         |  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qp,
+         |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_q,
+         |  true AS builtin_ok
+         |FROM mo
+         |ORDER BY l_returnflag NULLS FIRST, corr_qp NULLS FIRST,
+         |  covar_qp NULLS FIRST, stddev_q NULLS FIRST, builtin_ok NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val mo = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sumDec(x).as("sx"), sumDec(y).as("sy"),
+          sumDec(x * y).as("sxy"), sumDec(x * x).as("sxx"),
+          sumDec(y * y).as("syy"),
+          corr(x, y).as("corr_builtin"))
+      val corrDet = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+      orderAll(mo.select(col("l_returnflag"),
+        round(corrDet, 6).as("corr_qp"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("n") - 1), 6).as("covar_qp"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))), 6).as("stddev_q"),
+        (abs(col("corr_builtin") - corrDet) < 1e-9).as("builtin_ok")))
     })
 }

@@ -489,6 +489,185 @@ object LlmPipeline {
       orderAll(scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("query_id", "rnk", "vec_id", "cos_sim"))
+    },
+
+    // Q90b (beyond-survey) — benchmark DECONTAMINATION: flag training
+    // documents that share any 8-word n-gram with a held-out benchmark
+    // set (here: the stable 5% hash sample, q09's operator — any doc set
+    // works). The canonical pre-training hygiene pass (cf. GPT-3 appendix
+    // C / PaLM's 13-gram rule; 8 fits this corpus's ~54-word docs).
+    // Scale shape: benchmark n-grams are DISTINCT and tiny relative to
+    // the corpus (the benchmark is fixed-size while the corpus grows), so
+    // the inner join on the n-gram is broadcastable; per-doc aggregation
+    // counts distinct shared grams. Never all-pairs, no doc×doc join.
+    Q("q90b_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+        |        w[i+4], w[i+5], w[i+6], w[i+7])))
+        |    ELSE [] END) AS g FROM w),
+        |bench AS (SELECT DISTINCT g FROM g
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    AS INT) * 100 < 5 * 65536)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_shared_grams
+        |FROM g JOIN bench USING (g)
+        |WHERE NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    AS INT) * 100 < 5 * 65536)
+        |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, n_shared_grams NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val inBench = graft.Engine.stableSample(col("doc_id"), 5)
+        val grams = Tables.t(s, dir, "documents")
+          .withColumn("__w", split(col("text"), " "))
+          .select(col("doc_id"), inBench.as("__bench"),
+            explode(ngramsOf(col("__w"), 8)).as("g"))
+        val bench = grams.filter(col("__bench")).select("g").distinct()
+        orderAll(grams.filter(!col("__bench"))
+          .join(bench, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_shared_grams")))
+    },
+
+    // Q92c (beyond-survey) — embedding QUANTIZATION (int8 scalar, the
+    // storage/bandwidth lever for 100 TB vector corpora: 4 bytes→1 byte
+    // per dim): per-vector min/max affine quantization to 0..255 codes,
+    // dequantized round-trip, and the max reconstruction error checked
+    // against the half-step bound scale/2 (a THEOREM for round-to-nearest
+    // affine quantization — so the boolean is exact, not a tolerance).
+    // All arithmetic is elementwise double with an identical operation
+    // tree in both engines (no reassociation), so even the float math
+    // hash-matches bit-for-bit. Pure per-row projection: no shuffle.
+    Q("q92c_quantize",
+      """WITH q AS (SELECT vec_id,
+        |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+        |    embedding AS e FROM embeddings),
+        |s AS (SELECT vec_id, mn, mx, e, (mx - mn) / 255 AS step FROM q),
+        |c AS (SELECT vec_id, step,
+        |    list_transform(e, x ->
+        |      CAST(round((CAST(x AS DOUBLE) - mn) / step) AS INT)) AS codes,
+        |    list_transform(e, x -> abs((CAST(x AS DOUBLE) - mn)
+        |      - round((CAST(x AS DOUBLE) - mn) / step) * step)) AS errs
+        |  FROM s WHERE step > 0)
+        |SELECT vec_id,
+        |  CAST(list_aggregate(codes, 'min') AS INT) AS code_min,
+        |  CAST(list_aggregate(codes, 'max') AS INT) AS code_max,
+        |  (list_aggregate(errs, 'max') <= step / 2) AS within_half_step
+        |FROM c
+        |ORDER BY vec_id NULLS FIRST, code_min NULLS FIRST,
+        |  code_max NULLS FIRST, within_half_step NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val mn = array_min(col("embedding")).cast(DoubleType)
+        val mx = array_max(col("embedding")).cast(DoubleType)
+        val base = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            mn.as("mn"), ((mx - mn) / 255).as("step"))
+          .filter(col("step") > 0)
+        val codes = transform(col("embedding"),
+          x => round((x.cast(DoubleType) - col("mn")) / col("step"), 0)
+            .cast("int"))
+        val errs = transform(col("embedding"),
+          x => abs((x.cast(DoubleType) - col("mn")) -
+            round((x.cast(DoubleType) - col("mn")) / col("step"), 0) *
+              col("step")))
+        orderAll(base.select(col("vec_id"),
+          array_min(codes).as("code_min"),
+          array_max(codes).as("code_max"),
+          (array_max(errs) <= col("step") / 2).as("within_half_step")))
+    },
+
+    // Q95b (beyond-survey) — PII REDACTION: mask emails and phone numbers
+    // with typed placeholders and count what was masked — the compliance
+    // pass every training corpus runs. The synthetic corpus carries no
+    // PII, so deterministic contact strings are appended per-doc first
+    // (the redactor must actually fire to be tested). Patterns use only
+    // explicit character classes — no \s/\d/\w, whose definitions differ
+    // between Java regex and RE2 (the q93b lesson). Pure per-row
+    // projection; the redacted text is hash-compared via md5.
+    Q("q95b_pii_redact",
+      """WITH t AS (SELECT doc_id,
+        |    concat(text, ' reach user', CAST(doc_id AS VARCHAR),
+        |      '@mail.example.com or +1-555-',
+        |      substr(CAST(10000 + doc_id % 10000 AS VARCHAR), 2, 4),
+        |      ' today') AS raw FROM documents),
+        |r AS (SELECT doc_id, raw,
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+        |        '<EMAIL>', 'g'),
+        |      '[+][0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
+        |      '<PHONE>', 'g') AS redacted FROM t)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[+][0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INT)
+        |    AS n_phones,
+        |  md5(redacted) AS redacted_md5
+        |FROM r
+        |ORDER BY doc_id NULLS FIRST, n_emails NULLS FIRST,
+        |  n_phones NULLS FIRST, redacted_md5 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+        val phoneRe = "[+][0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+        val raw = concat(col("text"), lit(" reach user"),
+          col("doc_id").cast(StringType), lit("@mail.example.com or +1-555-"),
+          substring((col("doc_id") % 10000 + 10000).cast(StringType), 2, 4),
+          lit(" today"))
+        orderAll(Tables.t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            regexp_count(col("raw"), lit(emailRe)).cast("int").as("n_emails"),
+            regexp_count(col("raw"), lit(phoneRe)).cast("int").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_md5")))
+    },
+
+    // Q95c (beyond-survey) — REPETITION signals (the Gopher/MassiveText
+    // quality rules the q95 ratios don't cover): fraction of duplicated
+    // word bigrams and the most-frequent-word share. High values flag
+    // boilerplate/spam for the filtering pass. The bigram fraction is a
+    // pure per-row projection (total = len−1 vs distinct via the shared
+    // wordNgrams); the top-word share is one (doc, word) count + one
+    // per-doc argmax — two narrow shuffles keyed by doc, no text shipped.
+    Q("q95c_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, len(w) - 1 AS n_bigrams,
+        |    len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |      i -> concat_ws(' ', w[i], w[i+1])))) AS n_distinct,
+        |    len(w) AS n_words FROM t),
+        |wc AS (SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, count(*) AS c FROM
+        |      (SELECT doc_id, unnest(w) AS word FROM t)
+        |    GROUP BY doc_id, word) GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  round(1 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6)
+        |    AS dup_bigram_frac,
+        |  round(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac
+        |FROM b JOIN wc ON b.doc_id = wc.doc_id
+        |ORDER BY b.doc_id NULLS FIRST, dup_bigram_frac NULLS FIRST,
+        |  top_word_frac NULLS FIRST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .withColumn("__w", split(col("text"), " "))
+        .filter(size(col("__w")) >= 2)
+      val perDoc = d.select(col("doc_id"),
+        (size(col("__w")) - 1).as("n_bigrams"),
+        size(ngramsOf(col("__w"), 2)).as("n_distinct"),
+        size(col("__w")).as("n_words"))
+      val topWord = d.select(col("doc_id"), explode(col("__w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+      orderAll(perDoc.join(topWord, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(lit(1) - col("n_distinct").cast(DoubleType) /
+            col("n_bigrams"), 6).as("dup_bigram_frac"),
+          round(col("top_c").cast(DoubleType) / col("n_words"), 6)
+            .as("top_word_frac")))
     })
 
   /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs

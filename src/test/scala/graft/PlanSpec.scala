@@ -145,6 +145,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q92c/q95b: per-row quantize/redact plans carry no data shuffle") {
+    // the ONLY exchange allowed is the oracle-canonicalization range sort;
+    // a hashpartitioning exchange would mean the projection shuffled data
+    for (n <- Seq("q92c_quantize", "q95b_pii_redact")) {
+      val p = planOf(n)
+      assert(!p.contains("hashpartitioning"), s"$n:\n$p")
+    }
+  }
+
+  test("q90b: decontamination is equi-join driven (no cartesian/NLJ)") {
+    val p = planOf("q90b_decontaminate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
