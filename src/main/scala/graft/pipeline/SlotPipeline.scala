@@ -171,3 +171,22 @@ final class SlotPipeline(spark: SparkSession, stateFile: String,
     trace.result()
   }
 }
+
+object SlotPipeline {
+  /** Build from the layered [[Settings]] (the `main.py:10-22` wiring:
+    * settings resolve to constructor args at the entry point, not inside
+    * the pipeline). STATE_DIR / OUTPUT_DIR are required — the reference
+    * would crash later with `None` paths; failing here is the loud
+    * version of the same contract. */
+  def fromSettings(spark: SparkSession, s: Settings,
+      fetcher: Option[BlobFetcher] = None): SlotPipeline = {
+    def req(k: String) = s.get(k).getOrElse(
+      throw new IllegalArgumentException(s"Settings key $k is required"))
+    new SlotPipeline(spark, req(Settings.StateDir) + "/meteosat.json",
+      req(Settings.OutputDir), fetcher)
+  }
+
+  /** The scheduler cadence from settings (`main.py:10,29`). */
+  def intervalMsOf(s: Settings): Long =
+    s.int(Settings.MinutesUpdateInterval, 15) * 60L * 1000L
+}
