@@ -174,5 +174,130 @@ object Windows {
           last(col("o_orderkey")).over(wf).as("last_k"),
           nth_value(col("o_orderkey"), 2).over(wf).as("second_k"),
           cume_dist().over(wo).as("cd"))).limit(5000)
+    },
+
+    // Q47 (beyond-survey) — batch SESSIONIZATION: per-user sessions cut
+    // at >30-min inactivity gaps, the classic lag+cumsum assignment (and
+    // the batch mirror of q72's streaming session_window, so the two
+    // formulations cross-check each other). Everything is one shuffle on
+    // user_id: lag, the running session index, and the per-session
+    // aggregate all share that partitioning — Catalyst plans a single
+    // Exchange, which is the 100 TB shape (sessionization must never
+    // shuffle more than once).
+    Q("q47_sessionize",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS INT) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id NULLS FIRST, session_idx NULLS FIRST,
+        |  session_start NULLS FIRST, session_end NULLS FIRST,
+        |  n_events NULLS FIRST""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orderAll(Tables.t(s, dir, "events")
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+              > 30 * 60, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_s")).over(wRun).cast("int"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).cast("int").as("n_events")))
+    },
+
+    // Q48 (beyond-survey) — slot GAP-FILL with linear interpolation: the
+    // reference's fixed 15-min cadence (meteosat.py:88-93) produces gaps
+    // when a slot has no product (its stall path); downstream consumers
+    // want a dense series. Spine = generated slot sequence × event types
+    // (the q26b spine, bounded: (range/15min)×|types| rows); per-slot
+    // means come from ONE decimal-exact aggregate; interpolation brackets
+    // each empty slot via last/first(ignoreNulls) windows over the spine
+    // — work is O(spine), never O(spine × events), and the interpolation
+    // arithmetic is an identical IEEE operation tree in both engines so
+    // the doubles hash-match exactly.
+    Q("q48_gap_fill",
+      s"""WITH b AS (SELECT
+         |    make_timestamp(CAST(floor(epoch(min(ts)) / 900) * 900 AS BIGINT) * 1000000) AS lo,
+         |    make_timestamp(CAST(floor(epoch(max(ts)) / 900) * 900 AS BIGINT) * 1000000) AS hi
+         |  FROM events),
+         |spine AS (SELECT t.wstart, et.event_type FROM
+         |    (SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes'))
+         |       AS wstart FROM b) t
+         |    CROSS JOIN (SELECT DISTINCT event_type FROM events
+         |                WHERE event_type IN ('click', 'view')) et),
+         |agg AS (SELECT ${"make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000)"} AS wstart,
+         |    event_type, ${graft.Canon.avgDecSql("value")} AS v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+         |j AS (SELECT s.wstart, s.event_type, a.v FROM spine s
+         |  LEFT JOIN agg a ON s.wstart = a.wstart AND s.event_type = a.event_type),
+         |br AS (SELECT wstart, event_type, v,
+         |    last_value(v IGNORE NULLS) OVER wp AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN wstart END IGNORE NULLS)
+         |      OVER wp AS pt,
+         |    first_value(v IGNORE NULLS) OVER wn AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN wstart END IGNORE NULLS)
+         |      OVER wn AS nt
+         |  FROM j WINDOW
+         |    wp AS (PARTITION BY event_type ORDER BY wstart
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY event_type ORDER BY wstart
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT wstart, event_type, (v IS NULL) AS filled,
+         |  round(CASE
+         |    WHEN v IS NOT NULL THEN v
+         |    WHEN pv IS NULL THEN nv
+         |    WHEN nv IS NULL THEN pv
+         |    ELSE pv + (nv - pv) * (CAST(epoch(wstart) - epoch(pt) AS DOUBLE)
+         |      / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+         |  END, 6) AS value_filled
+         |FROM br
+         |ORDER BY wstart NULLS FIRST, event_type NULLS FIRST,
+         |  filled NULLS FIRST, value_filled NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+        val slotOf = (c: org.apache.spark.sql.Column) =>
+          timestamp_seconds(floor(unix_timestamp(c) / 900) * 900)
+        val bounds = ev.agg(slotOf(min(col("ts"))).as("lo"),
+          slotOf(max(col("ts"))).as("hi"))
+        val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 15 MINUTES"))).as("wstart"))
+          .crossJoin(ev.select("event_type").distinct())
+        val agg = ev.groupBy(slotOf(col("ts")).as("wstart"), col("event_type"))
+          .agg(graft.Canon.avgDec(col("value")).as("v"))
+        val wp = Window.partitionBy(col("event_type")).orderBy(col("wstart"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(col("event_type")).orderBy(col("wstart"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val marked = spine.join(agg, Seq("wstart", "event_type"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+          .withColumn("pt", last(when(col("v").isNotNull, col("wstart")),
+            ignoreNulls = true).over(wp))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+          .withColumn("nt", first(when(col("v").isNotNull, col("wstart")),
+            ignoreNulls = true).over(wn))
+        val frac = (unix_timestamp(col("wstart")) - unix_timestamp(col("pt")))
+          .cast("double") /
+          (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double")
+        orderAll(marked.select(col("wstart"), col("event_type"),
+          col("v").isNull.as("filled"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) * frac), 6)
+            .as("value_filled")))
     })
 }

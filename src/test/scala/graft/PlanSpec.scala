@@ -154,6 +154,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q47: sessionization is a single data shuffle on user_id") {
+    // lag window, running session index, and per-session aggregate must
+    // all reuse one hashpartitioning(user_id) exchange — partitioning by
+    // user_id already co-locates every (user_id, session_idx) group, so a
+    // second exchange before the aggregate would be pure waste at scale.
+    val p = planOf("q47_sessionize")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+  }
+
   test("q90b: decontamination is equi-join driven (no cartesian/NLJ)") {
     val p = planOf("q90b_decontaminate")
     assert(!p.contains("CartesianProduct"), p)
