@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.DoubleType
   *  - [[nearDupClusters]] — connected components over a pair list
   *  - [[cosineTopK]] — exact top-k cosine of a bounded query set
   *  - [[stableSample]] — reproducible hash-bucket sampling
+  *  - [[sessionize]] — gap-cut sessions, one shuffle on the key
+  *  - [[gapFill]] — dense slot series with linear interpolation
+  *  - [[decontaminate]] — n-gram overlap vs a benchmark set
   *
   * Streaming/pipeline entry points live beside these:
   * [[graft.pipeline.SlotPipeline]] (cursor-driven slot ingestion) and
@@ -349,5 +352,95 @@ object Engine {
     require(pct >= 0 && pct <= 100)
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
       .cast("int") * 100 < pct * 65536
+  }
+
+  /** Batch sessionization: cut per-key sessions at inactivity gaps longer
+    * than `gapSeconds`, via the lag + running-sum assignment. `tie` must
+    * make (ts, tie) a total order within a key — without it, tied
+    * timestamps would make session indexes partition-order-dependent.
+    * Returns one row per (key, session_idx) with session_start /
+    * session_end / n_events. The whole operator is ONE shuffle on `key`:
+    * both windows and the final aggregate reuse the same partitioning
+    * (asserted in PlanSpec), which is the non-negotiable shape at scale —
+    * sessionization over 100 TB of events must not pay a second exchange
+    * for the aggregate. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, tie: Column,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0)
+    val w = Window.partitionBy(key).orderBy(ts.asc, tie.asc)
+    val wRun = Window.partitionBy(key).orderBy(ts.asc, tie.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new_s",
+        when(lag(ts, 1).over(w).isNull ||
+          ts.cast("long") - lag(ts, 1).over(w).cast("long") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("__sidx", sum(col("__new_s")).over(wRun).cast("int"))
+      .groupBy(key.as("key"), col("__sidx").as("session_idx"))
+      .agg(min(ts).as("session_start"), max(ts).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+  }
+
+  /** Dense per-slot series with linear interpolation over gaps: bucket
+    * `ts` into `slotSeconds` slots, aggregate `value` per (key, slot)
+    * with the exact-decimal mean, generate the full slot spine from the
+    * observed range × distinct keys, and fill empty slots by linear
+    * interpolation between the bracketing non-empty slots (edge gaps take
+    * the nearest value). Returns (wstart, key, filled, value_filled).
+    * Work after the one per-slot aggregate is O(spine) — the spine is
+    * (range/slot)×|keys| rows regardless of input volume, so the fill
+    * pass costs the same at 100 TB as at a megabyte. */
+  def gapFill(df: DataFrame, key: Column, ts: Column, value: Column,
+      slotSeconds: Long): DataFrame = {
+    require(slotSeconds > 0)
+    val slotOf = (c: Column) =>
+      timestamp_seconds(floor(unix_timestamp(c) / slotSeconds) * slotSeconds)
+    val bounds = df.agg(slotOf(min(ts)).as("lo"), slotOf(max(ts)).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL $slotSeconds SECONDS"))).as("wstart"))
+      .crossJoin(df.select(key.as("key")).distinct())
+    val agg = df.groupBy(slotOf(ts).as("wstart"), key.as("key"))
+      .agg(Canon.avgDec(value).as("v"))
+    val wp = Window.partitionBy(col("key")).orderBy(col("wstart"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("key")).orderBy(col("wstart"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = spine.join(agg, Seq("wstart", "key"), "left")
+      .withColumn("__pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("__pt", last(when(col("v").isNotNull, col("wstart")),
+        ignoreNulls = true).over(wp))
+      .withColumn("__nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("__nt", first(when(col("v").isNotNull, col("wstart")),
+        ignoreNulls = true).over(wn))
+    val frac = (unix_timestamp(col("wstart")) - unix_timestamp(col("__pt")))
+      .cast(DoubleType) /
+      (unix_timestamp(col("__nt")) - unix_timestamp(col("__pt")))
+        .cast(DoubleType)
+    marked.select(col("wstart"), col("key"), col("v").isNull.as("filled"),
+      round(when(col("v").isNotNull, col("v"))
+        .when(col("__pv").isNull, col("__nv"))
+        .when(col("__nv").isNull, col("__pv"))
+        .otherwise(col("__pv") + (col("__nv") - col("__pv")) * frac), 6)
+        .as("value_filled"))
+  }
+
+  /** Benchmark decontamination: documents (rows where `isBenchmark` is
+    * false) that share at least one distinct `n`-word n-gram with the
+    * benchmark set (rows where it is true). Returns (doc_id,
+    * n_shared_grams). The benchmark gram set is distinct and fixed-size
+    * relative to a growing corpus, so the join is broadcastable; work is
+    * O(corpus grams), never corpus × benchmark. */
+  def decontaminate(df: DataFrame, id: Column, text: Column,
+      isBenchmark: Column, n: Int = 8): DataFrame = {
+    require(n >= 1)
+    val grams = df
+      .withColumn("__w", split(text, " "))
+      .select(id.as("doc_id"), isBenchmark.as("__bench"),
+        explode(wordNgrams(col("__w"), n)).as("__g"))
+    val bench = grams.filter(col("__bench")).select("__g").distinct()
+    grams.filter(!col("__bench"))
+      .join(bench, Seq("__g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared_grams"))
   }
 }

@@ -518,16 +518,9 @@ object LlmPipeline {
         |GROUP BY doc_id
         |ORDER BY doc_id NULLS FIRST, n_shared_grams NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        val inBench = graft.Engine.stableSample(col("doc_id"), 5)
-        val grams = Tables.t(s, dir, "documents")
-          .withColumn("__w", split(col("text"), " "))
-          .select(col("doc_id"), inBench.as("__bench"),
-            explode(ngramsOf(col("__w"), 8)).as("g"))
-        val bench = grams.filter(col("__bench")).select("g").distinct()
-        orderAll(grams.filter(!col("__bench"))
-          .join(bench, Seq("g"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("int").as("n_shared_grams")))
+        orderAll(graft.Engine.decontaminate(Tables.t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          graft.Engine.stableSample(col("doc_id"), 5), n = 8))
     },
 
     // Q92c (beyond-survey) — embedding QUANTIZATION (int8 scalar, the

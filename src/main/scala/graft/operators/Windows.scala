@@ -201,21 +201,9 @@ object Windows {
         |ORDER BY user_id NULLS FIRST, session_idx NULLS FIRST,
         |  session_start NULLS FIRST, session_end NULLS FIRST,
         |  n_events NULLS FIRST""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val wRun = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      orderAll(Tables.t(s, dir, "events")
-        .withColumn("new_s",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
-              > 30 * 60, 1).otherwise(0))
-        .withColumn("session_idx", sum(col("new_s")).over(wRun).cast("int"))
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          count(lit(1)).cast("int").as("n_events")))
+      orderAll(graft.Engine.sessionize(Tables.t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), gapSeconds = 30 * 60)
+        .withColumnRenamed("key", "user_id"))
     },
 
     // Q48 (beyond-survey) — slot GAP-FILL with linear interpolation: the
@@ -269,35 +257,8 @@ object Windows {
       (s, dir) =>
         val ev = Tables.t(s, dir, "events")
           .filter(col("event_type").isin("click", "view"))
-        val slotOf = (c: org.apache.spark.sql.Column) =>
-          timestamp_seconds(floor(unix_timestamp(c) / 900) * 900)
-        val bounds = ev.agg(slotOf(min(col("ts"))).as("lo"),
-          slotOf(max(col("ts"))).as("hi"))
-        val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
-            expr("INTERVAL 15 MINUTES"))).as("wstart"))
-          .crossJoin(ev.select("event_type").distinct())
-        val agg = ev.groupBy(slotOf(col("ts")).as("wstart"), col("event_type"))
-          .agg(graft.Canon.avgDec(col("value")).as("v"))
-        val wp = Window.partitionBy(col("event_type")).orderBy(col("wstart"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy(col("event_type")).orderBy(col("wstart"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val marked = spine.join(agg, Seq("wstart", "event_type"), "left")
-          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
-          .withColumn("pt", last(when(col("v").isNotNull, col("wstart")),
-            ignoreNulls = true).over(wp))
-          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
-          .withColumn("nt", first(when(col("v").isNotNull, col("wstart")),
-            ignoreNulls = true).over(wn))
-        val frac = (unix_timestamp(col("wstart")) - unix_timestamp(col("pt")))
-          .cast("double") /
-          (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double")
-        orderAll(marked.select(col("wstart"), col("event_type"),
-          col("v").isNull.as("filled"),
-          round(when(col("v").isNotNull, col("v"))
-            .when(col("pv").isNull, col("nv"))
-            .when(col("nv").isNull, col("pv"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) * frac), 6)
-            .as("value_filled")))
+        orderAll(graft.Engine.gapFill(ev, col("event_type"), col("ts"),
+            col("value"), slotSeconds = 900)
+          .withColumnRenamed("key", "event_type"))
     })
 }

@@ -84,4 +84,61 @@ class EngineSpec extends AnyFunSuite {
     assert(out.count() == d.select("text").distinct().count())
     assert(out.filter(col("n_copies") =!= 2).count() == 0)
   }
+
+  test("sessionize: session count and coverage respond to the gap parameter") {
+    import spark.implicits._
+    // user 1: events at 0, 10, 50, 65 min; user 2: a single event
+    val ev = Seq((1L, 0L, 100L), (1L, 600L, 101L), (1L, 3000L, 102L),
+      (1L, 3900L, 103L), (2L, 0L, 200L))
+      .map { case (u, s, id) =>
+        (u, new java.sql.Timestamp(1700000000000L + s * 1000), id)
+      }.toDF("user_id", "ts", "event_id")
+    def sessions(gapSec: Long) =
+      Engine.sessionize(ev, col("user_id"), col("ts"), col("event_id"),
+        gapSec).collect()
+    // 30-min gap: user 1 -> {0,10,50,65} splits at the 40-min hole = 2
+    // sessions; user 2 -> 1.
+    assert(sessions(30 * 60).length == 3)
+    // 12-min gap: the 40- and 15-min holes split -> user 1 has 3 sessions.
+    assert(sessions(12 * 60).length == 4)
+    // 5-min gap: every hole splits -> 4 + 1 singleton sessions.
+    assert(sessions(5 * 60).length == 5)
+    // every event is covered exactly once at any gap
+    assert(sessions(30 * 60).map(_.getInt(4)).sum == 5)
+  }
+
+  test("gapFill: interpolated slots sit between their brackets; observed slots pass through") {
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+      .filter(col("event_type") === "click")
+    val filled = Engine.gapFill(ev, col("event_type"), col("ts"),
+      col("value"), slotSeconds = 3600)
+    val rows = filled.orderBy("wstart").collect()
+    assert(rows.nonEmpty)
+    // dense spine: one row per hour slot between the observed bounds
+    val n = rows.length
+    val span = (rows.last.getTimestamp(0).getTime -
+      rows.head.getTimestamp(0).getTime) / 1000 / 3600 + 1
+    assert(n == span, s"spine has $n rows for $span slots")
+    // no nulls escape: every slot carries a value (edges take nearest)
+    assert(rows.forall(!_.isNullAt(3)))
+  }
+
+  test("decontaminate: flags exactly the non-benchmark docs sharing an n-gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", true), // benchmark doc
+      (2L, "a b c d e f", false), // exact copy -> contaminated
+      (3L, "x b c d e f", false), // shares no 6-gram with benchmark
+      (4L, "q r s t u v", false)) // disjoint
+      .toDF("doc_id", "text", "bench")
+    val got = Engine.decontaminate(docs, col("doc_id"), col("text"),
+        col("bench"), n = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(2L -> 1))
+    // shorter grams widen the net: 5-grams catch doc 3's "b c d e f"
+    val got5 = Engine.decontaminate(docs, col("doc_id"), col("text"),
+        col("bench"), n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got5 == Set(2L, 3L))
+  }
 }
