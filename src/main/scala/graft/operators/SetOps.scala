@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.Canon.orderAll
+import graft.Canon.{orderAll, sumDec, sumDecSql}
 
 /** Sort / limit / set-operation surface (SURVEY.md §2 Q50–Q53).
   *
@@ -158,5 +159,121 @@ object SetOps {
           |  (SELECT c_custkey FROM customer_v WHERE c_acctbal < -900)
           |ORDER BY o_orderkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST
           |LIMIT 5000""".stripMargin)
+    },
+
+    // Q58 (beyond-survey) — MERGE/upsert semantics without a table
+    // format: new snapshot = base ⟗ changes, changed keys take the new
+    // row, new keys insert, unmatched base rows carry forward — the
+    // WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT split expressed as
+    // one full-outer join + coalesce (what MERGE INTO compiles to). The
+    // change set here is derived deterministically from the base (every
+    // 7th key re-priced +10%, plus synthetic new keys above the max).
+    // Scale shape: ONE shuffle of base + changes on the key; in a real
+    // deployment the snapshot is key-bucketed so the join is
+    // co-partitioned and only affected buckets rewrite (the
+    // SlotPipeline dynamic-partition-overwrite pattern).
+    Q("q58_merge_upsert",
+      s"""WITH chg AS (
+         |  SELECT o_orderkey, o_totalprice * 1.1 AS price
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT (SELECT max(o_orderkey) FROM orders) + s AS o_orderkey,
+         |    CAST(100 + s AS DOUBLE) AS price
+         |  FROM (SELECT unnest(generate_series(1, 5)) AS s)),
+         |merged AS (
+         |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         |    coalesce(c.price, b.o_totalprice) AS price,
+         |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+         |      WHEN c.o_orderkey IS NULL THEN 'carry'
+         |      ELSE 'update' END AS action
+         |  FROM orders b FULL OUTER JOIN chg c
+         |    ON b.o_orderkey = c.o_orderkey)
+         |SELECT action, CAST(count(*) AS INT) AS n,
+         |  ${sumDecSql("price")} AS sum_price
+         |FROM merged GROUP BY action
+         |ORDER BY action NULLS FIRST, n NULLS FIRST, sum_price NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val maxKey = base.agg(max(col("o_orderkey"))).head().getLong(0)
+        // NOTE: no round(·, 2) on the re-price — Spark rounds the exact
+        // binary expansion while DuckDB rounds via a multiply/divide, and
+        // they disagree by 1 ulp at .xx5 boundaries; the decimal-routed
+        // sum canonicalizes the unrounded doubles deterministically.
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") * 1.1).as("price"))
+        val inserts = s.range(1, 6)
+          .select((col("id") + maxKey).as("k"),
+            (col("id") + 100).cast("double").as("price"))
+        val chg = updates.unionAll(inserts)
+        val merged = base.join(chg, base("o_orderkey") === chg("k"),
+            "full_outer")
+          .select(coalesce(base("o_orderkey"), col("k")).as("o_orderkey"),
+            coalesce(col("price"), col("o_totalprice")).as("price"),
+            when(base("o_orderkey").isNull, "insert")
+              .when(col("k").isNull, "carry")
+              .otherwise("update").as("action"))
+        orderAll(merged.groupBy(col("action"))
+          .agg(count(lit(1)).cast("int").as("n"),
+            sumDec(col("price")).as("sum_price")))
+    },
+
+    // Q59 (beyond-survey) — SCD TYPE-2 history build: collapse an event
+    // log into attribute-validity intervals. Per customer, each PRIORITY
+    // CHANGE (detected with lag) opens an interval; lead() closes it at
+    // the next change's start (NULL = still current). The reference's
+    // cursor is exactly this shape's 1-row degenerate case (one entity,
+    // monotone validity). One shuffle on the entity key: change
+    // detection, interval close, and versioning share the partitioning.
+    // First-event-per-key rows (lag IS NULL) always open an interval, so
+    // every key appears; version numbers are change-ordinals.
+    Q("q59_scd2",
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderpriority,
+        |    o_orderkey FROM orders),
+        |chg AS (SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |      OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |      THEN 1 ELSE 0 END AS is_chg
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)),
+        |iv AS (SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS eff_to,
+        |    CAST(sum(is_chg) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        |  FROM chg WHERE is_chg = 1)
+        |SELECT o_custkey, o_orderpriority, eff_from, eff_to,
+        |  (eff_to IS NULL) AS is_current, version
+        |FROM iv
+        |ORDER BY o_custkey NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  eff_from NULLS FIRST, eff_to NULLS FIRST,
+        |  is_current NULLS FIRST, version NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chg = Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("is_chg",
+          when(lag(col("o_orderpriority"), 1).over(w).isNull ||
+            lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"),
+            1).otherwise(0))
+      // version counts changes so far (carry rows contribute 0, so
+      // before/after the filter is equivalent); eff_to is computed AFTER
+      // the change filter so an interval closes at the next CHANGE, not
+      // the next order — matching SQL's WHERE-before-window evaluation
+      // order in the oracle's iv CTE.
+      val iv = chg
+        .withColumn("version", sum(col("is_chg")).over(wRun).cast("int"))
+        .filter(col("is_chg") === 1)
+        .withColumn("eff_to", lead(col("o_orderdate"), 1).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+      orderAll(iv.select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate").as("eff_from"), col("eff_to"),
+        col("eff_to").isNull.as("is_current"), col("version")))
+        .limit(5000)
     })
 }
