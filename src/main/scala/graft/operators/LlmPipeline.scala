@@ -523,6 +523,54 @@ object LlmPipeline {
           graft.Engine.stableSample(col("doc_id"), 5), n = 8))
     },
 
+    // Q91d (beyond-survey) — FUZZY (edit-distance-1) join via DELETION
+    // NEIGHBORHOODS (the FastSS blocking): the typo-variant detection
+    // pass of vocabulary cleanup. Each term emits itself plus every
+    // single-character deletion as candidate keys; two terms at edit
+    // distance exactly 1 ALWAYS share a key (substitution: delete the
+    // differing position from both; insertion: the deletion of the
+    // inserted character IS the shorter term's identity key), so the
+    // equi-join on keys + exact levenshtein verification has recall 1.0
+    // by theorem — the oracle brute-forces all vocab pairs and must
+    // agree exactly. Candidate work is O(Σ|w|) keys, never O(vocab²).
+    // The corpus vocabulary carries no natural typos, so deterministic
+    // variants (trailing insertion, leading substitution) are injected
+    // first — the q95b pattern: the operator must actually fire.
+    Q("q91d_fuzzy_join",
+      """WITH v0 AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |v AS (SELECT DISTINCT w FROM (
+        |  SELECT w FROM v0
+        |  UNION ALL SELECT w || 'x' FROM v0 WHERE length(w) >= 4
+        |  UNION ALL SELECT 'z' || substr(w, 2) FROM v0 WHERE length(w) >= 4))
+        |SELECT a.w AS word_a, b.w AS word_b
+        |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+        |ORDER BY word_a NULLS FIRST, word_b NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val v0 = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w")).distinct()
+        val long = v0.filter(length(col("w")) >= 4)
+        val vocab = v0
+          .unionAll(long.select(concat(col("w"), lit("x")).as("w")))
+          .unionAll(long.select(
+            concat(lit("z"), expr("substr(w, 2)")).as("w")))
+          .distinct()
+        // deletion neighborhood: the word itself (pos 0) + each deletion
+        val keys = vocab.select(col("w"),
+          explode(sequence(lit(0), length(col("w")))).as("pos"))
+          .select(col("w"), when(col("pos") === 0, col("w"))
+            .otherwise(concat(
+              expr("substr(w, 1, pos - 1)"),
+              expr("substr(w, pos + 1)"))).as("k"))
+          .distinct()
+        orderAll(keys.select(col("k"), col("w").as("word_a"))
+          .join(keys.select(col("k"), col("w").as("word_b")), Seq("k"))
+          .filter(col("word_a") < col("word_b"))
+          .dropDuplicates("word_a", "word_b")
+          .filter(levenshtein(col("word_a"), col("word_b")) === 1)
+          .select("word_a", "word_b"))
+    },
+
     // Q92c (beyond-survey) — embedding QUANTIZATION (int8 scalar, the
     // storage/bandwidth lever for 100 TB vector corpora: 4 bytes→1 byte
     // per dim): per-vector min/max affine quantization to 0..255 codes,

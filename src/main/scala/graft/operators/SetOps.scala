@@ -275,5 +275,64 @@ object SetOps {
         col("o_orderdate").as("eff_from"), col("eff_to"),
         col("eff_to").isNull.as("is_current"), col("version")))
         .limit(5000)
+    },
+
+    // Q59b (beyond-survey) — POINT-IN-TIME join against the SCD2
+    // dimension: each lineitem is attributed to the customer-priority
+    // interval that was CURRENT when it shipped (eff_from ≤ ship <
+    // eff_to, open intervals unbounded) — the temporal-correctness join
+    // every feature-store / training-data pipeline needs to avoid
+    // leakage. Scale shape: the fact pays one equi-join on the order key
+    // to pick up its customer, then the interval join is EQUI on
+    // o_custkey with the range predicate as a residual — never a
+    // nested-loop over intervals; the dimension is versions-per-entity
+    // small relative to the fact and shuffles once on the same key.
+    Q("q59b_pit_join",
+      s"""WITH chg AS (SELECT o_custkey, o_orderdate, o_orderpriority,
+         |    o_orderkey, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+         |      OR lag(o_orderpriority) OVER w <> o_orderpriority
+         |      THEN 1 ELSE 0 END AS is_chg
+         |  FROM orders WINDOW w AS (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey)),
+         |iv AS (SELECT o_custkey AS d_custkey, o_orderpriority AS prio,
+         |    o_orderdate AS eff_from,
+         |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS eff_to
+         |  FROM chg WHERE is_chg = 1),
+         |fact AS (SELECT l_orderkey, l_shipdate, l_extendedprice, o_custkey
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT prio AS ship_time_priority, CAST(count(*) AS INT) AS n,
+         |  ${sumDecSql("l_extendedprice")} AS revenue
+         |FROM fact JOIN iv ON o_custkey = d_custkey
+         |  AND l_shipdate >= eff_from
+         |  AND (eff_to IS NULL OR l_shipdate < eff_to)
+         |GROUP BY prio
+         |ORDER BY ship_time_priority NULLS FIRST, n NULLS FIRST,
+         |  revenue NULLS FIRST""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val iv = Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("is_chg",
+          when(lag(col("o_orderpriority"), 1).over(w).isNull ||
+            lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"),
+            1).otherwise(0))
+        .filter(col("is_chg") === 1)
+        .withColumn("eff_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey").as("d_custkey"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderdate").as("eff_from"), col("eff_to"))
+      val o = Tables.t(s, dir, "orders")
+      val fact = Tables.t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("l_shipdate"), col("l_extendedprice"), col("o_custkey"))
+      orderAll(fact.join(iv,
+          col("o_custkey") === col("d_custkey") &&
+          col("l_shipdate") >= col("eff_from") &&
+          (col("eff_to").isNull || col("l_shipdate") < col("eff_to")))
+        .groupBy(col("prio").as("ship_time_priority"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          sumDec(col("l_extendedprice")).as("revenue")))
     })
 }
