@@ -415,16 +415,21 @@ object LlmPipeline {
         posexplode(array((0 until 4).map(k =>
           shiftright(col("sh"), 8 * k).bitwiseAND(lit(255L))): _*))
           .as(Seq("band", "bk")))
+      val ham = bit_count(col("sha").bitwiseXOR(col("shb")))
+      // Hamming verification runs INSIDE the candidate join stage — both
+      // signatures already ride on the joined row, so bit_count is free
+      // — and the pair-dedup shuffles only qualifying pairs (collided
+      // bands flood ~3M candidate rows at sf0.1 for ~700 real pairs;
+      // dedup-before-verify shuffled all of them, ~1.5 s wasted).
       val cands = bands
         .select(col("band"), col("bk"), col("doc_id").as("doc_a"),
           col("sh").as("sha"))
         .join(bands.select(col("band"), col("bk"),
           col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("band", "bk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      val ham = bit_count(col("sha").bitwiseXOR(col("shb")))
-      orderAll(cands.filter(ham <= 3)
-        .select(col("doc_a"), col("doc_b"), ham.as("hamming")))
+        .filter(col("doc_a") < col("doc_b") && ham <= 3)
+      orderAll(cands
+        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+        .dropDuplicates("doc_a", "doc_b"))
     },
 
     // Q99 (beyond-survey) — the documented LSH scale path for Q92:
