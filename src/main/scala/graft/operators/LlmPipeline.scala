@@ -624,6 +624,78 @@ object LlmPipeline {
           (array_max(errs) <= col("step") / 2).as("within_half_step")))
     },
 
+    // Q92d (beyond-survey) — per-label embedding CENTROIDS: the
+    // element-wise mean vector per class — the training step behind
+    // q99b's IVF cells (k-means is repeated centroid computation) and
+    // the standard class-prototype operation. Spark shape: posexplode to
+    // (label, dim, value) scalars, ONE hash aggregate over (label, dim)
+    // with the exact-decimal mean — map-side partial aggregation does
+    // dims×labels accumulators per task and the shuffle carries only
+    // labels×dims×partials rows, which is the scalable formulation of
+    // "average a 100 TB vector column" (a collect-and-average would
+    // move the vectors; this moves 640 partial sums). Scalar output
+    // rows double as the canonicalization (arrays don't hash).
+    Q("q92d_centroids",
+      s"""SELECT label, CAST(i AS INT) AS dim,
+         |  ${graft.Canon.avgDecSql("CAST(embedding[i] AS DOUBLE)")} AS centroid
+         |FROM embeddings
+         |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS t(i)
+         |GROUP BY label, i
+         |ORDER BY label NULLS FIRST, dim NULLS FIRST, centroid NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "embeddings")
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+          .agg(graft.Canon.avgDec(col("v").cast(DoubleType)).as("centroid")))
+    },
+
+    // Q93c (beyond-survey) — TF-IDF with smoothed IDF (the sklearn
+    // formulation: idf = ln((N+1)/(df+1)) + 1) and each document's top
+    // term: the canonical corpus-weighting pass. Determinism: tf/df/N
+    // are exact integers, idf/tfidf derive from them with an identical
+    // double operation tree in both engines, and the per-doc argmax
+    // tie-breaks on (tfidf DESC, token ASC) so equal scores cannot make
+    // the winner engine-dependent. Scale shape: one (doc,token) count,
+    // one token-keyed df aggregate (vocab ≪ corpus → broadcastable
+    // join back), one window keyed by doc — three narrow shuffles, no
+    // text shipped past tokenization.
+    Q("q93c_tfidf",
+      """WITH tf AS (SELECT doc_id, w AS token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (SELECT doc_id, tf.token AS token,
+        |    tf * (ln((CAST(n AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)) + 1)
+        |      AS tfidf
+        |  FROM tf, df, n WHERE tf.token = df.token),
+        |top AS (SELECT doc_id, token, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token AS top_term, round(tfidf, 6) AS top_tfidf
+        |FROM top WHERE rn = 1
+        |ORDER BY doc_id NULLS FIRST, top_term NULLS FIRST,
+        |  top_tfidf NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val n = docs.select(countDistinct(col("doc_id")).as("n"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, Seq("token")).crossJoin(n)
+        .withColumn("tfidf", col("tf") *
+          (log((col("n").cast(DoubleType) + 1) /
+            (col("df").cast(DoubleType) + 1)) + 1))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      orderAll(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"),
+          round(col("tfidf"), 6).as("top_tfidf")))
+    },
+
     // Q95b (beyond-survey) — PII REDACTION: mask emails and phone numbers
     // with typed placeholders and count what was masked — the compliance
     // pass every training corpus runs. The synthetic corpus carries no

@@ -156,4 +156,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(last == ((5L, 3L)))
     } finally q.stop()
   }
+
+  test("RocksDB state store: same watermarked aggregation, same answer") {
+    // The deployment-scale state backend (bounded executor heap; state
+    // spills to disk instead of growing the JVM): the stateful pipeline
+    // must produce identical results under it. Provider choice is
+    // per-query via the session conf captured at stream start.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long)]
+      val agg = input.toDF().toDF("ts", "v")
+        .withWatermark("ts", "45 minutes")
+        .groupBy(window(col("ts"), "15 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .select(col("window.start").as("wstart"), col("n"), col("s"))
+      val q = agg.writeStream.format("memory").queryName("rocks_test")
+        .outputMode("append").start()
+      try {
+        input.addData((ts(0), 1L), (ts(5), 2L), (ts(16), 3L))
+        q.processAllAvailable()
+        input.addData((ts(180), 4L)) // advances watermark, flushes all
+        q.processAllAvailable()
+        input.addData((ts(240), 5L))
+        q.processAllAvailable()
+        val got = spark.table("rocks_test").collect()
+          .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+        // cross-batch state (window 00:00 accumulated rows from batch 1)
+        // closed correctly under RocksDB
+        assert(got.contains((ts(0), 2L, 3L)), got)
+        assert(got.contains((ts(15), 1L, 3L)), got)
+        assert(got.contains((ts(180), 1L, 4L)), got)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
