@@ -150,10 +150,11 @@ object Engine {
     * n-gram arrays (sorted once per doc, not per pair) — an
     * allocation-free ~|a|+|b| walk per candidate instead of
     * array_intersect's per-pair hash set. Measured at sf0.1 (5000 docs,
-    * 931-n-gram vocabulary — a worst case for prefix selectivity, with
-    * 2.4M distinct candidate pairs surviving for 256 true pairs): the
-    * filters + merge kernel together take the operator 23.4 s → 7.8 s
-    * for the identical output.
+    * 931-n-gram vocabulary — a worst case for prefix selectivity): raw
+    * candidate rows drop 12.8M → 8.85M via the asymmetric prefixes,
+    * then to 2.4M distinct pairs after the length/positional filters —
+    * for 256 true pairs — and the filters + merge kernel together took
+    * the operator from 23.4 s to ~8 s for the identical output.
     */
   def jaccardJoin(df: DataFrame, id: String, text: String,
       thresholdPct: Int = 60, ngramWords: Int = 2): DataFrame = {
@@ -175,19 +176,34 @@ object Engine {
         col("__n") - expr(s"(__n * $thresholdPct + 99) div 100") + 1)
       .select(col("__t"), col("__id"), col("__rn"), col("__n"))
       .localCheckpoint() // the prefix pipeline runs once, not per join side
-    val a = pref.select(col("__t"), col("__id").as("doc_a"),
-      col("__rn").as("__ra"), col("__n").as("__na"))
-    val b = pref.select(col("__t"), col("__id").as("doc_b"),
+    // PPJoin's ASYMMETRIC prefixes: order each pair by (size, id); the
+    // SMALLER record only needs the INDEXING prefix of length
+    // n − ⌈2t/(1+t)·n⌉ + 1 (for any partner at least its size, the
+    // required overlap is ≥ 2t/(1+t)·n), while the larger keeps the full
+    // probing prefix n − ⌈t·n⌉ + 1. Both arrays sort in ONE global
+    // order, so a qualifying pair's first shared n-gram is preceded only
+    // by non-shared ones in BOTH — it sits within rank n − i + 1 ≤ both
+    // prefix bounds and passes the positional filter with cnt_before = 0;
+    // recall stays 1.0 while the short side drops ~⅓ of its index rows.
+    val a = pref
+      .filter(col("__rn") <= col("__n") -
+        expr(s"(2 * $thresholdPct * __n + ${100 + thresholdPct - 1})" +
+          s" div ${100 + thresholdPct}") + 1)
+      .select(col("__t"), col("__id").as("ida"),
+        col("__rn").as("__ra"), col("__n").as("__na"))
+    val b = pref.select(col("__t"), col("__id").as("idb"),
       col("__rn").as("__rb"), col("__n").as("__nb"))
     // α in exact integer arithmetic: ⌈pct·(na+nb) / (100+pct)⌉
     val alpha = expr(s"(($thresholdPct * (__na + __nb) + ${100 + thresholdPct - 1})" +
       s" div ${100 + thresholdPct})")
     val cands = a.join(b, Seq("__t"))
-      .filter(col("doc_a") < col("doc_b") &&
+      .filter((col("__na") < col("__nb") ||
+          (col("__na") === col("__nb") && col("ida") < col("idb"))) &&
         col("__nb") * 100 >= col("__na") * thresholdPct &&
         col("__na") * 100 >= col("__nb") * thresholdPct &&
         least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1 >= alpha)
-      .select("doc_a", "doc_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
       // Dedup BEFORE the verify joins: a candidate pair recurs once per
       // shared prefix n-gram, and the verify joins shuffle their input by
       // doc id with the n-gram ARRAYS attached — deduping first keeps
