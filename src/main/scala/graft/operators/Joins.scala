@@ -34,6 +34,29 @@ object Joins {
         .limit(5000)
     },
 
+    // Q20b (beyond-survey) — SALTED join as a first-class queryable
+    // operator: the plan-level skew mitigation for when AQE's runtime
+    // skew split can't apply (skewed aggregation keys, stats arriving
+    // too late). Each hot left key scatters over `buckets` synthetic
+    // sub-keys; the small right side replicates once per bucket; the
+    // salt never reaches the output, so the oracle is the PLAIN join —
+    // result equivalence is the operator's correctness contract
+    // (SkewSpec proves it on generated data too).
+    Q("q20b_salted_join",
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |  ${sumDecSql("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment NULLS FIRST, n NULLS FIRST,
+         |  total NULLS FIRST""".stripMargin) { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      orderAll(Skew.saltedJoin(o, c, col("o_custkey"), col("c_custkey"),
+          buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total")))
+    },
+
     // Q21 — full outer join with unmatched rows on BOTH sides (each input is
     // filtered to a proper subset first).
     Q("q21_full_outer",

@@ -308,6 +308,50 @@ object LlmPipeline {
             md5(col("content")).as("content_md5")))
     },
 
+    // Q94c (beyond-survey) — CHUNKED binary processing, the
+    // frame-sampling shape: a media blob is cut into fixed-size byte
+    // windows, every k-th window is sampled, and each sampled chunk is
+    // fingerprinted — exactly how a video column is frame-sampled or an
+    // audio column windowed at 100 TB (per-row generate+slice, no
+    // shuffle; the decoder SPI of q94b slots in where md5 stands). The
+    // Spark side slices the BINARY column (substr on BinaryType cuts
+    // bytes — the real media semantics); DuckDB can neither substring
+    // nor md5 a BLOB, so the oracle windows the VARCHAR — equivalent
+    // here because the corpus is verified pure ASCII at every SF (byte
+    // windows == char windows; on a non-ASCII corpus the oracle would
+    // need a bytes-capable engine, the operator would not change).
+    // Chunk size 32, sample stride 3, short final chunk kept.
+    Q("q94c_chunk_sample",
+      """WITH c AS (SELECT doc_id, text,
+        |    unnest(generate_series(1,
+        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT))) AS idx
+        |  FROM documents WHERE octet_length(encode(text)) >= 1)
+        |SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+        |  CAST(length(substring(text, CAST((idx - 1) * 32 + 1 AS BIGINT), 32))
+        |    AS INT) AS n_bytes,
+        |  md5(substring(text, CAST((idx - 1) * 32 + 1 AS BIGINT), 32))
+        |    AS chunk_md5
+        |FROM c WHERE idx % 3 = 1
+        |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST,
+        |  n_bytes NULLS FIRST, chunk_md5 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val chunkSize = 32
+        val content = encode(col("text"), "UTF-8")
+        val nChunks = ceil(length(content) / lit(chunkSize.toDouble))
+          .cast(LongType)
+        val chunk = expr(s"substr(content, (idx - 1) * $chunkSize + 1, " +
+          s"$chunkSize)")
+        orderAll(Tables.t(s, dir, "documents")
+          .filter(length(content) >= 1) // empty blob: sequence(1,0) would
+                                        // step BACKWARD, not empty
+          .select(col("doc_id"), content.as("content"),
+            explode(sequence(lit(1L), nChunks)).as("idx"))
+          .filter(col("idx") % 3 === 1)
+          .select(col("doc_id"), col("idx").cast("int").as("chunk_idx"),
+            length(chunk).cast("int").as("n_bytes"),
+            md5(chunk).as("chunk_md5")))
+    },
+
     // Q95 — quality scoring: per-document length/token statistics and a
     // stopword ratio, with a boolean gate — the standard pre-training
     // corpus filter. Pure projections; no shuffle at all.

@@ -216,6 +216,35 @@ object Sources {
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
     },
 
+    // Q05b (beyond-survey) — small-file COMPACTION round-trip: the
+    // partitioned sink is first written at high task parallelism (16
+    // files per partition — the many-small-files state a long-running
+    // slot sink degrades into), then Engine.compact rewrites it to one
+    // file per partition value, and the query reads the COMPACTED copy.
+    // The oracle checks content is untouched; SourcesSpec checks the
+    // file counts actually collapsed. Scan cost at 100 TB is dominated
+    // by file-open overhead once files shrink below block size —
+    // compaction is the maintenance operator that keeps the layout
+    // scannable.
+    Q("q05b_compacted_roundtrip",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${sumDecSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+         |  n NULLS FIRST, sum_qty NULLS FIRST""".stripMargin) { (s, dir) =>
+      val raw = IO.scratch("q05b_raw", dir)
+      val compacted = IO.scratchPath("q05b_compacted", dir)
+      Tables.t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .repartition(16) // force the small-file state
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(raw)
+      graft.Engine.compact(s, raw, compacted, Seq("l_returnflag"))
+      orderAll(s.read.parquet(compacted)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
+    },
+
     // Q07 (beyond-survey) — the custom DSv2 slot-catalog source
     // (CatalogSource): range predicates and limits push INTO the source,
     // the remote-catalog-scan analog of eumdacapi.py:30-43. The pushed

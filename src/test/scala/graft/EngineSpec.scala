@@ -123,6 +123,35 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.forall(!_.isNullAt(3)))
   }
 
+  test("compact: one file per partition value, content untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+    val raw = s"$tmp/raw"
+    val out = s"$tmp/compacted"
+    val li = Tables.t(spark, TestSpark.sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+    li.repartition(16)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(raw)
+    def filesPerPartition(path: String): Map[String, Int] = {
+      val base = new java.io.File(path)
+      base.listFiles().filter(_.getName.startsWith("l_returnflag="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerPartition(raw)
+    assert(before.values.forall(_ > 1), s"expected small files, got $before")
+    Engine.compact(spark, raw, out, Seq("l_returnflag"))
+    val after = filesPerPartition(out)
+    assert(after.keySet == before.keySet)
+    assert(after.values.forall(_ == 1), s"expected 1 file/partition, got $after")
+    // content identical (order-free bag compare via counts per group)
+    val want = li.groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(_.toString).sorted.toSeq
+    val got = spark.read.parquet(out)
+      .groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("decontaminate: flags exactly the non-benchmark docs sharing an n-gram") {
     import spark.implicits._
     val docs = Seq(
