@@ -309,6 +309,54 @@ object Streams {
         orderAll(toParquet(s, "q78_stream_stream_join", dir, joined))
     },
 
+    // Q78b (beyond-survey) — stream-stream LEFT OUTER interval join:
+    // unmatched purchases must ALSO emit (with null click) — but only
+    // once the watermark proves no future click can match them, which is
+    // the defining semantics of outer joins under unbounded input. The
+    // oracle replays that rule in batch: the inner matches, UNION ALL
+    // the unmatched purchases whose match window upper bound (p_ts) the
+    // final global watermark — min of both sides' (max event − 45 min)
+    // — has passed; later unmatched purchases are still held in state
+    // when the replay ends and must NOT appear.
+    Q("q78b_stream_stream_outer",
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+        |    - INTERVAL '45 minutes' AS w),
+        |matched AS (
+        |  SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |    p.user_id AS user_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts),
+        |unmatched AS (
+        |  SELECT p.event_id AS p_id, CAST(NULL AS BIGINT) AS c_id,
+        |    p.user_id AS user_id
+        |  FROM p, wm
+        |  WHERE p.ts < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts))
+        |SELECT p_id, c_id, user_id FROM matched
+        |UNION ALL SELECT p_id, c_id, user_id FROM unmatched
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST,
+        |  user_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = Sources.eventsStream(s, dir, 4, Some(1))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "45 minutes")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "45 minutes")
+      val joined = p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      orderAll(toParquet(s, "q78b_stream_stream_outer", dir, joined))
+    },
+
     // Q77 — foreachBatch sink with exactly-once semantics: each batch
     // lands in its own batch_id partition via idempotent dynamic-partition
     // overwrite — a replayed batch rewrites the same partition to the
