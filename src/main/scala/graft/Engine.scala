@@ -84,8 +84,15 @@ object Engine {
     }
     val banded = sig.select(col("__id"),
       posexplode(array(bandCols: _*)).as(Seq("__band", "__bh")))
-      .localCheckpoint() // the 64-hash signature pipeline runs ONCE, not
-                         // once per side of the candidate self-join
+      // Cache policy (uniform across Engine's straight-line pipelines):
+      // persist, NOT localCheckpoint — the 64-hash signature pipeline
+      // still runs ONCE (both sides of the candidate self-join read the
+      // cache), but lineage is kept, so a lost executor recomputes the
+      // missing blocks instead of failing the job (localCheckpoint blocks
+      // are non-replicated and unrecoverable — r3 advice). DISK spillover
+      // bounds memory at scale. Iterative loops (nearDupClusters) are the
+      // one place lineage truncation is still required.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded
       .select(col("__band"), col("__bh"), col("__id").as("doc_a"))
       .join(banded.select(col("__band"), col("__bh"),
@@ -164,8 +171,16 @@ object Engine {
       .withColumn("__words", split(col(text), " "))
       .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
       .filter(size(col("__sv")) >= 1)
-      .select(col(id).as("__id"), col("__sv"), size(col("__sv")).as("__n"))
-      .localCheckpoint() // read three times: token explode + both verify sides
+      // __n is LONG from the start: every downstream product (__n · pct,
+      // __na + __nb, the verify filter) then runs in 64-bit — Int
+      // arithmetic would overflow (and under ANSI mode, throw) at ~21M
+      // n-grams per document (r3 advice).
+      .select(col(id).as("__id"), col("__sv"),
+        size(col("__sv")).cast("long").as("__n"))
+      // read three times (token explode + both verify sides): persist,
+      // not localCheckpoint — same recoverability rationale as
+      // minHashNearDups' banded signatures.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = docs.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
     val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
     val byDoc = Window.partitionBy(col("__id"))
@@ -175,7 +190,9 @@ object Engine {
       .filter(col("__rn") <=
         col("__n") - expr(s"(__n * $thresholdPct + 99) div 100") + 1)
       .select(col("__t"), col("__id"), col("__rn"), col("__n"))
-      .localCheckpoint() // the prefix pipeline runs once, not per join side
+      // the prefix pipeline runs once, not per join side (cache policy:
+      // see the docs persist above)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin's ASYMMETRIC prefixes: order each pair by (size, id); the
     // SMALLER record only needs the INDEXING prefix of length
     // n − ⌈2t/(1+t)·n⌉ + 1 (for any partner at least its size, the
@@ -221,7 +238,10 @@ object Engine {
     val uni = size(col("__sa")) + size(col("__sb")) - inter
     verified
       .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
-      .filter(inter * 100 >= uni * thresholdPct)
+      // 64-bit verify filter: inter/uni are Int-typed array sizes; the
+      // ×100/×pct products overflow Int at ~21M distinct n-grams, which
+      // ANSI mode turns into a job-killing exception (r3 advice).
+      .filter(inter.cast("long") * 100 >= uni.cast("long") * thresholdPct)
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -239,7 +259,14 @@ object Engine {
     val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
-      .localCheckpoint() // tiny; avoids re-running the producing pipeline
+      // read every round; persist keeps the producing pipeline's lineage
+      // so a lost executor recomputes rather than kills the job
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The per-round labels DO use localCheckpoint: an iterative join loop
+    // is the one case where lineage must be TRUNCATED (a persisted plan
+    // grows a join level per round and analysis cost compounds). The
+    // executor-loss tradeoff is accepted here and bounded: losing a block
+    // fails the round, and the caller reruns from the (cheap) edge list.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()

@@ -9,6 +9,14 @@ object Verify {
     // Optional trailing args: query names to dump (default = all) — dev
     // loop aid; the driver always runs the full set.
     val only = args.drop(2).toSet
+    // A typo'd name would otherwise silently match nothing and exit 0
+    // with an empty outDir — fail loudly instead (r3 advice).
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
