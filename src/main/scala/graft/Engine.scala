@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.DoubleType
   *    Jaccard verification; never all-pairs
   *  - [[nearDupClusters]] — connected components over a pair list
   *  - [[cosineTopK]] — exact top-k cosine of a bounded query set
-  *  - [[stableSample]] — reproducible hash-bucket sampling
+  *  - [[stableSample]] — reproducible hash-bucket sampling (uniform or
+  *    stratified via a per-stratum rate column)
+  *  - [[dedupChunks]] — chunk/line-level corpus dedup with
+  *    order-preserving reassembly
+  *  - [[packSequences]] — context-window packing by running token count
   *  - [[sessionize]] — gap-cut sessions, one shuffle on the key
   *  - [[gapFill]] — dense slot series with linear interpolation
   *  - [[decontaminate]] — n-gram overlap vs a benchmark set
@@ -396,6 +400,85 @@ object Engine {
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
       .cast("int") * 100 < pct * 65536
   }
+
+  /** Chunk-level exact dedup across the corpus — the line/paragraph
+    * dedup pass of CCNet/RefinedWeb-style curation, over fixed-size word
+    * windows (this corpus has no newlines; with newline-delimited text,
+    * pass the lines as chunks instead). Splits each document into
+    * consecutive `chunkWords`-word chunks, keeps only the FIRST
+    * occurrence of each distinct chunk corpus-wide (ordered by
+    * (id, position)), and reassembles the surviving chunks in document
+    * order. Returns (id, total_chunks, kept_chunks, text_dedup) — docs
+    * whose every chunk was seen earlier survive with text_dedup = ''.
+    *
+    * Scale shape: first-occurrence is min(struct(id, pos)) per chunk — a
+    * hash AGGREGATE with map-side combine, so a boilerplate chunk
+    * repeated 10^6 times contributes one partial per task, not 10^6 rows
+    * on one reducer (the naive window-over-chunk form cannot be split
+    * and dies on exactly those hot chunks). The join back on chunk is an
+    * equi-join AQE's skew splitting can handle; reassembly is one
+    * groupBy on the doc id. Never doc×doc. */
+  def dedupChunks(df: DataFrame, id: String, text: String,
+      chunkWords: Int = 5): DataFrame = {
+    require(chunkWords >= 1)
+    val chunked = df
+      .withColumn("__w", split(col(text), " "))
+      .filter(size(col("__w")) >= 1)
+      .select(col(id).as("__id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(__w) - 1) div $chunkWords), " +
+            s"i -> array_join(slice(__w, CAST(i * $chunkWords + 1 AS INT), " +
+            s"$chunkWords), ' '))")).as(Seq("__pos", "__chunk")))
+    val firsts = chunked.groupBy("__chunk")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    chunked.join(firsts, Seq("__chunk"))
+      .withColumn("__keep",
+        struct(col("__id"), col("__pos")) === col("__first"))
+      .groupBy(col("__id").as(id))
+      .agg(count(lit(1)).cast("int").as("total_chunks"),
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int")
+          .as("kept_chunks"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__keep"), struct(col("__pos"), col("__chunk"))))),
+          s => s.getField("__chunk")), " ").as("text_dedup"))
+  }
+
+  /** Greedy-by-cumsum sequence PACKING: assign documents to fixed-budget
+    * context windows ("sequences") of `capTokens` tokens, the batch-prep
+    * pass between curation and training. Documents pack in (shard, id)
+    * order; a document lands in the sequence where its running token
+    * count STARTS (the chunked-packing approximation — a document may
+    * straddle its sequence boundary rather than open a fresh one, which
+    * is what packers that split-and-concatenate do anyway). Returns one
+    * row per (shard, seq_id): n_docs, n_tokens.
+    *
+    * Scale shape: the running sum is a window PARTITIONED BY the shard
+    * column — real pipelines pack per input shard, and that is also what
+    * keeps this off the single-partition global-window cliff; shards
+    * pack independently, so the plan is one hash exchange on shard. */
+  def packSequences(df: DataFrame, shard: Column, id: Column,
+      nTokens: Column, capTokens: Int): DataFrame = {
+    require(capTokens >= 1)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(shard.as("shard"), id.as("__id"),
+        nTokens.cast("long").as("__nt"))
+      .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
+      .withColumn("seq_id",
+        expr(s"__start div $capTokens").cast("int")) // exact integer div
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("__nt")).as("n_tokens"))
+  }
+
+  /** Stratified [[stableSample]]: the per-stratum rate arrives as a
+    * COLUMN (joined from a tiny rates dim), so one pass samples every
+    * stratum at its own rate — the language/domain rebalancing pass of
+    * corpus curation. Same hash discipline as [[stableSample]]:
+    * reproducible across engines, reruns and partitioning. */
+  def stableSample(key: Column, pctCol: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int") * 100 < pctCol * 65536
 
   /** Batch sessionization: cut per-key sessions at inactivity gaps longer
     * than `gapSeconds`, via the lag + running-sum assignment. `tie` must

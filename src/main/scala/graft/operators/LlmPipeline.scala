@@ -572,6 +572,66 @@ object LlmPipeline {
           graft.Engine.stableSample(col("doc_id"), 5), n = 8))
     },
 
+    // Q90c (beyond-survey) — CHUNK-LEVEL corpus dedup with order-
+    // preserving reassembly (the CCNet/RefinedWeb line-dedup pass, over
+    // 5-word windows since this corpus has no newlines): only the FIRST
+    // corpus-wide occurrence of each distinct chunk survives, and each
+    // document is rebuilt from its surviving chunks in order. Delegates
+    // to Engine.dedupChunks — first-occurrence is min(struct(id,pos))
+    // per chunk (map-side-combined hash agg, skew-safe where the naive
+    // window-over-chunk is not; scale rationale at the operator).
+    Q("q90c_chunk_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |c0 AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(0, (len(w) - 1) // 5),
+        |    i -> {'pos': i, 'chunk':
+        |      array_to_string(w[i * 5 + 1 : i * 5 + 5], ' ')})) AS u
+        |  FROM w),
+        |c AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.chunk AS chunk
+        |  FROM c0),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM c)
+        |SELECT doc_id, CAST(count(*) AS INT) AS total_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT)
+        |    AS kept_chunks,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |    ORDER BY pos), '') AS text_dedup
+        |FROM r GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, total_chunks NULLS FIRST,
+        |  kept_chunks NULLS FIRST, text_dedup NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.dedupChunks(
+          Tables.t(s, dir, "documents"), "doc_id", "text", chunkWords = 5))
+    },
+
+    // Q93d (beyond-survey) — SEQUENCE PACKING: assign documents to
+    // 512-token context windows per source shard (the batch-prep pass
+    // between curation and training), via Engine.packSequences. The
+    // running token count is a window PARTITIONED BY the shard — real
+    // packers work per input shard, which is also exactly what avoids
+    // the single-partition global-window cliff at 100 TB. Token count =
+    // whitespace tokens (the q93b BPE-ish count composes the same way).
+    Q("q93d_pack_sequences",
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |s AS (SELECT source, nt,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+        |    AS start FROM d)
+        |SELECT source AS shard, CAST(start // 512 AS INT) AS seq_id,
+        |  CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2
+        |ORDER BY shard NULLS FIRST, seq_id NULLS FIRST,
+        |  n_docs NULLS FIRST, n_tokens NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.packSequences(Tables.t(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          size(split(col("text"), " ")), capTokens = 512))
+    },
+
     // Q91d (beyond-survey) — FUZZY (edit-distance-1) join via DELETION
     // NEIGHBORHOODS (the FastSS blocking): the typo-variant detection
     // pass of vocabulary cleanup. Each term emits itself plus every

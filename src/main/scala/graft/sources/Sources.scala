@@ -304,6 +304,31 @@ object Sources {
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
     },
 
+    // Q09b (beyond-survey) — STRATIFIED stable sampling: the language /
+    // domain REBALANCING pass of corpus curation (up-weight scarce
+    // strata, down-weight dominant ones), q09's hash discipline with the
+    // rate joined per-stratum from a tiny dim table. Plan: broadcast the
+    // rates (bounded config, not data) + a pure per-row filter — zero
+    // shuffles, reproducible across engines/reruns/partitioning.
+    // Spark's sampleBy() is partition-RNG based and neither.
+    Q("q09b_stratified_sample",
+      """WITH rates(lang, rate_pct) AS (VALUES
+        |  ('en', 10), ('de', 40), ('es', 40), ('fr', 40), ('zh', 80))
+        |SELECT d.doc_id AS doc_id, d.lang AS lang FROM documents d
+        |JOIN rates r ON d.lang = r.lang
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |  AS INT) * 100 < r.rate_pct * 65536
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val rates = s.createDataFrame(Seq(
+          ("en", 10), ("de", 40), ("es", 40), ("fr", 40), ("zh", 80)))
+          .toDF("lang", "rate_pct")
+        orderAll(Tables.t(s, dir, "documents")
+          .join(broadcast(rates), Seq("lang"))
+          .filter(graft.Engine.stableSample(col("doc_id"), col("rate_pct")))
+          .select(col("doc_id"), col("lang")))
+    },
+
     // Q06 — streaming file source → streaming parquet sink, exactly-once:
     // the file sink's _spark_metadata commit log plus the checkpoint offset
     // log reproduce the reference's fsync-then-atomic-rename cursor commit

@@ -170,4 +170,58 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got5 == Set(2L, 3L))
   }
+
+  test("dedupChunks: first occurrence survives, reassembly preserves order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // chunks (K=2): "a b", "c d"
+      (2L, "c d a b"),  // both chunks already seen in doc 1 -> empty
+      (3L, "a b x y"),  // "a b" dup, "x y" fresh
+      (4L, "z"))        // single short tail chunk
+      .toDF("doc_id", "text")
+    val got = Engine.dedupChunks(docs, "doc_id", "text", chunkWords = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2, 2, "a b c d")),
+      2L -> ((2, 0, "")),
+      3L -> ((2, 1, "x y")),
+      4L -> ((1, 1, "z"))))
+    // idempotence: rerunning on the deduped text removes nothing further
+    val round2 = Engine.dedupChunks(
+      Engine.dedupChunks(docs, "doc_id", "text", 2)
+        .filter(col("text_dedup") =!= "")
+        .select(col("doc_id"), col("text_dedup").as("text")),
+      "doc_id", "text", 2)
+    assert(round2.filter(col("kept_chunks") =!= col("total_chunks")).count() == 0)
+  }
+
+  test("packSequences: shards pack independently, capacity bounds sequence starts") {
+    import spark.implicits._
+    val docs = Seq(
+      // shard s0: tokens 6,6,6 with cap 10 -> starts 0,6,12 -> seqs 0,0,1
+      ("s0", 1L, 6L), ("s0", 2L, 6L), ("s0", 3L, 6L),
+      // shard s1: one oversized doc still lands in seq 0
+      ("s1", 1L, 25L), ("s1", 2L, 5L))
+      .toDF("shard", "id", "nt")
+    val got = Engine.packSequences(docs, col("shard"), col("id"),
+        col("nt"), capTokens = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("s0", 0) -> ((2, 12L)), ("s0", 1) -> ((1, 6L)),
+      ("s1", 0) -> ((1, 25L)), ("s1", 2) -> ((1, 5L))))
+  }
+
+  test("stratified stableSample: per-stratum rate column matches the scalar form") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    // constant rate column == scalar overload, row for row
+    val viaCol = docs.filter(Engine.stableSample(col("doc_id"), lit(10)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaInt = docs.filter(Engine.stableSample(col("doc_id"), 10))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaCol == viaInt && viaCol.nonEmpty)
+  }
 }
