@@ -550,6 +550,24 @@ object Engine {
         .as("value_filled"))
   }
 
+  /** Z-ORDER key: interleaves the low `bits` bits of two non-negative
+    * integer columns (a on even positions, b on odd), so sorting by the
+    * result clusters rows that are close in BOTH dimensions into the
+    * same files. Parquet keeps per-file/row-group min-max stats per
+    * column; under a z-ordered layout a 2-D box predicate overlaps few
+    * files' [min,max] ranges in EITHER dimension — a linear sort prunes
+    * on its one sort column only and reads everything for a filter on
+    * the other (EngineSpec measures exactly this). Skewed or sparse
+    * domains should be rank-compacted before interleaving; TPC-H-style
+    * dense surrogate keys are already the ideal input. */
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31)
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Small-file COMPACTION for a partitioned parquet layout — the
     * maintenance pass every long-running partitioned sink needs (the
     * slot pipeline emits one file per task per tick; a year of 15-min

@@ -17,7 +17,64 @@ import graft.Canon.{orderAll, sumDec, sumDecSql}
   */
 object Joins {
 
+  /** Runs `body` with Catalyst's RUNTIME BLOOM-FILTER injection forced to
+    * fire at test scale, restoring every conf afterwards. The production
+    * defaults only inject when the probe-side scan exceeds 10 GB — the
+    * exact regime a 100 TB fact table lives in permanently — so at sf0.01
+    * the thresholds are lowered to demonstrate (and plan-assert) the
+    * shape; autoBroadcast is disabled because the rule targets shuffle
+    * joins (a broadcast join already filters at the scan via its build
+    * side). */
+  def withBloomFilterConfs[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally old.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  /** The q20c join body (shared with PlanSpec's bloom assertion): fact
+    * lineitem ⋈ a 1/5-selective orders dim. Under runtime filtering,
+    * Catalyst builds a bloom filter over the filtered dim's join keys
+    * and pushes a might_contain probe into the fact scan — rows that
+    * cannot join die at the scan instead of riding the shuffle, which
+    * is the difference between shuffling 100 TB and shuffling the ~20%
+    * that survives. */
+  def bloomJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice")).as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Q20c (beyond-survey) — runtime BLOOM-FILTER join: the semi-join
+    // reduction Catalyst injects at runtime for selective-dim ⋈ huge-fact
+    // plans. The builder materializes eagerly (localCheckpoint) so the
+    // execution provably runs under the forced-injection confs, which are
+    // restored before returning — the shared session never leaks them.
+    // PlanSpec asserts the bloom probe is present in this exact plan.
+    Q("q20c_bloom_join",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${sumDecSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority NULLS FIRST, n NULLS FIRST,
+         |  revenue NULLS FIRST""".stripMargin) { (s, dir) =>
+      withBloomFilterConfs(s) {
+        orderAll(bloomJoin(s, dir).localCheckpoint())
+      }
+    },
 
     // Q20 — inner equi-join (shuffle or broadcast, Catalyst's pick; the
     // broadcast-forced variant is Q25).

@@ -245,6 +245,36 @@ object Sources {
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
     },
 
+    // Q05c (beyond-survey) — Z-ORDER clustered layout: multi-dimensional
+    // data skipping for the 100 TB fact scan. Sorting by the interleaved
+    // bit key (Engine.zOrderKey) clusters rows close in BOTH l_partkey
+    // and l_suppkey into the same files, so a 2-D box predicate prunes
+    // by parquet min-max stats in either dimension — a linear sort only
+    // prunes its one sort column (EngineSpec measures the file-count
+    // difference). The oracle is the same box filter on the original
+    // table: the clustered copy must be lossless. 8 range partitions
+    // here; at scale the partition count tracks total size / file size.
+    Q("q05c_zorder_layout",
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 2 AND 5
+        |ORDER BY l_orderkey NULLS FIRST, l_partkey NULLS FIRST,
+        |  l_suppkey NULLS FIRST, l_quantity NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val out = IO.scratch("q05c_zorder", dir)
+        Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+          .withColumn("__z",
+            graft.Engine.zOrderKey(col("l_partkey"), col("l_suppkey")))
+          .repartitionByRange(8, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(out)
+        orderAll(s.read.parquet(out)
+          .filter(col("l_partkey").between(100, 500) &&
+            col("l_suppkey").between(2, 5)))
+    },
+
     // Q07 (beyond-survey) — the custom DSv2 slot-catalog source
     // (CatalogSource): range predicates and limits push INTO the source,
     // the remote-catalog-scan analog of eumdacapi.py:30-43. The pushed

@@ -171,6 +171,37 @@ class EngineSpec extends AnyFunSuite {
     assert(got5 == Set(2L, 3L))
   }
 
+  test("zOrderKey: bit interleaving and 2-D file pruning beat a linear sort") {
+    import spark.implicits._
+    // a=3 -> bits 0,1 -> even positions 0,2 = 5; b=1 -> odd position 1 = 2
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(Engine.zOrderKey(col("a"), col("b"), bits = 4))
+      .head().getLong(0)
+    assert(z == 7L)
+    // Layout comparison on a 256×256 grid, 16 files each. A 4096-row
+    // z-block is an axis-aligned 64×64 square of the grid, so the
+    // y < 16 stripe intersects only the 4 squares with y-block 0 —
+    // z-order confines the stripe to ~4 files (range-partition boundary
+    // sampling can clip a couple more), while the x-sorted linear layout
+    // has no y locality at all and the stripe rides every file.
+    val grid = spark.range(256L * 256)
+      .select((col("id") / 256).cast("long").as("x"),
+        (col("id") % 256).as("y"))
+    val zDir = graft.sources.IO.scratch("zorder-test", TestSpark.sfDir)
+    val linDir = graft.sources.IO.scratch("linear-test", TestSpark.sfDir)
+    grid.withColumn("__z", Engine.zOrderKey(col("x"), col("y"), bits = 8))
+      .repartitionByRange(16, col("__z")).sortWithinPartitions("__z")
+      .drop("__z").write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    def filesTouched(dir: String): Long = spark.read.parquet(dir)
+      .filter(col("y") < 16)
+      .select(input_file_name()).distinct().count()
+    val (zf, lf) = (filesTouched(zDir), filesTouched(linDir))
+    assert(lf == 16, s"linear layout should spread the stripe, got $lf")
+    assert(zf <= 6, s"z-order should confine the stripe, touched $zf files")
+  }
+
   test("dedupChunks: first occurrence survives, reassembly preserves order") {
     import spark.implicits._
     val docs = Seq(

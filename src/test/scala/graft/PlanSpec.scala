@@ -48,6 +48,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
   }
 
+  test("q20c: runtime bloom filter probe reaches the fact side") {
+    val p = operators.Joins.withBloomFilterConfs(spark) {
+      operators.Joins.bloomJoin(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(p.toLowerCase.contains("bloom_filter"),
+      s"expected an injected bloom_filter probe in:\n$p")
+    // and the confs were restored: a rebuilt plan has no bloom probe
+    val p2 = operators.Joins.bloomJoin(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p2.toLowerCase.contains("bloom_filter"), p2)
+  }
+
   test("q24: the theta-join semantics plan with no nested-loop join") {
     val p = planOf("q24_theta_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
