@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig,
+  ValueState}
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 import graft.Canon.{orderAll, sumDec, sumDecSql}
@@ -256,6 +258,57 @@ object Streams {
             timestamp_micros(col("last_ts")).as("last_ts"), col("n_slots")))
     },
 
+    // Q75b (beyond-survey) — the STATE API v2 (transformWithState,
+    // Spark 4) on the RocksDB provider (which the API requires, and
+    // which is the deployment-scale backend anyway: state lives in
+    // native memory + disk, not the executor heap). Per user, a typed
+    // ValueState carries (count, exact-decimal sum in 6-dp micro-units
+    // — the sumDec discipline INSIDE a processor, so accumulation is
+    // integer-exact and order-free) and a MapState carries per-type
+    // counts. Update-mode emissions are logged per batch; the LAST
+    // emission per user must equal the batch oracle.
+    Q("q75b_transform_with_state",
+      s"""SELECT user_id, count(*) AS n_events,
+         |  ${sumDecSql("value")} AS sum_value,
+         |  count(DISTINCT event_type) AS n_types
+         |FROM events GROUP BY user_id
+         |ORDER BY user_id NULLS FIRST, n_events NULLS FIRST,
+         |  sum_value NULLS FIRST, n_types NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val stream = Sources.eventsStream(s, dir, 4, Some(1))
+            .selectExpr("user_id", "value", "event_type")
+            .as[(Long, Double, String)]
+          val updates = stream.groupByKey(_._1)
+            .transformWithState(new UserAggProcessor,
+              TimeMode.None(), OutputMode.Update())
+          val out = viaForeachBatch("q75b_tws", dir, updates.toDF(),
+            "update") { (b, id) =>
+            b.withColumn("batch_id", lit(id)).write.mode("append")
+              .parquet(IO.scratchPath("q75b_tws", dir) + "/log")
+          }
+          val log = s.read.parquet(s"$out/log")
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("batch_id").desc)
+          orderAll(log
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), col("n_events"),
+              // sum_micros <= 2^53, so double division is the nearest
+              // double of the exact decimal — identical to the oracle's
+              // CAST(decimal AS DOUBLE)
+              (col("sum_micros") / lit(1000000L)).as("sum_value"),
+              col("n_types")))
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+    },
+
     // Q76 — stream-static join (slot-vs-catalog matching, A6): the event
     // stream joins the static customer dim (broadcast — the dim is small
     // and the join is stateless, so append mode passes rows through).
@@ -435,3 +488,49 @@ object CursorState {
 /** Q75 per-batch emission. */
 final case class CursorOut(user_id: Long, n_events: Long, first_ts: Long,
     last_ts: Long, n_slots: Long)
+
+/** Q75b per-batch emission (state API v2). `sum_micros` is the running
+  * sum in exact 6-dp integer micro-units. */
+final case class AggSnap(user_id: Long, n_events: Long, sum_micros: Long,
+    n_types: Long)
+
+/** Q75b processor: per-user running aggregate on the v2 typed state
+  * primitives — ValueState[(count, micro-sum)] + MapState[type, count].
+  * Addition is integer-exact so accumulation order (undefined within a
+  * batch) cannot change the answer; Math.addExact turns a hypothetical
+  * overflow into a loud failure instead of a silent wrap. */
+final class UserAggProcessor
+    extends StatefulProcessor[Long, (Long, Double, String), AggSnap] {
+  import org.apache.spark.sql.Encoders
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+  @transient private var types: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    types = getHandle.getMapState("types",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** 6-dp HALF_UP micro-units — bit-for-bit the `sumDec` grid (Spark's
+    * double→DECIMAL(38,6) cast also rounds HALF_UP; a double can never
+    * sit exactly on a 1e-7 half-boundary, so the engines cannot split). */
+  private def micros(v: Double): Long =
+    (BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      * 1000000).toLongExact
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Double, String)],
+      timerValues: TimerValues): Iterator[AggSnap] = {
+    var (n, sum) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, v, t) =>
+      n += 1
+      sum = Math.addExact(sum, micros(v))
+      types.updateValue(t,
+        (if (types.containsKey(t)) types.getValue(t) else 0L) + 1L)
+    }
+    totals.update((n, sum))
+    Iterator.single(AggSnap(key, n, sum, types.keys().size.toLong))
+  }
+}
