@@ -55,7 +55,67 @@ object Joins {
       .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice")).as("revenue"))
   }
 
+  /** Creates (once per sf dir) two BUCKETED external parquet tables —
+    * lineitem and orders, both bucketed 8 ways on the order key with
+    * in-bucket sort — and returns them. Bucketing is the write-time
+    * co-location contract: both sides hash-partition identically on
+    * disk, so an equi-join on the bucket key needs NO exchange at read
+    * time. At 100 TB this is THE difference between re-shuffling the
+    * fact table on every join and shuffling it once at ingest; the
+    * bucket count scales with cluster parallelism there (8 matches this
+    * harness). Shared with PlanSpec, which asserts the bare join plans
+    * with zero shuffle exchanges. */
+  def bucketedTables(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val (liT, oT) = (s"g_li_bucketed_$tag", s"g_o_bucketed_$tag")
+    if (!s.catalog.tableExists(liT)) {
+      val out = graft.sources.IO.scratch(s"q20d_bucketed", dir)
+      Tables.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(col("l_orderkey")) // one writer task per bucket set
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$out/lineitem").saveAsTable(liT)
+      Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$out/orders").saveAsTable(oT)
+    }
+    (s.table(liT), s.table(oT))
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Q20d (beyond-survey) — BUCKETED co-located join: both sides are
+    // written bucketed 8 ways on the order key, so the equi-join reads
+    // bucket i against bucket i with no exchange on either side
+    // (PlanSpec asserts the bare join has zero shuffles; the only
+    // exchange in this query feeds the final aggregate). Broadcast is
+    // disabled during execution so the plan demonstrates the co-located
+    // sort-merge shape a 100 TB fact-fact join must take; eager
+    // materialization keeps the conf scoped, q20c-style.
+    Q("q20d_bucketed_join",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${sumDecSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority NULLS FIRST, n NULLS FIRST,
+         |  revenue NULLS FIRST""".stripMargin) { (s, dir) =>
+      val (li, o) = bucketedTables(s, dir)
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "-1")
+      try orderAll(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sumDec(col("l_extendedprice")).as("revenue"))
+          .localCheckpoint())
+      finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    },
 
     // Q20c (beyond-survey) — runtime BLOOM-FILTER join: the semi-join
     // reduction Catalyst injects at runtime for selective-dim ⋈ huge-fact

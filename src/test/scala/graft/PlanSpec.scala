@@ -61,6 +61,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.toLowerCase.contains("bloom_filter"), p2)
   }
 
+  test("q20d: the bucketed join plans with ZERO shuffle exchanges") {
+    val (li, o) = operators.Joins.bucketedTables(spark, TestSpark.sfDir)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            exchanges(a.initialPlan)
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            1
+        }.sum
+      assert(exchanges(plan) == 0,
+        s"bucketed join must not exchange either side:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"), plan.toString)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("q24: the theta-join semantics plan with no nested-loop join") {
     val p = planOf("q24_theta_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
