@@ -206,6 +206,47 @@ object Windows {
         .withColumnRenamed("key", "user_id"))
     },
 
+    // Q49 (beyond-survey) — RUNNING DISTINCT COUNT over a window: per
+    // customer, how many distinct order priorities have been seen up to
+    // each order. Spark (like most engines) rejects count(DISTINCT) in
+    // a window frame; the standard loss-free rewrite is first-occurrence
+    // flags (row_number over (key, value) = 1) summed by a running
+    // frame over the key. Both engines run the SAME rewrite, so parity
+    // checks the formulation end to end. Cost is two hash exchanges —
+    // (key, value) then (key) — each a plain partitioned window; there
+    // is no single-exchange form of this operator without carrying a
+    // per-row distinct set in the frame (which is exactly what engines
+    // refuse to do).
+    Q("q49_window_distinct",
+      """WITH f AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) = 1
+        |    THEN 1 ELSE 0 END AS first_seen
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(first_seen) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS n_priorities
+        |FROM f
+        |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST,
+        |  o_orderdate NULLS FIRST, n_priorities NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val wFirst = Window
+          .partitionBy(col("o_custkey"), col("o_orderpriority"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wRun = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orderAll(Tables.t(s, dir, "orders")
+          .withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1).otherwise(0))
+          .withColumn("n_priorities",
+            sum(col("first_seen")).over(wRun).cast("int"))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "n_priorities"))
+    },
+
     // Q48 (beyond-survey) — slot GAP-FILL with linear interpolation: the
     // reference's fixed 15-min cadence (meteosat.py:88-93) produces gaps
     // when a slot has no product (its stall path); downstream consumers
