@@ -632,6 +632,50 @@ object LlmPipeline {
           size(split(col("text"), " ")), capTokens = 512))
     },
 
+    // Q95d (beyond-survey) — UNIGRAM-LM QUALITY SCORE (the CCNet
+    // LM-perplexity filter, with the corpus's own unigram model standing
+    // in for the external KenLM): per document, the mean negative log
+    // probability of its tokens under p(t) = cnt(t)/total. High scores =
+    // improbable token streams = filtration candidates. Determinism: ln
+    // over identical doubles is identical (the q93c idf discipline); the
+    // per-doc sum routes each tf·ln(p) term through DECIMAL(38,6) so
+    // accumulation is exact and order-free; the final -, /, round tree
+    // is the same IEEE op sequence in both engines. Scale shape: tf is
+    // a (doc,token) hash agg (map-side combined); the vocab with counts
+    // is a broadcastable dim (fixed vocabulary vs a growing corpus);
+    // the scalar total rides a broadcast 1-row cross join — no driver
+    // collect, no unpartitioned window.
+    Q("q95d_lm_score",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(- CAST(sum(CAST(CAST(tf AS DOUBLE) *
+        |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |      AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(sum(tf) AS DOUBLE), 6) AS avg_neg_logp
+        |FROM tf JOIN vocab USING (t) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST,
+        |  avg_neg_logp NULLS FIRST""".stripMargin) { (s, dir) =>
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).as("total"))
+      val term = col("tf").cast(DoubleType) *
+        log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
+      orderAll(tf.join(broadcast(vocab), Seq("t"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          round(-(sum(term.cast(org.apache.spark.sql.types
+              .DecimalType(38, 6))).cast(DoubleType)) /
+            sum(col("tf")).cast(DoubleType), 6).as("avg_neg_logp")))
+    },
+
     // Q91d (beyond-survey) — FUZZY (edit-distance-1) join via DELETION
     // NEIGHBORHOODS (the FastSS blocking): the typo-variant detection
     // pass of vocabulary cleanup. Each term emits itself plus every

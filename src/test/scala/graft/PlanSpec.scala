@@ -82,6 +82,16 @@ class PlanSpec extends AnyFunSuite {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("q44: the rank filter pushes a partial WindowGroupLimit below the shuffle") {
+    // Spark's WindowGroupLimit rewrite turns row_number()<=k into a
+    // per-partition top-k BEFORE the exchange — the skew armor for
+    // top-k-per-group at scale (a hot group ships k rows per map task,
+    // not its whole partition).
+    val p = planOf("q44_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("q24: the theta-join semantics plan with no nested-loop join") {
     val p = planOf("q24_theta_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
