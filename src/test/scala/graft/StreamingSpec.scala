@@ -101,6 +101,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("transformWithState keeps typed state across a restart (state API v2)") {
+    // The v2 analog of the cursor-replay guarantee: ValueState/MapState
+    // written under the RocksDB provider must survive a stop + restart
+    // from the checkpoint, so the post-restart emission continues the
+    // pre-restart totals instead of starting from zero.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val root = graft.sources.IO.scratch("tws_restart_test", "spec")
+      val input = MemoryStream[(Long, Double, String)]
+      def start() = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.UserAggProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id)).write.mode("append")
+            .parquet(s"$root/log")
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("update").start()
+      val q1 = start()
+      input.addData((1L, 1.5, "click"), (1L, 2.0, "view"), (2L, 3.0, "click"))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start() // fresh query, same checkpoint + state store
+      try {
+        input.addData((1L, 0.5, "click"))
+        q2.processAllAvailable()
+        val last = spark.read.parquet(s"$root/log")
+          .filter(col("user_id") === 1L)
+          .orderBy(col("batch_id").desc).limit(1)
+          .collect().head
+        assert(last.getAs[Long]("n_events") == 3L)
+        assert(last.getAs[Long]("sum_micros") == 4000000L) // 1.5+2.0+0.5
+        assert(last.getAs[Long]("n_types") == 2L)
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("Trigger.ProcessingTime fires repeated wall-clock micro-batches (A1)") {
     // The reference's defining cadence (`main.py:28-29`: an interval
     // trigger) — every other suite runs AvailableNow, so this is the one
