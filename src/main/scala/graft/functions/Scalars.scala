@@ -261,5 +261,29 @@ object Scalars {
           .getField("k") * 2).as("k2"),
         to_json(struct(k.as("k"))).as("js"))
         .orderBy(col("event_id").asc_nulls_first)
+    },
+
+    // Q65b (beyond-survey) — the VARIANT type (Spark 4): semi-structured
+    // ingestion without a declared schema. parse_json builds the binary
+    // variant encoding ONCE per row at ingest; typed paths are then
+    // extracted with variant_get (shredded access, no per-query JSON
+    // re-parse — at 100 TB the difference between parsing strings on
+    // every read and walking a binary tree), with try_variant_get as the
+    // corrupt-path null-safe form. The oracle reads the same paths with
+    // DuckDB's JSON extraction — typed results must agree exactly.
+    Q("q65b_variant",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS k1,
+        |  CAST(NULL AS DOUBLE) AS missing
+        |FROM events
+        |ORDER BY event_id NULLS FIRST, k NULLS FIRST, k1 NULLS FIRST,
+        |  missing NULLS FIRST""".stripMargin) { (s, dir) =>
+      val v = parse_json(col("props"))
+      orderAll(Tables.t(s, dir, "events").select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k"),
+        (variant_get(v, "$.k", "bigint") + 1).as("k1"),
+        try_variant_get(v, "$.absent", "double").as("missing")))
     })
 }
