@@ -299,6 +299,22 @@ object Engine {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** DEDUP MATERIALIZATION: the step that actually produces the cleaned
+    * corpus from a near-dup pair list — keep every row that is either in
+    * no duplicate cluster or is its cluster's canonical representative
+    * (the minimum id, via [[nearDupClusters]]). All original columns
+    * survive. Scale shape: the cluster table holds only docs that
+    * appear in a pair (small relative to the corpus at realistic dup
+    * rates), so the left join broadcasts or AQE-plans cheaply; the
+    * corpus is scanned once. */
+  def applyDedup(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+      .withColumnRenamed("doc_id", "__cm_id")
+    df.join(clusters, df(id) === col("__cm_id"), "left")
+      .filter(col("cluster_id").isNull || df(id) === col("cluster_id"))
+      .drop("__cm_id", "cluster_id")
+  }
+
   /** Exact top-k cosine of a bounded query set against a corpus; the
     * query side is broadcast. Returns (query_id, rnk, vec_id, cos_sim)
     * with deterministic (cos DESC, id ASC) tie-break. For unbounded query

@@ -133,6 +133,22 @@ object LlmPipeline {
         neardupPairs(s, dir).select("doc_a", "doc_b")))
     },
 
+    // Q91e (beyond-survey) — DEDUP MATERIALIZATION: the pass that
+    // actually EMITS the cleaned corpus (q91/q91b stop at pairs and
+    // cluster labels) — keep docs in no cluster plus each cluster's
+    // minimum-id representative. Same banding-recall triage note as
+    // q91: the oracle's pair set is exact all-pairs while the operator's
+    // is banded MinHash (miss prob ≈ 2e-4 at J=0.8); a divergence on
+    // fresh data is recall, not logic, until the band collisions say
+    // otherwise. Scale: the cluster table is small (only docs appearing
+    // in pairs), the corpus is scanned once.
+    Q("q91e_apply_dedup", applyDedupOracleSql) { (s, dir) =>
+      orderAll(graft.Engine.applyDedup(
+          Tables.t(s, dir, "documents"), "doc_id",
+          neardupPairs(s, dir).select("doc_a", "doc_b"))
+        .select("doc_id", "lang", "source"))
+    },
+
     // Q91c (beyond-survey) — n-gram Jaccard similarity join via PREFIX
     // FILTERING (AllPairs/PPJoin family): the deterministic-recall
     // complement to Q91's MinHash. One global (df ASC, n-gram ASC) order,
@@ -966,9 +982,10 @@ object LlmPipeline {
     graft.Engine.minHashNearDups(
       Tables.t(s, dir, "documents"), "doc_id", "text")
 
-  /** DuckDB oracle for Q91b: exact all-pairs near-dup edges + recursive
-    * transitive closure; cluster id = min reachable doc_id. */
-  private def neardupClustersOracleSql: String =
+  /** Shared CTE prefix for Q91b/Q91e: exact all-pairs near-dup edges +
+    * recursive transitive closure, ending in `clu(doc_id, cluster_id)`
+    * with cluster id = min reachable doc_id. */
+  private def neardupClusterCtes: String =
     s"""WITH RECURSIVE
        |sh AS (SELECT doc_id, $shinglesSql AS sv FROM documents),
        |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
@@ -986,10 +1003,25 @@ object LlmPipeline {
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
        |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |FROM reach GROUP BY a
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |clu AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a)""".stripMargin
+
+  /** DuckDB oracle for Q91b. */
+  private def neardupClustersOracleSql: String =
+    s"""$neardupClusterCtes
+       |SELECT doc_id, cluster_id FROM clu
        |ORDER BY doc_id NULLS FIRST, cluster_id NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q91e: the deduped corpus — rows in no cluster or
+    * canonical (minimum-id) in theirs. */
+  private def applyDedupOracleSql: String =
+    s"""$neardupClusterCtes
+       |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+       |FROM documents d
+       |LEFT JOIN clu ON d.doc_id = clu.doc_id
+       |WHERE clu.cluster_id IS NULL OR d.doc_id = clu.cluster_id
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   /** DuckDB oracle for Q92b: identical bucketing + cosine ≥ 0.3 pairs. */
   private def cosineNeardupOracleSql: String =

@@ -173,4 +173,44 @@ object AlgebraProps extends Properties("algebra") {
         thresholdPct = pct, ngramWords = 2)
       bag(naive) == bag(fast)
     }
+
+  property("packSequences conserves docs and tokens at any partitioning") =
+    forAll(
+      Gen.listOfN(30, for {
+        sh <- Gen.oneOf("s0", "s1", "s2")
+        nt <- Gen.chooseNum(1L, 40L)
+      } yield (sh, nt)),
+      Gen.oneOf(16, 64), parts) { (xs, cap, n) =>
+      import spark.implicits._
+      val docs = xs.zipWithIndex
+        .map { case ((sh, nt), i) => (sh, i.toLong, nt) }
+        .toDF("shard", "id", "nt").repartition(n)
+      val packed = Engine.packSequences(docs, col("shard"), col("id"),
+        col("nt"), capTokens = cap).collect()
+      val docsOk = packed.map(_.getInt(2).toLong).sum == xs.length.toLong
+      val toksOk = packed.map(_.getLong(3)).sum == xs.map(_._2).sum
+      // a sequence never STARTS beyond the cumulative shard total / cap
+      val seqOk = packed.forall(_.getInt(1) >= 0)
+      docsOk && toksOk && seqOk
+    }
+
+  property("dedupChunks conserves chunks: distinct survive once, totals add up") =
+    forAll(
+      Gen.listOfN(12, Gen.listOfN(Gen.choose(1, 9).sample.getOrElse(4),
+        Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))),
+      parts) { (texts, n) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(n)
+      val out = Engine.dedupChunks(docs, "doc_id", "text", chunkWords = 2)
+        .collect()
+      val allChunks = texts.flatMap { t =>
+        t.split(" ").grouped(2).map(_.mkString(" ")).toList
+      }
+      val keptOk = out.map(_.getInt(2).toLong).sum ==
+        allChunks.distinct.length.toLong
+      val totalOk = out.map(_.getInt(1).toLong).sum ==
+        allChunks.length.toLong
+      keptOk && totalOk
+    }
 }

@@ -214,6 +214,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("global audit: no CartesianProduct anywhere; BNLJ only where intended") {
+    // Sweep every LAZILY-built registry query's executed plan for the
+    // two scale-killers. Excluded: queries whose builders execute side
+    // effects on build (sources/streaming write or stream on build;
+    // q20c/q20d materialize eagerly under scoped confs; q91b/q91e run
+    // the iterative clustering loop) — those have targeted assertions
+    // or return read-back scans whose plans carry no join at all.
+    val eager = Set("q20c_bloom_join", "q20d_bucketed_join",
+      "q91b_neardup_clusters", "q91e_apply_dedup")
+    val sideEffecting = (n: String) =>
+      n.startsWith("q0") || n.startsWith("q7") || eager(n)
+    // BNLJ allowlist — every entry is a crossJoin whose broadcast side
+    // is BOUNDED by construction (the legitimate BNLJ): q23 an intended
+    // 5×25 cross join; q92 a bounded query set; q33b/q93c/q95d a 1-row
+    // scalar (sketch union / corpus size / token total); q48 the
+    // bounds-row × distinct-keys spine; q99b the 8-centroid seed set.
+    val bnljOk = Set("q23_cross_join", "q92_cosine_topk",
+      "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
+      "q99b_ivf_ann")
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
+    assert(names.size >= 80, s"audit should cover the bulk: ${names.size}")
+    val bad = names.flatMap { n =>
+      val p = planOf(n)
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljOk(n)
+      if (cart || bnlj)
+        Some(s"$n: cartesian=$cart unexpected-bnlj=$bnlj")
+      else None
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
