@@ -334,6 +334,32 @@ object Engine {
       .select("query_id", "rnk", "vec_id", "cos_sim")
   }
 
+  /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most
+    * similar corpus vectors carrying a DIFFERENT label — the batch-prep
+    * pass for contrastive/embedding training (the best negatives are the
+    * near-misses, not random draws). Same plan as [[cosineTopK]] (the
+    * bounded query set broadcasts; scoring via the codegen cosine
+    * expression) with the label-mismatch filter applied BEFORE ranking;
+    * the bucketed-ANN cutover composes identically for unbounded query
+    * sets. Deterministic (cos DESC, id ASC) tie-break. */
+  def hardNegatives(corpus: DataFrame, id: String, vec: String,
+      label: String, queries: DataFrame, qid: String, qvec: String,
+      qlabel: String, k: Int): DataFrame = {
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    val scored = corpus
+      .select(col(id).as("vec_id"), col(vec).as("__e"), col(label).as("__l"))
+      .crossJoin(broadcast(queries.select(col(qid).as("query_id"),
+        col(qvec).as("__qe"), col(qlabel).as("__ql"))))
+      .filter(col("__l") =!= col("__ql"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("cosine_sim(__qe, __e)"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
   /** Backward as-of match in a single window pass (the scale-safe form of
     * q26 — no join, no candidate explosion under skew): rows where
     * `isTarget` holds are matched to the most recent NON-target row of

@@ -211,6 +211,37 @@ object LlmPipeline {
         e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
     },
 
+    // Q92e (beyond-survey) — contrastive HARD-NEGATIVE mining: per query
+    // vector, the 3 most similar corpus vectors with a DIFFERENT label
+    // (near-miss negatives — the pairs contrastive training actually
+    // wants). Engine.hardNegatives = the q92 broadcast-and-rank plan
+    // with the label-mismatch filter before ranking; the q99 bucketed
+    // cutover composes identically for unbounded query sets.
+    Q("q92e_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    label AS ql
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS vec_id,
+         |    round(${Similarity.cosineSql("qe", "e.embedding")}, 6)
+         |      AS cos_sim
+         |  FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql),
+         |ranked AS (SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
+         |  vec_id NULLS FIRST, cos_sim NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.t(s, dir, "embeddings")
+        orderAll(graft.Engine.hardNegatives(
+          e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+          k = 3))
+    },
+
     // Q92b (beyond-survey) — embedding-cosine NEAR-DUP: the dedup framing
     // of similarity search. Candidate pairs come from the same 8-bit
     // bucketing as Q99 (never all-pairs — at 100 TB candidates are
