@@ -231,6 +231,7 @@ class PlanSpec extends AnyFunSuite {
     // scalar (sketch union / corpus size / token total); q48 the
     // bounds-row × distinct-keys spine; q99b the 8-centroid seed set.
     val bnljOk = Set("q23_cross_join", "q92_cosine_topk",
+      "q92e_hard_negatives", // bounded query set, same plan as q92
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q99b_ivf_ann")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
