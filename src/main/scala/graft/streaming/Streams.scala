@@ -325,6 +325,30 @@ object Streams {
       orderAll(toParquet(s, "q76_stream_static_join", dir, joined))
     },
 
+    // Q76b (beyond-survey) — stream-static ANTI join: streaming
+    // BLOCKLIST filtering (the streaming form of the q90b/compliance
+    // removal pass) — events whose user sits on a static blocklist
+    // (here: the stable 10% hash sample of customers) never reach the
+    // sink. left_anti against a broadcast static dim is STATELESS in
+    // streaming — no watermark, no state store; the per-trigger cost is
+    // the probe only, which is why a blocklist check belongs in the
+    // stream rather than as a post-pass at 100 TB.
+    Q("q76b_stream_anti_join",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id NOT IN (SELECT c_custkey FROM customer
+        |  WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+        |    AS INT) * 100 < 10 * 65536)
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
+        |  value NULLS FIRST""".stripMargin) { (s, dir) =>
+      val block = broadcast(Tables.t(s, dir, "customer")
+        .filter(graft.Engine.stableSample(col("c_custkey"), 10))
+        .select(col("c_custkey")))
+      val stream = Sources.eventsStream(s, dir, 4, Some(1))
+        .join(block, col("user_id") === col("c_custkey"), "left_anti")
+        .select("event_id", "user_id", "value")
+      orderAll(toParquet(s, "q76b_stream_anti", dir, stream))
+    },
+
     // Q78 (beyond-survey) — stream-STREAM interval join: purchases match
     // clicks of the same user within the preceding 30 minutes, both
     // sides unbounded streams. Watermarks bound the join state (clicks
