@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.DoubleType
   *    stratified via a per-stratum rate column)
   *  - [[dedupChunks]] — chunk/line-level corpus dedup with
   *    order-preserving reassembly
+  *  - [[applyDedup]] — materialize the cleaned corpus from near-dup
+  *    pairs (cluster-representative selection)
   *  - [[packSequences]] — context-window packing by running token count
+  *  - [[hardNegatives]] — contrastive near-miss negative mining
+  *  - [[zOrderKey]] — interleaved-bit clustering key for 2-D data
+  *    skipping
   *  - [[sessionize]] — gap-cut sessions, one shuffle on the key
   *  - [[gapFill]] — dense slot series with linear interpolation
   *  - [[decontaminate]] — n-gram overlap vs a benchmark set
