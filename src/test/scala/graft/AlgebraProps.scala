@@ -194,6 +194,33 @@ object AlgebraProps extends Properties("algebra") {
       docsOk && toksOk && seqOk
     }
 
+  property("applyDedup keeps exactly the cluster minima plus all singletons") =
+    forAll(
+      Gen.listOf(for {
+        a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b))).map(_.distinct),
+      parts) { (edges, n) =>
+      import spark.implicits._
+      val ids = (0L to 14L).toList // ids 10-14 never appear in a pair
+      val docs = ids.map(i => (i, s"d$i")).toDF("doc_id", "payload")
+        .repartition(n)
+      // model: union-find over the same edges
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = ids.filter(i => find(i) == i).toSet
+      val kept =
+        if (edges.isEmpty) ids.toSet // no pairs -> everything survives
+        else Engine.applyDedup(docs, "doc_id", edges.toDF("doc_a", "doc_b"))
+          .collect().map(_.getLong(0)).toSet
+      kept == expect
+    }
+
   property("dedupChunks conserves chunks: distinct survive once, totals add up") =
     forAll(
       Gen.listOfN(12, Gen.listOfN(Gen.choose(1, 9).sample.getOrElse(4),
