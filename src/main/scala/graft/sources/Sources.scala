@@ -155,6 +155,72 @@ object Sources {
           col("info.bal").as("bal"), element_at(col("tags"), 1).as("tag0")))
     },
 
+    // Q01b (beyond-survey) — SCHEMA EVOLUTION read: a long-lived dataset
+    // whose later batches added a column. Two parquet batches with
+    // different schemas land in one directory; mergeSchema=true
+    // reconciles them at read (missing columns null-fill). At 100 TB a
+    // dataset is written over years — refusing to read mixed schemas is
+    // not an option, and the merge must happen at the footer level, not
+    // via a rewrite. The oracle reconstructs the same union from the
+    // source table.
+    Q("q01b_schema_evolution",
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+        |FROM documents WHERE doc_id < 250
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR), source
+        |FROM documents WHERE doc_id >= 250
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST,
+        |  source NULLS FIRST""".stripMargin) { (s, dir) =>
+      val out = IO.scratch("q01b_evolution", dir)
+      val docs = Tables.t(s, dir, "documents")
+      docs.filter(col("doc_id") < 250).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$out/b=1")
+      docs.filter(col("doc_id") >= 250).select("doc_id", "source")
+        .write.mode("overwrite").parquet(s"$out/b=2")
+      orderAll(s.read.option("mergeSchema", "true")
+        .parquet(s"$out/b=1", s"$out/b=2")
+        .select("doc_id", "lang", "source"))
+    },
+
+    // Q03b (beyond-survey) — CORRUPT-RECORD tolerance: PERMISSIVE JSON
+    // ingestion quarantines malformed lines into _corrupt_record instead
+    // of failing the job — at 100 TB of scraped input, malformed rows
+    // are a statistical certainty and one of them must never kill an
+    // ingest. Two broken lines are injected deterministically into a
+    // staged JSON dump; the query reports good vs quarantined counts
+    // (the good count verified against the source table).
+    Q("q03b_corrupt_json",
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |  CAST(2 AS BIGINT) AS n_corrupt
+        |FROM events WHERE event_id < 1000
+        |ORDER BY n_good NULLS FIRST, n_corrupt NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val out = IO.scratch("q03b_corrupt", dir)
+        Tables.t(s, dir, "events").filter(col("event_id") < 1000)
+          .select("event_id", "event_type")
+          .coalesce(1).write.mode("overwrite").json(out)
+        // inject malformed lines (a truncated object and raw garbage) as
+        // their own file — appending to a Spark-written part file would
+        // invalidate its .crc sidecar and fail the local-FS read
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "corrupt-extra.json"),
+          "{\"event_id\": 99999, \"event_type\"\nnot json at all\n")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("_bad", StringType)))
+        // referencing only the corrupt-record column of a raw scan is
+        // disallowed (the parser would have to re-run per column);
+        // materializing the parse first is the documented pattern
+        val read = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(out).cache()
+        orderAll(read.agg(
+          count(when(col("_bad").isNull, 1)).as("n_good"),
+          count(col("_bad")).as("n_corrupt")))
+    },
+
     // Q04 — binaryFile scan (multimodal-blob ingestion, A7–A9 analog): a
     // document subset is materialized as one UTF-8 blob file per doc by the
     // EXECUTORS (foreachPartition — no driver collect), scanned back as
@@ -243,6 +309,37 @@ object Sources {
       orderAll(s.read.parquet(compacted)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
+    },
+
+    // Q09c (beyond-survey) — WEIGHTED sampling without replacement
+    // (Efraimidis–Spirakis A-ES): keep the k rows minimizing
+    // -ln(u)/w, where u is a (0,1) uniform DERIVED FROM THE ROW's md5
+    // hash — so unlike RNG-based weighted sampling this is reproducible
+    // across engines, reruns and partitioning (the q09 discipline,
+    // weight-aware). Weights here are document lengths: longer docs
+    // proportionally likelier — the token-budget-aware corpus
+    // subsampling pass. The top-k is a global TakeOrderedAndProject
+    // (two-phase: per-partition k then merge k·parts rows — no global
+    // sort); ln/÷ parity across engines follows the q93c precedent, and
+    // the 6-dp round + id tie-break pins the boundary.
+    Q("q09c_weighted_sample",
+      """WITH keyed AS (SELECT doc_id, n_chars,
+        |  round(- ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 4) AS INT) + 1) / 65537.0)
+        |    / CAST(n_chars AS DOUBLE), 6) AS k
+        |  FROM documents)
+        |SELECT doc_id, n_chars, k FROM keyed
+        |ORDER BY k ASC NULLS FIRST, doc_id ASC NULLS FIRST,
+        |  n_chars NULLS FIRST
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int") + 1) / lit(65537.0)
+      val k = round(-log(u) / col("n_chars").cast("double"), 6)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), k.as("k"))
+        .orderBy(col("k").asc_nulls_first, col("doc_id").asc_nulls_first,
+          col("n_chars").asc_nulls_first)
+        .limit(25)
     },
 
     // Q05c (beyond-survey) — Z-ORDER clustered layout: multi-dimensional
