@@ -155,6 +155,31 @@ object Sources {
           col("info.bal").as("bal"), element_at(col("tags"), 1).as("tag0")))
     },
 
+    // Q03c (beyond-survey) — XML round-trip (the third text-based
+    // ingestion format, built into Spark 4): rows written as <cust>
+    // elements, read back with an explicit schema — schema-on-read
+    // discipline identical to q02/q03 (no inferSchema in production
+    // paths). Doubles survive because Spark serializes
+    // Double.toString, which is round-trippable by definition.
+    Q("q03c_xml_roundtrip",
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        |FROM customer
+        |ORDER BY id NULLS FIRST, name NULLS FIRST,
+        |  bal NULLS FIRST""".stripMargin) { (s, dir) =>
+      val out = IO.scratch("q03c_xml", dir)
+      Tables.t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+        .write.mode("overwrite").option("rowTag", "cust")
+        .format("xml").save(out)
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("bal", DoubleType)))
+      orderAll(s.read.schema(schema).option("rowTag", "cust")
+        .format("xml").load(out))
+    },
+
     // Q01b (beyond-survey) — SCHEMA EVOLUTION read: a long-lived dataset
     // whose later batches added a column. Two parquet batches with
     // different schemas land in one directory; mergeSchema=true
