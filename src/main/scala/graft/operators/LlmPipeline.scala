@@ -714,7 +714,13 @@ object LlmPipeline {
       val tot = vocab.agg(sum(col("cnt")).as("total"))
       val term = col("tf").cast(DoubleType) *
         log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
-      orderAll(tf.join(broadcast(vocab), Seq("t"))
+      // no broadcast hint on vocab: natural-language vocabularies are
+      // sublinear in corpus size but NOT bounded by the data model
+      // (adversarial corpora mint unique tokens), so the 8 GB
+      // broadcast-build ceiling applies — AQE broadcasts at runtime iff
+      // the measured size permits (the q29 discipline). The 1-row total
+      // is always broadcast.
+      orderAll(tf.join(vocab, Seq("t"))
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(sum(col("tf")).as("n_tokens"),
