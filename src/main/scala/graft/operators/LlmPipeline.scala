@@ -679,6 +679,50 @@ object LlmPipeline {
           size(split(col("text"), " ")), capTokens = 512))
     },
 
+    // Q100 (beyond-survey) — the CURATION PIPELINE capstone: quality
+    // filter (q95's rule) → language filter → exact-dedup keeper
+    // selection (q90's digest grouping) → sequence packing (q93d), all
+    // COMPOSED INTO ONE PLAN — proving the library operators chain the
+    // way a real corpus-prep job runs them, with Catalyst fusing the
+    // per-row stages into the scan and the whole thing oracle-checked
+    // end to end. Shuffles: one on the text digest (dedup), one on the
+    // shard (packing) — nothing else survives to the exchange level.
+    Q("q100_curation_pipeline",
+      """WITH t AS (SELECT doc_id, source, text,
+        |    string_split(text, ' ') AS w, length(text) AS nc
+        |  FROM documents WHERE lang = 'en'),
+        |q AS (SELECT * FROM t WHERE len(w) BETWEEN 20 AND 200
+        |  AND CAST(nc AS DOUBLE) / len(w) BETWEEN 3 AND 8),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text))
+        |    AS keeper FROM q),
+        |d AS (SELECT source, doc_id, CAST(len(w) AS BIGINT) AS nt
+        |  FROM k WHERE doc_id = keeper),
+        |s AS (SELECT source, nt,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+        |    AS start FROM d)
+        |SELECT source AS shard, CAST(start // 512 AS INT) AS seq_id,
+        |  CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2
+        |ORDER BY shard NULLS FIRST, seq_id NULLS FIRST,
+        |  n_docs NULLS FIRST, n_tokens NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = split(col("text"), " ")
+        val cpt = length(col("text")).cast(DoubleType) / size(w)
+        val filtered = Tables.t(s, dir, "documents")
+          .filter(col("lang") === "en" &&
+            size(w).between(20, 200) && cpt.between(3, 8))
+        val firsts = filtered
+          .groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("__keep"))
+        val keepers = filtered.join(firsts,
+          md5(col("text")) === col("__h") &&
+            col("doc_id") === col("__keep"), "left_semi")
+        orderAll(graft.Engine.packSequences(keepers, col("source"),
+          col("doc_id"), size(split(col("text"), " ")), capTokens = 512))
+    },
+
     // Q95d (beyond-survey) — UNIGRAM-LM QUALITY SCORE (the CCNet
     // LM-perplexity filter, with the corpus's own unigram model standing
     // in for the external KenLM): per document, the mean negative log
