@@ -261,7 +261,11 @@ object Windows {
       s"""WITH b AS (SELECT
          |    make_timestamp(CAST(floor(epoch(min(ts)) / 900) * 900 AS BIGINT) * 1000000) AS lo,
          |    make_timestamp(CAST(floor(epoch(max(ts)) / 900) * 900 AS BIGINT) * 1000000) AS hi
-         |  FROM events),
+         |  -- bounds over the SAME filtered series the operator fills:
+         |  -- gapFill's contract takes its range from its input, and an
+         |  -- unfiltered-bounds oracle silently agrees at dense SFs while
+         |  -- diverging on sparse data (caught at sf0.001)
+         |  FROM events WHERE event_type IN ('click', 'view')),
          |spine AS (SELECT t.wstart, et.event_type FROM
          |    (SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes'))
          |       AS wstart FROM b) t
