@@ -455,6 +455,49 @@ object Streams {
       }
       orderAll(s.read.parquet(s"$out/data")
         .select("event_id", "event_type", "value"))
+    },
+
+    // Q77b (beyond-survey) — streaming-maintained LATEST-STATE table
+    // (the serving-table sink / SCD1 materialized view): each batch
+    // merges into a per-user "current" snapshot — latest (ts, event_id)
+    // wins. Exactly-once without a transactional store: batch i writes
+    // its full merged snapshot to a DETERMINISTIC dir keyed by batch id,
+    // reading batch i−1 as the base — a crash-replayed batch reads the
+    // same base and rewrites identical content (the state-chain form of
+    // q77's idempotent dynamic overwrite). The final snapshot must equal
+    // the batch latest-per-user query. Snapshot size is |keys|, not
+    // |events| — the 100 TB shape for a continuously-served dimension.
+    Q("q77b_stream_upsert",
+      """WITH r AS (SELECT user_id, ts, event_id, value, row_number()
+        |    OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts, event_id, value FROM r WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, ts NULLS FIRST,
+        |  event_id NULLS FIRST, value NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val root = IO.scratch("q77b_upsert", dir)
+        def stateDir(i: Long) = s"$root/state/batch=$i"
+        val stream = Sources.eventsStream(s, dir, 4, Some(1))
+          .select("user_id", "ts", "event_id", "value")
+        stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val sp = b.sparkSession
+            val base = if (id == 0) b.limit(0) else sp.read.parquet(stateDir(id - 1))
+            base.unionByName(b)
+              .groupBy("user_id")
+              .agg(max(struct(col("ts"), col("event_id"), col("value")))
+                .as("m"))
+              .select(col("user_id"), col("m.ts").as("ts"),
+                col("m.event_id").as("event_id"), col("m.value").as("value"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(stateDir(id))
+          }
+          .option("checkpointLocation", s"$root/chk")
+          .trigger(trigger).start().awaitTermination()
+        val last = new java.io.File(s"$root/state").listFiles()
+          .map(_.getName.stripPrefix("batch=").toLong).max
+        orderAll(s.read.parquet(stateDir(last)))
     })
 
   /** Staging variant for Q74: every event appears twice (two unioned
