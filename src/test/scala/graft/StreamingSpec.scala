@@ -101,6 +101,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("latest-state chain replays a crashed batch to identical content (q77b)") {
+    // The q77b exactly-once argument: batch i's snapshot is a pure
+    // function of snapshot i-1 (stable on disk) and batch i's rows
+    // (replayed from the checkpoint), so a crash between the offset log
+    // and the state write replays to byte-identical content.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = graft.sources.IO.scratch("upsert_crash_test", "spec")
+    def stateDir(i: Long) = s"$root/state/batch=$i"
+    val bomb = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    def start() = input.toDF().toDF("user_id", "ts", "event_id", "value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 1 && bomb.getAndSet(false))
+          throw new RuntimeException("crash before state write")
+        val sp = b.sparkSession
+        val base =
+          if (id == 0) b.limit(0) else sp.read.parquet(stateDir(id - 1))
+        base.unionByName(b).groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.value").as("value"))
+          .coalesce(1).write.mode("overwrite").parquet(stateDir(id))
+      }
+      .option("checkpointLocation", s"$root/chk").start()
+    val q1 = start()
+    input.addData((1L, ts(0), 10L, 1.0), (2L, ts(1), 11L, 2.0))
+    q1.processAllAvailable() // batch 0 commits state
+    input.addData((1L, ts(2), 12L, 5.0)) // newer row for user 1
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable() // batch 1 crashes pre-write
+      q1.awaitTermination()
+    }
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // batch 1 replays against the same base
+      val last = new java.io.File(s"$root/state").listFiles()
+        .map(_.getName.stripPrefix("batch=").toLong).max
+      val got = spark.read.parquet(stateDir(last))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == Map(1L -> ((12L, 5.0)), 2L -> ((11L, 2.0))))
+    } finally q2.stop()
+  }
+
   test("transformWithState keeps typed state across a restart (state API v2)") {
     // The v2 analog of the cursor-replay guarantee: ValueState/MapState
     // written under the RocksDB provider must survive a stop + restart
