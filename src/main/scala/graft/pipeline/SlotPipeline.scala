@@ -1,48 +1,52 @@
 package graft.pipeline
 
-import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.time.Instant
 import java.time.format.DateTimeFormatter
 import java.time.temporal.ChronoUnit
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline's cursor document and its atomic store —
   * `sources/meteosat.py:61-80` + `utils/fs.py:21-48` re-expressed:
   * a JSON file `{"date": "...Z", "last_updated": "...Z"}`, written
-  * temp-file-in-same-dir → fsync → atomic rename, so a crash can never
-  * leave a torn cursor.
+  * temp-file-in-same-dir → sync → atomic rename (via [[AtomicFs]]), so a
+  * crash can never leave a torn cursor. Paths resolve through the Hadoop
+  * `FileContext`, so the A16 contract holds unchanged when the state file
+  * lives on HDFS or an object store, not just a local POSIX volume.
   */
 object CursorStore {
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
   /** Missing/empty file ⇒ no cursor (bootstrap), meteosat.py:61-69. */
-  def read(path: Path): Option[Instant] =
-    if (!Files.exists(path)) None
-    else {
-      val s = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+  def read(path: String,
+      conf: Configuration = new Configuration()): Option[Instant] =
+    AtomicFs.read(new HPath(path), conf).flatMap { bytes =>
+      val s = new String(bytes, StandardCharsets.UTF_8)
       "\"date\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
         .map(m => Instant.from(fmt.parse(m.group(1))))
     }
 
-  /** Atomic commit (fs.py:21-48): same-directory temp file, fsync, rename. */
-  def commit(path: Path, slot: Instant, now: Instant): Unit = {
+  /** Local-path convenience overload (tests). */
+  def read(path: java.nio.file.Path): Option[Instant] =
+    read(path.toUri.toString)
+
+  /** Atomic commit (fs.py:21-48): same-directory temp file, sync, rename. */
+  def commit(path: String, slot: Instant, now: Instant,
+      conf: Configuration = new Configuration()): Unit = {
     val json =
       s"""{"date": "${fmt.format(slot)}", "last_updated": "${fmt.format(now)}"}"""
-    Files.createDirectories(path.getParent)
-    val tmp = Files.createTempFile(path.getParent, ".cursor", ".tmp")
-    val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
-    try {
-      ch.write(java.nio.ByteBuffer.wrap(json.getBytes(StandardCharsets.UTF_8)))
-      ch.force(true)
-    } finally ch.close()
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING): Unit
+    AtomicFs.write(new HPath(path),
+      json.getBytes(StandardCharsets.UTF_8), conf)
   }
+
+  /** Local-path convenience overload (tests). */
+  def commit(path: java.nio.file.Path, slot: Instant, now: Instant): Unit =
+    commit(path.toUri.toString, slot, now)
 }
 
 /** One tick's outcome. */
@@ -75,11 +79,11 @@ final case class Stalled(slot: Instant) extends TickResult
 final class SlotPipeline(spark: SparkSession, stateFile: String,
     outputDir: String, fetcher: Option[BlobFetcher] = None) {
   private val slotStep = 15L * 60
-  private val statePath: Path = Paths.get(stateFile)
+  private def hconf = spark.sparkContext.hadoopConfiguration
 
   /** The slot this tick will attempt (read state → +15 min | bootstrap). */
   def nextSlot(now: Instant): Instant =
-    CursorStore.read(statePath) match {
+    CursorStore.read(stateFile, hconf) match {
       case Some(last) => last.plusSeconds(slotStep)
       case None => now.truncatedTo(ChronoUnit.HOURS).minusSeconds(45L * 60)
     }
@@ -145,7 +149,7 @@ final class SlotPipeline(spark: SparkSession, stateFile: String,
           } finally entries.unpersist()
         }
         afterWrite() // crash seam: fires between publish and commit
-        CursorStore.commit(statePath, slot, now) // A16: commit is LAST
+        CursorStore.commit(stateFile, slot, now, hconf) // A16: commit LAST
         Processed(slot, id, n, nBlobs)
     }
   }

@@ -467,6 +467,9 @@ object Streams {
     // q77's idempotent dynamic overwrite). The final snapshot must equal
     // the batch latest-per-user query. Snapshot size is |keys|, not
     // |events| — the 100 TB shape for a continuously-served dimension.
+    // Machinery lives in [[StateChain]] (partitioned snapshot write, a
+    // `_LATEST` manifest instead of directory listing, Hadoop FS API
+    // throughout) and is shared with the StreamingSpec crash-replay test.
     Q("q77b_stream_upsert",
       """WITH r AS (SELECT user_id, ts, event_id, value, row_number()
         |    OVER (PARTITION BY user_id
@@ -477,27 +480,15 @@ object Streams {
         |  event_id NULLS FIRST, value NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val root = IO.scratch("q77b_upsert", dir)
-        def stateDir(i: Long) = s"$root/state/batch=$i"
+        val stateRoot = s"$root/state"
         val stream = Sources.eventsStream(s, dir, 4, Some(1))
           .select("user_id", "ts", "event_id", "value")
         stream.writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            val sp = b.sparkSession
-            val base = if (id == 0) b.limit(0) else sp.read.parquet(stateDir(id - 1))
-            base.unionByName(b)
-              .groupBy("user_id")
-              .agg(max(struct(col("ts"), col("event_id"), col("value")))
-                .as("m"))
-              .select(col("user_id"), col("m.ts").as("ts"),
-                col("m.event_id").as("event_id"), col("m.value").as("value"))
-              .coalesce(1)
-              .write.mode("overwrite").parquet(stateDir(id))
-          }
+          .foreachBatch((b: DataFrame, id: Long) =>
+            StateChain.mergeAndCommit(b, id, stateRoot))
           .option("checkpointLocation", s"$root/chk")
           .trigger(trigger).start().awaitTermination()
-        val last = new java.io.File(s"$root/state").listFiles()
-          .map(_.getName.stripPrefix("batch=").toLong).max
-        orderAll(s.read.parquet(stateDir(last)))
+        orderAll(StateChain.snapshot(s, stateRoot))
     })
 
   /** Staging variant for Q74: every event appears twice (two unioned
@@ -520,6 +511,59 @@ object Streams {
       }
       out
     })
+}
+
+/** The q77b latest-state chain — the serving-table sink machinery, shared
+  * with the StreamingSpec crash-replay test so the exactly-once argument
+  * is proven on the production code path.
+  *
+  * Batch i's snapshot is a pure function of snapshot i−1 (stable on disk)
+  * and batch i's rows (replayed from the checkpoint), so a crash anywhere
+  * between the offset log and the manifest commit replays to identical
+  * content. Cluster posture (the round-5 fix): the snapshot is written
+  * PARTITIONED — the merge agg's own output tasks, never a single-task
+  * `coalesce(1)` — and the committed frontier is a `_LATEST` manifest
+  * written with the cursor store's atomic-rename discipline
+  * ([[graft.pipeline.AtomicFs]], the `utils/fs.py:21-48` analog), so
+  * directory-listing order is never consulted and every path operation
+  * goes through the Hadoop FileSystem API. The identical code runs on
+  * HDFS/S3A; nothing here assumes a local POSIX volume.
+  */
+object StateChain {
+  def stateDir(stateRoot: String, i: Long): String = s"$stateRoot/batch=$i"
+  private def manifest(stateRoot: String) =
+    new org.apache.hadoop.fs.Path(s"$stateRoot/_LATEST")
+
+  /** Merge batch `id` into the chain and advance the manifest. The
+    * manifest moves ONLY after the snapshot is fully committed, so a
+    * reader never observes a frontier whose snapshot is incomplete. */
+  def mergeAndCommit(b: DataFrame, id: Long, stateRoot: String): Unit = {
+    val sp = b.sparkSession
+    val base =
+      if (id == 0) b.limit(0) else sp.read.parquet(stateDir(stateRoot, id - 1))
+    base.unionByName(b)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+      .write.mode("overwrite").parquet(stateDir(stateRoot, id))
+    graft.pipeline.AtomicFs.write(manifest(stateRoot),
+      id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      sp.sparkContext.hadoopConfiguration)
+  }
+
+  /** The committed frontier (manifest read, never a directory listing). */
+  def latest(s: SparkSession, stateRoot: String): Long =
+    new String(
+      graft.pipeline.AtomicFs.read(manifest(stateRoot),
+          s.sparkContext.hadoopConfiguration)
+        .getOrElse(throw new IllegalStateException(
+          s"no _LATEST manifest under $stateRoot")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+
+  /** The current serving snapshot. */
+  def snapshot(s: SparkSession, stateRoot: String): DataFrame =
+    s.read.parquet(stateDir(stateRoot, latest(s, stateRoot)))
 }
 
 /** Q75 cursor state: monotone slot cursor + run statistics (micros).

@@ -109,7 +109,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val root = graft.sources.IO.scratch("upsert_crash_test", "spec")
-    def stateDir(i: Long) = s"$root/state/batch=$i"
+    val stateRoot = s"$root/state"
     val bomb = new java.util.concurrent.atomic.AtomicBoolean(true)
     val input = MemoryStream[(Long, Timestamp, Long, Double)]
     def start() = input.toDF().toDF("user_id", "ts", "event_id", "value")
@@ -117,14 +117,7 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         if (id == 1 && bomb.getAndSet(false))
           throw new RuntimeException("crash before state write")
-        val sp = b.sparkSession
-        val base =
-          if (id == 0) b.limit(0) else sp.read.parquet(stateDir(id - 1))
-        base.unionByName(b).groupBy("user_id")
-          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"), col("m.value").as("value"))
-          .coalesce(1).write.mode("overwrite").parquet(stateDir(id))
+        graft.streaming.StateChain.mergeAndCommit(b, id, stateRoot)
       }
       .option("checkpointLocation", s"$root/chk").start()
     val q1 = start()
@@ -135,16 +128,33 @@ class StreamingSpec extends AnyFunSuite {
       q1.processAllAvailable() // batch 1 crashes pre-write
       q1.awaitTermination()
     }
+    // The crashed batch committed its offset but never moved the manifest:
+    // the serving frontier must still point at batch 0.
+    assert(graft.streaming.StateChain.latest(spark, stateRoot) == 0L)
+    // Prove the snapshot write is genuinely partitioned (no coalesce(1)
+    // bottleneck): with AQE's small-data fan-in switched off, the merge
+    // agg's shuffle partitions reach the writer as-is, so the two user
+    // keys (distinct hash partitions) land in two part files. Under AQE
+    // (the default, and what q2 below runs with) tiny snapshots rightly
+    // coalesce to few files while a large one fans out to many tasks.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
     val q2 = start()
     try {
       q2.processAllAvailable() // batch 1 replays against the same base
-      val last = new java.io.File(s"$root/state").listFiles()
-        .map(_.getName.stripPrefix("batch=").toLong).max
-      val got = spark.read.parquet(stateDir(last))
-        .collect().map(r => r.getLong(0) ->
+      assert(graft.streaming.StateChain.latest(spark, stateRoot) == 1L)
+      val snap = graft.streaming.StateChain.snapshot(spark, stateRoot)
+      val got = snap.collect().map(r => r.getLong(0) ->
           ((r.getLong(2), r.getDouble(3)))).toMap
       assert(got == Map(1L -> ((12L, 5.0)), 2L -> ((11L, 2.0))))
-    } finally q2.stop()
+      val parts = new java.io.File(
+          graft.streaming.StateChain.stateDir(stateRoot, 1L))
+        .listFiles().count(_.getName.startsWith("part-"))
+      assert(parts > 1, s"expected a partitioned snapshot, got $parts file")
+    } finally {
+      q2.stop()
+      spark.conf.unset(coalesceKey)
+    }
   }
 
   test("transformWithState keeps typed state across a restart (state API v2)") {
