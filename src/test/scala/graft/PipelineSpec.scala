@@ -145,6 +145,107 @@ class PipelineSpec extends AnyFunSuite {
       "manifest.xml" -> "<m/>"))
   }
 
+  /** In-process HTTP stub modeling the reference API surface: a `/token`
+    * OAuth2 client-credentials endpoint and a product download endpoint
+    * answering with a zip + Content-Disposition filename
+    * (eumdacapi.py:20-28,73-87). Records served paths for assertions. */
+  private def withHttpStub(zipBytes: Array[Byte])(
+      f: (String, java.util.concurrent.ConcurrentLinkedQueue[String]) => Unit)
+      : Unit = {
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/token",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        served.add("/token")
+        val auth = ex.getRequestHeaders.getFirst("Authorization")
+        val (code, body) =
+          if (auth != null && auth.startsWith("Basic "))
+            (200, """{"access_token": "tok-123", "token_type": "bearer"}""")
+          else (401, """{"error": "bad credentials"}""")
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+    srv.createContext("/collections",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        served.add(ex.getRequestURI.getPath)
+        val ok = "Bearer tok-123" ==
+          ex.getRequestHeaders.getFirst("Authorization")
+        if (!ok) { ex.sendResponseHeaders(403, -1); ex.close() }
+        else {
+          ex.getResponseHeaders.add("Content-Disposition",
+            "attachment; filename=\"product.zip\"")
+          ex.sendResponseHeaders(200, zipBytes.length)
+          ex.getResponseBody.write(zipBytes)
+          ex.close()
+        }
+      })
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}", served)
+    finally srv.stop(0)
+  }
+
+  private def zipOf(entries: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, body) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  test("HttpBlobFetcher: token exchange once per open, bearer download, " +
+      "Content-Disposition filename (A7)") {
+    withHttpStub(zipOf("scene.nat" -> "raster-bytes")) { (base, served) =>
+      val fetcher = graft.pipeline.HttpBlobFetcher(base,
+        "EO:EUM:DAT:MSG:HRSEVIRI", "key", "secret")
+      fetcher.open()
+      val (name1, bytes1) = fetcher.fetchNamed("P1")
+      val (name2, _) = fetcher.fetchNamed("P2")
+      assert(name1 == "product.zip" && name2 == "product.zip")
+      assert(Blobs.unzip("P1", bytes1).map(_.entry) == Seq("scene.nat"))
+      // one token exchange for two fetches; the collection survived the
+      // path-segment percent-encoding round-trip (HttpServer hands back
+      // the DECODED path — ':' went over the wire as %3A, never '+'),
+      // identifiers appended per eumdacapi.py:75-77
+      val paths = served.toArray(Array.empty[String]).toSeq
+      assert(paths.count(_ == "/token") == 1)
+      assert(paths.contains(
+        "/collections/EO:EUM:DAT:MSG:HRSEVIRI/products/P1"))
+      assert(paths.contains(
+        "/collections/EO:EUM:DAT:MSG:HRSEVIRI/products/P2"))
+    }
+  }
+
+  test("golden trace: a tick fetches over HTTP, publishes, then commits (A7/A16)") {
+    withHttpStub(zipOf("scene.nat" -> "raster-bytes",
+        "manifest.xml" -> "<m/>")) { (base, _) =>
+      val (state, out) = fresh("http_fetch")
+      CursorStore.commit(Paths.get(state),
+        Instant.parse("2024-01-01T11:00:00Z"), T0) // next = 11:15
+      val fetcher = graft.pipeline.HttpBlobFetcher(base,
+        "EO:EUM:DAT:MSG:HRSEVIRI", "key", "secret")
+      val p = new SlotPipeline(spark, state, out, fetcher = Some(fetcher))
+      val id = "MSG4-2024-01-01T11:15:00Z"
+      val r = p.tick(mkCatalog(Seq("2024-01-01T11:15:00Z")),
+        mkSource(Seq("2024-01-01T11:16:00Z")), T0)
+      assert(r == Processed(Instant.parse("2024-01-01T11:15:00Z"), id, 1, 2))
+      // the decompressed members were published before the cursor moved
+      val blobs = spark.read.parquet(s"$out-blobs")
+        .collect().map(row => (row.getAs[String]("entry"),
+          new String(row.getAs[Array[Byte]]("content"), "UTF-8"))).toMap
+      assert(blobs == Map("scene.nat" -> "raster-bytes",
+        "manifest.xml" -> "<m/>"))
+      assert(CursorStore.read(Paths.get(state)) ==
+        Some(Instant.parse("2024-01-01T11:15:00Z")))
+    }
+  }
+
   test("unzip skips directories and preserves member bytes") {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
