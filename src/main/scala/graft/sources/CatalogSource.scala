@@ -27,11 +27,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Pushdown semantics: ts-range filters narrow which slots are ever
   * GENERATED (the remote-scan analog — unmatched slots never cross the
-  * "network"), and a pushed LIMIT caps generation per partition. All
+  * "network"), and a pushed LIMIT caps how many PAGES are planned. All
   * filters are also returned as residuals so Spark re-applies them —
-  * pruning is an optimization, never a correctness dependence. The slot
-  * range splits into one input partition per day, so the scan
-  * parallelizes like any file source.
+  * pruning is an optimization, never a correctness dependence.
+  *
+  * Paging IS the partitioning: the reference fetches the catalog in
+  * offset/count pages (`si=0, c=100`, sorted by start time —
+  * `utils/eumdacapi.py:35-37`), so each input partition is one page of at
+  * most `pageSize` products (default 100, the reference's `c`) — the unit
+  * a real connector would turn into one HTTP request. A pushed LIMIT
+  * composes with paging: only the first ⌈limit/pageSize⌉ pages are ever
+  * planned, the remote analog of stopping at the page that satisfies the
+  * client. Unlike the reference — which reads only the single first page
+  * and silently truncates a >100-candidate window — the scan plans EVERY
+  * page in range when no limit is pushed (asserted in PlanSpec with a
+  * multi-page window).
   */
 class CatalogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -40,7 +50,8 @@ class CatalogSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new CatalogTable(
       properties.getOrDefault("start", "1704067200").toLong,
-      properties.getOrDefault("end", "1706659200").toLong)
+      properties.getOrDefault("end", "1706659200").toLong,
+      properties.getOrDefault("pageSize", "100").toInt)
 }
 
 object CatalogSource {
@@ -50,19 +61,19 @@ object CatalogSource {
   val slotSeconds = 900L
 }
 
-private[sources] class CatalogTable(startSec: Long, endSec: Long)
-    extends Table with SupportsRead {
+private[sources] class CatalogTable(startSec: Long, endSec: Long,
+    pageSize: Int) extends Table with SupportsRead {
   override def name(): String = s"slot_catalog[$startSec,$endSec)"
   override def schema(): StructType = CatalogSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(startSec, endSec)
+    new CatalogScanBuilder(startSec, endSec, pageSize)
 }
 
-private[sources] class CatalogScanBuilder(startSec: Long, endSec: Long)
-    extends ScanBuilder with SupportsPushDownFilters
+private[sources] class CatalogScanBuilder(startSec: Long, endSec: Long,
+    pageSize: Int) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
   private var lo = startSec
@@ -111,52 +122,64 @@ private[sources] class CatalogScanBuilder(startSec: Long, endSec: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new CatalogScan(lo, hi, limit, required, pushed.length)
+    new CatalogScan(lo, hi, limit, pageSize, required, pushed.length)
 }
 
 private[sources] class CatalogScan(lo: Long, hi: Long, limit: Long,
-    required: StructType, nPushed: Int) extends Scan with Batch {
+    pageSize: Int, required: StructType, nPushed: Int)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** First slot ≥ lo (slots sit on the 900 s grid). */
+  private val firstSlot = Math.floorDiv(lo + CatalogSource.slotSeconds - 1,
+    CatalogSource.slotSeconds) * CatalogSource.slotSeconds
+  /** Slots in [firstSlot, hi); 0 when the range is empty. */
+  private val totalSlots: Long =
+    if (firstSlot >= hi) 0L
+    else Math.floorDiv(hi - firstSlot + CatalogSource.slotSeconds - 1,
+      CatalogSource.slotSeconds)
+  /** A pushed limit stops paging at the page that satisfies it: slots are
+    * generated in ts order, so the first ⌈limit/pageSize⌉ pages carry a
+    * valid LIMIT prefix (Spark re-applies the global limit on top —
+    * isPartiallyPushed). */
+  private val cappedSlots: Long = math.min(totalSlots, limit)
+  private val nPages: Int =
+    Math.toIntExact(Math.floorDiv(cappedSlots + pageSize - 1, pageSize))
+
   override def description(): String =
     s"graft-slot-catalog range=[$lo,$hi) pushedFilters=$nPushed limit=" +
-      (if (limit == Long.MaxValue) "none" else limit.toString)
+      (if (limit == Long.MaxValue) "none" else limit.toString) +
+      s" pageSize=$pageSize pages=$nPages"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val day = 86400L
-    val firstSlot = Math.floorDiv(lo + CatalogSource.slotSeconds - 1,
-      CatalogSource.slotSeconds) * CatalogSource.slotSeconds
-    if (firstSlot >= hi) return Array.empty
-    // one partition per UTC day in range — the scan parallelizes and a
-    // narrowed range prunes whole partitions before any row exists.
-    val firstDay = Math.floorDiv(firstSlot, day)
-    val lastDay = Math.floorDiv(hi - 1, day)
-    (firstDay to lastDay).map { d =>
+  /** One input partition per remote PAGE (`si = page·pageSize, c =
+    * pageSize` — eumdacapi.py:35-36): the unit a live connector maps to
+    * one HTTP request, and the unit of scan parallelism here. */
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(nPages) { page =>
+      val si = page.toLong * pageSize
       CatalogPartition(
-        math.max(firstSlot, d * day),
-        math.min(hi, (d + 1) * day),
-        limit): InputPartition
-    }.toArray
-  }
+        firstSlot + si * CatalogSource.slotSeconds,
+        math.min(pageSize.toLong, cappedSlots - si)): InputPartition
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new CatalogReaderFactory(required)
 }
 
-private[sources] case class CatalogPartition(fromSec: Long, untilSec: Long,
-    limit: Long) extends InputPartition
+/** One catalog page: `count` slots starting at `fromSec`. */
+private[sources] case class CatalogPartition(fromSec: Long, count: Long)
+    extends InputPartition
 
 private[sources] class CatalogReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CatalogPartition]
     new PartitionReader[InternalRow] {
-      private var slot = Math.floorDiv(
-        cp.fromSec + CatalogSource.slotSeconds - 1,
-        CatalogSource.slotSeconds) * CatalogSource.slotSeconds
+      private var slot = cp.fromSec
       private var emitted = 0L
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (slot >= cp.untilSec || emitted >= cp.limit) false
+        if (emitted >= cp.count) false
         else {
           val values = required.fields.map(_.name match {
             case "identifier" => UTF8String.fromString(s"MSG4-$slot")

@@ -147,6 +147,35 @@ class PlanSpec extends AnyFunSuite {
     // sub-second precision) and the residual filter trims the extra slot.
     assert(p.contains("graft-slot-catalog range=[1704844800,1705017601)"), p)
     assert(p.contains("pushedFilters=") && !p.contains("pushedFilters=0"), p)
+    // the 193-slot window spans two c=100 pages — every page is planned
+    // (no reference-style single-page truncation at >100 candidates)
+    assert(p.contains("pageSize=100 pages=2"), p)
+  }
+
+  test("catalog source: a pushed limit composes with c=100 paging") {
+    // 4 days = 384 slots; limit 150 → only ⌈150/100⌉ = 2 of the 4 pages
+    // are ever planned (the remote analog: stop requesting pages once the
+    // client is satisfied), and Spark's re-applied global limit trims the
+    // 200 generated rows to exactly 150.
+    val df = spark.read.format("graft.sources.CatalogSource")
+      .option("start", "1704844800")
+      .option("end", (1704844800L + 4 * 86400).toString)
+      .load().limit(150)
+    val rows = df.collect()
+    assert(rows.length == 150)
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
+    }.flatten
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scans.head.scan.description().contains("limit=150"),
+      scans.head.scan.description())
+    assert(scans.head.inputRDD.getNumPartitions == 2,
+      scans.head.scan.description())
   }
 
   test("q56: the correlated scalar subquery is decorrelated to a join") {
