@@ -74,7 +74,20 @@ object Bench {
       f""""$k":{"sec":$v,"n_triggers":$n,"sec_per_trigger":${v / n}%.3f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$st,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r*.json keeps only a tail of stdout, which
+    // truncates the per-query map past ~20 queries; persist the full line
+    // to a repo file so every query's number survives round-over-round
+    // comparison. Best-effort: a read-only checkout must not fail the run.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_full.json: $e")
+    }
     spark.stop()
   }
 }
