@@ -34,21 +34,39 @@ object LlmPipeline {
   private def ngramsOf(words: org.apache.spark.sql.Column, n: Int) =
     graft.Engine.wordNgrams(words, n)
 
-  /** 8-bit LSH bucket code over an embedding column (bit i = whether
-    * element 2i+1 > element 2i+2) — the single definition shared by Q99,
-    * Q92b and their oracles so the bucket family can never diverge
-    * between sites or engines. */
-  private def bucketCode: org.apache.spark.sql.Column = (0 until 8)
-    .map(i => when(element_at(col("embedding"), 2 * i + 1) >
-      element_at(col("embedding"), 2 * i + 2), lit(1 << i))
-      .otherwise(lit(0)))
-    .reduce(_ + _)
+  /** 8-bit LSH bucket code over an embedding column, built from the 8
+    * coordinate comparisons starting at `offset` (bit i = whether element
+    * offset+2i+1 > element offset+2i+2) — the single definition family
+    * shared by Q99, Q92b and their oracles so the bucket family can never
+    * diverge between sites or engines. */
+  private def bucketCodeAt(offset: Int): org.apache.spark.sql.Column =
+    (0 until 8)
+      .map(i => when(element_at(col("embedding"), offset + 2 * i + 1) >
+        element_at(col("embedding"), offset + 2 * i + 2), lit(1 << i))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
 
-  /** DuckDB rendering of [[bucketCode]]. */
-  private def bucketCodeSql: String = (0 until 8)
-    .map(i => s"(CASE WHEN embedding[${2 * i + 1}] > " +
-      s"embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
+  /** Table 0 of the family (coordinates 1..16) — Q92b's bucket. */
+  private def bucketCode: org.apache.spark.sql.Column = bucketCodeAt(0)
+
+  /** DuckDB rendering of [[bucketCodeAt]]. */
+  private def bucketCodeSqlAt(offset: Int): String = (0 until 8)
+    .map(i => s"(CASE WHEN embedding[${offset + 2 * i + 1}] > " +
+      s"embedding[${offset + 2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
     .mkString(" + ")
+
+  private def bucketCodeSql: String = bucketCodeSqlAt(0)
+
+  /** Q99 OR-construction: 4 independent 8-bit tables over DISJOINT
+    * 16-coordinate ranges of the 64-dim embedding — a miss in one table
+    * is independent-ish of a miss in another, so candidate recall is
+    * 1 − Πₜ(1 − rₜ) for per-table recall rₜ. */
+  private val annTables: Int = 4
+
+  /** Q99 multi-probe family: the identity probe plus every single-bit
+    * flip of the 8-bit bucket code (Hamming radius 1) — 9 distinct XOR
+    * masks per table, shared with the oracle. */
+  private val probeXors: Seq[Int] = 0 +: (0 until 8).map(1 << _)
 
   /** DuckDB distinct word-bigram list over a pre-split words column `w`
     * (the Q91c n-gram family; matches [[graft.Engine.wordNgrams]] n=2). */
@@ -524,22 +542,44 @@ object LlmPipeline {
     },
 
     // Q99 (beyond-survey) — the documented LSH scale path for Q92:
-    // bucket both sides on an 8-bit comparison code (bit i = whether
-    // embedding[2i+1] > embedding[2i+2] — a crude but deterministic
-    // projection family), then rank by cosine ONLY within the query's
-    // bucket. Per-query candidate work drops from O(N) to O(N/256); the
-    // recall trade is the approximation, applied identically by the
-    // oracle.
+    // bucket both sides on 8-bit comparison codes, then rank by cosine
+    // only over bucket-collision candidates. Two standard recall levers,
+    // both equi-join-shaped:
+    //  - OR-CONSTRUCTION: 4 independent tables over disjoint
+    //    16-coordinate ranges of the 64-dim embedding (posexplode of the
+    //    4 codes); a neighbor missed by one table is caught by another.
+    //  - MULTI-PROBE (Hamming radius 1): per table, each query probes its
+    //    own bucket plus the 8 single-bit variants — the query side
+    //    explodes into 4×9 probe rows (a bounded broadcast), never a
+    //    ≤1-bit theta-join.
+    // Candidates dedup on (query, vec) BEFORE scoring, so each survivor
+    // is scored once. Per-query candidate work is O(36·N/256) ≈ 14% of
+    // the corpus vs exact O(N); measured recall@3 vs the exact q92
+    // baseline: 0.35 (single table, no probes) → 0.55 at sf0.001,
+    // asserted as a ≥0.5 bound in EngineSpec. The test corpus is the
+    // honesty limit, not the design: 500 near-uniform vectors leave ~2
+    // per bucket, so most of a query's true top-3 sits outside every
+    // probed cell no matter the family. At production N the bit-width
+    // grows as log2(N/target-bucket-size) (16–20 bits for 1e9 vectors),
+    // which holds the probe FRACTION constant while bucket occupancy —
+    // not table sparsity — dominates recall. The oracle applies the
+    // identical table + probe family.
     Q("q99_bucketed_ann", bucketedAnnOracleSql) { (s, dir) =>
       graft.plans.CosineSimilarity.register(s)
+      val codes = array((0 until annTables).map(t => bucketCodeAt(16 * t)): _*)
       val e = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), bucketCode.as("bucket"))
+        .select(col("vec_id"), col("embedding"),
+          posexplode(codes).as(Seq("tbl", "bucket")))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("bucket"))
-      val scored = e.join(broadcast(queries), Seq("bucket"))
-        .select(col("query_id"), col("vec_id"),
-          round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
+          col("tbl"), col("bucket"))
+        .withColumn("__xor", explode(array(probeXors.map(lit): _*)))
+        .select(col("query_id"), col("qe"), col("tbl"),
+          col("bucket").bitwiseXOR(col("__xor")).as("bucket"))
+      val cands = e.join(broadcast(queries), Seq("tbl", "bucket"))
+        .dropDuplicates("query_id", "vec_id")
+      val scored = cands.select(col("query_id"), col("vec_id"),
+        round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
       orderAll(scored.withColumn("rnk", row_number().over(w))
@@ -1157,17 +1197,27 @@ object LlmPipeline {
        |  cos_sim NULLS FIRST""".stripMargin
   }
 
-  /** DuckDB oracle for Q99: same bucketing + in-bucket cosine top-3. */
+  /** DuckDB oracle for Q99: same 4-table bucketing, same Hamming-1
+    * multi-probe family, same candidate dedup + cosine top-3. */
   private def bucketedAnnOracleSql: String = {
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketCodeSql AS bucket
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
-       |  WHERE vec_id < 20),
+    val masks = probeXors.map(x => s"($x)").mkString(", ")
+    val tabs = (0 until annTables).map(t =>
+      s"SELECT vec_id, embedding, $t AS tbl, " +
+        s"${bucketCodeSqlAt(16 * t)} AS bucket FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"""WITH tabs AS ($tabs),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, tbl, bucket
+       |  FROM tabs WHERE vec_id < 20),
+       |probes AS (SELECT query_id, qe, tbl, xor(bucket, m.x) AS bucket
+       |  FROM q CROSS JOIN (VALUES $masks) m(x)),
+       |cand AS (SELECT DISTINCT p.query_id, p.qe, e.vec_id, e.embedding
+       |  FROM probes p JOIN tabs e
+       |    ON p.tbl = e.tbl AND p.bucket = e.bucket),
        |scored AS (
-       |  SELECT q.query_id, e.vec_id,
-       |    round(${Similarity.cosineSql("q.qe", "e.embedding")}, 6)
+       |  SELECT query_id, vec_id,
+       |    round(${Similarity.cosineSql("qe", "embedding")}, 6)
        |      AS cos_sim
-       |  FROM q JOIN e ON q.bucket = e.bucket),
+       |  FROM cand),
        |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |  FROM scored)

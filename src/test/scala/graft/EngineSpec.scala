@@ -43,6 +43,57 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  /** (query_id, vec_id) result pairs of an ANN-shaped frame. */
+  private def annPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q99/q99b ANN recall@3 against the exact top-k is a bound, not prose") {
+    // The q92→q99 cutover's quantified cost: run both approximate ANN
+    // operators exactly as registered and measure recall@3 against
+    // Engine.cosineTopK (exact brute force) on the same 20-query set.
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val exact = annPairs(Engine.cosineTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe", k = 3))
+    assert(exact.size == 60) // 20 queries x top-3
+    def recallOf(name: String): Double = {
+      val approx = annPairs(SparkEntry.queries(name)(spark, TestSpark.sfDir))
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val bucketed = recallOf("q99_bucketed_ann")
+    val ivf = recallOf("q99b_ivf_ann")
+    info(f"recall@3: bucketed=$bucketed%.3f ivf=$ivf%.3f")
+    // Lower bounds leave headroom under the measured values so a real
+    // recall regression (bucket family edit, centroid drift) fails loudly
+    // while seed-level jitter does not.
+    assert(bucketed >= 0.5, f"bucketed-ANN recall@3 $bucketed%.3f")
+    assert(ivf >= 0.5, f"IVF-ANN recall@3 $ivf%.3f")
+  }
+
+  test("q91 banding recall against the exact pair set is a bound, not prose") {
+    // minHashNearDups verifies candidates with the exact Jaccard, so its
+    // pairs are a subset of the exact set; the only loss is banding
+    // misses (theoretical (1-0.8^4)^16 ~ 2e-4 per pair at J=0.8). The
+    // exact set comes from jaccardJoin — recall 1.0 by the prefix-filter
+    // theorem — run on the SAME shingle family (3-word n-grams, t=0.8).
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val banded = Engine.minHashNearDups(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = 80, ngramWords = 3)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(banded.subsetOf(exact),
+      s"banded emitted non-pairs: ${banded.diff(exact)}")
+    val recall = banded.size.toDouble / exact.size
+    info(f"banding recall=$recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.9, f"banding recall $recall%.3f")
+  }
+
   test("stableSample: partition-invariant and near the requested fraction") {
     val orders = Tables.t(spark, TestSpark.sfDir, "orders")
     def sampled(parts: Int) = orders.repartition(parts)
