@@ -568,9 +568,7 @@ object Engine {
     val slotOf = (c: Column) =>
       timestamp_seconds(floor(unix_timestamp(c) / slotSeconds) * slotSeconds)
     val bounds = df.agg(slotOf(min(ts)).as("lo"), slotOf(max(ts)).as("hi"))
-    val spine = bounds
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr(s"INTERVAL $slotSeconds SECONDS"))).as("wstart"))
+    val spine = slotSpine(bounds, slotSeconds)
       .crossJoin(df.select(key.as("key")).distinct())
     val agg = df.groupBy(slotOf(ts).as("wstart"), key.as("key"))
       .agg(Canon.avgDec(value).as("v"))
@@ -595,6 +593,41 @@ object Engine {
         .when(col("__nv").isNull, col("__pv"))
         .otherwise(col("__pv") + (col("__nv") - col("__pv")) * frac), 6)
         .as("value_filled"))
+  }
+
+  /** Distributed slot spine over the CLOSED range [lo, hi] of a one-row
+    * bounds frame, stepping `slotSeconds` — WITHOUT ever materializing the
+    * whole range as one in-row array. A one-shot
+    * `explode(sequence(lo, hi))` builds the entire spine inside a single
+    * row before the explode (a multi-year 1-second spine is 3·10⁷ array
+    * entries in one task); here a first explode emits day-sized CHUNK
+    * anchors, a repartition spreads them, and a second explode emits each
+    * chunk's ≤ chunkSeconds/slotSeconds entries — the per-task array is a
+    * constant whatever the range. Chunking happens in slot-INDEX space
+    * (k = 0..(hi−lo)/slot), so any phase/step combination stays exact.
+    * Equivalence to the one-shot form is an AlgebraProps law; the
+    * two-Generate shape is asserted in PlanSpec. Returns one `wstart`
+    * TIMESTAMP column. */
+  def slotSpine(bounds: DataFrame, slotSeconds: Long,
+      chunkSeconds: Long = 86400L): DataFrame = {
+    require(slotSeconds > 0 && chunkSeconds >= slotSeconds)
+    val perChunk = chunkSeconds / slotSeconds // slots per chunk
+    // integer k-arithmetic via `div`; magnitudes (< 2^35 for a millennium
+    // of 1-second slots) are nowhere near any precision edge
+    bounds
+      .select(unix_timestamp(col("lo")).as("__lo"),
+        expr(s"(unix_timestamp(hi) - unix_timestamp(lo)) div $slotSeconds")
+          .as("__lastk"))
+      .select(col("__lo"), col("__lastk"),
+        explode(sequence(lit(0L), expr(s"__lastk div $perChunk")))
+          .as("__chunk"))
+      .repartition(col("__chunk"))
+      .select(col("__lo"),
+        explode(sequence(col("__chunk") * perChunk,
+          least((col("__chunk") + 1) * perChunk - 1, col("__lastk"))))
+          .as("__k"))
+      .select(timestamp_seconds(col("__lo") + col("__k") * slotSeconds)
+        .as("wstart"))
   }
 
   /** Z-ORDER key: interleaves the low `bits` bits of two non-negative

@@ -299,8 +299,9 @@ object Joins {
     // Q26b — the reference's exact slot-match (meteosat.py:105-122): a
     // generated 15-min slot spine, candidates matched on equality of the
     // minute-truncated timestamp, earliest (ts, event_id) candidate wins,
-    // unmatched slots survive as NULL (the cursor-stall case). The spine is
-    // built distributively (agg row -> sequence -> explode), no collect.
+    // unmatched slots survive as NULL (the cursor-stall case). The spine
+    // comes from Engine.slotSpine — chunked two-level explode, no
+    // collect, no single-task whole-range array.
     Q("q26b_slot_match",
       """WITH bounds AS (
         |  SELECT make_timestamp(CAST(floor(epoch(min(ts)) / 900) * 900 AS BIGINT) * 1000000) AS lo,
@@ -323,8 +324,8 @@ object Joins {
           timestamp_seconds(floor(unix_timestamp(c) / 900) * 900)
         val bounds = ev.agg(slotOf(min(col("ts"))).as("lo"),
           slotOf(max(col("ts"))).as("hi"))
-        val slots = bounds.select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 15 MINUTES"))).as("slot"))
+        val slots = graft.Engine.slotSpine(bounds, 900)
+          .select(col("wstart").as("slot"))
         val w = Window.partitionBy(col("slot_key"))
           .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
         val cands = ev

@@ -150,9 +150,12 @@ object AlgebraProps extends Properties("algebra") {
       Gen.listOfN(12, for {
         // tiny vocabulary + short docs -> dense near-dup structure, so the
         // prefix/length/positional filters and the threshold boundary all
-        // get exercised (incl. exact-equality J == t pairs from dup docs)
-        w <- Gen.listOfN(Gen.choose(2, 8).sample.getOrElse(5),
-          Gen.oneOf("aa", "bb", "cc", "dd"))
+        // get exercised (incl. exact-equality J == t pairs from dup docs).
+        // Per-doc length draws INSIDE the generator (flatMap), so lengths
+        // vary across docs within one case — .sample at construction time
+        // froze one length for the whole run.
+        len <- Gen.choose(2, 8)
+        w <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
       } yield w.mkString(" ")),
       Gen.oneOf(40, 60, 75)) { (texts, pct) =>
       import spark.implicits._
@@ -189,9 +192,34 @@ object AlgebraProps extends Properties("algebra") {
         col("nt"), capTokens = cap).collect()
       val docsOk = packed.map(_.getInt(2).toLong).sum == xs.length.toLong
       val toksOk = packed.map(_.getLong(3)).sum == xs.map(_._2).sum
-      // a sequence never STARTS beyond the cumulative shard total / cap
-      val seqOk = packed.forall(_.getInt(1) >= 0)
+      // a sequence never STARTS beyond the cumulative shard total: every
+      // seq_id is floor(start/cap) for a start < the shard's token total
+      val shardTotal = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      val seqOk = packed.forall { r =>
+        val sid = r.getInt(1)
+        sid >= 0 && sid <= (shardTotal(r.getString(0)) - 1) / cap
+      }
       docsOk && toksOk && seqOk
+    }
+
+  property("slotSpine: chunked two-level spine == one-shot sequence spine") =
+    forAll(for {
+      lo <- Gen.chooseNum(0L, 500000L)
+      span <- Gen.chooseNum(0L, 4L * 86400L) // up to 4 days -> >1 chunk
+      slot <- Gen.oneOf(1L, 7L, 60L, 900L, 3600L, 86400L) // incl. non-divisors
+      chunk <- Gen.oneOf(3600L, 86400L)
+      if chunk >= slot
+    } yield (lo, lo + span, slot, chunk)) { case (lo, hi, slot, chunk) =>
+      import spark.implicits._
+      val bounds = Seq((lo, hi)).toDF("l", "h")
+        .select(timestamp_seconds(col("l")).as("lo"),
+          timestamp_seconds(col("h")).as("hi"))
+      val naive = bounds.select(explode(sequence(col("lo"), col("hi"),
+          expr(s"INTERVAL $slot SECONDS"))).as("wstart"))
+        .collect().map(_.getTimestamp(0).getTime).toSeq.sorted
+      val chunked = Engine.slotSpine(bounds, slot, chunkSeconds = chunk)
+        .collect().map(_.getTimestamp(0).getTime).toSeq.sorted
+      chunked == naive
     }
 
   property("applyDedup keeps exactly the cluster minima plus all singletons") =
@@ -223,8 +251,8 @@ object AlgebraProps extends Properties("algebra") {
 
   property("dedupChunks conserves chunks: distinct survive once, totals add up") =
     forAll(
-      Gen.listOfN(12, Gen.listOfN(Gen.choose(1, 9).sample.getOrElse(4),
-        Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))),
+      Gen.listOfN(12, Gen.choose(1, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))),
       parts) { (texts, n) =>
       import spark.implicits._
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

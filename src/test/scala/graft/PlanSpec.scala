@@ -178,6 +178,20 @@ class PlanSpec extends AnyFunSuite {
       scans.head.scan.description())
   }
 
+  test("q26b/q48: the slot spine is a parallel two-level explode, not one array") {
+    // Engine.slotSpine: chunk anchors explode first, a repartition spreads
+    // them, then the per-chunk explode — so no task ever holds the whole
+    // range as one in-row sequence() array. Two Generate nodes in the
+    // plan, with an exchange between them.
+    for (q <- Seq("q26b_slot_match", "q48_gap_fill")) {
+      val p = planOf(q)
+      assert("Generate explode".r.findAllMatchIn(p).size >= 2,
+        s"$q expected the two-level spine explode in:\n$p")
+      assert(p.contains("hashpartitioning(__chunk"),
+        s"$q expected the chunk-spreading exchange in:\n$p")
+    }
+  }
+
   test("q56: the correlated scalar subquery is decorrelated to a join") {
     val p = planOf("q56_correlated_subquery")
     assert(!p.contains("Subquery"), p) // no per-row subquery execution
