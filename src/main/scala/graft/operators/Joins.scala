@@ -67,7 +67,9 @@ object Joins {
     * with zero shuffle exchanges. */
   def bucketedTables(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val tag = Integer.toHexString(dir.hashCode)
+    // memo key = the FULL sanitized dir path, not its hashCode: two dirs
+    // colliding on hashCode must never serve each other's bucketed copy
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (liT, oT) = (s"g_li_bucketed_$tag", s"g_o_bucketed_$tag")
     if (!s.catalog.tableExists(liT)) {
       val out = graft.sources.IO.scratch(s"q20d_bucketed", dir)

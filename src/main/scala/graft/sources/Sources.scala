@@ -386,8 +386,11 @@ object Sources {
         val out = IO.scratch("q05c_zorder", dir)
         Tables.t(s, dir, "lineitem")
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-          .withColumn("__z",
-            graft.Engine.zOrderKey(col("l_partkey"), col("l_suppkey")))
+          // bits sized to the key domain (zOrderKey drops higher bits):
+          // 24 covers l_partkey to 16.7M (~TPC-H sf80); past that,
+          // dense_rank-compact the keys before interleaving
+          .withColumn("__z", graft.Engine.zOrderKey(
+            col("l_partkey"), col("l_suppkey"), bits = 24))
           .repartitionByRange(8, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")

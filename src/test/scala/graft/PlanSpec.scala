@@ -259,15 +259,29 @@ class PlanSpec extends AnyFunSuite {
 
   test("global audit: no CartesianProduct anywhere; BNLJ only where intended") {
     // Sweep every LAZILY-built registry query's executed plan for the
-    // two scale-killers. Excluded: queries whose builders execute side
-    // effects on build (sources/streaming write or stream on build;
-    // q20c/q20d materialize eagerly under scoped confs; q91b/q91e run
-    // the iterative clustering loop) — those have targeted assertions
-    // or return read-back scans whose plans carry no join at all.
-    val eager = Set("q20c_bloom_join", "q20d_bucketed_join",
+    // two scale-killers. Excluded — by EXPLICIT name, so pure-plan
+    // queries can never silently fall out of the sweep — are only the
+    // builders that execute side effects on build: source/sink
+    // round-trips that stage or write, streaming replays that run their
+    // query on build, q20c/q20d (eager materialization under scoped
+    // confs), and q91b/q91e (the iterative clustering loop). Those have
+    // targeted assertions or return read-back scans with no join at all.
+    val sideEffecting = Set(
+      "q01b_schema_evolution", "q02_csv_scan", "q03_json_scan",
+      "q03b_corrupt_json", "q03c_xml_roundtrip", "q04_binary_scan",
+      "q05_partitioned_sink", "q05b_compacted_roundtrip",
+      "q05c_zorder_layout", "q06_stream_sink", "q08_orc_roundtrip",
+      "q70_tumbling", "q71_sliding", "q72_session", "q73_watermark",
+      "q74_dedup", "q75_stateful_cursor", "q75b_transform_with_state",
+      "q76_stream_static_join", "q76b_stream_anti_join",
+      "q77_foreach_batch", "q77b_stream_upsert", "q78_stream_stream_join",
+      "q78b_stream_stream_outer",
+      "q20c_bloom_join", "q20d_bucketed_join",
       "q91b_neardup_clusters", "q91e_apply_dedup")
-    val sideEffecting = (n: String) =>
-      n.startsWith("q0") || n.startsWith("q7") || eager(n)
+    // every excluded name must exist — a rename would silently widen the
+    // sweep's blind spot otherwise
+    assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
+      sideEffecting.diff(SparkEntry.queries.keySet).mkString(","))
     // BNLJ allowlist — every entry is a crossJoin whose broadcast side
     // is BOUNDED by construction (the legitimate BNLJ): q23 an intended
     // 5×25 cross join; q92 a bounded query set; q33b/q93c/q95d a 1-row
@@ -278,7 +292,7 @@ class PlanSpec extends AnyFunSuite {
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q99b_ivf_ann")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
-    assert(names.size >= 80, s"audit should cover the bulk: ${names.size}")
+    assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
       val p = planOf(n)
       val cart = p.contains("CartesianProduct")
