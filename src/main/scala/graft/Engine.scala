@@ -263,6 +263,72 @@ object Engine {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** BIPARTITE n-gram Jaccard join — [[jaccardJoin]]'s machinery across
+    * two corpora: every (left, right) pair with Jaccard ≥ t, recall 1.0
+    * by the same prefix-filter theorem. THE incremental-curation shape:
+    * `left` is the new batch (a day's crawl — small), `right` the
+    * standing corpus (100 TB — huge); nothing here is ever
+    * left×left or right×right.
+    *
+    * The prefix global order uses the COMBINED document frequency of
+    * both corpora (one shared total order is what the theorem needs);
+    * rare-first ordering anti-skews the candidate join exactly as in the
+    * self-join form. Per side the full probing prefix (n − ⌈t·n⌉ + 1) is
+    * kept — the self-join's asymmetric indexing-prefix trick orders the
+    * two records of a PAIR by size, which has no analog when the roles
+    * are fixed. Length and positional filters apply unchanged (both are
+    * pair-local theorems), and verification runs the same codegen merge
+    * kernel. Returns (left_id, right_id, jaccard). */
+  def jaccardJoinAcross(left: DataFrame, right: DataFrame, id: String,
+      text: String, thresholdPct: Int = 60, ngramWords: Int = 2)
+      : DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    graft.plans.SortedIntersectCount.register(left.sparkSession)
+    def docsOf(df: DataFrame) = df
+      .withColumn("__words", split(col(text), " "))
+      .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
+      .filter(size(col("__sv")) >= 1)
+      .select(col(id).as("__id"), col("__sv"),
+        size(col("__sv")).cast("long").as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dl, dr) = (docsOf(left), docsOf(right))
+    def tokOf(d: DataFrame) =
+      d.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
+    val (tokL, tokR) = (tokOf(dl), tokOf(dr))
+    val dfreq = tokL.unionByName(tokR)
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    def prefixOf(tok: DataFrame) = tok.join(dfreq, Seq("__t"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__id"))
+        .orderBy(col("__df").asc, col("__t").asc)))
+      .filter(col("__rn") <=
+        col("__n") - expr(s"(__n * $thresholdPct + 99) div 100") + 1)
+    val a = prefixOf(tokL).select(col("__t"), col("__id").as("left_id"),
+      col("__rn").as("__ra"), col("__n").as("__na"))
+    val b = prefixOf(tokR).select(col("__t"), col("__id").as("right_id"),
+      col("__rn").as("__rb"), col("__n").as("__nb"))
+    val alpha = expr(
+      s"(($thresholdPct * (__na + __nb) + ${100 + thresholdPct - 1})" +
+        s" div ${100 + thresholdPct})")
+    val cands = a.join(b, Seq("__t"))
+      .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&
+        col("__na") * 100 >= col("__nb") * thresholdPct &&
+        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
+          >= alpha)
+      .select("left_id", "right_id")
+      .dropDuplicates("left_id", "right_id") // dedup before the wide verify
+    val verified = cands
+      .join(dl.select(col("__id").as("left_id"), col("__sv").as("__sa")),
+        Seq("left_id"))
+      .join(dr.select(col("__id").as("right_id"), col("__sv").as("__sb")),
+        Seq("right_id"))
+    val inter = expr("sorted_intersect_count(__sa, __sb)")
+    val uni = size(col("__sa")) + size(col("__sb")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
+      .filter(inter.cast("long") * 100 >= uni.cast("long") * thresholdPct)
+      .select("left_id", "right_id", "jaccard")
+  }
+
   /** Connected components over an undirected pair list (first two columns
     * = the edge endpoints): every node gets the minimum id of its
     * component. Iterative min-label propagation; rounds bounded by the

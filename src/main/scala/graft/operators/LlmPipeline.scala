@@ -692,6 +692,57 @@ object LlmPipeline {
           Tables.t(s, dir, "documents"), "doc_id", "text", chunkWords = 5))
     },
 
+    // Q90d (beyond-survey) — INCREMENTAL dedup: match a NEW batch (docs
+    // with id % 5 = 0, standing in for today's crawl) against the
+    // STANDING corpus (the rest) and report each new doc's best
+    // historical near-duplicate. This is the production dedup shape — a
+    // small increment against 100 TB of history — and it must never
+    // degenerate into increment×increment or history×history work:
+    // Engine.jaccardJoinAcross generates candidates only across the two
+    // sides via the shared-rarity-order prefix equi-join (recall 1.0 by
+    // the prefix-filter theorem, proven bipartite in AlgebraProps), and
+    // at scale the history side's prefix index is the precomputable,
+    // incrementally-maintained artifact. Best match per new doc breaks
+    // ties on (jaccard DESC, historical id ASC) over ROUNDED jaccards so
+    // both engines rank identical values.
+    Q("q90d_incremental_dedup",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS nid, b.doc_id AS hid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT nid, hid,
+         |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = nid
+         |  JOIN sz sb ON sb.doc_id = hid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+         |best AS (SELECT nid, hid, jaccard, row_number() OVER (
+         |    PARTITION BY nid ORDER BY jaccard DESC, hid ASC) AS rn
+         |  FROM pairs)
+         |SELECT nid AS doc_id, hid AS dup_of, jaccard
+         |FROM best WHERE rn = 1
+         |ORDER BY doc_id NULLS FIRST, dup_of NULLS FIRST,
+         |  jaccard NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val pairs = graft.Engine.jaccardJoinAcross(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", thresholdPct = 60, ngramWords = 2)
+      val w = Window.partitionBy(col("left_id"))
+        .orderBy(col("jaccard").desc, col("right_id").asc)
+      orderAll(pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("left_id").as("doc_id"),
+          col("right_id").as("dup_of"), col("jaccard")))
+    },
+
     // Q93d (beyond-survey) — SEQUENCE PACKING: assign documents to
     // 512-token context windows per source shard (the batch-prep pass
     // between curation and training), via Engine.packSequences. The

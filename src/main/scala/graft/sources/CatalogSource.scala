@@ -74,7 +74,8 @@ private[sources] class CatalogTable(startSec: Long, endSec: Long,
 
 private[sources] class CatalogScanBuilder(startSec: Long, endSec: Long,
     pageSize: Int) extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownRequiredColumns {
 
   private var lo = startSec
   private var hi = endSec
@@ -117,6 +118,26 @@ private[sources] class CatalogScanBuilder(startSec: Long, endSec: Long,
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // a pushed limit still needs Spark's global limit (it caps per partition)
   override def isPartiallyPushed: Boolean = true
+
+  /** ORDER BY ts [ASC] LIMIT n pushes as a TopN — the reference catalog
+    * returns results sorted by start time (`sort=start,time,0`,
+    * eumdacapi.py:37), and this source generates in exactly that order
+    * with ts UNIQUE (one row per slot), so any ordering whose first key
+    * is ts ASC is satisfied by generation order and later keys can never
+    * break a tie that doesn't exist. Only ⌈n/pageSize⌉ pages get
+    * planned; partial pushdown lets Spark merge the page prefixes. The
+    * pipeline's earliest-candidate probe (ORDER BY ts LIMIT 1) thus
+    * touches exactly one page. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    val sat = orders.nonEmpty &&
+      orders.head.direction() ==
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING &&
+      orders.head.expression().describe() == "ts"
+    if (sat) limit = math.min(limit, n)
+    sat
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

@@ -177,6 +177,36 @@ object AlgebraProps extends Properties("algebra") {
       bag(naive) == bag(fast)
     }
 
+  property("q90d rewrite: bipartite PPJoin is loss-free vs naive cross-pairs") =
+    forAll(
+      Gen.listOfN(12, for {
+        len <- Gen.choose(2, 8)
+        w <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield w.mkString(" ")),
+      Gen.oneOf(40, 60, 75)) { (texts, pct) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (newB, hist) = (docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0))
+      val sv = sort_array(Engine.wordNgrams(split(col("text"), " "), 2))
+      def side(d: org.apache.spark.sql.DataFrame, idAs: String, svAs: String) =
+        d.withColumn(svAs, sv).filter(size(col(svAs)) >= 1)
+          .select(col("doc_id").as(idAs), col(svAs))
+      val a = side(newB, "left_id", "sa")
+      val b = side(hist, "right_id", "sb")
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val uni = size(col("sa")) + size(col("sb")) - inter
+      val naive = a.crossJoin(b)
+        .withColumn("jaccard", round(inter.cast("double") / uni, 6))
+        .filter(inter * 100 >= uni * pct)
+        .select("left_id", "right_id", "jaccard")
+      // shipped: THE production operator (the same code q90d runs)
+      val fast = Engine.jaccardJoinAcross(newB, hist, "doc_id", "text",
+        thresholdPct = pct, ngramWords = 2)
+      bag(naive) == bag(fast)
+    }
+
   property("packSequences conserves docs and tokens at any partitioning") =
     forAll(
       Gen.listOfN(30, for {

@@ -152,6 +152,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pageSize=100 pages=2"), p)
   }
 
+  test("catalog source: ORDER BY ts LIMIT 1 pushes as TopN onto one page") {
+    // The pipeline's earliest-candidate probe (SlotPipeline.tick): the
+    // source generates in ts order (the reference's sort=start,time,0),
+    // so the sort+limit pushes as a TopN and exactly one page is planned.
+    val df = spark.read.format("graft.sources.CatalogSource")
+      .option("start", "1704844800")
+      .option("end", (1704844800L + 4 * 86400).toString)
+      .load()
+      .orderBy(org.apache.spark.sql.functions.col("ts").asc_nulls_last,
+        org.apache.spark.sql.functions.col("identifier").asc_nulls_last)
+      .limit(1)
+    val rows = df.collect()
+    assert(rows.length == 1 &&
+      rows.head.getTimestamp(1).getTime == 1704844800L * 1000)
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
+    }.flatten
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scans.head.scan.description().contains("limit=1"),
+      scans.head.scan.description())
+    assert(scans.head.inputRDD.getNumPartitions == 1,
+      scans.head.scan.description())
+  }
+
   test("catalog source: a pushed limit composes with c=100 paging") {
     // 4 days = 384 slots; limit 150 → only ⌈150/100⌉ = 2 of the 4 pages
     // are ever planned (the remote analog: stop requesting pages once the
