@@ -414,6 +414,44 @@ object Engine {
       .select("query_id", "rnk", "vec_id", "cos_sim")
   }
 
+  /** SEMANTIC dedup (the SemDeDup recipe): assign every vector to its
+    * nearest centroid (argmax rounded cosine, centroid-id tiebreak),
+    * compare pairs only WITHIN a cell, and drop each vector that has a
+    * smaller-id neighbor at rounded cosine ≥ tau. Returns the survivors
+    * as (id, cell).
+    *
+    * Scale shape: the centroid table is broadcast (assignment is an
+    * O(N·K/parallelism) map), the pair join shuffles once on the cell
+    * key, and candidate pairs are Σ|cell|²/2 — never corpus². At 100 TB
+    * grow K with the corpus (K ≈ √N keeps the expected per-cell
+    * quadratic flat) and feed the k-means centroids from
+    * [[Engine.centroids]]-style iteration instead of fixed seeds. */
+  def semanticDedup(vecs: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      tau: Double): DataFrame = {
+    graft.plans.CosineSimilarity.register(vecs.sparkSession)
+    val cent = broadcast(
+      centroids.select(col(cid).as("__cid"), col(cvec).as("__ce")))
+    val w = Window.partitionBy(col("__vid"))
+      .orderBy(col("__cos").desc, col("__cid").asc)
+    val cells = vecs.select(col(id).as("__vid"), col(vec).as("__e"))
+      .crossJoin(cent)
+      .select(col("__vid"), col("__e"), col("__cid"),
+        round(expr("cosine_sim(__e, __ce)"), 6).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__vid"), col("__e"), col("__cid").as("cell"))
+    val dropped = cells.select(col("cell"), col("__vid").as("__va"),
+        col("__e").as("__ea"))
+      .join(cells.select(col("cell"), col("__vid").as("__vb"),
+        col("__e").as("__eb")), Seq("cell"))
+      .filter(col("__va") < col("__vb") &&
+        round(expr("cosine_sim(__ea, __eb)"), 6) >= lit(tau))
+      .select(col("__vb").as("__vid")).distinct()
+    cells.join(dropped, Seq("__vid"), "left_anti")
+      .select(col("__vid").as(id), col("cell"))
+  }
+
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most
     * similar corpus vectors carrying a DIFFERENT label — the batch-prep
     * pass for contrastive/embedding training (the best negatives are the

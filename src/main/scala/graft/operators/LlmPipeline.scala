@@ -1122,6 +1122,86 @@ object LlmPipeline {
             col("n_bigrams"), 6).as("dup_bigram_frac"),
           round(col("top_c").cast(DoubleType) / col("n_words"), 6)
             .as("top_word_frac")))
+    },
+
+    // Q92f (beyond-survey) — SEMANTIC dedup (the SemDeDup recipe: cluster
+    // by nearest centroid, compare only within a cluster, drop all but
+    // the smallest id of each near-duplicate set). The centroids are the
+    // fixed Q99b coarse-quantizer seeds, broadcast to every task; the
+    // pairwise cosine runs ONLY inside a cell — candidates are
+    // Σ|cell|²/2, never corpus², and at 100 TB the centroid count grows
+    // with the corpus (K ≈ √N) so the per-cell quadratic stays bounded
+    // while assignment stays an O(N·K/parallelism) broadcast map. One
+    // shuffle on cell for the pair join, one anti-join to apply the drop
+    // list. Reference analog: the exact-slot matching of
+    // sources/meteosat.py:111-122 generalized to vector space.
+    Q("q92f_semantic_dedup", semanticDedupOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.semanticDedup(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
+        "vec_id", "embedding", tau = 0.35))
+    },
+
+    // Q93e (beyond-survey) — order-preserving WITHIN-document token dedup
+    // (the rewrite counterpart of q95c's repetition score: strip repeated
+    // tokens, keep first occurrences in original order). first-occurrence
+    // = min(pos) per (doc, token) — a partially-aggregated groupBy (hot
+    // tokens cost one partial per task), NOT a window, so no per-group
+    // sort precedes the shuffle; reassembly sorts only inside each doc's
+    // collected array. Two narrow doc-keyed shuffles; the text body is
+    // shuffled exactly once.
+    Q("q93e_dedup_tokens",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, i, w[i] AS tok FROM t
+        |  CROSS JOIN unnest(generate_series(1, len(w))) AS u(i)),
+        |f AS (SELECT doc_id, tok, min(i) AS i FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY i) AS uniq_text
+        |FROM f GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, n_kept NULLS FIRST,
+        |  uniq_text NULLS FIRST""".stripMargin) { (s, dir) =>
+      val firsts = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(min(col("pos")).as("pos"))
+      orderAll(firsts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("uniq_text")))
+    },
+
+    // Q95e (beyond-survey) — per-SOURCE document cap (the CommonCrawl-
+    // style per-domain quota: at most k docs per source, chosen by a
+    // deterministic hash priority so the selection is a reproducible
+    // pseudo-random sample, not head-of-file bias). row_number ≤ k
+    // compiles to a partial WindowGroupLimit below the shuffle
+    // (PlanSpec-asserted, same family as q44): each task prunes its
+    // partition to k rows per source BEFORE exchanging, so the shuffle
+    // carries O(sources × k × tasks), not the corpus. The priority is a
+    // Knuth multiplicative hash spelled in plain int64 arithmetic —
+    // bit-identical in both engines.
+    Q("q95e_source_cap",
+      """WITH p AS (SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 4294967296 AS pri FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY pri, doc_id) AS rn FROM p)
+        |SELECT doc_id, source, CAST(rn AS INT) AS rn FROM r
+        |WHERE rn <= 10
+        |ORDER BY doc_id NULLS FIRST, source NULLS FIRST,
+        |  rn NULLS FIRST""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("__pri").asc, col("doc_id").asc)
+      orderAll(Tables.t(s, dir, "documents")
+        .withColumn("__pri",
+          (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 10)
+        .select(col("doc_id"), col("source"),
+          col("__rn").cast("int").as("rn")))
     })
 
   /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs
@@ -1206,6 +1286,30 @@ object LlmPipeline {
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
        |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST, cos_sim NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q92f: identical centroid assignment (argmax
+    * rounded cosine, centroid-id tiebreak) and within-cell pair drop. */
+  private def semanticDedupOracleSql: String = {
+    val cents = ivfCentroidIds.mkString("(", ", ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce FROM e
+       |  WHERE vec_id IN $cents),
+       |asg AS (SELECT vec_id, embedding, cid, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY round(${Similarity.cosineSql("embedding", "ce")}, 6)
+       |      DESC, cid ASC) AS rn
+       |  FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg
+       |  WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")},
+       |    6) >= 0.35)
+       |SELECT c.vec_id AS vec_id, c.cell AS cell FROM cells c
+       |LEFT JOIN dropped d ON c.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY c.vec_id NULLS FIRST, c.cell NULLS FIRST""".stripMargin
+  }
 
   /** The Q99b coarse-quantizer seed set: 8 fixed vec_ids, all present at
     * every scale factor (embeddings carry vec_id 0–499 at minimum). */

@@ -48,6 +48,33 @@ class EngineSpec extends AnyFunSuite {
     df.select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("semanticDedup: hand-built cells drop exactly the near-dup tails") {
+    import spark.implicits._
+    // Two orthogonal centroids; vectors 1,2,3 cluster on c10 with 1≈2
+    // (cos 1.0) and 3 distinct; 4 clusters alone on c20. Expected drops:
+    // only 2 (smaller-id near-dup 1 in the same cell).
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // parallel to 1 → dropped
+      (3L, Array(0.9f, 0.0f, 0.9f, 0.0f)),   // same cell, cos≈0.7 < 0.9
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // alone in cell 20
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("cid", "ce")
+    val got = Engine.semanticDedup(vecs, "vec_id", "embedding",
+        cents, "cid", "ce", tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 3L -> 10L, 4L -> 20L))
+    // survivors are invariant to the centroid-id labels' order
+    val relabeled = Engine.semanticDedup(vecs, "vec_id", "embedding",
+        cents.select((col("cid") + 100).as("cid"), col("ce")),
+        "cid", "ce", tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(relabeled == Set(1L, 3L, 4L))
+  }
+
   test("q99/q99b ANN recall@3 against the exact top-k is a bound, not prose") {
     // The q92→q99 cutover's quantified cost: run both approximate ANN
     // operators exactly as registered and measure recall@3 against

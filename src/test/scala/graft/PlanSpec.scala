@@ -92,6 +92,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("q95e: the per-source cap pushes a partial WindowGroupLimit") {
+    // Same rewrite family as q44: the rn<=k filter prunes each map task
+    // to k rows per source BEFORE the exchange, so a hot source ships
+    // O(k × tasks) rows, never its full partition — the property that
+    // makes a per-domain quota affordable on a skewed 100 TB crawl.
+    val p = planOf("q95e_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$p")
+  }
+
+  test("q92f: semantic dedup joins pairs on cell, never all-pairs") {
+    // The only BNLJ allowed is the bounded 8-centroid assignment
+    // broadcast; the pairwise stage must be an equi-join on the cell key
+    // (shuffle or broadcast hash), and nothing may plan a cartesian.
+    val p = planOf("q92f_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the cell-assignment subtree has exactly 3 consumers (both sides of
+    // the pair join + the survivor anti-join), so the bounded 8-centroid
+    // broadcast appears 3×; anything more would mean an unbounded NLJ
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3, s"expected only centroid-assignment BNLJs:\n$p")
+  }
+
   test("q24: the theta-join semantics plan with no nested-loop join") {
     val p = planOf("q24_theta_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -319,7 +342,8 @@ class PlanSpec extends AnyFunSuite {
     val bnljOk = Set("q23_cross_join", "q92_cosine_topk",
       "q92e_hard_negatives", // bounded query set, same plan as q92
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
-      "q99b_ivf_ann")
+      "q99b_ivf_ann",
+      "q92f_semantic_dedup") // 8-centroid seed set, same shape as q99b
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
