@@ -50,6 +50,58 @@ object Engine {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** POSITIONAL word n-grams: element p (0-based) is the n-gram starting
+    * at token p+1 — [[wordNgrams]] without the distinct, for operators
+    * that need the start offset ([[dupSpans]]). Same zip-slice kernel. */
+  def positionalNgrams(words: Column, n: Int): Column = {
+    require(n >= 1)
+    val span = size(words) - (n - 1)
+    val shifted = (1 to n).map(k => slice(words, lit(k), span))
+    when(size(words) >= n,
+      transform(arrays_zip(shifted: _*),
+        t => concat_ws(" ", (0 until n).map(k =>
+          t.getField(k.toString)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicated-substring SPANS (the exact substring-dedup pass of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every maximal token span whose n-gram windows all occur
+    * at least twice in the corpus. Returns (id, span_start, span_end,
+    * n_tokens), token positions 1-based inclusive.
+    *
+    * Plan shape: positional n-grams (linear per row) → partial-
+    * aggregated gram count (the corpus-sized shuffle any substring
+    * dedup pays — at scale ship xxhash64 fingerprints, not strings) →
+    * semi-join back to positions → per-doc island merge with gap ≤ n
+    * (overlap or contiguity) under doc-partitioned windows only. */
+  def dupSpans(df: DataFrame, id: String, text: String,
+      n: Int = 8): DataFrame = {
+    val grams = df
+      .select(col(id).as("__id"), split(col(text), " ").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("__id"),
+        posexplode(positionalNgrams(col("__w"), n)).as(Seq("__p", "__g")))
+      .select(col("__id"), (col("__p") + 1).cast("int").as("__i"),
+        col("__g"))
+    val dup = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__g"))
+    val pos = grams.join(dup, Seq("__g"), "left_semi")
+      .select(col("__id"), col("__i"))
+    val wdoc = Window.partitionBy(col("__id")).orderBy(col("__i"))
+    val run = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos
+      .withColumn("__brk",
+        when(col("__i") - lag(col("__i"), 1).over(wdoc) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__island", sum(col("__brk")).over(run))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("__i")).as("span_start"),
+        (max(col("__i")) + (n - 1)).as("span_end"))
+      .select(col("__id").as(id), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
   /** Exact dedup: group identical content by digest. Returns
     * (content_hash, keeper_id = min id, n_copies). */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -450,6 +502,51 @@ object Engine {
       .select(col("__vb").as("__vid")).distinct()
     cells.join(dropped, Seq("__vid"), "left_anti")
       .select(col("__vid").as(id), col("cell"))
+  }
+
+  /** Distributed LLOYD REFINEMENT (k-means on cosine assignment): run
+    * `iters` rounds of assign-to-nearest-centroid → recompute centroids
+    * as the per-cell per-dimension mean, starting from a seed centroid
+    * table. Returns the final centroids exploded as (cell, dim,
+    * centroid) — dim 1-based — the feed for [[semanticDedup]] /
+    * IVF-ANN cell quality at scale (fixed seeds are only a bootstrap).
+    *
+    * Plan shape per round: the K-row centroid table is broadcast
+    * (assignment is a map, no shuffle), and the update is ONE
+    * partial-aggregated shuffle carrying (cell, dim) partial sums — the
+    * same label×dims shape as the q92d centroid pass, with means routed
+    * through DECIMAL(38,6) so partial-addition order cannot perturb the
+    * result. A cell that loses every member disappears (both engines
+    * agree by construction). The loop is driver-side but each round is
+    * wholly distributed — no collect anywhere. */
+  def kmeansRefine(vecs: DataFrame, id: String, vec: String,
+      seeds: DataFrame, cid: String, cvec: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = vecs.select(col(id).as("__vid"), col(vec).as("__e"))
+    var cent = seeds.select(col(cid).as("__cid"), col(cvec).as("__ce"))
+    var perDim: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("__vid"))
+        .orderBy(col("__cos").desc, col("__cid").asc)
+      val members = e.crossJoin(broadcast(cent))
+        .select(col("__vid"), col("__e"), col("__cid"),
+          round(graft.functions.Similarity.cosine(col("__e"), col("__ce")),
+            6).as("__cos"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      perDim = members
+        .select(col("__cid"), posexplode(col("__e")).as(Seq("__d", "__v")))
+        .groupBy(col("__cid"), (col("__d") + 1).cast("int").as("__dim"))
+        .agg(graft.Canon.avgDec(col("__v").cast(DoubleType)).as("__c"))
+      cent = perDim
+        .groupBy(col("__cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__dim"), col("__c")))),
+          x => x.getField("__c")).as("__ce"))
+    }
+    perDim.select(col("__cid").as("cell"), col("__dim").as("dim"),
+      col("__c").as("centroid"))
   }
 
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most

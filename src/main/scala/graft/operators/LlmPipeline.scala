@@ -743,6 +743,45 @@ object LlmPipeline {
           col("right_id").as("dup_of"), col("jaccard")))
     },
 
+    // Q90e (beyond-survey) — duplicated-SUBSTRING spans (the exact
+    // substring-dedup pass of Lee et al. 2022: report every maximal
+    // token span whose 8-gram windows all occur elsewhere in the
+    // corpus, so a scrubber can cut the span, not the document).
+    // Positional 8-grams via the zip-slice kernel (one linear pass per
+    // row), one partial-aggregated groupBy to find grams with corpus
+    // count > 1, a semi-join back to positions, then per-doc island
+    // merge (gap ≤ n ⇒ overlapping/contiguous duplicated text) under
+    // doc-partitioned windows. At 100 TB the gram shuffle is the
+    // corpus-sized cost any substring dedup pays; ship 64-bit gram
+    // fingerprints instead of strings (same plan, ~10× less shuffle
+    // volume, collision probability ≈ N²/2⁶⁴ — audit on the matched
+    // spans if that matters).
+    Q("q90e_dup_spans",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INT) AS i,
+        |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+        |  FROM t CROSS JOIN unnest(generate_series(1, len(w) - 7))
+        |    AS u(i)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |p AS (SELECT doc_id, i FROM g JOIN d USING (gram)),
+        |k AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER (
+        |    PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END
+        |    AS brk FROM p),
+        |isl AS (SELECT doc_id, i, sum(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM k)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS n_tokens
+        |FROM (SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end
+        |      FROM isl GROUP BY doc_id, island)
+        |ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST,
+        |  span_end NULLS FIRST, n_tokens NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.dupSpans(
+          Tables.t(s, dir, "documents"), "doc_id", "text", n = 8))
+    },
+
     // Q93d (beyond-survey) — SEQUENCE PACKING: assign documents to
     // 512-token context windows per source shard (the batch-prep pass
     // between curation and training), via Engine.packSequences. The
@@ -1143,6 +1182,23 @@ object LlmPipeline {
         "vec_id", "embedding", tau = 0.35))
     },
 
+    // Q92g (beyond-survey) — distributed LLOYD refinement: 2 rounds of
+    // assign-to-nearest-centroid → exact-decimal centroid update from
+    // the Q99b seeds, returning the final (cell, dim, centroid) table.
+    // Per round the K-row centroid table is broadcast (assignment = a
+    // map) and the update is ONE partial-aggregated (cell, dim) shuffle
+    // — the loop is driver-side, every round wholly distributed, no
+    // collect. The oracle unrolls both rounds as CTE chains with the
+    // identical rounded-cosine argmax and DECIMAL(38,6) means, so the
+    // iterative path is hash-gated end to end, not just smoke-tested.
+    Q("q92g_kmeans_refine", kmeansOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.kmeansRefine(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
+        "vec_id", "embedding", iters = 2))
+    },
+
     // Q93e (beyond-survey) — order-preserving WITHIN-document token dedup
     // (the rewrite counterpart of q95c's repetition score: strip repeated
     // tokens, keep first occurrences in original order). first-occurrence
@@ -1309,6 +1365,36 @@ object LlmPipeline {
        |LEFT JOIN dropped d ON c.vec_id = d.vec_id
        |WHERE d.vec_id IS NULL
        |ORDER BY c.vec_id NULLS FIRST, c.cell NULLS FIRST""".stripMargin
+  }
+
+  /** DuckDB oracle for Q92g: both Lloyd rounds unrolled as CTE chains —
+    * per round an argmax assignment (rounded cosine, cell-id tiebreak)
+    * and a DECIMAL(38,6) per-cell per-dim mean, reassembled into an
+    * ordered centroid list for the next round's cosine. */
+  private def kmeansOracleSql: String = {
+    val cents = ivfCentroidIds.mkString("(", ", ", ")")
+    def round(i: Int, prev: String): String =
+      s"""a$i AS (SELECT vec_id, embedding, cell, row_number() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY round(${Similarity.cosineSql("embedding", "ce")}, 6)
+         |      DESC, cell ASC) AS rn
+         |  FROM e CROSS JOIN $prev),
+         |m$i AS (SELECT vec_id, embedding, cell FROM a$i WHERE rn = 1),
+         |p$i AS (SELECT cell, CAST(dim AS INT) AS dim,
+         |    ${graft.Canon.avgDecSql("CAST(embedding[dim] AS DOUBLE)")} AS c
+         |  FROM m$i CROSS JOIN unnest(generate_series(1, len(embedding)))
+         |    AS t$i(dim)
+         |  GROUP BY cell, dim),
+         |c$i AS (SELECT cell, list(c ORDER BY dim) AS ce FROM p$i
+         |  GROUP BY cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, embedding AS ce FROM e
+       |  WHERE vec_id IN $cents),
+       |${round(1, "c0")},
+       |${round(2, "c1")}
+       |SELECT cell, dim, c AS centroid FROM p2
+       |ORDER BY cell NULLS FIRST, dim NULLS FIRST,
+       |  centroid NULLS FIRST""".stripMargin
   }
 
   /** The Q99b coarse-quantizer seed set: 8 fixed vec_ids, all present at

@@ -48,6 +48,44 @@ class EngineSpec extends AnyFunSuite {
     df.select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("dupSpans: shared runs surface per doc; in-doc repeats merge") {
+    import spark.implicits._
+    // n=2: "x y" occurs in all three docs (and twice in doc 3, where the
+    // two occurrences sit gap=2 apart ⇒ one merged span). "y q" / "z x" /
+    // "y x" are corpus-unique and must not appear.
+    val docs = Seq(
+      (1L, "x y q"),
+      (2L, "z x y"),
+      (3L, "x y x y")
+    ).toDF("doc_id", "text")
+    val got = Engine.dupSpans(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got == Set((1L, 1, 2, 2), (2L, 2, 3, 2), (3L, 1, 4, 4)))
+  }
+
+  test("kmeansRefine: separated members pull each centroid to their mean") {
+    import spark.implicits._
+    // 1,2 point along x (cos 1.0 to seed [1,0]), 3 along y → after one
+    // round each centroid is the plain per-dim mean of its members.
+    val vecs = Seq(
+      (1L, Array(2.0f, 0.0f)),
+      (2L, Array(4.0f, 0.0f)),
+      (3L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f))
+    ).toDF("cid", "ce")
+    val got = Engine.kmeansRefine(vecs, "vec_id", "embedding",
+        seeds, "cid", "ce", iters = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((10L, 1) -> 3.0, (10L, 2) -> 0.0,
+      (20L, 1) -> 0.0, (20L, 2) -> 3.0))
+  }
+
   test("semanticDedup: hand-built cells drop exactly the near-dup tails") {
     import spark.implicits._
     // Two orthogonal centroids; vectors 1,2,3 cluster on c10 with 1≈2

@@ -343,7 +343,8 @@ class PlanSpec extends AnyFunSuite {
       "q92e_hard_negatives", // bounded query set, same plan as q92
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q99b_ivf_ann",
-      "q92f_semantic_dedup") // 8-centroid seed set, same shape as q99b
+      // 8-centroid seed/refined set, same bounded shape as q99b
+      "q92f_semantic_dedup", "q92g_kmeans_refine")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
