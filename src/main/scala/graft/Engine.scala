@@ -737,6 +737,37 @@ object Engine {
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
       .cast("int") * 100 < pctCol * 65536
 
+  /** TEMPERATURE-rebalanced mixture sampling at α = 0.5 (the
+    * multilingual-LM recipe: stratum i keeps expected
+    * `target · √nᵢ / Σⱼ√nⱼ` rows, flattening head strata and
+    * up-weighting the tail). α is fixed at 0.5 because sqrt is the one
+    * power IEEE requires to be exactly rounded — `pow(x, α)` is only
+    * 1-ulp-correct and may differ between engines, which would make the
+    * per-mille thresholds non-reproducible. The √-sum routes through
+    * DECIMAL(38,6) so partial-addition order cannot perturb it.
+    *
+    * Plan: one partial-aggregated stratum count, a 1-row √-sum
+    * broadcast, a tiny rates dim broadcast back onto the corpus, then
+    * the [[stableSample]] md5-threshold — one corpus pass, no collect,
+    * reproducible across engines/reruns/partitioning. Returns the kept
+    * rows of `df`. */
+  def temperatureMix(df: DataFrame, key: Column, stratum: String,
+      target: Double): DataFrame = {
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(
+      sum(sqrt(col("__n")).cast(org.apache.spark.sql.types
+        .DecimalType(38, 6))).cast(DoubleType).as("__S"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(stratum),
+        least(lit(1.0),
+          lit(target) * sqrt(col("__n")) / col("__S") / col("__n"))
+          .as("__r"))
+    df.join(broadcast(rates), Seq(stratum))
+      .filter(conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("int") < floor(col("__r") * 65536).cast("int"))
+      .drop("__r")
+  }
+
   /** Batch sessionization: cut per-key sessions at inactivity gaps longer
     * than `gapSeconds`, via the lag + running-sum assignment. `tie` must
     * make (ts, tie) a total order within a key — without it, tied

@@ -484,6 +484,32 @@ object Sources {
           .select(col("doc_id"), col("lang")))
     },
 
+    // Q09d (beyond-survey) — TEMPERATURE mixture resampling at α = 0.5
+    // (the multilingual-LM rebalance: stratum i keeps an expected
+    // target·√nᵢ/Σ√nⱼ rows, flattening the en-heavy head). Rates are
+    // COMPUTED from the corpus (partial-agg count → 1-row √-sum
+    // broadcast → tiny rates dim broadcast), unlike q09b's given rates;
+    // the keep decision is the same md5 threshold. α is pinned to 0.5
+    // because sqrt is the one power IEEE rounds exactly — pow(x, α) is
+    // only 1-ulp-correct and may drift between engines.
+    Q("q09d_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(38,6))) AS DOUBLE)
+        |  AS S FROM c),
+        |r AS (SELECT lang, least(1.0, 100.0 * sqrt(n) / S / n) AS r
+        |  FROM c CROSS JOIN t)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang FROM documents d
+        |JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |    AS INT) < CAST(floor(r.r * 65536) AS INT)
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.temperatureMix(
+            Tables.t(s, dir, "documents"), col("doc_id"), "lang",
+            target = 100.0)
+          .select(col("doc_id"), col("lang")))
+    },
+
     // Q06 — streaming file source → streaming parquet sink, exactly-once:
     // the file sink's _spark_metadata commit log plus the checkpoint offset
     // log reproduce the reference's fsync-then-atomic-rename cursor commit
