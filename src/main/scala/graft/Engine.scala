@@ -476,8 +476,16 @@ object Engine {
     * O(N·K/parallelism) map), the pair join shuffles once on the cell
     * key, and candidate pairs are Σ|cell|²/2 — never corpus². At 100 TB
     * grow K with the corpus (K ≈ √N keeps the expected per-cell
-    * quadratic flat) and feed the k-means centroids from
-    * [[Engine.centroids]]-style iteration instead of fixed seeds. */
+    * quadratic flat) and feed the centroids from [[kmeansRefine]]
+    * instead of fixed seeds.
+    *
+    * The cell-assignment subtree is deliberately RECOMPUTED for its
+    * three consumers (pair-join both sides + survivor anti-join) rather
+    * than persisted: assignment is a broadcast map over the corpus, and
+    * at scale three cheap map passes beat pinning corpus-sized
+    * (id, embedding, cell) blocks through the shuffle-heavy pair
+    * stage — the opposite call from [[minHashNearDups]], whose cached
+    * signature table is tiny relative to its recompute cost. */
   def semanticDedup(vecs: DataFrame, id: String, vec: String,
       centroids: DataFrame, cid: String, cvec: String,
       tau: Double): DataFrame = {

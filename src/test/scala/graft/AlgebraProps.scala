@@ -298,4 +298,47 @@ object AlgebraProps extends Properties("algebra") {
         allChunks.length.toLong
       keptOk && totalOk
     }
+
+  /** Driver-side reference for [[Engine.dupSpans]]: duplicated-gram
+    * positions merged into maximal islands with gap ≤ n. */
+  private def refSpans(docs: List[(Long, String)],
+      n: Int): Set[(Long, Int, Int, Int)] = {
+    val grams = docs.flatMap { case (id, text) =>
+      val w = text.split(" ").toList
+      if (w.size >= n)
+        w.sliding(n).zipWithIndex
+          .map { case (g, p) => (id, p + 1, g.mkString(" ")) }.toList
+      else Nil
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    grams.filter(g => counts(g._3) > 1)
+      .groupBy(_._1).toList
+      .flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (cur :: done, p) =>
+            if (p - cur.head <= n) (p :: cur) :: done
+            else List(p) :: cur :: done
+        }
+        islands.map(is =>
+          (id, is.min, is.max + n - 1, is.max + n - is.min))
+      }.toSet
+  }
+
+  property("dupSpans == brute-force duplicated-gram island merge") =
+    forAll(
+      Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
+        Gen.choose(2, 8).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))),
+      Gen.oneOf(2, 3), parts) { (texts, ng, p) =>
+      import spark.implicits._
+      val withId = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = spark.createDataset(withId).toDF("doc_id", "text")
+        .repartition(p)
+      val got = Engine.dupSpans(df, "doc_id", "text", ng).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      got == refSpans(withId, ng)
+    }
 }
