@@ -102,6 +102,34 @@ object Engine {
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
   }
 
+  /** Span SCRUBBING — the apply step of [[dupSpans]]: cut the given
+    * token spans out of each document, keeping the remaining tokens in
+    * original order. `spans` must carry (id, span_start, span_end),
+    * 1-based inclusive. Returns (id, n_kept, clean_text); documents
+    * scrubbed to nothing drop out.
+    *
+    * Plan: the span table (duplicated regions only — tiny vs the
+    * corpus) explodes to a distinct (id, position) drop set, anti-joins
+    * the positional tokens, and reassembly sorts only inside each
+    * doc's collected array; every shuffle is doc-keyed. */
+  def scrubSpans(df: DataFrame, id: String, text: String,
+      spans: DataFrame): DataFrame = {
+    val toks = df.select(col(id).as("__id"),
+        posexplode(split(col(text), " ")).as(Seq("__p", "__tok")))
+      .select(col("__id"), (col("__p") + 1).cast("int").as("__i"),
+        col("__tok"))
+    val drop = spans.select(col(id).as("__id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("__i"))
+      .distinct()
+    toks.join(drop, Seq("__id", "__i"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__i"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"))
+      .select(col("__id").as(id), col("n_kept"), col("clean_text"))
+  }
+
   /** Exact dedup: group identical content by digest. Returns
     * (content_hash, keeper_id = min id, n_copies). */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -939,6 +967,44 @@ object Engine {
         explode(wordNgrams(col("__w"), n)).as("__g"))
     val bench = grams.filter(col("__bench")).select("__g").distinct()
     grams.filter(!col("__bench"))
+      .join(bench, Seq("__g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared_grams"))
+  }
+
+  /** [[decontaminate]] behind a BLOOM prefilter — the sketch-then-verify
+    * form: the benchmark n-gram set aggregates into ONE Bloom sketch
+    * (Spark's own `BloomFilterAggregate`, the q20c runtime-filter
+    * machinery invoked explicitly), the corpus grams are prefiltered by
+    * codegen'd `might_contain`, and only survivors reach the exact
+    * semi-join verify. Bloom filters have no false negatives, so the
+    * result is IDENTICAL to [[decontaminate]] (EngineSpec asserts it);
+    * false positives only cost verify work (`numBits` sizes that rate).
+    *
+    * At 100 TB this is the plan that wins when the benchmark set is too
+    * big to broadcast as an exact hash set but its sketch is not: the
+    * corpus-sized gram stream drops to the contaminated sliver BEFORE
+    * the join. The one driver materialization is the serialized sketch
+    * (`numBits`/8 bytes, bounded by construction — the same bounded-
+    * scalar class as [[withCountGreater]]), embedded as a binary
+    * literal exactly as Spark's runtime-filter rewrite ships it. */
+  def decontaminateBloom(df: DataFrame, id: Column, text: Column,
+      isBenchmark: Column, n: Int = 8,
+      numBits: Long = 1L << 20): DataFrame = {
+    require(n >= 1)
+    graft.plans.BloomFunctions.register(df.sparkSession)
+    val grams = df
+      .withColumn("__w", split(text, " "))
+      .select(id.as("doc_id"), isBenchmark.as("__bench"),
+        explode(wordNgrams(col("__w"), n)).as("__g"))
+    val bench = grams.filter(col("__bench")).select("__g").distinct()
+    val sketch: Array[Byte] = bench
+      .agg(expr(s"${graft.plans.BloomFunctions.aggName}(xxhash64(__g), " +
+        s"${numBits / 16}L, ${numBits}L)").as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    grams.filter(!col("__bench"))
+      .filter(call_function(graft.plans.BloomFunctions.mightContainName,
+        lit(sketch), xxhash64(col("__g"))))
       .join(bench, Seq("__g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_shared_grams"))

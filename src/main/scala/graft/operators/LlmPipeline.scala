@@ -636,26 +636,28 @@ object LlmPipeline {
     // the corpus (the benchmark is fixed-size while the corpus grows), so
     // the inner join on the n-gram is broadcastable; per-doc aggregation
     // counts distinct shared grams. Never all-pairs, no doc×doc join.
-    Q("q90b_decontaminate",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8 THEN
-        |    list_distinct(list_transform(generate_series(1, len(w) - 7),
-        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
-        |        w[i+4], w[i+5], w[i+6], w[i+7])))
-        |    ELSE [] END) AS g FROM w),
-        |bench AS (SELECT DISTINCT g FROM g
-        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-        |    AS INT) * 100 < 5 * 65536)
-        |SELECT doc_id, CAST(count(*) AS INT) AS n_shared_grams
-        |FROM g JOIN bench USING (g)
-        |WHERE NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-        |    AS INT) * 100 < 5 * 65536)
-        |GROUP BY doc_id
-        |ORDER BY doc_id NULLS FIRST, n_shared_grams NULLS FIRST""".stripMargin) {
+    Q("q90b_decontaminate", decontaminateOracleSql) {
       (s, dir) =>
         orderAll(graft.Engine.decontaminate(Tables.t(s, dir, "documents"),
           col("doc_id"), col("text"),
+          graft.Engine.stableSample(col("doc_id"), 5), n = 8))
+    },
+
+    // Q90g (beyond-survey) — decontamination behind a BLOOM prefilter:
+    // the benchmark n-gram set aggregates into one Bloom sketch
+    // (Spark's own BloomFilterAggregate — the q20c runtime-filter
+    // machinery invoked explicitly), corpus grams are prefiltered by
+    // codegen'd might_contain, and only survivors reach the exact
+    // verify join. No false negatives ⇒ the result is IDENTICAL to
+    // q90b (same oracle; EngineSpec asserts plan-level equality too).
+    // This is the 100 TB shape when the benchmark set outgrows an
+    // exact broadcast hash set but its sketch does not: the
+    // corpus-sized gram stream drops to the contaminated sliver
+    // BEFORE any join.
+    Q("q90g_bloom_decontaminate", decontaminateOracleSql) {
+      (s, dir) =>
+        orderAll(graft.Engine.decontaminateBloom(
+          Tables.t(s, dir, "documents"), col("doc_id"), col("text"),
           graft.Engine.stableSample(col("doc_id"), 5), n = 8))
     },
 
@@ -757,29 +759,44 @@ object LlmPipeline {
     // volume, collision probability ≈ N²/2⁶⁴ — audit on the matched
     // spans if that matters).
     Q("q90e_dup_spans",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, CAST(i AS INT) AS i,
-        |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
-        |  FROM t CROSS JOIN unnest(generate_series(1, len(w) - 7))
-        |    AS u(i)),
-        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
-        |p AS (SELECT doc_id, i FROM g JOIN d USING (gram)),
-        |k AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER (
-        |    PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END
-        |    AS brk FROM p),
-        |isl AS (SELECT doc_id, i, sum(brk) OVER (
-        |    PARTITION BY doc_id ORDER BY i
-        |    ROWS UNBOUNDED PRECEDING) AS island FROM k)
-        |SELECT doc_id, span_start, span_end,
-        |  span_end - span_start + 1 AS n_tokens
-        |FROM (SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end
-        |      FROM isl GROUP BY doc_id, island)
-        |ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST,
-        |  span_end NULLS FIRST, n_tokens NULLS FIRST""".stripMargin) {
+      s"""$dupSpanCtes
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS n_tokens
+         |FROM spans
+         |ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST,
+         |  span_end NULLS FIRST, n_tokens NULLS FIRST""".stripMargin) {
       (s, dir) =>
         orderAll(graft.Engine.dupSpans(
           Tables.t(s, dir, "documents"), "doc_id", "text", n = 8))
+    },
+
+    // Q90f (beyond-survey) — span SCRUBBING: the apply step of exact
+    // substring dedup — cut every q90e duplicated span out of the text,
+    // keeping the rest in original order (the reference rewrite Lee et
+    // al. recommend over whole-document dropping, which loses the
+    // unique remainder). The span table is tiny relative to the corpus
+    // (only duplicated regions); it explodes to a (doc, pos) drop set,
+    // anti-joins the positional tokens — both shuffles doc-keyed — and
+    // reassembly sorts only inside each doc's collected array (the q93e
+    // kernel). Docs scrubbed to nothing drop out, same as a filter.
+    Q("q90f_scrub_spans",
+      s"""$dupSpanCtes,
+         |dp AS (SELECT DISTINCT doc_id, CAST(j AS INT) AS i FROM spans
+         |  CROSS JOIN unnest(generate_series(span_start, span_end))
+         |    AS v(j)),
+         |tok AS (SELECT doc_id, CAST(i AS INT) AS i, w[i] AS tok
+         |  FROM t CROSS JOIN unnest(generate_series(1, len(w))) AS u2(i)),
+         |kept AS (SELECT tok.doc_id, tok.i, tok.tok FROM tok
+         |  LEFT JOIN dp ON tok.doc_id = dp.doc_id AND tok.i = dp.i
+         |  WHERE dp.i IS NULL)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |FROM kept GROUP BY doc_id
+         |ORDER BY doc_id NULLS FIRST, n_kept NULLS FIRST,
+         |  clean_text NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      orderAll(graft.Engine.scrubSpans(docs, "doc_id", "text",
+        graft.Engine.dupSpans(docs, "doc_id", "text", n = 8)))
     },
 
     // Q93d (beyond-survey) — SEQUENCE PACKING: assign documents to
@@ -1342,6 +1359,49 @@ object LlmPipeline {
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
        |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST, cos_sim NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle shared by Q90b and Q90g (bloom prefilter + exact
+    * verify ≡ the exact join — Bloom filters have no false negatives). */
+  private def decontaminateOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8 THEN
+      |    list_distinct(list_transform(generate_series(1, len(w) - 7),
+      |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+      |        w[i+4], w[i+5], w[i+6], w[i+7])))
+      |    ELSE [] END) AS g FROM w),
+      |bench AS (SELECT DISTINCT g FROM g
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      |    AS INT) * 100 < 5 * 65536)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_shared_grams
+      |FROM g JOIN bench USING (g)
+      |WHERE NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      |    AS INT) * 100 < 5 * 65536)
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST, n_shared_grams NULLS FIRST""".stripMargin
+
+  /** Shared CTE chain for Q90e/Q90f: positional 8-grams → corpus-
+    * duplicated grams → per-doc island merge (gap ≤ 8), ending in
+    * `spans(doc_id, span_start, span_end)`; `t(doc_id, w)` stays in
+    * scope for the scrub rewrite. */
+  private def dupSpanCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS INT) AS i,
+      |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+      |  FROM t CROSS JOIN unnest(generate_series(1, len(w) - 7))
+      |    AS u(i)),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+      |p AS (SELECT doc_id, i FROM g JOIN d USING (gram)),
+      |k AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER (
+      |    PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END
+      |    AS brk FROM p),
+      |isl AS (SELECT doc_id, i, sum(brk) OVER (
+      |    PARTITION BY doc_id ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING) AS island FROM k),
+      |spans AS (SELECT doc_id, min(i) AS span_start,
+      |    max(i) + 7 AS span_end
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   /** DuckDB oracle for Q92f: identical centroid assignment (argmax
     * rounded cosine, centroid-id tiebreak) and within-cell pair drop. */

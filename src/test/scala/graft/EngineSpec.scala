@@ -86,6 +86,21 @@ class EngineSpec extends AnyFunSuite {
       (20L, 1) -> 0.0, (20L, 2) -> 3.0))
   }
 
+  test("decontaminateBloom == decontaminate (no false negatives, FPs verified away)") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    def bag(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = bag(Engine.decontaminate(docs, col("doc_id"), col("text"),
+      Engine.stableSample(col("doc_id"), 5)))
+    assert(exact.nonEmpty)
+    assert(bag(Engine.decontaminateBloom(docs, col("doc_id"), col("text"),
+      Engine.stableSample(col("doc_id"), 5))) == exact)
+    // even a deliberately tiny, FP-heavy sketch must stay exact — the
+    // verify join is what guarantees the result, the bloom only prunes
+    assert(bag(Engine.decontaminateBloom(docs, col("doc_id"), col("text"),
+      Engine.stableSample(col("doc_id"), 5), numBits = 1L << 8)) == exact)
+  }
+
   test("semanticDedup: hand-built cells drop exactly the near-dup tails") {
     import spark.implicits._
     // Two orthogonal centroids; vectors 1,2,3 cluster on c10 with 1≈2

@@ -115,6 +115,17 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 3, s"expected only centroid-assignment BNLJs:\n$p")
   }
 
+  test("q90g: the bloom prefilter sits in the scan stage before the verify join") {
+    // The sketch is embedded as a binary literal (how Spark's own
+    // runtime-filter rewrite ships it), so might_contain must appear as
+    // a Filter below the join — the corpus-sized gram stream drops to
+    // the contaminated sliver before any exchange.
+    val p = planOf("q90g_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"expected might_contain in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q24: the theta-join semantics plan with no nested-loop join") {
     val p = planOf("q24_theta_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
