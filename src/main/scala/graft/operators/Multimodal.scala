@@ -68,6 +68,29 @@ object ImageIoDecoder extends MediaDecoder {
   }
 }
 
+/** REAL audio decode on the pure-JVM codec stack (`javax.sound.sampled`
+  * ships WAVE/AIFF/AU readers in every JDK, and stream parsing needs no
+  * audio device — headless-safe): the blob goes through an actual RIFF/
+  * WAVE parse, `n_bytes` is the decoded PCM frame count, `byte_sum` the
+  * unsigned-sample sum, `feat_dim` the sample rate in kHz off the parsed
+  * header. Extends the honest-decode coverage from image (q94b) to the
+  * audio modality. */
+object WavDecoder extends MediaDecoder {
+  override def decode(b: MediaBlob): MediaFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b.content))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+      s"unexpected WAVE layout for doc ${b.doc_id}: $fmt")
+    var sum = 0L
+    var i = 0
+    while (i < pcm.length) { sum += pcm(i) & 0xff; i += 1 }
+    MediaFeatures(b.doc_id, b.modality, pcm.length, sum,
+      (fmt.getSampleRate / 1000).toInt)
+  }
+}
+
 /** Multimodal feature extraction (north-star mandate: decode /
   * feature-extract over opaque binary columns). */
 object Multimodal {
@@ -107,6 +130,24 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 8 kHz unsigned-8-bit mono WAVE for one document:
+    * doc_id%29+1 PCM frames, every sample doc_id%251 — a REAL RIFF
+    * encode (`AudioSystem.write`, run on the executors) whose decoded
+    * statistics a codec-less engine predicts from the id arithmetic.
+    * PCM is lossless, so the parse returns exactly these values. */
+  def wavFor(docId: Long): Array[Byte] = {
+    val n = (docId % 29 + 1).toInt
+    val v = (docId % 251).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 8, 1, false, false) // 8 kHz, unsigned 8-bit, mono, LE
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.fill(n)(v.toByte)), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   val all: Seq[Q] = Seq(
     // Q94b (beyond-survey) — the decode/feature-extract path over the
     // multimodal blob column, now through a REAL codec: each document's
@@ -134,5 +175,31 @@ object Multimodal {
           .select(col("doc_id"), col("lang")).as[(Long, String)]
           .map { case (id, lang) => MediaBlob(id, "image", lang, pngFor(id)) }
         orderAll(extractFeatures(blobs, ImageIoDecoder).toDF())
+    },
+
+    // Q94d (beyond-survey) — the same decode path over the AUDIO
+    // modality: each blob is a genuine RIFF/WAVE file (encoded
+    // executor-side by wavFor), parsed by an actual javax.sound
+    // AudioSystem stream read. Audio content derives from doc_id so the
+    // codec-less oracle predicts the decoded PCM statistics
+    // arithmetically; feat_dim (sample rate in kHz) comes off the
+    // parsed header, proving the header path too. Same mapPartitions
+    // shape as q94b — modality is a per-row dispatch, not a new
+    // operator.
+    Q("q94d_audio_features",
+      """SELECT doc_id, 'audio' AS modality,
+        |  CAST(doc_id % 29 + 1 AS INT) AS n_bytes,
+        |  CAST((doc_id % 29 + 1) * (doc_id % 251) AS BIGINT) AS byte_sum,
+        |  CAST(8 AS INT) AS feat_dim
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST, modality NULLS FIRST,
+        |  n_bytes NULLS FIRST, byte_sum NULLS FIRST, feat_dim NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")).as[(Long, String)]
+          .map { case (id, lang) => MediaBlob(id, "audio", lang, wavFor(id)) }
+        orderAll(extractFeatures(blobs, WavDecoder).toDF())
     })
 }

@@ -20,6 +20,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(z == graft.operators.MediaFeatures(0L, "image", 1, 0L, 1))
   }
 
+  test("wavFor encodes a real WAVE that AudioSystem decodes to the exact PCM") {
+    // doc 40: 12 frames of sample 40 at 8 kHz; doc 0 degenerates to one
+    // zero frame.
+    val bytes = Multimodal.wavFor(40L)
+    // RIFF magic: a genuine container artifact, not a fake header
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val f = graft.operators.WavDecoder.decode(
+      MediaBlob(40L, "audio", "en", bytes))
+    assert(f == graft.operators.MediaFeatures(40L, "audio", 12, 12L * 40, 8))
+    val z = graft.operators.WavDecoder.decode(
+      MediaBlob(0L, "audio", "en", Multimodal.wavFor(0L)))
+    assert(z == graft.operators.MediaFeatures(0L, "audio", 1, 0L, 8))
+  }
+
   test("ImageIoDecoder fails loudly on undecodable bytes") {
     ImageIoDecoder.open()
     intercept[IllegalArgumentException] {
