@@ -130,6 +130,35 @@ object Engine {
       .select(col("__id").as(id), col("n_kept"), col("clean_text"))
   }
 
+  /** Exact HEAVY HITTERS behind a sketch prefilter — tokens occurring in
+    * ≥ `supportPct`% of the stream, computed sketch-then-verify like
+    * [[decontaminateBloom]]: `freqItems` (Spark's one-pass mergeable
+    * Karp/Misra-Gries sketch) nominates a candidate SUPERSET — it can
+    * over-report but never misses a true heavy hitter — and one exact
+    * count over only the ≤ 100/supportPct candidates confirms. The
+    * driver materialization is the candidate array (bounded by
+    * construction — the [[withCountGreater]] scalar class); the
+    * threshold compare is exact integer arithmetic (cnt·100 ≥ pct·N),
+    * never a float rate. Returns (token, cnt).
+    *
+    * At 100 TB the naive full groupBy shuffles every distinct token;
+    * this plan shuffles ONE pass of partial sketches plus a filtered
+    * count whose key space is ≤ 100/supportPct. */
+  def heavyHitters(df: DataFrame, token: Column,
+      supportPct: Int): DataFrame = {
+    require(supportPct >= 1 && supportPct <= 100)
+    val toks = df.select(token.as("token"))
+    val cands: Seq[String] = toks.stat
+      .freqItems(Seq("token"), supportPct / 100.0)
+      .head().getSeq[String](0)
+    val tot = toks.agg(count(lit(1)).as("__N"))
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 100 >= lit(supportPct) * col("__N"))
+      .select(col("token"), col("cnt"))
+  }
+
   /** Exact dedup: group identical content by digest. Returns
     * (content_hash, keeper_id = min id, n_copies). */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =

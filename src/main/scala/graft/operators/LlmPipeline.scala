@@ -1216,6 +1216,29 @@ object LlmPipeline {
         "vec_id", "embedding", iters = 2))
     },
 
+    // Q93f (beyond-survey) — corpus HEAVY HITTERS (the boilerplate-token
+    // detection pass: tokens above a frequency support across the whole
+    // stream), sketch-then-verify like q90g: Spark's one-pass freqItems
+    // sketch nominates a bounded candidate superset (it can over-report,
+    // never miss), and one exact count over only those candidates
+    // confirms — the full-vocabulary groupBy never runs. The threshold
+    // is exact integer arithmetic (cnt·100 ≥ pct·N), so both engines
+    // agree bit-for-bit.
+    Q("q93f_heavy_hitters",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt FROM c CROSS JOIN n
+        |WHERE cnt * 100 >= 3 * total
+        |ORDER BY token NULLS FIRST, cnt NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.heavyHitters(
+          Tables.t(s, dir, "documents")
+            .select(explode(split(col("text"), " ")).as("tok")),
+          col("tok"), supportPct = 3))
+    },
+
     // Q93e (beyond-survey) — order-preserving WITHIN-document token dedup
     // (the rewrite counterpart of q95c's repetition score: strip repeated
     // tokens, keep first occurrences in original order). first-occurrence

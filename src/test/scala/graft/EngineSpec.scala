@@ -86,6 +86,39 @@ class EngineSpec extends AnyFunSuite {
       (20L, 1) -> 0.0, (20L, 2) -> 3.0))
   }
 
+  test("scrubSpans conserves tokens: kept + dropped positions == doc length") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val spans = Engine.dupSpans(docs, "doc_id", "text", n = 8)
+    val dropped = spans.select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("i"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dropped"))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val kept = Engine.scrubSpans(docs, "doc_id", "text", spans)
+      .select(col("doc_id"), col("n_kept"))
+    val joined = lens
+      .join(dropped, Seq("doc_id"), "left").na.fill(0, Seq("n_dropped"))
+      .join(kept, Seq("doc_id"), "left").na.fill(0, Seq("n_kept"))
+    assert(joined.filter(
+      col("n_kept") + col("n_dropped") =!= col("n_tokens")).count() == 0)
+    // and scrubbing is not vacuous on this corpus
+    assert(joined.filter(col("n_dropped") > 0).count() > 0)
+  }
+
+  test("heavyHitters: sketch+verify equals the full exact groupBy") {
+    val toks = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val got = Engine.heavyHitters(toks, col("tok"), supportPct = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = toks.count()
+    val exact = toks.groupBy("tok").count()
+      .filter(col("count") * 100 >= lit(3) * lit(n))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    assert(got == exact)
+  }
+
   test("decontaminateBloom == decontaminate (no false negatives, FPs verified away)") {
     val docs = Tables.t(spark, TestSpark.sfDir, "documents")
     def bag(d: org.apache.spark.sql.DataFrame) =

@@ -354,6 +354,7 @@ class PlanSpec extends AnyFunSuite {
       "q92e_hard_negatives", // bounded query set, same plan as q92
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
+      "q93f_heavy_hitters",   // 1-row token-total scalar broadcast
       "q99b_ivf_ann",
       // 8-centroid seed/refined set, same bounded shape as q99b
       "q92f_semantic_dedup", "q92g_kmeans_refine")
