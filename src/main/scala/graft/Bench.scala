@@ -25,7 +25,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default mirrors the deployment contract (local[32], shuffle
+    // partitions = cores); SPARK_GRAFT_CPUS overrides for dev loops.
+    // The similarity joins are parallelism-sensitive — q91c measures
+    // ~2.4× slower at local[4] than local[32] — so benching below the
+    // contract's core count misreports the shuffle-heavy tail.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -305,5 +305,73 @@ object Windows {
         orderAll(graft.Engine.gapFill(ev, col("event_type"), col("ts"),
             col("value"), slotSeconds = 900)
           .withColumnRenamed("key", "event_type"))
+    },
+
+    // Q49b (beyond-survey) — z-normalized SUBSEQUENCE similarity search
+    // (the distributed time-series motif query of the EDBT'19/REPOSE
+    // line, PAPERS.md): every length-4 per-user window of the value
+    // series, z-normalized, ranked by squared distance to a query
+    // window (user 0's earliest), global top-5. Windows materialize via
+    // collect_list over a ROWS frame — frame order IS the window order,
+    // so no post-sort — inside the per-user partition (never a global
+    // window); the z-normalization and distance are identical IEEE
+    // operation trees in both engines (aggregate seeds 0.0+x₁ ≡
+    // DuckDB's seedless list_reduce); the 1-row query broadcast + a
+    // TakeOrdered top-k is the whole cross-series stage. Flat windows
+    // (sd = 0) are excluded — z-normalization is undefined there.
+    Q("q49b_subseq_search",
+      """WITH w AS (SELECT user_id, event_id, ts, list(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win
+        |  FROM events),
+        |f AS (SELECT * FROM w WHERE len(win) = 4),
+        |zm AS (SELECT user_id, event_id, ts, win,
+        |    list_reduce(win, (a, b) -> a + b) / 4.0 AS m FROM f),
+        |zs AS (SELECT *, sqrt(list_reduce(
+        |    list_transform(win, x -> (x - m) * (x - m)),
+        |    (a, b) -> a + b) / 4.0) AS sd FROM zm),
+        |zn AS (SELECT user_id, event_id, ts,
+        |    list_transform(win, x -> (x - m) / sd) AS zn
+        |  FROM zs WHERE sd > 0),
+        |q AS (SELECT zn AS qz FROM zn WHERE user_id = 0
+        |  ORDER BY ts, event_id LIMIT 1),
+        |d AS (SELECT user_id, event_id, round(list_reduce(
+        |    list_transform(generate_series(1, 4),
+        |      i -> (zn[i] - qz[i]) * (zn[i] - qz[i])),
+        |    (a, b) -> a + b), 6) AS dist
+        |  FROM zn CROSS JOIN q)
+        |SELECT user_id, event_id, dist FROM d
+        |ORDER BY dist ASC NULLS FIRST, user_id ASC NULLS FIRST,
+        |  event_id ASC NULLS FIRST
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.currentRow, 3)
+      val wins = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("win", collect_list(col("value")).over(frame))
+        .filter(size(col("win")) === 4)
+      val zn = wins
+        .withColumn("__m",
+          aggregate(col("win"), lit(0.0), (a, x) => a + x) / lit(4.0))
+        .withColumn("__sd", sqrt(
+          aggregate(transform(col("win"),
+              x => (x - col("__m")) * (x - col("__m"))),
+            lit(0.0), (a, x) => a + x) / lit(4.0)))
+        .filter(col("__sd") > 0)
+        .withColumn("zn",
+          transform(col("win"), x => (x - col("__m")) / col("__sd")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("zn"))
+      val q = zn.filter(col("user_id") === 0)
+        .orderBy(col("ts").asc, col("event_id").asc).limit(1)
+        .select(col("zn").as("qz"))
+      zn.crossJoin(broadcast(q))
+        .select(col("user_id"), col("event_id"),
+          round(aggregate(
+            zip_with(col("zn"), col("qz"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 6).as("dist"))
+        .orderBy(col("dist").asc_nulls_first,
+          col("user_id").asc_nulls_first, col("event_id").asc_nulls_first)
+        .limit(5)
     })
 }

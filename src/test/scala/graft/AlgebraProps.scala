@@ -326,6 +326,54 @@ object AlgebraProps extends Properties("algebra") {
       }.toSet
   }
 
+  /** Driver-side reference for [[Engine.semanticDedup]], with the same
+    * rounded-cosine (HALF_UP, 6 dp) and id tiebreaks as the operator. */
+  private def refSemanticDedup(vecs: List[(Long, Array[Float])],
+      cents: List[(Long, Array[Float])], tau: Double): Set[(Long, Long)] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = vecs.map { case (id, v) =>
+      val cell = cents.map { case (cid, c) => (-r6(cos(v, c)), cid) }
+        .min._2
+      (id, v, cell)
+    }
+    val dropped = (for {
+      (ia, va, ca) <- cells
+      (ib, vb, cb) <- cells
+      if ca == cb && ia < ib && r6(cos(va, vb)) >= tau
+    } yield ib).toSet
+    cells.collect { case (id, _, cell) if !dropped(id) => (id, cell) }
+      .toSet
+  }
+
+  property("semanticDedup == brute-force within-cell reference") = {
+    val vec: Gen[Array[Float]] =
+      Gen.listOfN(4, Gen.choose(1, 5).map(_.toFloat)).map(_.toArray)
+    forAll(
+      Gen.choose(3, 15).flatMap(k => Gen.listOfN(k, vec)),
+      Gen.choose(2, 3).flatMap(k => Gen.listOfN(k, vec)),
+      Gen.oneOf(0.9, 0.99, 0.999), parts) { (vs, cs, tau, p) =>
+      import spark.implicits._
+      val vecs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val cents = cs.zipWithIndex.map { case (c, i) => (100L + i, c) }
+      val got = Engine.semanticDedup(
+          vecs.toDF("vec_id", "embedding").repartition(p),
+          "vec_id", "embedding",
+          cents.toDF("cid", "ce"), "cid", "ce", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == refSemanticDedup(vecs, cents, tau)
+    }
+  }
+
   property("dupSpans == brute-force duplicated-gram island merge") =
     forAll(
       Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,

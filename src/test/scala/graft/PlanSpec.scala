@@ -355,6 +355,7 @@ class PlanSpec extends AnyFunSuite {
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
       "q93f_heavy_hitters",   // 1-row token-total scalar broadcast
+      "q49b_subseq_search",   // 1-row query-window broadcast
       "q99b_ivf_ann",
       // 8-centroid seed/refined set, same bounded shape as q99b
       "q92f_semantic_dedup", "q92g_kmeans_refine")
