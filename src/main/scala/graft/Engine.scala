@@ -1038,4 +1038,80 @@ object Engine {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_shared_grams"))
   }
+
+  /** BM25 relevance of every document against a FIXED query-term set —
+    * the retrieval scorer of data curation (rank corpus docs against a
+    * probe query; also the scoring half of a quality-targeted mixture).
+    *
+    * Plan shape: corpus stats (N, avgdl) partial-aggregate to ONE row
+    * and broadcast; term document-frequencies aggregate to |terms| rows
+    * and broadcast; per-(doc, term) tf is the only data-sized shuffle,
+    * and the `isin(terms)` filter prunes the exploded token stream
+    * map-side BEFORE that shuffle — so the exchange carries at most
+    * |terms| rows per doc, never the corpus vocabulary. No self-join,
+    * no collect; at 100 TB this is a token scan plus one narrow
+    * doc-keyed exchange.
+    *
+    * Determinism: the classic `ln((N+1)/(df+0.5))` idf is replaced by
+    * its (monotone) rational argument `(N+1)/(df+0.5)` because ln is
+    * only 1-ulp-correct and may differ between engines (the q09d sqrt
+    * rationale); every remaining operation is IEEE-exact arithmetic on
+    * an identical tree, and the per-term scores sum through
+    * DECIMAL(38,6) so addition order cannot perturb the total. */
+  def bm25Rank(df: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val docs = df.select(id.as("__id"), split(text, " ").as("__w"))
+      .withColumn("__dl", size(col("__w")))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("__avgdl"))
+    val toks = docs
+      .select(col("__id"), col("__dl"), explode(col("__w")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+    val tf = toks.groupBy(col("__id"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfT = toks.select(col("__id"), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfT), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        (col("__n") + lit(1L)).cast(DoubleType) /
+          (col("__df").cast(DoubleType) + lit(0.5)))
+      .withColumn("__s",
+        col("__idf") * (col("__tf").cast(DoubleType) * lit(k1 + 1.0)) /
+          (col("__tf").cast(DoubleType) +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("__dl").cast(DoubleType) / col("__avgdl")))))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(graft.Canon.sumDec(col("__s")).as("score"))
+  }
+
+  /** Achlioptas-style SIGN RANDOM PROJECTION of an embedding column to
+    * `outDims` dimensions: y_i = Σ_j x_j · r(j,i), with r(j,i) ∈
+    * {-1, 0, 1} derived from the deterministic lattice hash
+    * `(j·31 + i·17) mod 3 − 1` (1-based j, i) — no RNG, no projection
+    * matrix to ship, reproducible across engines/reruns/partitioning
+    * (the q09 discipline applied to dimensionality reduction).
+    *
+    * Plan shape: a PURE per-row projection — the dot products run as
+    * zip_with/aggregate higher-order functions inside the row, so there
+    * is no explode, no shuffle, nothing to spill; at 100 TB this
+    * pipelines inside whatever scan feeds it. The sign multiply is
+    * exact in IEEE (±x or 0), and accumulation routes through
+    * DECIMAL(38,6) so addition order cannot perturb the sums. */
+  def signProjection(vecs: DataFrame, id: Column, vec: String,
+      outDims: Int): DataFrame = {
+    require(outDims >= 1)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val ys = (1 to outDims).map { i =>
+      aggregate(
+        zip_with(col(vec), sequence(lit(1), size(col(vec))),
+          (x, j) => (x.cast(DoubleType) *
+            (((j * lit(31) + lit(i * 17)) % lit(3)) - lit(1))).cast(dec)),
+        lit(0).cast(dec),
+        (acc, t) => acc + t).cast(DoubleType).as(s"y$i")
+    }
+    vecs.select((id.as("vec_id") +: ys): _*)
+  }
 }

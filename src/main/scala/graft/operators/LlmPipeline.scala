@@ -1298,6 +1298,97 @@ object LlmPipeline {
         .filter(col("__rn") <= 10)
         .select(col("doc_id"), col("source"),
           col("__rn").cast("int").as("rn")))
+    },
+
+    // Q93g (beyond-survey) — BPE MERGE CANDIDATES: the corpus-wide
+    // adjacent-token-pair frequencies whose argmax is one byte-pair-
+    // encoding merge step (vocabulary induction runs this repeatedly,
+    // re-tokenizing with the merged symbol between rounds — each round
+    // is exactly this plan). Pair generation is SHUFFLE-FREE: zip_with
+    // over the two shifted slices of each doc's token array emits the
+    // pairs inside the row (no per-doc window, no posexplode+lag — the
+    // naive window form would shuffle the whole token stream on doc_id
+    // first). The only exchange is the partial-aggregated pair count,
+    // and the top-20 is a TakeOrderedAndProject (per-partition heap,
+    // k·partitions rows to the driver — never a global sort). Ties are
+    // impossible to mis-order: (cnt DESC, pair ASC) is total.
+    Q("q93g_bpe_merge",
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT w[i] || ' ' || w[i+1] AS pair
+        |  FROM t CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS u(i)),
+        |c AS (SELECT pair, CAST(count(*) AS INT) AS cnt FROM p
+        |  GROUP BY pair),
+        |top AS (SELECT pair, cnt FROM c
+        |  ORDER BY cnt DESC, pair ASC LIMIT 20)
+        |SELECT pair, cnt FROM top
+        |ORDER BY pair NULLS FIRST, cnt NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+          .withColumn("__w", split(col("text"), " "))
+        val pairs = docs.select(explode(zip_with(
+          slice(col("__w"), lit(1), size(col("__w")) - 1),
+          slice(col("__w"), lit(2), size(col("__w")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("pair"))
+        orderAll(pairs.groupBy(col("pair"))
+          .agg(count(lit(1)).cast("int").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(20))
+    },
+
+    // Q93h (beyond-survey) — BM25 RETRIEVAL SCORING of the corpus
+    // against a fixed probe-term set — the library operator
+    // [[graft.Engine.bm25Rank]] (see its Scaladoc for the broadcast-
+    // stats plan and the rational-idf determinism argument). The fixed
+    // terms make the oracle exact; an unbounded query workload swaps
+    // the isin() prune for a broadcast terms dim — same plan.
+    Q("q93h_bm25",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tok AS (SELECT doc_id, dl, unnest(w) AS t FROM dl),
+        |ft AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'hash', 'window') GROUP BY doc_id, dl, t),
+        |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE t IN ('spark', 'hash', 'window') GROUP BY t),
+        |s AS (SELECT f.doc_id,
+        |    (CAST(n + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 0.5e0))
+        |      * (CAST(tf AS DOUBLE) * 2.2e0)
+        |      / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 *
+        |          (CAST(dl AS DOUBLE) / avgdl))) AS sc
+        |  FROM ft f JOIN dfq USING (t) CROSS JOIN st)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(sc AS DECIMAL(38,6))) AS DOUBLE) AS score
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, score NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.bm25Rank(Tables.t(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq("spark", "hash", "window")))
+    },
+
+    // Q92h (beyond-survey) — SIGN RANDOM PROJECTION to 8 dims — the
+    // library operator [[graft.Engine.signProjection]]: the cheap
+    // dimensionality-reduction pass that feeds LSH bucketing and
+    // approximate-distance prefilters at corpus scale. The whole
+    // operator is a per-row higher-order-function projection — zero
+    // exchanges (PlanSpec asserts it), so at 100 TB it rides the scan.
+    Q("q92h_random_projection", {
+      val ys = (1 to 8).map(i =>
+        s"CAST(sum(CAST(x * ((j*31 + ${i * 17}) % 3 - 1) " +
+          s"AS DECIMAL(38,6))) AS DOUBLE) AS y$i").mkString(",\n        |  ")
+      val ord = (1 to 8).map(i => s"y$i NULLS FIRST").mkString(", ")
+      s"""WITH u AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |t AS (SELECT vec_id, CAST(v[j] AS DOUBLE) AS x, j
+         |  FROM u CROSS JOIN unnest(generate_series(1, len(v))) AS g(j))
+         |SELECT vec_id,
+         |  $ys
+         |FROM t GROUP BY vec_id
+         |ORDER BY vec_id NULLS FIRST, $ord""".stripMargin
+    }) { (s, dir) =>
+      orderAll(graft.Engine.signProjection(
+        Tables.t(s, dir, "embeddings"), col("vec_id"), "embedding", 8))
     })
 
   /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs

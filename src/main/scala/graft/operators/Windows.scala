@@ -206,6 +206,59 @@ object Windows {
         .withColumnRenamed("key", "user_id"))
     },
 
+    // Q47b (beyond-survey) — ordered event FUNNEL: the furthest
+    // signup → click → purchase stage each user reached, with every
+    // step STRICTLY after the previous one (not mere type presence —
+    // a purchase before any click does not count). Formulation: three
+    // chained running-mins over ONE (user_id, ts, event_id) window —
+    // earliest signup so far, then earliest *qualifying* click so far,
+    // then a qualifying purchase — so the whole funnel is a single
+    // exchange + one sort, and the final per-user groupBy reuses that
+    // partitioning (no second shuffle; the cascade never joins the
+    // events table against itself, which is the naive O(stages) self-
+    // join formulation that dies at 100 TB). The stage fold is
+    // coalesce(3,2,1,0) — each stage implies the previous, and
+    // coalesce (unlike greatest) has identical NULL semantics in both
+    // engines.
+    Q("q47b_funnel",
+      """WITH b AS (SELECT user_id, event_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS s1
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT *, CASE WHEN event_type = 'click' AND s1 < ts
+        |    THEN ts END AS c_ok FROM b),
+        |d AS (SELECT *, min(c_ok) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s2 FROM c),
+        |e AS (SELECT *, CASE WHEN event_type = 'purchase' AND s2 < ts
+        |    THEN ts END AS p_ok FROM d)
+        |SELECT user_id, CAST(coalesce(
+        |    max(CASE WHEN p_ok IS NOT NULL THEN 3 END),
+        |    max(CASE WHEN c_ok IS NOT NULL THEN 2 END),
+        |    max(CASE WHEN s1 IS NOT NULL THEN 1 END), 0) AS INT) AS stage
+        |FROM e GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, stage NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val staged = Tables.t(s, dir, "events")
+          .withColumn("s1",
+            min(when(col("event_type") === "signup", col("ts"))).over(w))
+          .withColumn("c_ok",
+            when(col("event_type") === "click" && col("s1") < col("ts"),
+              col("ts")))
+          .withColumn("s2", min(col("c_ok")).over(w))
+          .withColumn("p_ok",
+            when(col("event_type") === "purchase" && col("s2") < col("ts"),
+              col("ts")))
+        orderAll(staged.groupBy(col("user_id"))
+          .agg(coalesce(
+            max(when(col("p_ok").isNotNull, 3)),
+            max(when(col("c_ok").isNotNull, 2)),
+            max(when(col("s1").isNotNull, 1)),
+            lit(0)).cast("int").as("stage")))
+    },
+
     // Q49 (beyond-survey) — RUNNING DISTINCT COUNT over a window: per
     // customer, how many distinct order priorities have been seen up to
     // each order. Spark (like most engines) rejects count(DISTINCT) in

@@ -510,6 +510,42 @@ object Sources {
           .select(col("doc_id"), col("lang")))
     },
 
+    // Q09e (beyond-survey) — deterministic TRAIN/VAL/TEST split
+    // assignment: the fixed-holdout discipline of corpus curation. The
+    // split is a function of the doc key's md5 (q09's raw-threshold
+    // form, 80/10/10), NOT of file position or partition RNG — so a doc
+    // keeps its split across reruns, repartitioning, and corpus growth
+    // (new docs land in splits without reshuffling old ones, which is
+    // what keeps a held-out eval set honest). Output is the stratified
+    // integrity check: doc and char counts per (split, lang). Plan: a
+    // pure per-row projection + one partial-aggregated groupBy to a
+    // |splits|×|langs| result — one exchange, no window, no collect.
+    Q("q09e_split_assign",
+      """WITH a AS (SELECT lang, n_chars,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 4) AS INT) * 100 < 80 * 65536 THEN 'train'
+        |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 4) AS INT) * 100 < 90 * 65536 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM a GROUP BY split, lang
+        |ORDER BY split NULLS FIRST, lang NULLS FIRST,
+        |  n_docs NULLS FIRST, n_chars_total NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("int")
+        orderAll(Tables.t(s, dir, "documents")
+          .withColumn("split",
+            when(h * 100 < 80 * 65536, "train")
+              .when(h * 100 < 90 * 65536, "val")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).cast("int").as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total")))
+    },
+
     // Q06 — streaming file source → streaming parquet sink, exactly-once:
     // the file sink's _spark_metadata commit log plus the checkpoint offset
     // log reproduce the reference's fsync-then-atomic-rename cursor commit
