@@ -419,4 +419,38 @@ class EngineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaCol == viaInt && viaCol.nonEmpty)
   }
+
+  test("bm25Rank: hand-computed scores on a 3-doc corpus, absent docs absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val got = Engine.bm25Rank(docs, col("doc_id"), col("text"),
+        Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=3, dl=3 everywhere → denominator tf + 1.2.
+    // idf_a=(3+1)/(2+0.5)=1.6, idf_b=4/1.5; term scores round to 6dp:
+    // d1 = 1.6·4.4/3.2 + (4/1.5)·2.2/2.2 = 2.2 + 2.666667 = 4.866667
+    // d2 = 1.6·2.2/2.2 = 1.6; d3 has no probe term → no row.
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L) - 4.866667) < 1e-9, got(1L).toString)
+    assert(math.abs(got(2L) - 1.6) < 1e-9, got(2L).toString)
+  }
+
+  test("signProjection: matches the per-term-rounded dot product, in-row") {
+    import spark.implicits._
+    val vs = Seq((1L, Array(0.5f, -1.25f, 2.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Engine.signProjection(vs, col("vec_id"), "embedding", 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getDouble(i))).toMap
+    def expected(xs: Array[Float], i: Int): Double =
+      xs.zipWithIndex.map { case (x, j0) =>
+        val sign = ((j0 + 1) * 31 + i * 17) % 3 - 1
+        BigDecimal(x.toDouble * sign)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    for ((id, xs) <- Seq(1L -> Array(0.5f, -1.25f, 2.0f),
+        2L -> Array(1.0f, 1.0f, 1.0f)); i <- 1 to 4)
+      assert(got(id)(i - 1) == expected(xs, i), s"vec $id dim $i")
+  }
 }

@@ -314,6 +314,40 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
   }
 
+  test("q47b: the three-stage funnel is a single data shuffle on user_id") {
+    // chained running-mins share one (user_id, ts, event_id) window sort
+    // and the per-user stage fold reuses that partitioning — a second
+    // hash exchange would mean the cascade re-shuffled the event stream
+    val p = planOf("q47b_funnel")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+  }
+
+  test("q92h: sign projection carries no data shuffle") {
+    // per-row HOF dot products — the only exchange allowed is the
+    // oracle-canonicalization range sort
+    val p = planOf("q92h_random_projection")
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q93g: pair generation is in-row; one partial-agg count exchange") {
+    // zip_with pair emission must not shuffle the token stream on doc_id
+    // (no window), and the top-20 must be a TakeOrdered, not a global sort
+    val p = planOf("q93g_bpe_merge")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q93h: BM25 dims broadcast; tf is the only data-sized exchange") {
+    // df-per-term joins as a broadcast hash join; (N, avgdl) is a 1-row
+    // BNLJ cross (allowlisted); the doc-keyed tf/score aggregates are
+    // hash exchanges over at most |terms| rows per doc
+    val p = planOf("q93h_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q90b: decontamination is equi-join driven (no cartesian/NLJ)") {
     val p = planOf("q90b_decontaminate")
     assert(!p.contains("CartesianProduct"), p)
@@ -355,6 +389,7 @@ class PlanSpec extends AnyFunSuite {
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
       "q93f_heavy_hitters",   // 1-row token-total scalar broadcast
+      "q93h_bm25",            // 1-row (N, avgdl) stats scalar broadcast
       "q49b_subseq_search",   // 1-row query-window broadcast
       "q99b_ivf_ann",
       // 8-centroid seed/refined set, same bounded shape as q99b
