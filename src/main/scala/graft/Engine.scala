@@ -372,6 +372,70 @@ object Engine {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT similarity join: ordered pairs (a, b) where
+    * C(a→b) = |g(a) ∩ g(b)| / |g(a)| ≥ pct/100 over distinct word
+    * n-grams — the "document a is subsumed by document b" detector
+    * (quotes, extraction wrappers, boilerplate envelopes around a
+    * shorter original) that Jaccard structurally misses when |b| ≫ |a|:
+    * J ≤ |g(a)|/|g(b)| caps the symmetric score below any useful
+    * threshold even at PERFECT containment.
+    *
+    * Candidate generation keeps the prefix-filter discipline of
+    * [[jaccardJoin]] on the CONTAINED side only: if C ≥ t then at most
+    * ⌊(1−t)·n⌋ of a's grams are unshared, so among a's n − ⌈t·n⌉ + 1
+    * RAREST grams (global-df order, gram tiebreak) at least one is
+    * shared — recall 1.0 by the same pigeonhole theorem. The container
+    * side has no size-relative bound and must index every gram, which
+    * is exactly why rare-first ordering matters here MORE than in the
+    * symmetric join: every probe row is one of the corpus's rarest
+    * grams, so per-gram fan-out sits at the df floor, never the
+    * hot-gram square. A size prune (|g(b)| ≥ t·|g(a)|, since the
+    * intersection can't exceed |g(b)|) and pair dedup run BEFORE the
+    * array-attach verify joins (the q91c ordering argument); the
+    * verify is the codegen sorted-intersect kernel. The contract is
+    * integer-only — (n_shared, n_grams_a), no FP anywhere. */
+  def containmentJoin(df: DataFrame, id: String, text: String,
+      thresholdPct: Int = 80, ngramWords: Int = 2): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    graft.plans.SortedIntersectCount.register(df.sparkSession)
+    val docs = df
+      .withColumn("__words", split(col(text), " "))
+      .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
+      .filter(size(col("__sv")) >= 1)
+      .select(col(id).as("__id"), col("__sv"),
+        size(col("__sv")).cast("long").as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = docs.select(col("__id"), col("__n"),
+      explode(col("__sv")).as("__t"))
+    val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val prefA = tok.join(dfreq, Seq("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id"))
+          .orderBy(col("__df").asc, col("__t").asc)))
+      .filter(col("__rn") <=
+        col("__n") - expr(s"(__n * $thresholdPct + 99) div 100") + 1)
+      .select(col("__t"), col("__id").as("doc_a"), col("__n").as("__na"))
+    val allB = tok.select(col("__t"), col("__id").as("doc_b"))
+    val cands = prefA.join(allB, Seq("__t"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "__na")
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = cands
+      .join(docs.select(col("__id").as("doc_b"), col("__sv").as("__sb"),
+        col("__n").as("__nb")), Seq("doc_b"))
+      // the size prune (intersection ≤ |g(b)|) — cheap, before the
+      // second array attach
+      .filter(col("__nb") * 100 >= col("__na") * thresholdPct)
+      .join(docs.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
+        Seq("doc_a"))
+    val inter = expr("sorted_intersect_count(__sa, __sb)")
+    verified
+      .filter(inter.cast("long") * 100 >= col("__na") * thresholdPct)
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("int").as("n_shared"),
+        col("__na").cast("int").as("n_grams_a"))
+  }
+
   /** BIPARTITE n-gram Jaccard join — [[jaccardJoin]]'s machinery across
     * two corpora: every (left, right) pair with Jaccard ≥ t, recall 1.0
     * by the same prefix-filter theorem. THE incremental-curation shape:

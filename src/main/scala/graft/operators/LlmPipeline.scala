@@ -661,6 +661,38 @@ object LlmPipeline {
           graft.Engine.stableSample(col("doc_id"), 5), n = 8))
     },
 
+    // Q90h (beyond-survey) — asymmetric CONTAINMENT join: (a, b) pairs
+    // where ≥ 80% of a's distinct bigrams appear in b — the subsumed-
+    // document detector (quotes, wrapper pages around a shorter
+    // original) that symmetric Jaccard structurally misses when
+    // |b| ≫ |a|. The library operator [[graft.Engine.containmentJoin]]:
+    // rare-first prefix filter on the contained side (recall 1.0 by
+    // pigeonhole), full gram index on the container side, codegen
+    // sorted-intersect verify, integer-only contract. The oracle is the
+    // all-pairs brute force (affordable at 500 docs), so the prefix
+    // filter's recall claim is hash-gated, not prose.
+    Q("q90h_containment_join",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh WHERE len(sv) >= 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(i AS INT) AS n_shared,
+         |  CAST(sa.n AS INT) AS n_grams_a
+         |FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |WHERE i * 100 >= sa.n * 80
+         |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST,
+         |  n_shared NULLS FIRST, n_grams_a NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.containmentJoin(
+          Tables.t(s, dir, "documents"), "doc_id", "text",
+          thresholdPct = 80, ngramWords = 2))
+    },
+
     // Q90c (beyond-survey) — CHUNK-LEVEL corpus dedup with order-
     // preserving reassembly (the CCNet/RefinedWeb line-dedup pass, over
     // 5-word windows since this corpus has no newlines): only the FIRST

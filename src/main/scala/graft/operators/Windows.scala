@@ -259,6 +259,42 @@ object Windows {
             lit(0)).cast("int").as("stage")))
     },
 
+    // Q47c (beyond-survey) — weekly COHORT RETENTION: users grouped by
+    // the week of their first event (the cohort), counted as retained in
+    // each later week they reappear — the canonical product-analytics
+    // triangle. Plan: the cohort stamp is an unordered min-over-user
+    // window (one hash exchange on user_id, no sort frame), the
+    // (cohort, offset, user) distinct is the second — and last —
+    // exchange, and the final count partial-aggregates on top of it.
+    // Week arithmetic stays in integers (date_trunc to Monday on both
+    // stamps, day-diff div 7), so there is no FP anywhere and both
+    // engines agree exactly. Never a self-join of events against its
+    // own first-seen table — the window form co-locates both passes.
+    Q("q47c_retention",
+      """WITH c AS (SELECT user_id, ts,
+        |    date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+        |      AS cohort
+        |  FROM events),
+        |o AS (SELECT DISTINCT CAST(cohort AS DATE) AS cohort_week,
+        |    CAST(date_diff('day', cohort, date_trunc('week', ts)) // 7
+        |      AS INT) AS week_offset, user_id
+        |  FROM c)
+        |SELECT cohort_week, week_offset, CAST(count(*) AS INT) AS n_users
+        |FROM o GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST,
+        |  n_users NULLS FIRST""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+      orderAll(Tables.t(s, dir, "events")
+        .withColumn("cohort", date_trunc("week", min(col("ts")).over(w)))
+        .select(col("cohort").cast("date").as("cohort_week"),
+          expr("CAST(datediff(date_trunc('week', ts), cohort) div 7 AS INT)")
+            .as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).cast("int").as("n_users")))
+    },
+
     // Q49 (beyond-survey) — RUNNING DISTINCT COUNT over a window: per
     // customer, how many distinct order priorities have been seen up to
     // each order. Spark (like most engines) rejects count(DISTINCT) in

@@ -420,6 +420,24 @@ class EngineSpec extends AnyFunSuite {
     assert(viaCol == viaInt && viaCol.nonEmpty)
   }
 
+  test("containmentJoin: finds the subsumed doc that Jaccard misses") {
+    import spark.implicits._
+    // a's bigrams are a strict subset of b's: containment(a→b) = 1.0,
+    // but J = 2/9 — far below any useful symmetric threshold
+    val docs = Seq(
+      (1L, "x y z"),
+      (2L, "x y z p q r s t u v"),
+      (3L, "m n o")).toDF("doc_id", "text")
+    val got = Engine.containmentJoin(docs, "doc_id", "text",
+        thresholdPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3))).toSet
+    assert(got == Set((1L, 2L, 2, 2))) // both of a's bigrams, |g(a)| = 2
+    val jac = Engine.jaccardJoin(docs, "doc_id", "text",
+      thresholdPct = 80).count()
+    assert(jac == 0L) // the symmetric join cannot see the pair
+  }
+
   test("bm25Rank: hand-computed scores on a 3-doc corpus, absent docs absent") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "a c c"), (3L, "c c c"))

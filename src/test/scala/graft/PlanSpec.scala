@@ -323,6 +323,15 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
   }
 
+  test("q47c: retention is two data exchanges (user window + distinct)") {
+    // cohort stamp reuses the user_id exchange; the (cohort, offset,
+    // user) distinct is the only other hash shuffle — the final count
+    // partial-aggregates on the distinct's partitioning
+    val p = planOf("q47c_retention")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n <= 2, s"expected at most 2 hash exchanges, got $n:\n$p")
+  }
+
   test("q92h: sign projection carries no data shuffle") {
     // per-row HOF dot products — the only exchange allowed is the
     // oracle-canonicalization range sort
