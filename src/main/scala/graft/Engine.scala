@@ -372,61 +372,175 @@ object Engine {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Asymmetric CONTAINMENT similarity join: ordered pairs (a, b) where
-    * C(a→b) = |g(a) ∩ g(b)| / |g(a)| ≥ pct/100 over distinct word
-    * n-grams — the "document a is subsumed by document b" detector
-    * (quotes, extraction wrappers, boilerplate envelopes around a
-    * shorter original) that Jaccard structurally misses when |b| ≫ |a|:
+  /** PRODUCT-QUANTIZATION encode: split each embedding into `blocks`
+    * contiguous sub-vectors and assign every block the id of its nearest
+    * codebook sub-vector (squared L2, rounded-decimal ties broken by
+    * code id) — the compression half of an IVF-PQ index: a D-float
+    * vector becomes `blocks` small ints, an ~32× footprint cut that is
+    * what makes billion-vector search RAM-resident at 100 TB.
+    *
+    * Plan shape: the codebook broadcasts (K·D floats, bounded config);
+    * each (vector × code) row computes ALL block distances IN-ROW via
+    * slice/zip_with/aggregate HOFs — the embeddings themselves never
+    * shuffle. The exploded (vec, block, dist, code) stream is scalar-
+    * skinny and partial-aggregates to min(struct(dist, code)) map-side,
+    * so the one exchange carries O(N · blocks) tiny rows. Squared
+    * differences are exact IEEE ops on casts from float; each term
+    * rounds through DECIMAL(38,6) before the order-free decimal sum —
+    * both engines agree bit-for-bit, including at argmin ties. */
+  def pqEncode(vecs: DataFrame, id: String, vec: String,
+      codebook: DataFrame, cid: String, cvec: String,
+      blocks: Int, subDim: Int = 8): DataFrame = {
+    pqBlockDistances(vecs, id, vec, codebook, cid, cvec, blocks, subDim)
+      .groupBy(col("__qid").as("vec_id"), col("__blk").as("block"))
+      .agg(min(struct(col("__dd"), col("__cid"))).as("__m"))
+      .select(col("vec_id"), col("block"), col("__m.__cid").as("code"))
+  }
+
+  /** PQ ASYMMETRIC-DISTANCE (ADC) top-k search: score every encoded
+    * corpus vector against a bounded query set using only its PQ codes —
+    * distance ≈ Σ_blocks LUT(query, block, code), where the LUT holds the
+    * exact block distance from the query to each codebook sub-vector.
+    * The search half of IVF-PQ: after [[pqEncode]], queries never touch
+    * the corpus floats again.
+    *
+    * Plan shape: the LUT is queries × blocks × K scalars — bounded
+    * config, built by [[pqEncode]]'s own distance kernel applied to the
+    * query set, then broadcast; the codes table equi-joins it on
+    * (block, code) — a broadcast hash join, no shuffle of the corpus —
+    * and the per-(query, vector) sum partial-aggregates through
+    * DECIMAL(38,6). Top-k per query is a rank-k window, which compiles
+    * to a partial WindowGroupLimit below its exchange (the q44 family).
+    * At 100 TB the scan reads `blocks` small ints per vector instead of
+    * D floats — that I/O cut, not the arithmetic, is the win. */
+  def pqSearch(codes: DataFrame, queries: DataFrame, qid: String,
+      qvec: String, codebook: DataFrame, cid: String, cvec: String,
+      blocks: Int, k: Int, subDim: Int = 8): DataFrame = {
+    require(k >= 1)
+    val lut = broadcast(pqBlockDistances(queries, qid, qvec,
+      codebook, cid, cvec, blocks, subDim))
+    val scored = codes
+      .join(lut, codes("block") === lut("__blk") &&
+        codes("code") === lut("__cid"))
+      .groupBy(lut("__qid").as("query_id"), codes("vec_id").as("vec_id"))
+      .agg(sum(col("__dd").cast(org.apache.spark.sql.types
+        .DecimalType(38, 6))).cast(DoubleType).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("vec_id"), col("adist"))
+  }
+
+  /** The shared (id, block, code, dist) distance kernel behind
+    * [[pqEncode]] (argmin of it) and [[pqSearch]]'s LUT (all of it):
+    * every block's squared L2 to every codebook sub-vector, computed
+    * IN-ROW against the broadcast codebook — the source vectors never
+    * shuffle, and the emitted stream is scalar-skinny. */
+  private def pqBlockDistances(vecs: DataFrame, id: String, vec: String,
+      codebook: DataFrame, cid: String, cvec: String,
+      blocks: Int, subDim: Int): DataFrame = {
+    require(blocks >= 1 && subDim >= 1)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val cent = broadcast(
+      codebook.select(col(cid).as("__cid"), col(cvec).as("__ce")))
+    def blockDist(b: Int) = aggregate(
+      zip_with(
+        slice(col("__e"), lit(b * subDim + 1), lit(subDim)),
+        slice(col("__ce"), lit(b * subDim + 1), lit(subDim)),
+        (x, c) => {
+          val d = x.cast(DoubleType) - c.cast(DoubleType)
+          (d * d).cast(dec)
+        }),
+      lit(0).cast(dec),
+      (acc, t) => acc + t).cast(DoubleType)
+    vecs.select(col(id).as("__qid"), col(vec).as("__e"))
+      .crossJoin(cent)
+      .select(col("__qid"), col("__cid"),
+        posexplode(array((0 until blocks).map(blockDist): _*))
+          .as(Seq("__blk", "__dd")))
+      .select(col("__qid"), col("__blk").cast("int").as("__blk"),
+        col("__cid"), col("__dd"))
+  }
+
+  /** Asymmetric CONTAINMENT similarity join: ordered pairs (a, b) with
+    * a from `contained`, b from `container`, where C(a→b) =
+    * |g(a) ∩ g(b)| / |g(a)| ≥ pct/100 over distinct word n-grams — the
+    * "document a is subsumed by document b" detector (quotes,
+    * extraction wrappers, boilerplate envelopes around a shorter
+    * original) that Jaccard structurally misses when |b| ≫ |a|:
     * J ≤ |g(a)|/|g(b)| caps the symmetric score below any useful
     * threshold even at PERFECT containment.
     *
-    * Candidate generation keeps the prefix-filter discipline of
-    * [[jaccardJoin]] on the CONTAINED side only: if C ≥ t then at most
-    * ⌊(1−t)·n⌋ of a's grams are unshared, so among a's n − ⌈t·n⌉ + 1
-    * RAREST grams (global-df order, gram tiebreak) at least one is
-    * shared — recall 1.0 by the same pigeonhole theorem. The container
-    * side has no size-relative bound and must index every gram, which
-    * is exactly why rare-first ordering matters here MORE than in the
-    * symmetric join: every probe row is one of the corpus's rarest
-    * grams, so per-gram fan-out sits at the df floor, never the
-    * hot-gram square. A size prune (|g(b)| ≥ t·|g(a)|, since the
-    * intersection can't exceed |g(b)|) and pair dedup run BEFORE the
-    * array-attach verify joins (the q91c ordering argument); the
-    * verify is the codegen sorted-intersect kernel. The contract is
-    * integer-only — (n_shared, n_grams_a), no FP anywhere. */
-  def containmentJoin(df: DataFrame, id: String, text: String,
-      thresholdPct: Int = 80, ngramWords: Int = 2): DataFrame = {
+    * The signature is BIPARTITE (the q90d/jaccardJoinAcross shape) and
+    * that is a scale decision, not a convenience: containment gives the
+    * container side no size-relative prefix bound — b must index every
+    * gram — so candidates are Σ_{t∈prefix(a)} df_B(t), and on a
+    * small-vocabulary corpus (this one is adversarially so) a
+    * corpus×corpus call degenerates toward the hot-gram product
+    * (measured: 12× the bounded form at sf0.1). The production shapes
+    * are batch-vs-corpus (incremental hygiene, like [[jaccardJoinAcross]])
+    * or short-docs-vs-corpus; pass the same frame twice only when the
+    * corpus is known gram-diverse.
+    *
+    * Candidate generation keeps [[jaccardJoin]]'s prefix-filter
+    * discipline on the CONTAINED side: if C ≥ t then at most ⌊(1−t)·n⌋
+    * of a's grams are unshared, so among a's n − ⌈t·n⌉ + 1 first grams
+    * in the global (container-df, gram) order at least one is shared —
+    * recall 1.0 by pigeonhole (a-grams absent from the container sort
+    * with df 0: they occupy prefix slots but the unshared-total bound
+    * already accounts for them, and they match nothing). Both sides
+    * carry their rank in that SAME global order, which buys the
+    * positional filter: a qualifying pair's first shared gram has
+    * min(n_a − r_a, n_b − r_b) + 1 ≥ ⌈t·n_a⌉ — applied with the size
+    * prune (intersection ≤ |g(b)|) inside the join, BEFORE the pair
+    * dedup and the array-attach verify joins (the q91c ordering
+    * argument). Verification is the codegen sorted-intersect kernel;
+    * the contract is integer-only — (n_shared, n_grams_a), no FP. */
+  def containmentJoin(contained: DataFrame, container: DataFrame,
+      id: String, text: String, thresholdPct: Int = 80,
+      ngramWords: Int = 2): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
-    graft.plans.SortedIntersectCount.register(df.sparkSession)
-    val docs = df
+    graft.plans.SortedIntersectCount.register(contained.sparkSession)
+    def docsOf(df: DataFrame) = df
       .withColumn("__words", split(col(text), " "))
       .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
       .filter(size(col("__sv")) >= 1)
       .select(col(id).as("__id"), col("__sv"),
         size(col("__sv")).cast("long").as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tok = docs.select(col("__id"), col("__n"),
-      explode(col("__sv")).as("__t"))
-    val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val prefA = tok.join(dfreq, Seq("__t"))
+    val (da, db) = (docsOf(contained), docsOf(container))
+    def tokOf(d: DataFrame) =
+      d.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
+    // the container's df defines the one global rarity order both
+    // rankings share (required for the positional filter's
+    // first-shared-gram argument)
+    val dfreq = tokOf(db).groupBy("__t").agg(count(lit(1)).as("__df"))
+    def rankOf(tok: DataFrame) = tok
+      .join(dfreq, Seq("__t"), "left")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__id"))
-          .orderBy(col("__df").asc, col("__t").asc)))
-      .filter(col("__rn") <=
-        col("__n") - expr(s"(__n * $thresholdPct + 99) div 100") + 1)
-      .select(col("__t"), col("__id").as("doc_a"), col("__n").as("__na"))
-    val allB = tok.select(col("__t"), col("__id").as("doc_b"))
+          .orderBy(coalesce(col("__df"), lit(0L)).asc, col("__t").asc)))
+    val ceilTna = expr(s"(__na * $thresholdPct + 99) div 100")
+    val prefA = rankOf(tokOf(da))
+      .withColumnRenamed("__n", "__na")
+      .filter(col("__rn") <= col("__na") - ceilTna + 1)
+      .select(col("__t"), col("__id").as("doc_a"),
+        col("__rn").as("__ra"), col("__na"))
+    val allB = rankOf(tokOf(db)).select(col("__t"),
+      col("__id").as("doc_b"), col("__rn").as("__rb"), col("__n").as("__nb"))
     val cands = prefA.join(allB, Seq("__t"))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("__nb") * 100 >= col("__na") * thresholdPct &&
+        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
+          >= ceilTna)
       .select("doc_a", "doc_b", "__na")
       .dropDuplicates("doc_a", "doc_b")
     val verified = cands
-      .join(docs.select(col("__id").as("doc_b"), col("__sv").as("__sb"),
-        col("__n").as("__nb")), Seq("doc_b"))
-      // the size prune (intersection ≤ |g(b)|) — cheap, before the
-      // second array attach
-      .filter(col("__nb") * 100 >= col("__na") * thresholdPct)
-      .join(docs.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
+      .join(db.select(col("__id").as("doc_b"), col("__sv").as("__sb")),
+        Seq("doc_b"))
+      .join(da.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
         Seq("doc_a"))
     val inter = expr("sorted_intersect_count(__sa, __sb)")
     verified

@@ -627,6 +627,40 @@ object LlmPipeline {
         .select("query_id", "rnk", "vec_id", "cos_sim"))
     },
 
+    // Q92i (beyond-survey) — PRODUCT-QUANTIZATION encode: each 64-dim
+    // embedding becomes 8 sub-vector codes (nearest codebook entry per
+    // block, squared L2, decimal-exact, id tiebreak) — the library
+    // operator [[graft.Engine.pqEncode]], the compression half of an
+    // IVF-PQ index (~32× footprint cut; what makes billion-vector
+    // search RAM-resident). The codebook here is the Q99b seed set —
+    // a bootstrap, exactly like q99b's coarse quantizer; production
+    // would feed [[graft.Engine.kmeansRefine]] output per block.
+    Q("q92i_pq_codes", pqCodesOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.pqEncode(e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
+        "vec_id", "embedding", blocks = 8))
+    },
+
+    // Q99c (beyond-survey) — PQ ASYMMETRIC-DISTANCE (ADC) top-k search
+    // over the q92i codes — [[graft.Engine.pqSearch]]: the query builds
+    // an (8 blocks × 8 codes) exact-distance LUT against the broadcast
+    // codebook, and every corpus vector is scored from its CODES ALONE
+    // (broadcast LUT equi-join + decimal sum; the corpus floats are
+    // never read again). Completes the repo's ANN stack: q92 exact /
+    // q99 LSH / q99b IVF / q99c PQ-ADC. The oracle replays the same
+    // arithmetic as CTEs, so the encode→LUT→score→rank chain is
+    // hash-gated end to end.
+    Q("q99c_pq_ann", pqAnnOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      val codes = graft.Engine.pqEncode(e, "vec_id", "embedding",
+        cents, "vec_id", "embedding", blocks = 8)
+      orderAll(graft.Engine.pqSearch(codes,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cents, "vec_id", "embedding", blocks = 8, k = 3))
+    },
+
     // Q90b (beyond-survey) — benchmark DECONTAMINATION: flag training
     // documents that share any 8-word n-gram with a held-out benchmark
     // set (here: the stable 5% hash sample, q09's operator — any doc set
@@ -665,32 +699,41 @@ object LlmPipeline {
     // where ≥ 80% of a's distinct bigrams appear in b — the subsumed-
     // document detector (quotes, wrapper pages around a shorter
     // original) that symmetric Jaccard structurally misses when
-    // |b| ≫ |a|. The library operator [[graft.Engine.containmentJoin]]:
-    // rare-first prefix filter on the contained side (recall 1.0 by
-    // pigeonhole), full gram index on the container side, codegen
-    // sorted-intersect verify, integer-only contract. The oracle is the
-    // all-pairs brute force (affordable at 500 docs), so the prefix
-    // filter's recall claim is hash-gated, not prose.
+    // |b| ≫ |a|. The library operator [[graft.Engine.containmentJoin]]
+    // in its production shape: the incoming BATCH (the q09 stable 5%
+    // sample) checked against the standing corpus — bipartite like
+    // q90d, because the container side must index every gram (see the
+    // operator Scaladoc for why corpus×corpus degenerates on a small-
+    // vocabulary corpus). Rare-first prefix on the contained side
+    // (recall 1.0 by pigeonhole) + the positional filter from the
+    // shared global rarity order, codegen sorted-intersect verify,
+    // integer-only contract. The oracle is the batch×corpus brute
+    // force, so the recall claim is hash-gated, not prose.
     Q("q90h_containment_join",
       s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
          |        FROM documents)),
-         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(sv) AS n FROM sh WHERE len(sv) >= 1),
+         |sa AS (SELECT doc_id, sv FROM sh WHERE len(sv) >= 1
+         |  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |    AS INT) * 100 < 5 * 65536),
+         |exa AS (SELECT doc_id, unnest(sv) AS s FROM sa),
+         |exb AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |na AS (SELECT doc_id, len(sv) AS n FROM sa),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+         |  FROM exa a JOIN exb b ON a.s = b.s AND a.doc_id != b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(i AS INT) AS n_shared,
-         |  CAST(sa.n AS INT) AS n_grams_a
-         |FROM inter JOIN sz sa ON sa.doc_id = doc_a
-         |WHERE i * 100 >= sa.n * 80
+         |  CAST(na.n AS INT) AS n_grams_a
+         |FROM inter JOIN na ON na.doc_id = doc_a
+         |WHERE i * 100 >= na.n * 80
          |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST,
          |  n_shared NULLS FIRST, n_grams_a NULLS FIRST""".stripMargin) {
       (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
         orderAll(graft.Engine.containmentJoin(
-          Tables.t(s, dir, "documents"), "doc_id", "text",
-          thresholdPct = 80, ngramWords = 2))
+          docs.filter(graft.Engine.stableSample(col("doc_id"), 5)), docs,
+          "doc_id", "text", thresholdPct = 80, ngramWords = 2))
     },
 
     // Q90c (beyond-survey) — CHUNK-LEVEL corpus dedup with order-
@@ -1607,6 +1650,52 @@ object LlmPipeline {
     * every scale factor (embeddings carry vec_id 0–499 at minimum). */
   private def ivfCentroidIds: Seq[Long] =
     Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)
+
+  /** Shared CTE prefix for the PQ oracles: per-(vector, code, block)
+    * squared L2 with the identical per-term DECIMAL(38,6) rounding the
+    * Spark kernel applies, plus the argmin code assignment. */
+  private def pqDistCtes: String = {
+    val ids = ivfCentroidIds.mkString(", ")
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |u AS (SELECT e.vec_id, c.cid, CAST((j - 1) // 8 AS INT) AS blk,
+       |    CAST(e.embedding[j] AS DOUBLE) - CAST(c.ce[j] AS DOUBLE) AS d
+       |  FROM embeddings e CROSS JOIN cent c
+       |  CROSS JOIN unnest(generate_series(1, len(e.embedding))) AS g(j)),
+       |dist AS (SELECT vec_id, cid, blk,
+       |    CAST(sum(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS dd
+       |  FROM u GROUP BY vec_id, cid, blk),
+       |codes AS (SELECT vec_id, blk, cid AS code FROM (
+       |    SELECT vec_id, blk, cid, row_number() OVER (
+       |      PARTITION BY vec_id, blk ORDER BY dd ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB oracle for Q92i: the argmin code per (vector, block). */
+  private def pqCodesOracleSql: String =
+    s"""WITH ${pqDistCtes}
+       |SELECT vec_id, blk AS block, code FROM codes
+       |ORDER BY vec_id NULLS FIRST, block NULLS FIRST,
+       |  code NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q99c: the same distance table sliced as the
+    * query LUT (vec_id < 5), summed over each corpus vector's codes,
+    * ranked (adist ASC, vec_id ASC), top-3. */
+  private def pqAnnOracleSql: String =
+    s"""WITH ${pqDistCtes},
+       |lut AS (SELECT vec_id AS query_id, blk, cid, dd FROM dist
+       |  WHERE vec_id < 5),
+       |sc AS (SELECT l.query_id, c.vec_id,
+       |    CAST(sum(CAST(l.dd AS DECIMAL(38,6))) AS DOUBLE) AS adist
+       |  FROM codes c JOIN lut l ON l.blk = c.blk AND l.cid = c.code
+       |  GROUP BY l.query_id, c.vec_id),
+       |r AS (SELECT query_id, vec_id, adist, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sc)
+       |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, adist
+       |FROM r WHERE rn <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
+       |  vec_id NULLS FIRST, adist NULLS FIRST""".stripMargin
 
   /** DuckDB oracle for Q99b: identical centroid set, assignment argmax,
     * nprobe=2 probing and in-cell top-3 — over the same rounded cosines. */

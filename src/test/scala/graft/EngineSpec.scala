@@ -428,7 +428,7 @@ class EngineSpec extends AnyFunSuite {
       (1L, "x y z"),
       (2L, "x y z p q r s t u v"),
       (3L, "m n o")).toDF("doc_id", "text")
-    val got = Engine.containmentJoin(docs, "doc_id", "text",
+    val got = Engine.containmentJoin(docs, docs, "doc_id", "text",
         thresholdPct = 80)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getInt(2), r.getInt(3))).toSet

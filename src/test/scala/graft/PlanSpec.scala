@@ -402,7 +402,10 @@ class PlanSpec extends AnyFunSuite {
       "q49b_subseq_search",   // 1-row query-window broadcast
       "q99b_ivf_ann",
       // 8-centroid seed/refined set, same bounded shape as q99b
-      "q92f_semantic_dedup", "q92g_kmeans_refine")
+      "q92f_semantic_dedup", "q92g_kmeans_refine",
+      // 8-entry PQ codebook broadcast (pqBlockDistances), plus the
+      // bounded query set's LUT in q99c — the q99b class again
+      "q92i_pq_codes", "q99c_pq_ann")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
