@@ -324,5 +324,49 @@ object Aggregates {
         round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
           (col("n") * (col("n") - 1))), 6).as("stddev_q"),
         (abs(col("corr_builtin") - corrDet) < 1e-9).as("builtin_ok")))
+    },
+
+    // Q46b (beyond-survey) — per-group ORDINARY LEAST SQUARES: the
+    // closed-form slope/intercept of value-over-time per event type
+    // (drift detection over a metric stream), by the q46 moment
+    // discipline — one partial-aggregated pass collects (n, Σx, Σy,
+    // Σxy) through DECIMAL(38,6) so partial-addition order cannot
+    // perturb them, then the normal-equation arithmetic runs on the
+    // single-row-per-group moments as an identical IEEE tree in both
+    // engines. x is integer seconds from a fixed origin (small, so the
+    // x² products stay exact); never a per-row ML pass, never collect —
+    // at 100 TB this is exactly one scan plus a |groups|-row reduce.
+    Q("q46b_ols", {
+      def m(e: String) = sumDecSql(e)
+      s"""WITH mo AS (SELECT event_type,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    ${m("epoch_ms(ts) // 1000 - 1704067200")} AS sx,
+         |    ${m("value")} AS sy,
+         |    ${m("(epoch_ms(ts) // 1000 - 1704067200) * value")} AS sxy,
+         |    ${m("(epoch_ms(ts) // 1000 - 1704067200) * " +
+                 "(epoch_ms(ts) // 1000 - 1704067200)")} AS sxx
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, CAST(n AS INT) AS n_events,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+         |    * (sx / n), 6) AS intercept
+         |FROM mo
+         |ORDER BY event_type NULLS FIRST, n_events NULLS FIRST,
+         |  slope NULLS FIRST, intercept NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      val x = (unix_timestamp(col("ts")) - lit(1704067200L)).cast("double")
+      val y = col("value")
+      val mo = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sumDec(x).as("sx"), sumDec(y).as("sy"),
+          sumDec(x * y).as("sxy"), sumDec(x * x).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      orderAll(mo.select(col("event_type"),
+        col("n").cast("int").as("n_events"),
+        round(slope, 6).as("slope"),
+        round(col("sy") / col("n") - slope * (col("sx") / col("n")), 6)
+          .as("intercept")))
     })
 }

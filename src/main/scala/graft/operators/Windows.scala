@@ -259,6 +259,42 @@ object Windows {
             lit(0)).cast("int").as("stage")))
     },
 
+    // Q47d (beyond-survey) — event-type MARKOV TRANSITIONS: the
+    // (prev → next) transition counts and conditional probabilities
+    // over each user's time-ordered event stream — the behavioral
+    // bigram model (and the events-table mirror of q93g's token
+    // pairs). One lead() window per user (single hash exchange), a
+    // partial-aggregated pair count, and the row-conditional
+    // probability from a |types|²-row window — the probability
+    // division is exact-integer-to-IEEE, so both engines agree
+    // bit-for-bit without rounding.
+    Q("q47d_markov",
+      """WITH p AS (SELECT user_id, event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS prev_type, next_type,
+        |    count(*) AS cnt
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(cnt AS INT) AS cnt,
+        |  CAST(cnt AS DOUBLE) /
+        |    CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c
+        |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST,
+        |  cnt NULLS FIRST, p NULLS FIRST""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val counts = Tables.t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = Window.partitionBy(col("prev_type"))
+      orderAll(counts.select(col("prev_type"), col("next_type"),
+        col("cnt").cast("int").as("cnt"),
+        (col("cnt").cast("double") / sum(col("cnt")).over(tot)
+          .cast("double")).as("p")))
+    },
+
     // Q47c (beyond-survey) — weekly COHORT RETENTION: users grouped by
     // the week of their first event (the cohort), counted as retained in
     // each later week they reappear — the canonical product-analytics
