@@ -1375,6 +1375,49 @@ object LlmPipeline {
           col("__rn").cast("int").as("rn")))
     },
 
+    // Q93i (beyond-survey) — OOV RATE against an induced vocabulary:
+    // per-document fraction of token OCCURRENCES outside the corpus's
+    // top-k tokens — the tokenizer-coverage gate run before committing
+    // a vocab (and per-doc, the "is this doc script/domain-alien"
+    // quality signal). k = 16 because this corpus's whole vocabulary
+    // is 31 tokens — a production top-30k vocab is the same plan. Two
+    // stages, both bounded: the vocab is a TakeOrdered top-k
+    // (deterministic (cnt DESC, token ASC) total order) that
+    // BROADCASTS; the token stream left-joins it map-side and
+    // partial-aggregates (n_tokens, n_known) per doc — one doc-keyed
+    // exchange of two-int partials, the rate an exact-integer IEEE
+    // division.
+    Q("q93i_oov_rate",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tok
+        |  GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 16)),
+        |f AS (SELECT t.doc_id,
+        |    CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS known
+        |  FROM tok t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(sum(known) AS INT) AS n_known,
+        |  CAST(count(*) - sum(known) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS oov_rate
+        |FROM f GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST,
+        |  n_known NULLS FIRST, oov_rate NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(16)
+          .select(col("tok"), lit(1).as("__in"))
+        orderAll(toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("n_tokens"),
+            sum(coalesce(col("__in"), lit(0))).cast("int").as("n_known"))
+          .withColumn("oov_rate",
+            (col("n_tokens") - col("n_known")).cast("double") /
+              col("n_tokens").cast("double")))
+    },
+
     // Q93g (beyond-survey) — BPE MERGE CANDIDATES: the corpus-wide
     // adjacent-token-pair frequencies whose argmax is one byte-pair-
     // encoding merge step (vocabulary induction runs this repeatedly,
