@@ -49,6 +49,38 @@ object Aggregates {
             count(lit(1)).as("count_order")))
     },
 
+    // Q30b (beyond-survey) — INCREMENTAL aggregate maintenance: a
+    // stored partial-state table (the 95% "history") merged with a new
+    // batch's partials (the q09 5% sample) — the mergeable-rollup
+    // discipline that makes metric maintenance possible at 100 TB,
+    // where recomputing history per batch is off the table: history is
+    // reduced ONCE to |groups| rows of (count, DECIMAL(38,6) sum)
+    // state, and each batch costs its own scan plus a |groups|-row
+    // merge. Counts merge by addition and decimal sums are exactly
+    // associative, so merged state ≡ the from-scratch aggregate — and
+    // the ORACLE IS the from-scratch aggregate, making mergeability a
+    // hash-gated theorem here, not a design note.
+    Q("q30b_incremental_agg",
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sumDecSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST,
+         |  sum_qty NULLS FIRST""".stripMargin) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec)).as("s"))
+      val li = Tables.t(s, dir, "lineitem")
+      val isBatch = graft.Engine.stableSample(col("l_orderkey"), 5)
+      orderAll(partials(li.filter(!isBatch))
+        .unionByName(partials(li.filter(isBatch)))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("s")).cast(org.apache.spark.sql.types.DoubleType)
+            .as("sum_qty")))
+    },
+
     // Q31 — global (grand) aggregate, no grouping key.
     Q("q31_global_agg",
       s"""SELECT count(*) AS n_rows,
