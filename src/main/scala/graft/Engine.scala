@@ -846,6 +846,50 @@ object Engine {
         col("__lc.c_id").as("c_id"), col("__lc.c_ts").as("c_ts"))
   }
 
+  /** NEAREST-in-time match — [[asOfMatch]]'s two-sided sibling: each
+    * target row matches the temporally CLOSEST non-target row of its
+    * key, before or after (sensor fusion / log alignment, where the
+    * best reading may follow the probe). Same join-free single-window
+    * plan: one exchange + one sort on (key, ts, src-before-target, id),
+    * with the backward running-last and forward running-first taken
+    * from the two frame directions of the SAME sort — never the naive
+    * per-target candidate join, which explodes under hot keys. Ties:
+    * equal-ts sources count as "before" (Δ = 0, max id — [[asOfMatch]]'s
+    * convention); equal backward/forward distance prefers the earlier
+    * (backward) candidate; the forward side takes min id. Distances are
+    * integer microseconds (exact in both engines). Returns
+    * (p_id, p_ts, c_id, c_ts, delta_us); targets with no candidate on
+    * either side keep NULLs. Null-timestamp rows are dropped (no
+    * distance is defined for them). */
+  def nearestMatch(events: DataFrame, key: String, ts: String, id: String,
+      isTarget: Column): DataFrame = {
+    val ev = events
+      .filter(col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__ts"), col(id).as("__id"),
+        isTarget.as("__t"))
+    val base = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__t").asc, col("__id").asc)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val src = when(!col("__t"),
+      struct(col("__ts").as("c_ts"), col("__id").as("c_id")))
+    val withPn = ev
+      .withColumn("__pv", last(src, ignoreNulls = true).over(wb))
+      .withColumn("__nx", first(src, ignoreNulls = true).over(wf))
+      .filter(col("__t"))
+    val db = unix_micros(col("__ts")) - unix_micros(col("__pv.c_ts"))
+    val df = unix_micros(col("__nx.c_ts")) - unix_micros(col("__ts"))
+    val chosen = when(col("__pv").isNull, col("__nx"))
+      .when(col("__nx").isNull, col("__pv"))
+      .when(db <= df, col("__pv"))
+      .otherwise(col("__nx"))
+    withPn.withColumn("__c", chosen)
+      .select(col("__id").as("p_id"), col("__ts").as("p_ts"),
+        col("__c.c_id").as("c_id"), col("__c.c_ts").as("c_ts"),
+        abs(unix_micros(col("__ts")) - unix_micros(col("__c.c_ts")))
+          .as("delta_us"))
+  }
+
   /** Per-row count of rows with a strictly greater value — the scale-safe
     * form of the q24 theta join, with no NLJ and no GLOBAL window. Two
     * levels: (1) aggregate to one row per distinct value (the theta join's

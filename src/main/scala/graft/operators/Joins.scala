@@ -298,6 +298,50 @@ object Joins {
         isTarget = col("event_type") === "purchase"))
     },
 
+    // Q26c (beyond-survey) — NEAREST-in-time match: each purchase
+    // matches its temporally closest click, before OR after — the
+    // two-sided as-of (sensor-fusion alignment), via the library
+    // operator [[graft.Engine.nearestMatch]]: ONE window exchange +
+    // sort serving both frame directions, never a per-target candidate
+    // join. The oracle is the naive both-sides join + row_number
+    // brute force, so the window rewrite's equivalence is hash-gated.
+    Q("q26c_nearest_match",
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |t AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |s AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |pb AS (SELECT t.event_id AS p_id, s.event_id AS c_id, s.ts AS c_ts,
+        |    row_number() OVER (PARTITION BY t.event_id
+        |      ORDER BY s.ts DESC, s.event_id DESC) AS rn
+        |  FROM t JOIN s ON s.user_id = t.user_id AND s.ts <= t.ts),
+        |pf AS (SELECT t.event_id AS p_id, s.event_id AS c_id, s.ts AS c_ts,
+        |    row_number() OVER (PARTITION BY t.event_id
+        |      ORDER BY s.ts ASC, s.event_id ASC) AS rn
+        |  FROM t JOIN s ON s.user_id = t.user_id AND s.ts > t.ts),
+        |m AS (SELECT t.event_id AS p_id, t.ts AS p_ts,
+        |    CASE WHEN b.c_id IS NOT NULL AND (f.c_id IS NULL OR
+        |        epoch_us(t.ts) - epoch_us(b.c_ts)
+        |          <= epoch_us(f.c_ts) - epoch_us(t.ts))
+        |      THEN b.c_id ELSE f.c_id END AS c_id,
+        |    CASE WHEN b.c_id IS NOT NULL AND (f.c_id IS NULL OR
+        |        epoch_us(t.ts) - epoch_us(b.c_ts)
+        |          <= epoch_us(f.c_ts) - epoch_us(t.ts))
+        |      THEN b.c_ts ELSE f.c_ts END AS c_ts
+        |  FROM t
+        |  LEFT JOIN (SELECT * FROM pb WHERE rn = 1) b ON b.p_id = t.event_id
+        |  LEFT JOIN (SELECT * FROM pf WHERE rn = 1) f ON f.p_id = t.event_id)
+        |SELECT p_id, p_ts, c_id, c_ts,
+        |  abs(epoch_us(p_ts) - epoch_us(c_ts)) AS delta_us
+        |FROM m
+        |ORDER BY p_id NULLS FIRST, p_ts NULLS FIRST, c_id NULLS FIRST,
+        |  c_ts NULLS FIRST, delta_us NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.nearestMatch(
+        Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase")),
+        key = "user_id", ts = "ts", id = "event_id",
+        isTarget = col("event_type") === "purchase"))
+    },
+
     // Q26b — the reference's exact slot-match (meteosat.py:105-122): a
     // generated 15-min slot spine, candidates matched on equality of the
     // minute-truncated timestamp, earliest (ts, event_id) candidate wins,

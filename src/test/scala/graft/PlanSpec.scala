@@ -332,6 +332,15 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 2, s"expected at most 2 hash exchanges, got $n:\n$p")
   }
 
+  test("q26c: nearest match is one exchange, join-free") {
+    // both frame directions ride one (key, ts, tie) sort; the naive
+    // per-target candidate join the oracle uses must not appear
+    val p = planOf("q26c_nearest_match")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q92h: sign projection carries no data shuffle") {
     // per-row HOF dot products — the only exchange allowed is the
     // oracle-canonicalization range sort
