@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** The user-facing operator library — the programmatic surface behind the
   * oracle-checked query registry. Every operator here is the same
@@ -35,6 +35,19 @@ import org.apache.spark.sql.types.DoubleType
   * [[graft.sources.Sources.eventsStream]] (landing-zone file streams).
   */
 object Engine {
+
+  /** MEMORY_AND_DISK persist that is a no-op when the plan is already in
+    * the session cache (public `storageLevel` probe — a cached plan
+    * reports its level, an uncached one NONE). Two registry queries that
+    * build the identical intermediate would otherwise both call
+    * `.persist` and the second fills the log with `CacheManager: Asked
+    * to cache already cached data` warnings. */
+  private implicit class PersistOnceOps(private val df: DataFrame) {
+    def persistOnce(): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+  }
 
   /** Distinct word n-grams of a BOUND words-array column (see
     * LlmPipeline scaladoc for why the array must be materialized and why
@@ -219,7 +232,7 @@ object Engine {
       // spill to disk, and ContextCleaner reclaims on session stop; an
       // unpersist-after-action would trade that bounded footprint for
       // recomputing the signature table in every consumer.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val cands = banded
       .select(col("__band"), col("__bh"), col("__id").as("doc_a"))
       .join(banded.select(col("__band"), col("__bh"),
@@ -307,7 +320,7 @@ object Engine {
       // read three times (token explode + both verify sides): persist,
       // not localCheckpoint — same recoverability rationale as
       // minHashNearDups' banded signatures.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val tok = docs.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
     val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
     val byDoc = Window.partitionBy(col("__id"))
@@ -319,7 +332,7 @@ object Engine {
       .select(col("__t"), col("__id"), col("__rn"), col("__n"))
       // the prefix pipeline runs once, not per join side (cache policy:
       // see the docs persist above)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // PPJoin's ASYMMETRIC prefixes: order each pair by (size, id); the
     // SMALLER record only needs the INDEXING prefix of length
     // n − ⌈2t/(1+t)·n⌉ + 1 (for any partner at least its size, the
@@ -443,8 +456,22 @@ object Engine {
       blocks: Int, subDim: Int): DataFrame = {
     require(blocks >= 1 && subDim >= 1)
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    // DIMENSION CONTRACT: every source vector and codebook sub-vector
+    // must be exactly blocks·subDim floats. Without this guard a short
+    // vector null-pads through zip_with, the NULL propagates through
+    // the decimal sum, and pqEncode's min(struct) then silently assigns
+    // the lowest code id (NULL sorts first) — garbage codes with no
+    // diagnostic; extra trailing dims would be silently ignored. The
+    // guard lives IN the row path (when/raise_error), so column pruning
+    // cannot optimize it away the way a detached assert_true could be.
+    val want = blocks * subDim
+    def guarded(c: Column, side: String): Column =
+      when(size(c) === lit(want), c).otherwise(raise_error(concat(
+        lit(s"pq $side vector length must be $want (blocks=$blocks × " +
+          s"subDim=$subDim), got "), size(c).cast(StringType))))
     val cent = broadcast(
-      codebook.select(col(cid).as("__cid"), col(cvec).as("__ce")))
+      codebook.select(col(cid).as("__cid"),
+        guarded(col(cvec), "codebook").as("__ce")))
     def blockDist(b: Int) = aggregate(
       zip_with(
         slice(col("__e"), lit(b * subDim + 1), lit(subDim)),
@@ -455,7 +482,7 @@ object Engine {
         }),
       lit(0).cast(dec),
       (acc, t) => acc + t).cast(DoubleType)
-    vecs.select(col(id).as("__qid"), col(vec).as("__e"))
+    vecs.select(col(id).as("__qid"), guarded(col(vec), "source").as("__e"))
       .crossJoin(cent)
       .select(col("__qid"), col("__cid"),
         posexplode(array((0 until blocks).map(blockDist): _*))
@@ -509,7 +536,7 @@ object Engine {
       .filter(size(col("__sv")) >= 1)
       .select(col(id).as("__id"), col("__sv"),
         size(col("__sv")).cast("long").as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val (da, db) = (docsOf(contained), docsOf(container))
     def tokOf(d: DataFrame) =
       d.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
@@ -577,7 +604,7 @@ object Engine {
       .filter(size(col("__sv")) >= 1)
       .select(col(id).as("__id"), col("__sv"),
         size(col("__sv")).cast("long").as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val (dl, dr) = (docsOf(left), docsOf(right))
     def tokOf(d: DataFrame) =
       d.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
@@ -632,7 +659,7 @@ object Engine {
       .union(pairs.select(b.as("src"), a.as("dst")))
       // read every round; persist keeps the producing pipeline's lineage
       // so a lost executor recomputes rather than kills the job
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // The per-round labels DO use localCheckpoint: an iterative join loop
     // is the one case where lineage must be TRUNCATED (a persisted plan
     // grows a join level per round and analysis cost compounds). The
@@ -829,8 +856,14 @@ object Engine {
     */
   def asOfMatch(events: DataFrame, key: String, ts: String, id: String,
       isTarget: Column): DataFrame = {
+    // Null-ts/null-key SOURCE rows can never be a candidate under the
+    // equi-join semantics this window replaces (`c.key = p.key AND
+    // c.ts <= p.ts` is never true through NULL), so drop them before
+    // the window — otherwise all null keys pool into one partition and
+    // null-keyed targets would match null-keyed sources. Targets stay
+    // unconditionally (the LEFT JOIN keeps them, with NULL candidates).
     val ev = events
-      .filter(isTarget || col(ts).isNotNull)
+      .filter(isTarget || (col(ts).isNotNull && col(key).isNotNull))
       .select(col(key).as("__k"), col(ts).as("__ts"), col(id).as("__id"),
         isTarget.as("__t"))
     val w = Window.partitionBy(col("__k"))
@@ -860,11 +893,16 @@ object Engine {
     * integer microseconds (exact in both engines). Returns
     * (p_id, p_ts, c_id, c_ts, delta_us); targets with no candidate on
     * either side keep NULLs. Null-timestamp rows are dropped (no
-    * distance is defined for them). */
+    * distance is defined for them), and so are NULL-key SOURCE rows —
+    * the window would otherwise pool all null keys into one partition
+    * and let null-keyed targets match null-keyed sources, which
+    * diverges from the equi-join semantics (`s.key = t.key` never
+    * matches NULL) that this operator replaces. Null-key TARGETS stay,
+    * with NULL candidates — the equi-join's LEFT JOIN keeps them too. */
   def nearestMatch(events: DataFrame, key: String, ts: String, id: String,
       isTarget: Column): DataFrame = {
     val ev = events
-      .filter(col(ts).isNotNull)
+      .filter(col(ts).isNotNull && (isTarget || col(key).isNotNull))
       .select(col(key).as("__k"), col(ts).as("__ts"), col(id).as("__id"),
         isTarget.as("__t"))
     val base = Window.partitionBy(col("__k"))
@@ -1311,10 +1349,15 @@ object Engine {
 
   /** Achlioptas-style SIGN RANDOM PROJECTION of an embedding column to
     * `outDims` dimensions: y_i = Σ_j x_j · r(j,i), with r(j,i) ∈
-    * {-1, 0, 1} derived from the deterministic lattice hash
-    * `(j·31 + i·17) mod 3 − 1` (1-based j, i) — no RNG, no projection
-    * matrix to ship, reproducible across engines/reruns/partitioning
-    * (the q09 discipline applied to dimensionality reduction).
+    * {-1, 0, 1} drawn with Achlioptas weights (1/6, 2/3, 1/6) from the
+    * deterministic md5 mix `conv(md5("j:i")[0:4], 16, 10) mod 6` — the
+    * q09 hashing discipline applied to dimensionality reduction. A real
+    * mixing hash matters here: an affine lattice like `(j·31+i·17) mod
+    * 3` collapses to period-3 sign combs (31≡1, 17≡2 mod 3), making
+    * every third output dim identical and the projection effective rank
+    * ≤ 3 regardless of `outDims` — useless for the LSH/JL prefilters
+    * this feeds. No RNG, no projection matrix to ship, reproducible
+    * across engines/reruns/partitioning.
     *
     * Plan shape: a PURE per-row projection — the dot products run as
     * zip_with/aggregate higher-order functions inside the row, so there
@@ -1329,8 +1372,14 @@ object Engine {
     val ys = (1 to outDims).map { i =>
       aggregate(
         zip_with(col(vec), sequence(lit(1), size(col(vec))),
-          (x, j) => (x.cast(DoubleType) *
-            (((j * lit(31) + lit(i * 17)) % lit(3)) - lit(1))).cast(dec)),
+          (x, j) => {
+            val h = conv(substring(
+              md5(concat(j.cast(StringType), lit(s":$i"))), 1, 4),
+              16, 10).cast(LongType) % 6
+            val r = when(h === 0, lit(1)).when(h === 1, lit(-1))
+              .otherwise(lit(0))
+            (x.cast(DoubleType) * r).cast(dec)
+          }),
         lit(0).cast(dec),
         (acc, t) => acc + t).cast(DoubleType).as(s"y$i")
     }

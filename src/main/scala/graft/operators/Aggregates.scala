@@ -72,7 +72,12 @@ object Aggregates {
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast(dec)).as("s"))
       val li = Tables.t(s, dir, "lineitem")
-      val isBatch = graft.Engine.stableSample(col("l_orderkey"), 5)
+      // coalesce makes the split TOTAL: for a NULL l_orderkey the raw
+      // md5 predicate is NULL, so both !p and p filters would drop the
+      // row — silently losing it from both partials while the oracle's
+      // plain GROUP BY counts it. Null keys land in the history side.
+      val isBatch = coalesce(
+        graft.Engine.stableSample(col("l_orderkey"), 5), lit(false))
       orderAll(partials(li.filter(!isBatch))
         .unionByName(partials(li.filter(isBatch)))
         .groupBy(col("l_returnflag"))
@@ -379,8 +384,10 @@ object Aggregates {
                  "(epoch_ms(ts) // 1000 - 1704067200)")} AS sxx
          |  FROM events GROUP BY event_type)
          |SELECT event_type, CAST(n AS INT) AS n_events,
-         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-         |  round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+         |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0),
+         |    6) AS slope,
+         |  round(sy / n
+         |    - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0))
          |    * (sx / n), 6) AS intercept
          |FROM mo
          |ORDER BY event_type NULLS FIRST, n_events NULLS FIRST,
@@ -393,8 +400,14 @@ object Aggregates {
         .agg(count(lit(1)).cast("double").as("n"),
           sumDec(x).as("sx"), sumDec(y).as("sy"),
           sumDec(x * y).as("sxy"), sumDec(x * x).as("sxx"))
+      // nullif-guard the normal-equation denominator: a single-event
+      // group (or constant timestamps) makes it 0, and NaN/Infinity
+      // round()/format behavior is NOT part of the cross-engine
+      // determinism contract — degenerate groups yield NULL slope and
+      // intercept identically in both engines instead.
+      val denom = col("n") * col("sxx") - col("sx") * col("sx")
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
-        (col("n") * col("sxx") - col("sx") * col("sx"))
+        when(denom === 0, lit(null)).otherwise(denom)
       orderAll(mo.select(col("event_type"),
         col("n").cast("int").as("n_events"),
         round(slope, 6).as("slope"),

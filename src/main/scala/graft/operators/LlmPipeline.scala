@@ -1494,7 +1494,9 @@ object LlmPipeline {
     // exchanges (PlanSpec asserts it), so at 100 TB it rides the scan.
     Q("q92h_random_projection", {
       val ys = (1 to 8).map(i =>
-        s"CAST(sum(CAST(x * ((j*31 + ${i * 17}) % 3 - 1) " +
+        s"CAST(sum(CAST(x * (CASE (CAST('0x' || substr(md5(" +
+          s"CAST(j AS VARCHAR) || ':$i'), 1, 4) AS BIGINT) % 6) " +
+          s"WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END) " +
           s"AS DECIMAL(38,6))) AS DOUBLE) AS y$i").mkString(",\n        |  ")
       val ord = (1 to 8).map(i => s"y$i NULLS FIRST").mkString(", ")
       s"""WITH u AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -35,10 +35,15 @@ object BloomFunctions {
       s"$mightContainName expects (bloom, value), got ${exprs.length} args")
   }
 
+  /** Idempotent (see [[SortedIntersectCount.register]]): re-registering
+    * per query floods the bench log with `replaced` warnings. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      aggName, aggBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      mightContainName, mcBuilder, "built-in")
+    def put(n: String, b: Seq[Expression] => Expression): Unit =
+      if (!spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          n, b, "built-in")
+    put(aggName, aggBuilder)
+    put(mightContainName, mcBuilder)
   }
 }

@@ -97,10 +97,13 @@ object CosineSimilarity {
   }
 
   /** Make `cosine_sim(a, b)` callable (via `expr`/SQL) on an already-built
-    * session — used by the query registry, whose sessions the driver owns. */
+    * session — used by the query registry, whose sessions the driver owns.
+    * Idempotent (see [[SortedIntersectCount.register]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
 }
 
 /** Production registration hook: add

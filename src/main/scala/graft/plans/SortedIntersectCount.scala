@@ -93,8 +93,13 @@ object SortedIntersectCount {
   }
 
   /** Make `sorted_intersect_count(a, b)` callable via `expr`/SQL on an
-    * already-built session (same pattern as [[CosineSimilarity]]). */
+    * already-built session (same pattern as [[CosineSimilarity]]).
+    * Idempotent: a session that already has the function is left alone,
+    * so per-query callers don't spray `replaced a previously registered
+    * function` warnings over a 152-query bench log. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
 }

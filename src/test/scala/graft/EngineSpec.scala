@@ -461,14 +461,39 @@ class EngineSpec extends AnyFunSuite {
     val got = Engine.signProjection(vs, col("vec_id"), "embedding", 4)
       .collect().map(r => r.getLong(0) ->
         (1 to 4).map(i => r.getDouble(i))).toMap
+    // Independent replay of the md5-Achlioptas sign: first 4 hex chars
+    // of md5("j:i") mod 6 → {0:+1, 1:-1, else:0}.
+    def sign(j: Int, i: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1; case 1 => -1; case _ => 0
+      }
+    }
     def expected(xs: Array[Float], i: Int): Double =
       xs.zipWithIndex.map { case (x, j0) =>
-        val sign = ((j0 + 1) * 31 + i * 17) % 3 - 1
-        BigDecimal(x.toDouble * sign)
+        BigDecimal(x.toDouble * sign(j0 + 1, i))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       }.sum.toDouble
     for ((id, xs) <- Seq(1L -> Array(0.5f, -1.25f, 2.0f),
         2L -> Array(1.0f, 1.0f, 1.0f)); i <- 1 to 4)
       assert(got(id)(i - 1) == expected(xs, i), s"vec $id dim $i")
+  }
+
+  test("signProjection: output dims are decorrelated, not period-3 combs") {
+    import spark.implicits._
+    // A 32-dim vector of distinct values: under the old affine lattice
+    // hash, y_i and y_{i+3} were identical for every input. With a real
+    // mixing hash the 8 projections must be pairwise distinct, and the
+    // sign sequence of each column must not be a shift of another's.
+    val xs = (1 to 32).map(j => (j * j % 13 + 1).toFloat).toArray
+    val row = Engine.signProjection(
+        Seq((1L, xs)).toDF("vec_id", "embedding"),
+        col("vec_id"), "embedding", 8)
+      .collect().head
+    val ys = (1 to 8).map(i => row.getDouble(i))
+    for (a <- ys.indices; b <- ys.indices if a < b)
+      assert(ys(a) != ys(b), s"y${a + 1} == y${b + 1} (${ys(a)})")
   }
 }
