@@ -1220,6 +1220,49 @@ object Engine {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** RE-GRID of a tiled raster by nearest-neighbour resampling — the
+    * reference's world-grid resample (`utils/conversion.py:15-17` maps a
+    * satellite scene onto the 0.035° global grid) as a registered
+    * relational operator instead of an analogy. Input: one row per TILE
+    * — an anchor (`r0`, `c0`) on the source grid plus a row-major
+    * `tileW`×`tileH` pixel array. Output: one row per covered TARGET
+    * cell (`factor`× coarser), valued by the source pixel whose center
+    * is nearest the target cell's center (ties: smaller (r, c), then
+    * smaller tile id — a total order, so the result is deterministic
+    * even when tiles overlap).
+    *
+    * Plan shape (the 100 TB contract): pixels posexplode WITHIN the
+    * row — no join, no per-pixel shuffle key until the groupBy — and
+    * the nearest-pixel argmin is `min(struct(d², r, c, id, v))`, which
+    * Spark partial-aggregates map-side: the ONE hash exchange on the
+    * target cell key carries at most (partitions × covered cells)
+    * candidate structs, not pixels. Distances are integer quarter-units
+    * (2·coord vs 2·center = factor·(2t)+factor−1), so the argmin is
+    * exact arithmetic in any engine — no FP epsilon in the tie
+    * structure. */
+  def regridNearest(tiles: DataFrame, id: Column, r0: Column, c0: Column,
+      px: Column, tileW: Int, tileH: Int, factor: Int): DataFrame = {
+    require(tileW >= 1 && tileH >= 1 && factor >= 1)
+    // `div`, not `/`: Spark's `/` is always a DOUBLE divide; the grid
+    // math must stay in exact integer arithmetic end to end.
+    val pixels = tiles.select(id.as("__id"), r0.as("__r0"), c0.as("__c0"),
+        posexplode(px).as(Seq("__i", "__v")))
+      .withColumn("__r", col("__r0") + expr(s"__i div $tileW"))
+      .withColumn("__c", col("__c0") + col("__i") % tileW)
+      .withColumn("__tr", expr(s"__r div $factor"))
+      .withColumn("__tc", expr(s"__c div $factor"))
+    def d2(coord: String, cell: String) = {
+      val d = col(coord) * 2 - (col(cell) * (2 * factor) + lit(factor - 1))
+      d * d
+    }
+    pixels
+      .groupBy(col("__tr").as("cell_row"), col("__tc").as("cell_col"))
+      .agg(min(struct(
+        (d2("__r", "__tr") + d2("__c", "__tc")).as("d2"),
+        col("__r").as("r"), col("__c").as("c"), col("__id").as("id"),
+        col("__v").as("v"))).getField("v").as("value"))
+  }
+
   /** Small-file COMPACTION for a partitioned parquet layout — the
     * maintenance pass every long-running partitioned sink needs (the
     * slot pipeline emits one file per task per tick; a year of 15-min

@@ -42,6 +42,55 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("geoTiffFor encodes a real GeoTIFF whose tags round-trip the decode") {
+    // doc 40: 2x6 raster of gray 40, anchored at lon 40-180, lat 90-40.
+    val bytes = Multimodal.geoTiffFor(40L)
+    // TIFF magic (either byte order; the JDK writer emits big-endian
+    // MM\0*): a genuine codec artifact
+    val magic = bytes.take(4).toSeq
+    assert(magic == Seq[Byte]('M', 'M', 0, 42) ||
+      magic == Seq[Byte]('I', 'I', 42, 0), magic.toString)
+    val f = graft.operators.GeoTiffDecoder.decode(
+      MediaBlob(40L, "raster", "en", bytes))
+    assert(f == graft.operators.GeoRasterFeatures(
+      40L, "raster", 12, 12L * 40, 2, -140.0, 50.0, 0.035))
+    // a plain TIFF without georeferencing must fail loudly, not return
+    // fabricated coordinates
+    val plain = {
+      val img = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "tiff", bos)
+      bos.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.GeoTiffDecoder.decode(
+        MediaBlob(1L, "raster", "en", plain))
+    }
+  }
+
+  test("regridNearest: overlapping off-grid tiles argmin deterministically") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Two 2x2 tiles, factor 2. Tile 1 anchored at (1,1) straddles all
+    // four target cells around (1,1); tile 2 anchored at (1,1) too, so
+    // every pixel collides and the id tie-break must pick tile 1's
+    // values. Target cell (0,0) has center (0.5,0.5); of tile pixels
+    // (1,1) is nearest. Cell (1,1) center (2.5,2.5): pixel (2,2) wins.
+    val tiles = Seq(
+      (1L, 1L, 1L, Seq(10L, 11L, 12L, 13L)),
+      (2L, 1L, 1L, Seq(90L, 91L, 92L, 93L))).toDF("id", "r0", "c0", "px")
+    val got = Engine.regridNearest(tiles, col("id"), col("r0"), col("c0"),
+        col("px"), 2, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 10L,  // pixel (1,1): val 10, beats tile 2's 90 on id
+      (0L, 1L) -> 11L,  // pixel (1,2) nearest center (0.5, 2.5)
+      (1L, 0L) -> 12L,  // pixel (2,1)
+      (1L, 1L) -> 13L)) // pixel (2,2)
+  }
+
   test("extractFeatures injects either decoder through the same plumbing") {
     implicit val s = spark
     import s.implicits._

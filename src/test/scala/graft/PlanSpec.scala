@@ -304,6 +304,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q94g: the re-grid is one hash exchange on the target cell key") {
+    // pixels explode WITHIN the row and the nearest-pixel argmin
+    // partial-aggregates map-side, so the only data movement a re-grid
+    // needs is the single hashpartitioning on (cell_row, cell_col); the
+    // final orderBy adds a range exchange for oracle canonicalization.
+    val p = planOf("q94g_regrid")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      "ObjectHashAggregate|HashAggregate".r.findFirstIn(p).isDefined,
+      s"expected a partial-aggregating argmin:\n$p")
+  }
+
   test("q47: sessionization is a single data shuffle on user_id") {
     // lag window, running session index, and per-session aggregate must
     // all reuse one hashpartitioning(user_id) exchange — partitioning by
