@@ -556,7 +556,7 @@ object Sources {
         |ORDER BY event_id NULLS FIRST, event_type NULLS FIRST,
         |  value NULLS FIRST""".stripMargin) { (s, dir) =>
       val out = IO.scratch("q06_stream_sink", dir)
-      val q = eventsStream(s, dir, nFiles = 4, maxFilesPerTrigger = Some(1))
+      val q = eventsStream(s, dir, nFiles = 2, maxFilesPerTrigger = Some(1))
         .select("event_id", "event_type", "value")
         .writeStream
         .format("parquet")

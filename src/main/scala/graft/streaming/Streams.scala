@@ -16,10 +16,16 @@ import graft.sources.{IO, Sources}
   * `utils/fs.py:21-48`).
   *
   * Harness shape: every query replays the staged `events` directory as a
-  * file stream in 4 time-range-ordered files, one file per micro-batch
-  * (`Trigger.AvailableNow` + maxFilesPerTrigger=1 — four genuine
-  * incremental batches with state carried across them, then a final
-  * no-data batch that advances the watermark). Results land in a parquet
+  * file stream in time-range-ordered files, one file per micro-batch
+  * (`Trigger.AvailableNow` + maxFilesPerTrigger=1 — genuine incremental
+  * batches with state carried across them, then a final no-data batch
+  * that advances the watermark). TWO data batches per query: state
+  * carry-over, watermark advance, and replay-idempotence are all proven
+  * by the second batch, and every additional trigger bills the fixed
+  * per-trigger state-store/commit machinery (~0.5-1.5 s each at this
+  * scale) to a 150-query bench without testing anything new — except
+  * the q78 stream-stream joins, which keep their measured 4-file knee
+  * (see the tradeoff note there). Results land in a parquet
   * sink (or a foreachBatch snapshot) and the read-back is compared to a
   * batch-mode DuckDB oracle over the same rows — the batch/stream
   * equivalence check from SURVEY §5.5.
@@ -50,8 +56,11 @@ object Streams {
     * count at deployment (the reference's cadence is a handful of keys
     * per 15-min slot, main.py:28-29); repartitioning state later means a
     * new checkpoint, which is exactly why it is declared here per-query.
+    * Re-measured at 4 (150 live user keys in the replay): the whole
+    * family drops another ~25% — the stream-stream joins, which commit
+    * 4 stores per partition per trigger, fall from ~8 s to ~4.7 s each.
     */
-  private val statePartitions = 8
+  private val statePartitions = 4
 
   private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
     val old = s.conf.get("spark.sql.shuffle.partitions")
@@ -108,7 +117,7 @@ object Streams {
          |FROM events GROUP BY 1, 2
          |ORDER BY wstart NULLS FIRST, event_type NULLS FIRST, n NULLS FIRST,
          |  sum_val NULLS FIRST""".stripMargin) { (s, dir) =>
-      val agg = Sources.eventsStream(s, dir, 4, Some(1))
+      val agg = Sources.eventsStream(s, dir, 2, Some(1))
         .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_val"))
         .select(col("window.start").as("wstart"), col("event_type"),
@@ -133,7 +142,7 @@ object Streams {
          |FROM w GROUP BY 1, 2
          |ORDER BY wstart NULLS FIRST, event_type NULLS FIRST, n NULLS FIRST,
          |  sum_val NULLS FIRST""".stripMargin) { (s, dir) =>
-      val agg = Sources.eventsStream(s, dir, 4, Some(1))
+      val agg = Sources.eventsStream(s, dir, 2, Some(1))
         .groupBy(window(col("ts"), "30 minutes", "15 minutes"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_val"))
@@ -168,7 +177,7 @@ object Streams {
          |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST,
          |  session_end NULLS FIRST, n NULLS FIRST""".stripMargin) { (s, dir) =>
       orderAll(toParquet(s, "q72_session", dir,
-        Sources.eventsStream(s, dir, 4, Some(1))
+        Sources.eventsStream(s, dir, 2, Some(1))
           .withWatermark("ts", "45 minutes")
           .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
           .agg(count(lit(1)).as("n"))
@@ -189,7 +198,7 @@ object Streams {
          |ORDER BY wstart NULLS FIRST, event_type NULLS FIRST, n NULLS FIRST""".stripMargin) {
       (s, dir) =>
         orderAll(toParquet(s, "q73_watermark", dir,
-          Sources.eventsStream(s, dir, 4, Some(1))
+          Sources.eventsStream(s, dir, 2, Some(1))
             .withWatermark("ts", "45 minutes")
             .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
             .agg(count(lit(1)).as("n"))
@@ -229,7 +238,7 @@ object Streams {
          |  first_ts NULLS FIRST, last_ts NULLS FIRST, n_slots NULLS FIRST""".stripMargin) {
       (s, dir) =>
         import s.implicits._
-        val stream = Sources.eventsStream(s, dir, 4, Some(1))
+        val stream = Sources.eventsStream(s, dir, 2, Some(1))
           .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id")
           .as[(Long, Long, Long)]
         val updates = stream.groupByKey(_._1)
@@ -281,7 +290,7 @@ object Streams {
         s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")
         try {
-          val stream = Sources.eventsStream(s, dir, 4, Some(1))
+          val stream = Sources.eventsStream(s, dir, 2, Some(1))
             .selectExpr("user_id", "value", "event_type")
             .as[(Long, Double, String)]
           val updates = stream.groupByKey(_._1)
@@ -319,7 +328,7 @@ object Streams {
         |  value NULLS FIRST""".stripMargin) { (s, dir) =>
       val cust = broadcast(Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")))
-      val joined = Sources.eventsStream(s, dir, 4, Some(1))
+      val joined = Sources.eventsStream(s, dir, 2, Some(1))
         .join(cust, col("user_id") === col("c_custkey"))
         .select("event_id", "c_mktsegment", "value")
       orderAll(toParquet(s, "q76_stream_static_join", dir, joined))
@@ -343,7 +352,7 @@ object Streams {
       val block = broadcast(Tables.t(s, dir, "customer")
         .filter(graft.Engine.stableSample(col("c_custkey"), 10))
         .select(col("c_custkey")))
-      val stream = Sources.eventsStream(s, dir, 4, Some(1))
+      val stream = Sources.eventsStream(s, dir, 2, Some(1))
         .join(block, col("user_id") === col("c_custkey"), "left_anti")
         .select("event_id", "user_id", "value")
       orderAll(toParquet(s, "q76b_stream_anti", dir, stream))
@@ -443,7 +452,7 @@ object Streams {
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id NULLS FIRST, event_type NULLS FIRST,
         |  value NULLS FIRST""".stripMargin) { (s, dir) =>
-      val stream = Sources.eventsStream(s, dir, 4, Some(1))
+      val stream = Sources.eventsStream(s, dir, 2, Some(1))
         .select("event_id", "event_type", "value")
       val out = viaForeachBatch("q77_foreach_batch", dir, stream, "append") {
         (b, id) =>
@@ -481,7 +490,7 @@ object Streams {
       (s, dir) =>
         val root = IO.scratch("q77b_upsert", dir)
         val stateRoot = s"$root/state"
-        val stream = Sources.eventsStream(s, dir, 4, Some(1))
+        val stream = Sources.eventsStream(s, dir, 2, Some(1))
           .select("user_id", "ts", "event_id", "value")
         stream.writeStream.outputMode("append")
           .foreachBatch((b: DataFrame, id: Long) =>
@@ -501,7 +510,7 @@ object Streams {
       val out = IO.scratch("events_stage_dup", dir)
       val ev = Tables.t(s, dir, "events")
       ev.unionAll(ev)
-        .repartitionByRange(4, col("ts"))
+        .repartitionByRange(2, col("ts"))
         .sortWithinPartitions(col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(out)
       val files = new java.io.File(out).listFiles()
