@@ -49,6 +49,22 @@ object Engine {
       else df
   }
 
+  /** Raise a DataFrame to at least the session's default parallelism
+    * before a CPU-heavy per-row stage (shingling, hashing). A small
+    * parquet input arrives as one or two scan partitions, and when every
+    * downstream join broadcasts there is NO exchange anywhere — the
+    * whole pipeline then runs at scan parallelism, i.e. serially (q90d
+    * measured 33 s single-threaded vs 5 s spread; the bimodality was AQE
+    * flapping between all-broadcast and sort-merge plans, the LATTER
+    * accidentally re-parallelizing). At production scale the scan has
+    * thousands of partitions and this is a no-op — the guard exists for
+    * the tiny-file regime where Catalyst has no reason to add the
+    * exchange the CPU profile needs. */
+  private def spreadInput(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Distinct word n-grams of a BOUND words-array column (see
     * LlmPipeline scaladoc for why the array must be materialized and why
     * slicing beats indexed lambdas ~7×). */
@@ -198,7 +214,7 @@ object Engine {
       bands: Int = 16, shingleWords: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val docs = df
+    val docs = spreadInput(df)
       .withColumn("__words", split(col(text), " "))
       .withColumn("__sv", wordNgrams(col("__words"), shingleWords))
       .select(col(id).as("__id"), col("__sv"))
@@ -307,7 +323,7 @@ object Engine {
       thresholdPct: Int = 60, ngramWords: Int = 2): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(df.sparkSession)
-    val docs = df
+    val docs = spreadInput(df)
       .withColumn("__words", split(col(text), " "))
       .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
       .filter(size(col("__sv")) >= 1)
@@ -530,7 +546,7 @@ object Engine {
       ngramWords: Int = 2): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(contained.sparkSession)
-    def docsOf(df: DataFrame) = df
+    def docsOf(df: DataFrame) = spreadInput(df)
       .withColumn("__words", split(col(text), " "))
       .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
       .filter(size(col("__sv")) >= 1)
@@ -598,7 +614,7 @@ object Engine {
       : DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(left.sparkSession)
-    def docsOf(df: DataFrame) = df
+    def docsOf(df: DataFrame) = spreadInput(df)
       .withColumn("__words", split(col(text), " "))
       .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
       .filter(size(col("__sv")) >= 1)
@@ -623,14 +639,24 @@ object Engine {
     val alpha = expr(
       s"(($thresholdPct * (__na + __nb) + ${100 + thresholdPct - 1})" +
         s" div ${100 + thresholdPct})")
-    val cands = a.join(b, Seq("__t"))
+    // EXPLICIT broadcast shapes — the bipartite join's asymmetry IS the
+    // scale contract (left = the bounded incremental batch, right = the
+    // standing corpus), so the batch-side prefixes and the candidate
+    // pair list are the broadcastable sides BY DESIGN, and pinning them
+    // also pins the plan: left to AQE's size estimates, the broadcast
+    // choice flapped run-to-run, and the bad pick rebuilt a shingling
+    // sub-plan serially inside the broadcast-build thread (measured 17
+    // vs 6 s for identical code — stage trace showed 16-35 s
+    // single-task broadcast builds). dfreq stays unhinted: vocabulary
+    // scales with the corpus and must shuffle, never collect.
+    val cands = broadcast(a).join(b, Seq("__t"))
       .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&
         col("__na") * 100 >= col("__nb") * thresholdPct &&
         least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
           >= alpha)
       .select("left_id", "right_id")
       .dropDuplicates("left_id", "right_id") // dedup before the wide verify
-    val verified = cands
+    val verified = broadcast(cands)
       .join(dl.select(col("__id").as("left_id"), col("__sv").as("__sa")),
         Seq("left_id"))
       .join(dr.select(col("__id").as("right_id"), col("__sv").as("__sb")),
