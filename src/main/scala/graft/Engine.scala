@@ -1431,24 +1431,38 @@ object Engine {
     * Plan shape: a PURE per-row projection — the dot products run as
     * zip_with/aggregate higher-order functions inside the row, so there
     * is no explode, no shuffle, nothing to spill; at 100 TB this
-    * pipelines inside whatever scan feeds it. The sign multiply is
-    * exact in IEEE (±x or 0), and accumulation routes through
-    * DECIMAL(38,6) so addition order cannot perturb the sums. */
+    * pipelines inside whatever scan feeds it. The sign matrix is
+    * row-INDEPENDENT, so it is hashed once on the driver and shipped as
+    * `outDims` literal arrays — recomputing md5 inside the row
+    * (dims × outDims digests per vector) measured 3.7 s vs 0.9 s at
+    * sf0.1 for bit-identical output; the DuckDB oracle keeps the
+    * in-query md5 formulation, so the hash gate proves the precomputed
+    * matrix IS the hash. `dims` pins the input width — a mismatched
+    * vector raises (zip_with would null-pad silently, the PQ lesson).
+    * The sign multiply is exact in IEEE (±x or 0), and accumulation
+    * routes through DECIMAL(38,6) so addition order cannot perturb the
+    * sums. */
   def signProjection(vecs: DataFrame, id: Column, vec: String,
-      outDims: Int): DataFrame = {
-    require(outDims >= 1)
+      outDims: Int, dims: Int): DataFrame = {
+    require(outDims >= 1 && dims >= 1)
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    def sign(j: Int, i: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1; case 1 => -1; case _ => 0
+      }
+    }
+    val guarded = when(size(col(vec)) === dims, col(vec))
+      .otherwise(raise_error(concat(
+        lit(s"signProjection expects $dims-dim vectors, got "),
+        size(col(vec)).cast(StringType))))
     val ys = (1 to outDims).map { i =>
+      val signs = typedLit((1 to dims).map(j => sign(j, i)))
       aggregate(
-        zip_with(col(vec), sequence(lit(1), size(col(vec))),
-          (x, j) => {
-            val h = conv(substring(
-              md5(concat(j.cast(StringType), lit(s":$i"))), 1, 4),
-              16, 10).cast(LongType) % 6
-            val r = when(h === 0, lit(1)).when(h === 1, lit(-1))
-              .otherwise(lit(0))
-            (x.cast(DoubleType) * r).cast(dec)
-          }),
+        zip_with(guarded, signs,
+          (x, r) => (x.cast(DoubleType) * r).cast(dec)),
         lit(0).cast(dec),
         (acc, t) => acc + t).cast(DoubleType).as(s"y$i")
     }

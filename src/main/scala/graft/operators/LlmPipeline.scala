@@ -1527,7 +1527,8 @@ object LlmPipeline {
          |ORDER BY vec_id NULLS FIRST, $ord""".stripMargin
     }) { (s, dir) =>
       orderAll(graft.Engine.signProjection(
-        Tables.t(s, dir, "embeddings"), col("vec_id"), "embedding", 8))
+        Tables.t(s, dir, "embeddings"), col("vec_id"), "embedding", 8,
+        dims = 64))
     })
 
   /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs

@@ -458,7 +458,7 @@ class EngineSpec extends AnyFunSuite {
     import spark.implicits._
     val vs = Seq((1L, Array(0.5f, -1.25f, 2.0f)),
       (2L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
-    val got = Engine.signProjection(vs, col("vec_id"), "embedding", 4)
+    val got = Engine.signProjection(vs, col("vec_id"), "embedding", 4, dims = 3)
       .collect().map(r => r.getLong(0) ->
         (1 to 4).map(i => r.getDouble(i))).toMap
     // Independent replay of the md5-Achlioptas sign: first 4 hex chars
@@ -490,7 +490,7 @@ class EngineSpec extends AnyFunSuite {
     val xs = (1 to 32).map(j => (j * j % 13 + 1).toFloat).toArray
     val row = Engine.signProjection(
         Seq((1L, xs)).toDF("vec_id", "embedding"),
-        col("vec_id"), "embedding", 8)
+        col("vec_id"), "embedding", 8, dims = 32)
       .collect().head
     val ys = (1 to 8).map(i => row.getDouble(i))
     for (a <- ys.indices; b <- ys.indices if a < b)
