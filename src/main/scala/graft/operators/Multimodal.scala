@@ -145,6 +145,71 @@ object GeoTiffDecoder extends Serializable {
   }
 }
 
+/** REAL video-container decode, pure JVM: no video codec ships in any
+  * JDK, but an UNCOMPRESSED RIFF/AVI (8-bit DIB frames, BI_RGB) needs no
+  * codec — only a container parse — so the video modality can follow the
+  * q94d WAVE pattern honestly: walk the RIFF chunk tree, read the `avih`
+  * main header (frame count, dimensions), iterate the `movi` list's
+  * `00db` frame chunks, and fold pixel statistics off the raw DIB rows
+  * (bottom-up, 4-byte-aligned stride — the padding is parsed, not
+  * assumed away). `feat_dim` is dwTotalFrames off the parsed header,
+  * cross-checked against the frames actually walked. */
+object AviDecoder extends MediaDecoder {
+  override def decode(b: MediaBlob): MediaFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(b.content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"not a RIFF file for doc ${b.doc_id}")
+    buf.getInt // riff size
+    require(fourcc() == "AVI ", s"not an AVI container for doc ${b.doc_id}")
+    var frames = 0; var width = 0; var height = 0; var declared = -1
+    var pixels = 0L; var sum = 0L
+    def walk(end: Int): Unit = while (buf.position() < end) {
+      val id = fourcc()
+      val sz = buf.getInt
+      require(buf.position() + sz <= b.content.length,
+        s"truncated $id chunk in doc ${b.doc_id}")
+      val next = buf.position() + sz + (sz & 1) // chunks are word-aligned
+      id match {
+        case "LIST" =>
+          fourcc() // list type (hdrl/strl/movi) — children carry the data
+          walk(next)
+        case "avih" =>
+          val base = buf.position()
+          declared = buf.getInt(base + 16) // dwTotalFrames
+          width = buf.getInt(base + 32)
+          height = buf.getInt(base + 36)
+        case "00db" => // one uncompressed DIB frame, bottom-up, padded
+          require(width > 0 && height > 0,
+            s"frame before avih header in doc ${b.doc_id}")
+          val stride = (width + 3) & ~3
+          require(sz == stride * height,
+            s"frame size $sz != $stride*$height in doc ${b.doc_id}")
+          val base = buf.position()
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              sum += buf.get(base + y * stride + x) & 0xff; x += 1
+            }
+            y += 1
+          }
+          pixels += width.toLong * height
+          frames += 1
+        case _ => // strh/strf/JUNK/idx1: skipped, not needed for stats
+      }
+      buf.position(next)
+    }
+    walk(b.content.length)
+    require(declared == frames,
+      s"header declares $declared frames, movi carries $frames " +
+        s"(doc ${b.doc_id})")
+    MediaFeatures(b.doc_id, b.modality, pixels.toInt, sum, frames)
+  }
+}
+
 /** Multimodal feature extraction (north-star mandate: decode /
   * feature-extract over opaque binary columns). */
 object Multimodal {
@@ -263,6 +328,60 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic uncompressed AVI for one document: doc_id%5+1 frames
+    * of the q94b raster geometry (width doc_id%13+1, height doc_id%7+1),
+    * frame f's every pixel (doc_id+f)%251 — a REAL RIFF/AVI container
+    * write (hdrl with avih + strl, movi with 8-bit BI_RGB `00db` DIB
+    * frames, bottom-up rows padded to 4-byte stride) whose decoded
+    * statistics a codec-less engine predicts from the id arithmetic. */
+  def aviFor(docId: Long): Array[Byte] = {
+    val n = (docId % 5 + 1).toInt
+    val w = (docId % 13 + 1).toInt
+    val h = (docId % 7 + 1).toInt
+    val stride = (w + 3) & ~3
+    val frameBytes = stride * h
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    // sizes, innermost out: strf = 40-byte BITMAPINFOHEADER + 256×4 palette
+    val strfSz = 40 + 256 * 4
+    val strlSz = 4 + (8 + 56) + (8 + strfSz)
+    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
+    val moviSz = 4 + n * (8 + frameBytes)
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    cc("RIFF"); le32(riffSz); cc("AVI ")
+    cc("LIST"); le32(hdrlSz); cc("hdrl")
+    cc("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0) // usec/frame, maxBps, pad, flags
+    le32(n); le32(0); le32(1); le32(frameBytes) // totalFrames, init, streams, bufSz
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + reserved
+    cc("LIST"); le32(strlSz); cc("strl")
+    cc("strh"); le32(56)
+    cc("vids"); cc("DIB "); le32(0); le16(0); le16(0) // type, handler, flags, prio, lang
+    le32(0); le32(1); le32(25); le32(0); le32(n) // init, scale, rate, start, length
+    le32(frameBytes); le32(-1); le32(0) // bufSz, quality, sampleSize
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    cc("strf"); le32(strfSz)
+    le32(40); le32(w); le32(h); le16(1); le16(8) // biSize..biBitCount
+    le32(0); le32(frameBytes); le32(0); le32(0); le32(256); le32(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i); out.write(0) }
+    cc("LIST"); le32(moviSz); cc("movi")
+    for (f <- 0 until n) {
+      cc("00db"); le32(frameBytes)
+      val v = ((docId + f) % 251).toInt
+      val row = Array.tabulate(stride)(x => if (x < w) v.toByte else 0.toByte)
+      var y = 0
+      while (y < h) { out.write(row); y += 1 }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
   val all: Seq[Q] = Seq(
     // Q94b (beyond-survey) — the decode/feature-extract path over the
     // multimodal blob column, now through a REAL codec: each document's
@@ -348,6 +467,35 @@ object Multimodal {
           .map { case (id, lang) =>
             MediaBlob(id, "raster", lang, geoTiffFor(id)) }
         orderAll(extractGeoFeatures(blobs).toDF())
+    },
+
+    // Q94f (beyond-survey) — the VIDEO modality through a real container
+    // parse: each blob is a genuine uncompressed RIFF/AVI (aviFor), and
+    // AviDecoder walks the actual chunk tree — avih header, movi list,
+    // per-frame bottom-up padded DIB rows — closing the third modality
+    // with the only codec-free video format a bare JVM can decode
+    // honestly (same rationale as q94d's WAVE). Frame pixels derive
+    // from (doc_id + frame)%251 so the oracle predicts the per-frame
+    // sum arithmetically; feat_dim is dwTotalFrames off the parsed
+    // header, cross-checked against the frames actually walked.
+    Q("q94f_video_features",
+      """SELECT doc_id, 'video' AS modality,
+        |  CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) * (doc_id % 5 + 1)
+        |    AS INT) AS n_bytes,
+        |  CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) * list_sum(
+        |    list_transform(generate_series(0, CAST(doc_id % 5 AS INT)),
+        |      f -> (doc_id + f) % 251)) AS BIGINT) AS byte_sum,
+        |  CAST(doc_id % 5 + 1 AS INT) AS feat_dim
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST, modality NULLS FIRST,
+        |  n_bytes NULLS FIRST, byte_sum NULLS FIRST, feat_dim NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")).as[(Long, String)]
+          .map { case (id, lang) => MediaBlob(id, "video", lang, aviFor(id)) }
+        orderAll(extractFeatures(blobs, AviDecoder).toDF())
     },
 
     // Q94g (beyond-survey) — RE-GRID: nearest-neighbour resample of a

@@ -69,6 +69,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aviFor encodes a real RIFF/AVI that the chunk walk decodes exactly") {
+    // doc 40: 1 frame (40%5+1=1) of 2x6 gray 40; doc 2: 3 frames of 3x3
+    // with per-frame values 2,3,4 — exercises multi-frame iteration and
+    // the stride-padding path (width 3 pads to a 4-byte stride).
+    val bytes = Multimodal.aviFor(40L)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val f = graft.operators.AviDecoder.decode(
+      MediaBlob(40L, "video", "en", bytes))
+    assert(f == graft.operators.MediaFeatures(40L, "video", 12, 12L * 40, 1))
+    val m = graft.operators.AviDecoder.decode(
+      MediaBlob(2L, "video", "en", Multimodal.aviFor(2L)))
+    assert(m == graft.operators.MediaFeatures(
+      2L, "video", 27, 9L * (2 + 3 + 4), 3))
+    // a truncated container (frame count lies) must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.AviDecoder.decode(
+        MediaBlob(1L, "video", "en", bytes.dropRight(20)))
+    }
+  }
+
   test("regridNearest: overlapping off-grid tiles argmin deterministically") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
