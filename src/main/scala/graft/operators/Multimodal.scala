@@ -214,13 +214,23 @@ object AviDecoder extends MediaDecoder {
   * feature-extract over opaque binary columns). */
 object Multimodal {
 
+  /** Raise the blob stream to session parallelism when it arrives with
+    * fewer partitions: a decode pipeline has no exchange of its own, so
+    * a one-file scan would otherwise run every codec serially (the
+    * Engine.spreadInput lesson applied to the typed path). No-op at
+    * production scale, where the blob scan carries many splits. */
+  private def spread(blobs: Dataset[MediaBlob]): Dataset[MediaBlob] = {
+    val want = blobs.sparkSession.sparkContext.defaultParallelism
+    if (blobs.rdd.getNumPartitions < want) blobs.repartition(want) else blobs
+  }
+
   /** The mapPartitions feature-extract operator: one decoder per
     * partition, streamed iteration (no per-row codec setup, no
     * collect). */
   def extractFeatures(blobs: Dataset[MediaBlob], decoder: MediaDecoder)(
       implicit s: SparkSession): Dataset[MediaFeatures] = {
     import s.implicits._
-    blobs.mapPartitions { it =>
+    spread(blobs).mapPartitions { it =>
       decoder.open()
       it.map(decoder.decode)
     }
@@ -272,7 +282,7 @@ object Multimodal {
   def extractGeoFeatures(blobs: Dataset[MediaBlob])(
       implicit s: SparkSession): Dataset[GeoRasterFeatures] = {
     import s.implicits._
-    blobs.mapPartitions { it =>
+    spread(blobs).mapPartitions { it =>
       GeoTiffDecoder.open()
       it.map(GeoTiffDecoder.decode)
     }
