@@ -157,11 +157,15 @@ object AlgebraProps extends Properties("algebra") {
         len <- Gen.choose(2, 8)
         w <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
       } yield w.mkString(" ")),
-      Gen.oneOf(40, 60, 75)) { (texts, pct) =>
+      Gen.oneOf(40, 60, 75),
+      // both shingle orders: n=2 (the operator's historical default) and
+      // n=3 (what q91c now registers) — docs below n words carry no
+      // shingles and drop from BOTH sides of the law identically.
+      Gen.oneOf(2, 3)) { (texts, pct, n) =>
       import spark.implicits._
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val sv = sort_array(Engine.wordNgrams(split(col("text"), " "), 2))
+      val sv = sort_array(Engine.wordNgrams(split(col("text"), " "), n))
       val d = docs.withColumn("sv", sv).filter(size(col("sv")) >= 1)
       val a = d.select(col("doc_id").as("doc_a"), col("sv").as("sa"))
       val b = d.select(col("doc_id").as("doc_b"), col("sv").as("sb"))
@@ -173,7 +177,7 @@ object AlgebraProps extends Properties("algebra") {
         .select("doc_a", "doc_b", "jaccard")
       // shipped: THE production operator (the same code q91c runs)
       val fast = Engine.jaccardJoin(docs, "doc_id", "text",
-        thresholdPct = pct, ngramWords = 2)
+        thresholdPct = pct, ngramWords = n)
       bag(naive) == bag(fast)
     }
 
