@@ -112,6 +112,26 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 1L) -> 13L)) // pixel (2,2)
   }
 
+  test("regridNearest: factor 1 is the identity grid on a single tile") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tiles = Seq((7L, 2L, 3L, Seq(10L, 11L, 12L, 13L)))
+      .toDF("id", "r0", "c0", "px")
+    val got = Engine.regridNearest(tiles, col("id"), col("r0"), col("c0"),
+        col("px"), 2, 2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((2L, 3L) -> 10L, (2L, 4L) -> 11L,
+      (3L, 3L) -> 12L, (3L, 4L) -> 13L))
+  }
+
+  test("geoTiffFor round-trips the degenerate doc-0 raster and anchor") {
+    val f = graft.operators.GeoTiffDecoder.decode(
+      MediaBlob(0L, "raster", "en", Multimodal.geoTiffFor(0L)))
+    assert(f == graft.operators.GeoRasterFeatures(
+      0L, "raster", 1, 0L, 1, -180.0, 90.0, 0.035))
+  }
+
   test("extractFeatures injects either decoder through the same plumbing") {
     implicit val s = spark
     import s.implicits._
