@@ -1269,14 +1269,20 @@ object Engine {
   def regridNearest(tiles: DataFrame, id: Column, r0: Column, c0: Column,
       px: Column, tileW: Int, tileH: Int, factor: Int): DataFrame = {
     require(tileW >= 1 && tileH >= 1 && factor >= 1)
-    // `div`, not `/`: Spark's `/` is always a DOUBLE divide; the grid
-    // math must stay in exact integer arithmetic end to end.
+    // Exact INTEGER grid math end to end (Spark's `/` is a DOUBLE
+    // divide). Cell assignment uses FLOOR division via pmod — Spark's
+    // `div` truncates toward zero, so a tile anchored at a negative
+    // coordinate would bucket pixel −1 into cell 0 while a floor-div
+    // engine (DuckDB `//`, numpy) puts it in cell −1; pmod keeps the
+    // two semantics identical on any anchor sign.
+    // `(c - pmod(c, d)) div d`: the numerator is an exact multiple of
+    // d, so truncating div IS floor div — all in integer types.
     val pixels = tiles.select(id.as("__id"), r0.as("__r0"), c0.as("__c0"),
         posexplode(px).as(Seq("__i", "__v")))
       .withColumn("__r", col("__r0") + expr(s"__i div $tileW"))
       .withColumn("__c", col("__c0") + col("__i") % tileW)
-      .withColumn("__tr", expr(s"__r div $factor"))
-      .withColumn("__tc", expr(s"__c div $factor"))
+      .withColumn("__tr", expr(s"(__r - pmod(__r, $factor)) div $factor"))
+      .withColumn("__tc", expr(s"(__c - pmod(__c, $factor)) div $factor"))
     def d2(coord: String, cell: String) = {
       val d = col(coord) * 2 - (col(cell) * (2 * factor) + lit(factor - 1))
       d * d

@@ -125,6 +125,23 @@ class MultimodalSpec extends AnyFunSuite {
       (3L, 3L) -> 12L, (3L, 4L) -> 13L))
   }
 
+  test("regridNearest: negative anchors bucket by FLOOR division") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // A 2x2 tile anchored at (-1,-1), factor 2: pixel (-1,-1) must land
+    // in cell (-1,-1) — floor semantics — not cell (0,0) as truncating
+    // div would put it. Cell (-1,-1) center is (-0.5,-0.5); its only
+    // covering pixel is (-1,-1) → value 10. Cell (0,0) gets pixel (0,0).
+    val tiles = Seq((1L, -1L, -1L, Seq(10L, 11L, 12L, 13L)))
+      .toDF("id", "r0", "c0", "px")
+    val got = Engine.regridNearest(tiles, col("id"), col("r0"), col("c0"),
+        col("px"), 2, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((-1L, -1L) -> 10L, (-1L, 0L) -> 11L,
+      (0L, -1L) -> 12L, (0L, 0L) -> 13L))
+  }
+
   test("geoTiffFor round-trips the degenerate doc-0 raster and anchor") {
     val f = graft.operators.GeoTiffDecoder.decode(
       MediaBlob(0L, "raster", "en", Multimodal.geoTiffFor(0L)))
