@@ -47,8 +47,18 @@ object Bench {
     // ~2.4× slower at local[4] than local[32] — so benching below the
     // contract's core count misreports the shuffle-heavy tail.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional dev-loop filter (comma-separated names); the driver leaves
+    // it unset and always benches the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSet).getOrElse(Set.empty[String])
+    // A filtered run's total is NOT comparable to a full-registry total:
+    // unless explicitly redirected it lands in its own default artifact,
+    // and (below) never appends to the variance ledger — otherwise one
+    // forgotten SPARK_GRAFT_BENCH_OUT would plant a one-query "run" in
+    // the committed full-registry ledger forever.
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (only.isEmpty) "bench_full.json" else "bench_only.json"))
     // Carry forward the variance ledger from a pre-existing artifact:
     // prior completed-run totals + (if the last run completed) its total.
     val priorRuns: Seq[Double] = try {
@@ -58,14 +68,17 @@ object Bench {
         .map(_.group(1)).filter(_.nonEmpty)
         .map(_.split(',').toSeq.map(_.toDouble)).getOrElse(Seq.empty)
       if (runs.nonEmpty) runs
-      else """"partial":false.*?"value":([-0-9.eE]+)""".r
-        .findFirstMatchIn(txt).map(m => Seq(m.group(1).toDouble))
-        .getOrElse {
-          // legacy artifact (no partial/runs fields): its value is a
-          // completed total
-          """"value":([-0-9.eE]+)""".r.findFirstMatchIn(txt)
-            .map(m => Seq(m.group(1).toDouble)).getOrElse(Seq.empty)
-        }
+      else if (txt.contains("\"partial\":"))
+        // new-format artifact with an empty ledger: a first run that was
+        // killed mid-flight. Its "value" is a PARTIAL total — carrying it
+        // forward would plant a bogus completed-run entry in the
+        // variance ledger, so start the ledger empty instead.
+        Seq.empty
+      else
+        // legacy artifact (predates partial/runs): its value is a
+        // completed total
+        """"value":([-0-9.eE]+)""".r.findFirstMatchIn(txt)
+          .map(m => Seq(m.group(1).toDouble)).getOrElse(Seq.empty)
     } catch { case _: Throwable => Seq.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,10 +126,6 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: $e")
       }
-    // Optional dev-loop filter (comma-separated names); the driver leaves
-    // it unset and always benches the full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').toSet).getOrElse(Set.empty[String])
     // Deterministic run order (sorted by name) so timings are comparable
     // across rounds.
     val todo = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -138,8 +147,8 @@ object Bench {
       writeArtifact(jsonLine(results.toSeq, partial = true, todo.size, priorRuns))
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val finalLine =
-      jsonLine(results.toSeq, partial = false, todo.size, priorRuns :+ total)
+    val finalLine = jsonLine(results.toSeq, partial = false, todo.size,
+      if (only.isEmpty) priorRuns :+ total else priorRuns)
     println(finalLine)
     writeArtifact(finalLine)
     spark.stop()

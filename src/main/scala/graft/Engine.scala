@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** The user-facing operator library — the programmatic surface behind the
   * oracle-checked query registry. Every operator here is the same
@@ -610,8 +610,8 @@ object Engine {
     * pair-local theorems), and verification runs the same codegen merge
     * kernel. Returns (left_id, right_id, jaccard). */
   def jaccardJoinAcross(left: DataFrame, right: DataFrame, id: String,
-      text: String, thresholdPct: Int = 60, ngramWords: Int = 2)
-      : DataFrame = {
+      text: String, thresholdPct: Int = 60, ngramWords: Int = 2,
+      broadcastBounded: Boolean = true): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(left.sparkSession)
     def docsOf(df: DataFrame) = spreadInput(df)
@@ -648,15 +648,20 @@ object Engine {
     // sub-plan serially inside the broadcast-build thread (measured 17
     // vs 6 s for identical code — stage trace showed 16-35 s
     // single-task broadcast builds). dfreq stays unhinted: vocabulary
-    // scales with the corpus and must shuffle, never collect.
-    val cands = broadcast(a).join(b, Seq("__t"))
+    // scales with the corpus and must shuffle, never collect. When the
+    // left side is NOT a bounded batch (a corpus-vs-corpus call), pass
+    // broadcastBounded = false: the hints would otherwise turn an
+    // AQE-degradable oversized side into a hard 8 GB-broadcast /
+    // driver-OOM failure.
+    def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
+    val cands = bounded(a).join(b, Seq("__t"))
       .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&
         col("__na") * 100 >= col("__nb") * thresholdPct &&
         least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
           >= alpha)
       .select("left_id", "right_id")
       .dropDuplicates("left_id", "right_id") // dedup before the wide verify
-    val verified = broadcast(cands)
+    val verified = bounded(cands)
       .join(dl.select(col("__id").as("left_id"), col("__sv").as("__sa")),
         Seq("left_id"))
       .join(dr.select(col("__id").as("right_id"), col("__sv").as("__sb")),
@@ -1275,10 +1280,19 @@ object Engine {
     // coordinate would bucket pixel −1 into cell 0 while a floor-div
     // engine (DuckDB `//`, numpy) puts it in cell −1; pmod keeps the
     // two semantics identical on any anchor sign.
+    // DIMENSION CONTRACT (the pqBlockDistances discipline): every tile
+    // must carry exactly tileW·tileH pixels — a long array would emit
+    // phantom rows that contaminate neighboring cells' argmin, a short
+    // one silently drops coverage; both raise instead.
+    val want = tileW * tileH
+    val guardedPx = when(size(px) === lit(want), px)
+      .otherwise(raise_error(concat(
+        lit(s"regrid tile must carry $want px (tileW=$tileW × " +
+          s"tileH=$tileH), got "), size(px).cast(StringType))))
     // `(c - pmod(c, d)) div d`: the numerator is an exact multiple of
     // d, so truncating div IS floor div — all in integer types.
     val pixels = tiles.select(id.as("__id"), r0.as("__r0"), c0.as("__c0"),
-        posexplode(px).as(Seq("__i", "__v")))
+        posexplode(guardedPx).as(Seq("__i", "__v")))
       .withColumn("__r", col("__r0") + expr(s"__i div $tileW"))
       .withColumn("__c", col("__c0") + col("__i") % tileW)
       .withColumn("__tr", expr(s"(__r - pmod(__r, $factor)) div $factor"))

@@ -169,8 +169,11 @@ object AviDecoder extends MediaDecoder {
     def walk(end: Int): Unit = while (buf.position() < end) {
       val id = fourcc()
       val sz = buf.getInt
-      require(buf.position() + sz <= b.content.length,
-        s"truncated $id chunk in doc ${b.doc_id}")
+      // sz >= 0 first: a corrupt negative size would pass the truncation
+      // check, move the cursor BACKWARDS, and loop forever instead of
+      // raising the loud per-doc error every other malformed path gets.
+      require(sz >= 0 && buf.position() + sz <= b.content.length,
+        s"corrupt $id chunk (size $sz) in doc ${b.doc_id}")
       val next = buf.position() + sz + (sz & 1) // chunks are word-aligned
       id match {
         case "LIST" =>

@@ -312,9 +312,10 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q94g_regrid")
     val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
-    assert(p.contains("partial_min") || p.contains("partial min") ||
-      "ObjectHashAggregate|HashAggregate".r.findFirstIn(p).isDefined,
-      s"expected a partial-aggregating argmin:\n$p")
+    // the argmin MUST partial-aggregate below the exchange — a full
+    // shuffle of raw pixel structs is the 100 TB regression this guards
+    assert(p.contains("partial_min"),
+      s"expected a partial_min below the exchange:\n$p")
   }
 
   test("q47: sessionization is a single data shuffle on user_id") {
