@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** The user-facing operator library — the programmatic surface behind the
   * oracle-checked query registry. Every operator here is the same
@@ -611,7 +611,7 @@ object Engine {
     * kernel. Returns (left_id, right_id, jaccard). */
   def jaccardJoinAcross(left: DataFrame, right: DataFrame, id: String,
       text: String, thresholdPct: Int = 60, ngramWords: Int = 2,
-      broadcastBounded: Boolean = true): DataFrame = {
+      broadcastBounded: Boolean = false): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(left.sparkSession)
     def docsOf(df: DataFrame) = spreadInput(df)
@@ -648,11 +648,12 @@ object Engine {
     // sub-plan serially inside the broadcast-build thread (measured 17
     // vs 6 s for identical code — stage trace showed 16-35 s
     // single-task broadcast builds). dfreq stays unhinted: vocabulary
-    // scales with the corpus and must shuffle, never collect. When the
-    // left side is NOT a bounded batch (a corpus-vs-corpus call), pass
-    // broadcastBounded = false: the hints would otherwise turn an
+    // scales with the corpus and must shuffle, never collect. The
+    // DEFAULT is unpinned (broadcastBounded = false): only a call site
+    // that KNOWS its left side is a bounded batch may opt in — a pinned
+    // default would silently turn any new corpus-vs-corpus caller's
     // AQE-degradable oversized side into a hard 8 GB-broadcast /
-    // driver-OOM failure.
+    // driver-OOM failure at production scale.
     def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
     val cands = bounded(a).join(b, Seq("__t"))
       .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&

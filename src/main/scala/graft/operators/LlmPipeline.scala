@@ -827,10 +827,15 @@ object LlmPipeline {
          |ORDER BY doc_id NULLS FIRST, dup_of NULLS FIRST,
          |  jaccard NULLS FIRST""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
+      // broadcastBounded is an explicit OPT-IN here: this call site
+      // knows its left side is the bounded increment (the day's batch),
+      // so pinning the broadcasts is safe and kills the measured AQE
+      // plan-flap; the Engine default stays unpinned for safety.
       val pairs = graft.Engine.jaccardJoinAcross(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", thresholdPct = 60, ngramWords = 2)
+        "doc_id", "text", thresholdPct = 60, ngramWords = 2,
+        broadcastBounded = true)
       val w = Window.partitionBy(col("left_id"))
         .orderBy(col("jaccard").desc, col("right_id").asc)
       orderAll(pairs.withColumn("__rn", row_number().over(w))

@@ -111,11 +111,26 @@ final case class GeoRasterFeatures(doc_id: Long, modality: String,
 object GeoTiffDecoder extends Serializable {
   import javax.imageio.plugins.tiff.TIFFDirectory
 
-  def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+  /** Per-partition codec init: ONE registry lookup + reader allocation,
+    * reused for every blob in the partition via `setInput` (the 'no
+    * per-row codec setup' contract — a per-blob lookup re-scans the
+    * ImageIO service registry per row). Readers are stateful, so this is
+    * per-partition, never a shared singleton: concurrent tasks each get
+    * their own. Callers dispose at iterator end. */
+  def open(): javax.imageio.ImageReader = {
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next()
+  }
 
+  /** One-shot convenience (tests / single blobs): allocates and disposes
+    * its own reader. The partition hot path is the two-arg form. */
   def decode(b: MediaBlob): GeoRasterFeatures = {
-    val reader =
-      javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next()
+    val r = open()
+    try decode(r, b) finally r.dispose()
+  }
+
+  def decode(reader: javax.imageio.ImageReader,
+      b: MediaBlob): GeoRasterFeatures = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b.content))
     try {
@@ -141,7 +156,7 @@ object GeoTiffDecoder extends Serializable {
       }
       GeoRasterFeatures(b.doc_id, b.modality, w * h, sum, w,
         tie.getAsDouble(3), tie.getAsDouble(4), scale.getAsDouble(0))
-    } finally { reader.dispose(); iis.close() }
+    } finally iis.close() // reader is partition-scoped; caller disposes
   }
 }
 
@@ -167,6 +182,11 @@ object AviDecoder extends MediaDecoder {
     var frames = 0; var width = 0; var height = 0; var declared = -1
     var pixels = 0L; var sum = 0L
     def walk(end: Int): Unit = while (buf.position() < end) {
+      // a truncated chunk header (< 8 bytes to the list end) must raise
+      // the same loud per-doc error as every other malformed path, not a
+      // raw BufferUnderflowException off the fourcc/size reads
+      require(end - buf.position() >= 8,
+        s"truncated chunk header at ${buf.position()} in doc ${b.doc_id}")
       val id = fourcc()
       val sz = buf.getInt
       // sz >= 0 first: a corrupt negative size would pass the truncation
@@ -180,6 +200,10 @@ object AviDecoder extends MediaDecoder {
           fourcc() // list type (hdrl/strl/movi) — children carry the data
           walk(next)
         case "avih" =>
+          // the absolute reads below reach base+36..39; a short avih
+          // would otherwise throw a raw IndexOutOfBounds instead of the
+          // loud per-doc error
+          require(sz >= 40, s"short avih chunk (size $sz) in doc ${b.doc_id}")
           val base = buf.position()
           declared = buf.getInt(base + 16) // dwTotalFrames
           width = buf.getInt(base + 32)
@@ -286,9 +310,22 @@ object Multimodal {
       implicit s: SparkSession): Dataset[GeoRasterFeatures] = {
     import s.implicits._
     spread(blobs).mapPartitions { it =>
-      GeoTiffDecoder.open()
-      it.map(GeoTiffDecoder.decode)
+      val reader = GeoTiffDecoder.open()
+      withDispose(it.map(b => GeoTiffDecoder.decode(reader, b)), reader)
     }
+  }
+
+  /** Wrap a partition iterator so the partition-scoped ImageIO reader is
+    * disposed exactly once when the iterator drains. */
+  private def withDispose[T](it: Iterator[T],
+      reader: javax.imageio.ImageReader): Iterator[T] = new Iterator[T] {
+    private var disposed = false
+    def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !disposed) { disposed = true; reader.dispose() }
+      h
+    }
+    def next(): T = it.next()
   }
 
   /** Deterministic grayscale GeoTIFF for one document: the q94b raster
