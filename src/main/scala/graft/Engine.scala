@@ -741,6 +741,108 @@ object Engine {
       .drop("__cm_id", "cluster_id")
   }
 
+  /** 32-bit SimHash fingerprint per document (Charikar 2002): md5-derived
+    * token hashes (md5 is the one hash every engine shares bit-for-bit),
+    * per-bit ±1 vote sums, sign → bit. One token explode + one groupBy on
+    * the id — partial-aggregated map-side, the canonical fingerprint plan
+    * at any scale. Returns (doc_id, sh). */
+  def simhash32(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("__t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__t")), 1, 8), 16, 10)
+          .cast(LongType).as("__h"))
+    val sums = tok.groupBy("doc_id").agg(
+      sum(shiftright(col("__h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("s0"),
+      (1 until 32).map(j =>
+        sum(shiftright(col("__h"), j).bitwiseAND(lit(1L)) * 2 - 1)
+          .as(s"s$j")): _*)
+    val simhash = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), simhash.as("sh"))
+  }
+
+  /** Banded SimHash candidate pairs with exact Hamming verification ≤ 3,
+    * over a (doc_id, sh) table: 4 disjoint 8-bit bands → equi-join on
+    * (band, band-byte) for candidates → bit_count verify INSIDE the join
+    * stage (both signatures already ride the joined row). With 4 bands
+    * any pair within Hamming 3 shares at least one identical band
+    * (pigeonhole), so banded recall is EXACT — never an all-pairs scan.
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    *
+    * SCALE WARNING: the PAIR SET itself is quadratic in duplicate-cluster
+    * size — a boilerplate cluster of 10⁶ signature-identical docs is
+    * ~5·10¹¹ pairs no matter how good the plan. Call this on a
+    * signature-DEDUPED table (one representative per distinct sh, the
+    * [[simhashClusters]] path) unless the caller has bounded clusters. */
+  def simhashPairs(sh: DataFrame): DataFrame = {
+    val bands = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("sh"), 8 * k).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bk")))
+    val ham = bit_count(col("sha").bitwiseXOR(col("shb")))
+    bands
+      .select(col("band"), col("bk"), col("doc_id").as("doc_a"),
+        col("sh").as("sha"))
+      .join(bands.select(col("band"), col("bk"),
+        col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b") && ham <= 3)
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup CLUSTERING with O(docs) output — the scale-safe
+    * materialization of the q98 family. The r7 sf1 sweep measured the
+    * raw pair set at 8.53M rows (×11,769 for 10× docs) because
+    * word-shuffled copies are signature-IDENTICAL — exactly what a
+    * crawl-scale corpus looks like — so the pair contract, not the plan,
+    * was the scale-killer. Here signature-identical docs collapse to
+    * their min-id representative FIRST (one groupBy on sh — the q90c
+    * first-occurrence shape), banding and Hamming verification run over
+    * DISTINCT signatures only, and the output is one (doc_id,
+    * cluster_id) row per document: cluster_id = the min doc_id of the
+    * transitive Hamming-≤3 component, itself when unclustered. A
+    * 10⁶-copy boilerplate cluster costs one aggregate row, not 5·10¹¹
+    * pairs. */
+  def simhashClusters(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val shx = simhash32(df, id, text).persistOnce()
+    // one representative per distinct signature; rep_id = min doc_id, so
+    // the component-min over reps IS the component-min over docs
+    val rep = shx.groupBy("sh").agg(min(col("doc_id")).as("rep_id"))
+      .persistOnce()
+    val repPairs = simhashPairs(
+      rep.select(col("rep_id").as("doc_id"), col("sh")))
+    // connected components over rep-level edges only — the rep table is
+    // O(distinct signatures), its pair set O(near-dup rep pairs)
+    val clu = nearDupClusters(repPairs.select("doc_a", "doc_b"))
+      .withColumnRenamed("doc_id", "rep_id")
+    shx.join(rep, Seq("sh"))
+      .join(clu, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+  }
+
+  /** SimHash near-dup EDGES with O(docs) size — the bridge from the q98
+    * family into the ONE clustering/materialization path shared by every
+    * near-dup family ([[nearDupClusters]] / [[applyDedup]] consume any
+    * (a, b)-shaped pair list: MinHash q91, containment q90h, and this).
+    * Emits a STAR per signature group (representative → each other
+    * member: |group|−1 edges, never the (|group| choose 2) clique) plus
+    * the rep-level verified Hamming pairs; transitive closure over these
+    * edges reaches exactly the [[simhashClusters]] components. */
+  def simhashEdges(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val shx = simhash32(df, id, text).persistOnce()
+    val rep = shx.groupBy("sh").agg(min(col("doc_id")).as("rep_id"))
+      .persistOnce()
+    val stars = shx.join(rep, Seq("sh"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val repPairs = simhashPairs(
+        rep.select(col("rep_id").as("doc_id"), col("sh")))
+      .select("doc_a", "doc_b")
+    stars.unionByName(repPairs)
+  }
+
   /** Exact top-k cosine of a bounded query set against a corpus; the
     * query side is broadcast. Returns (query_id, rnk, vec_id, cos_sim)
     * with deterministic (cos DESC, id ASC) tie-break. For unbounded query

@@ -525,39 +525,50 @@ object LlmPipeline {
     // so banded recall is exact — the Spark side NEVER compares all
     // pairs, while the sf0.01 oracle can afford to.
     Q("q98_simhash", simhashOracleSql) { (s, dir) =>
-      val tok = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("t")), 1, 8), 16, 10)
-            .cast(LongType).as("h"))
-      val sums = tok.groupBy("doc_id").agg(
-        sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("s0"),
-        (1 until 32).map(j =>
-          sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)
-            .as(s"s$j")): _*)
-      val simhash = (0 until 32)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sh = sums.select(col("doc_id"), simhash.as("sh"))
-      val bands = sh.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(k =>
-          shiftright(col("sh"), 8 * k).bitwiseAND(lit(255L))): _*))
-          .as(Seq("band", "bk")))
-      val ham = bit_count(col("sha").bitwiseXOR(col("shb")))
       // Hamming verification runs INSIDE the candidate join stage — both
       // signatures already ride on the joined row, so bit_count is free
       // — and the pair-dedup shuffles only qualifying pairs (collided
       // bands flood ~3M candidate rows at sf0.1 for ~700 real pairs;
       // dedup-before-verify shuffled all of them, ~1.5 s wasted).
-      val cands = bands
-        .select(col("band"), col("bk"), col("doc_id").as("doc_a"),
-          col("sh").as("sha"))
-        .join(bands.select(col("band"), col("bk"),
-          col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("band", "bk"))
-        .filter(col("doc_a") < col("doc_b") && ham <= 3)
-      orderAll(cands
-        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
-        .dropDuplicates("doc_a", "doc_b"))
+      // PAIR-SET CAVEAT: this listing form is for bounded-cluster
+      // verification; the production materialization is q98b/q98c —
+      // the pair CONTRACT is quadratic in duplicate-cluster size (the
+      // r7 sf1 sweep measured 8.53M pairs at 10× docs) even though the
+      // banded PLAN is scale-safe.
+      orderAll(graft.Engine.simhashPairs(graft.Engine.simhash32(
+        Tables.t(s, dir, "documents"), col("doc_id"), col("text"))))
+    },
+
+    // Q98b (beyond-survey) — SimHash near-dup CLUSTERING with O(docs)
+    // output: signature-identical docs collapse to a min-id
+    // representative BEFORE banding (one groupBy on sh), candidates and
+    // Hamming verification run over DISTINCT signatures only, connected
+    // components assign every doc the min doc_id of its transitive
+    // Hamming-≤3 component (itself when unclustered). This is the
+    // production contract for the q98 family: the r7 sf1 sweep measured
+    // the raw pair listing at 8.53M rows (×11,769 for 10× docs) because
+    // crawl corpora are dominated by signature-identical boilerplate —
+    // here that boilerplate costs one rep row, and the output is one row
+    // per document regardless of cluster shape. Banded recall stays
+    // exact (pigeonhole), so the recursive-closure oracle must match.
+    Q("q98b_simhash_clusters", simhashClustersOracleSql) { (s, dir) =>
+      orderAll(graft.Engine.simhashClusters(
+        Tables.t(s, dir, "documents"), col("doc_id"), col("text")))
+    },
+
+    // Q98c (beyond-survey) — SimHash dedup MATERIALIZATION through the
+    // ONE shared clustering path: Engine.simhashEdges emits O(docs)
+    // star-plus-rep-pair edges whose closure equals the q98b components,
+    // and Engine.applyDedup — the SAME materialization every near-dup
+    // family uses (MinHash q91e, containment pairs in EngineSpec) —
+    // keeps each component's min-id representative. One clustering/
+    // apply code path for all near-dup families, fed by family-specific
+    // edge generators.
+    Q("q98c_apply_simhash", applySimhashOracleSql) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      orderAll(graft.Engine.applyDedup(docs, "doc_id",
+          graft.Engine.simhashEdges(docs, col("doc_id"), col("text")))
+        .select("doc_id", "lang", "source"))
     },
 
     // Q99 (beyond-survey) — the documented LSH scale path for Q92:
@@ -1538,24 +1549,71 @@ object LlmPipeline {
 
   /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs
     * Hamming (affordable at sf0.01 — 500 docs). */
-  private def simhashOracleSql: String = {
+  /** Shared CTE prefix of the q98 family: per-doc 32-bit SimHash, ending
+    * in `shx(doc_id, sh)` — the DuckDB rendering of
+    * [[graft.Engine.simhash32]]. */
+  private def simhashCtes: String = {
     val sumCols = (0 until 32)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
     val shExpr = (0 until 32)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |  FROM documents),
        |h AS (SELECT doc_id,
        |  CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
        |s AS (SELECT doc_id, $sumCols FROM h GROUP BY doc_id),
-       |sh AS (SELECT doc_id, $shExpr AS sh FROM s)
+       |shx AS (SELECT doc_id, $shExpr AS sh FROM s)""".stripMargin
+  }
+
+  /** DuckDB oracle for Q98: exact all-pairs Hamming ≤ 3 (affordable at
+    * sf0.01; the operator side is banded with exact recall). */
+  private def simhashOracleSql: String =
+    s"""WITH $simhashCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |FROM shx a JOIN shx b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, hamming NULLS FIRST""".stripMargin
-  }
+
+  /** Shared CTE prefix of Q98b/Q98c: SimHash → signature-representative
+    * collapse → rep-level Hamming edges → recursive transitive closure →
+    * `asg(doc_id, cluster_id)` — the exact-arithmetic replay of
+    * [[graft.Engine.simhashClusters]]. */
+  private def simhashClusterCtes: String =
+    s"""WITH RECURSIVE $simhashCtes,
+       |rep AS (SELECT sh, min(doc_id) AS rep_id FROM shx GROUP BY sh),
+       |rp AS (SELECT a.rep_id AS a, b.rep_id AS b
+       |  FROM rep a JOIN rep b ON a.rep_id < b.rep_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |edges AS (SELECT a, b FROM rp UNION SELECT b, a FROM rp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |rclu AS (SELECT a AS rep_id, least(a, min(b)) AS cid
+       |  FROM reach GROUP BY a),
+       |asg AS (SELECT d.doc_id AS doc_id,
+       |    coalesce(rclu.cid, rep.rep_id) AS cluster_id
+       |  FROM shx d JOIN rep ON d.sh = rep.sh
+       |  LEFT JOIN rclu ON rep.rep_id = rclu.rep_id)""".stripMargin
+
+  /** DuckDB oracle for Q98b. */
+  private def simhashClustersOracleSql: String =
+    s"""$simhashClusterCtes
+       |SELECT doc_id, cluster_id FROM asg
+       |ORDER BY doc_id NULLS FIRST, cluster_id NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q98c: the simhash-deduped corpus — rows whose
+    * cluster representative is themselves (docs with no signature row
+    * would be kept by applyDedup's left join, hence the LEFT JOIN). */
+  private def applySimhashOracleSql: String =
+    s"""$simhashClusterCtes
+       |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+       |FROM documents d
+       |LEFT JOIN asg ON d.doc_id = asg.doc_id
+       |WHERE asg.cluster_id IS NULL OR asg.cluster_id = d.doc_id
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   /** The banded-MinHash verified near-dup pairs (doc_a, doc_b, jaccard ≥
     * 0.8) shared by Q91 (pair listing) and Q91b (clustering) — the

@@ -438,6 +438,53 @@ class EngineSpec extends AnyFunSuite {
     assert(jac == 0L) // the symmetric join cannot see the pair
   }
 
+  test("simhashClusters == pair-derived clustering; edges close identically") {
+    import spark.implicits._
+    // Real corpus (natural near-dups) + forced signature-identical copies
+    // (the crawl-boilerplate case the rep-collapse exists for).
+    val base = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    val copies = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val docs = base.unionByName(copies)
+    val fast = Engine.simhashClusters(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Reference: doc-level banded pairs (the q98 listing contract) →
+    // connected components → assignment, unclustered docs keep themselves.
+    val pairs = Engine.simhashPairs(
+      Engine.simhash32(docs, col("doc_id"), col("text")))
+    val clusters = Engine.nearDupClusters(pairs.select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> clusters.getOrElse(id, id)).toMap
+    assert(fast == ref)
+    // forced copies really did land in their original's cluster
+    (0L until 5L).foreach(id => assert(fast(id + 100000L) == fast(id)))
+    // the O(docs) edge list (star + rep pairs) closes to the same
+    // components through the ONE shared clustering path
+    val viaEdges = Engine.nearDupClusters(
+        Engine.simhashEdges(docs, col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refEdges = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> viaEdges.getOrElse(id, id)).toMap
+    assert(refEdges == ref)
+  }
+
+  test("applyDedup consumes containment pairs unchanged (one apply path)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z", "en"),
+      (2L, "x y z p q r s t u v", "en"),
+      (3L, "m n o", "fr")).toDF("doc_id", "text", "lang")
+    // containmentJoin's (doc_a, doc_b, ...) output feeds applyDedup's
+    // first-two-columns edge contract directly — no adapter
+    val cleaned = Engine.applyDedup(docs, "doc_id",
+        Engine.containmentJoin(docs, docs, "doc_id", "text",
+          thresholdPct = 80))
+      .collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(1L, 3L)) // 2 subsumes 1's grams → cluster {1,2}, min 1 kept
+  }
+
   test("bm25Rank: hand-computed scores on a 3-doc corpus, absent docs absent") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "a c c"), (3L, "c c c"))
