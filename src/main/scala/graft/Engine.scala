@@ -843,6 +843,69 @@ object Engine {
     stars.unionByName(repPairs)
   }
 
+  /** LSH BIT-WIDTH SIZING — the log₂(N / target-bucket-occupancy) rule
+    * as a function instead of prose: the smallest b (1 ≤ b ≤ maxBits)
+    * such that 2^b buckets hold n vectors at ≤ targetBucket expected
+    * occupancy (2^b · targetBucket ≥ n), clamped to the hash family's
+    * available bits. Integer-exact on purpose — a float log2 rounds
+    * 256 → 7.999… in some engines and the oracle must reproduce the
+    * choice bit-for-bit. Growing bits with the corpus holds the probed
+    * FRACTION of the corpus constant (each probe visits ~targetBucket
+    * vectors), which is what keeps per-query ANN work flat from the
+    * 500-vector test table to 10⁹ vectors (16–20 bits). */
+  def annBits(n: Long, targetBucket: Long, maxBits: Int = 8): Int = {
+    require(n >= 0 && targetBucket >= 1 && maxBits >= 1 && maxBits <= 62,
+      s"annBits(n=$n, targetBucket=$targetBucket, maxBits=$maxBits)")
+    var b = 1
+    while (b < maxBits && (1L << b) * targetBucket < n) b += 1
+    b
+  }
+
+  /** OR-CONSTRUCTION multi-probe LSH top-k — the q99 family as a library
+    * operator. Each of `tables` hash tables owns a disjoint
+    * `coordsPerTable`-coordinate range of the embedding; bit i of table
+    * t is the sign comparison of coordinates (t·coordsPerTable + 2i+1,
+    * t·coordsPerTable + 2i+2). Queries probe their own bucket plus every
+    * single-bit flip (Hamming radius 1) in every table; candidates dedup
+    * on (query, vec) before the one exact cosine scoring pass. Never
+    * all-pairs: per-query candidate work is O(tables · probes ·
+    * N/2^bits) — size `bits` via [[annBits]] to hold that constant as N
+    * grows. The query side is broadcast (bounded query set). */
+  def lshTopK(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String, k: Int,
+      tables: Int = 4, coordsPerTable: Int = 16, bits: Int = 8): DataFrame = {
+    require(tables >= 1 && bits >= 1 && 2 * bits <= coordsPerTable,
+      s"lshTopK needs 2·bits ≤ coordsPerTable (bits=$bits, " +
+        s"coordsPerTable=$coordsPerTable)")
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    def codeAt(v: Column, offset: Int): Column = (0 until bits)
+      .map(i => when(element_at(v, offset + 2 * i + 1) >
+        element_at(v, offset + 2 * i + 2), lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    def tabsOf(df: DataFrame, idName: String, vecName: String) =
+      df.select(col(idName), col(vecName), posexplode(
+        array((0 until tables).map(t =>
+          codeAt(col(vecName), coordsPerTable * t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val e = tabsOf(corpus.select(col(id).as("vec_id"),
+      col(vec).as("embedding")), "vec_id", "embedding")
+    val probeXors = 0 +: (0 until bits).map(1 << _)
+    val probes = tabsOf(queries.select(col(qid).as("query_id"),
+        col(qvec).as("qe")), "query_id", "qe")
+      .withColumn("__xor", explode(array(probeXors.map(lit): _*)))
+      .select(col("query_id"), col("qe"), col("tbl"),
+        col("bucket").bitwiseXOR(col("__xor")).as("bucket"))
+    val cands = e.join(broadcast(probes), Seq("tbl", "bucket"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select(col("query_id"), col("vec_id"),
+      round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
   /** Exact top-k cosine of a bounded query set against a corpus; the
     * query side is broadcast. Returns (query_id, rnk, vec_id, cos_sim)
     * with deterministic (cos DESC, id ASC) tie-break. For unbounded query

@@ -595,26 +595,28 @@ object LlmPipeline {
     // not table sparsity — dominates recall. The oracle applies the
     // identical table + probe family.
     Q("q99_bucketed_ann", bucketedAnnOracleSql) { (s, dir) =>
-      graft.plans.CosineSimilarity.register(s)
-      val codes = array((0 until annTables).map(t => bucketCodeAt(16 * t)): _*)
       val e = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          posexplode(codes).as(Seq("tbl", "bucket")))
-      val queries = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("tbl"), col("bucket"))
-        .withColumn("__xor", explode(array(probeXors.map(lit): _*)))
-        .select(col("query_id"), col("qe"), col("tbl"),
-          col("bucket").bitwiseXOR(col("__xor")).as("bucket"))
-      val cands = e.join(broadcast(queries), Seq("tbl", "bucket"))
-        .dropDuplicates("query_id", "vec_id")
-      val scored = cands.select(col("query_id"), col("vec_id"),
-        round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      orderAll(scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select("query_id", "rnk", "vec_id", "cos_sim"))
+      orderAll(graft.Engine.lshTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3))
+    },
+
+    // Q99d (beyond-survey) — AUTO-SIZED bucketed ANN: the bit-width rule
+    // q99 documents as prose, applied as code. Engine.annBits picks the
+    // smallest b with 2^b·targetBucket ≥ N (integer-exact; a float log2
+    // rounds 256 → 7.999… in some engines), so each probe visits
+    // ~targetBucket=32 vectors REGARDLESS of corpus size — 4 bits at the
+    // 500-vector gate table, 6 at sf0.1's 2000, 16–20 at 10⁹, with the
+    // probed corpus FRACTION falling as N grows instead of the per-probe
+    // work growing. The corpus count is the one driver-side scalar (a
+    // metadata-only parquet count); the oracle replays the identical
+    // integer sizing rule from its own count(*), so the two engines must
+    // pick the same width on any dataset.
+    Q("q99d_sized_ann", sizedAnnOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val bits = graft.Engine.annBits(e.count(), targetBucket = 32)
+      orderAll(graft.Engine.lshTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        bits = bits))
     },
 
     // Q99b (beyond-survey) — IVF (inverted-file) ANN: the coarse-quantizer
@@ -1863,6 +1865,45 @@ object LlmPipeline {
 
   /** DuckDB oracle for Q99: same 4-table bucketing, same Hamming-1
     * multi-probe family, same candidate dedup + cosine top-3. */
+  /** DuckDB oracle for Q99d: identical table/probe family with the
+    * bit-width derived from count(*) by the same integer rule as
+    * [[graft.Engine.annBits]] (smallest b ≤ 8 with 2^b·32 ≥ N). Unused
+    * high bits are gated per-term, masks come from a lateral unnest over
+    * the sized width. */
+  private def sizedAnnOracleSql: String = {
+    val code = (0 until 8).map(i =>
+      s"(CASE WHEN $i < bb.bits AND embedding[16*t.tbl + ${2 * i + 1}] > " +
+        s"embedding[16*t.tbl + ${2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |bb AS (SELECT coalesce((SELECT min(g.b)
+       |    FROM generate_series(1, 8) g(b), nn
+       |    WHERE (CAST(1 AS BIGINT) << g.b) * 32 >= nn.n), 8) AS bits
+       |  FROM nn),
+       |tabs AS (SELECT vec_id, embedding, t.tbl AS tbl, $code AS bucket
+       |  FROM embeddings, bb, (VALUES (0), (1), (2), (3)) t(tbl)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, tbl, bucket
+       |  FROM tabs WHERE vec_id < 20),
+       |probes AS (SELECT query_id, qe, tbl, xor(bucket, mm.m) AS bucket
+       |  FROM q, bb, unnest([0] || list_transform(
+       |    generate_series(0, bb.bits - 1), j -> 1 << j)) AS mm(m)),
+       |cand AS (SELECT DISTINCT p.query_id, p.qe, e.vec_id, e.embedding
+       |  FROM probes p JOIN tabs e
+       |    ON p.tbl = e.tbl AND p.bucket = e.bucket),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    round(${Similarity.cosineSql("qe", "embedding")}, 6)
+       |      AS cos_sim
+       |  FROM cand),
+       |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
+       |  cos_sim NULLS FIRST""".stripMargin
+  }
+
   private def bucketedAnnOracleSql: String = {
     val masks = probeXors.map(x => s"($x)").mkString(", ")
     val tabs = (0 until annTables).map(t =>

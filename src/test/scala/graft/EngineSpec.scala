@@ -438,6 +438,37 @@ class EngineSpec extends AnyFunSuite {
     assert(jac == 0L) // the symmetric join cannot see the pair
   }
 
+  test("annBits sizes the LSH width; recall@3 >= 0.7 on the sized corpus") {
+    import spark.implicits._
+    // the integer rule at its boundaries — no float log2 ambiguity
+    assert(Engine.annBits(500, 2) == 8) // the embeddings gate table
+    assert(Engine.annBits(50, 2) == 5)
+    assert(Engine.annBits(400, 8) == 6) // interior: the clamp is NOT active
+    assert(Engine.annBits(1L << 40, 1000, 20) == 20) // family-width clamp
+    assert(Engine.annBits(0, 2) == 1)
+    // A corpus where bucketing can actually work (unlike the honesty-
+    // limited near-uniform test table): 16 tight clusters × 25 members.
+    // True top-3 of a member is same-cluster, same-ish sign pattern —
+    // the regime the sizing rule is FOR.
+    val rnd = new java.util.Random(42)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val vecs = for (c <- 0 until 16; m <- 0 until 25) yield
+      ((c * 25 + m).toLong,
+        centers(c).map(x => (x + (rnd.nextDouble() * 2 - 1) * 0.05).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    val truth = Engine.cosineTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bits = Engine.annBits(vecs.size, targetBucket = 8)
+    assert(bits == 6)
+    val got = Engine.lshTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 3, bits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall@3 $recall on the annBits-sized corpus")
+  }
+
   test("simhashClusters == pair-derived clustering; edges close identically") {
     import spark.implicits._
     // Real corpus (natural near-dups) + forced signature-identical copies
