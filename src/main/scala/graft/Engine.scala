@@ -1461,14 +1461,28 @@ object Engine {
         posexplode(guardedPx).as(Seq("__i", "__v")))
       .withColumn("__r", col("__r0") + expr(s"__i div $tileW"))
       .withColumn("__c", col("__c0") + col("__i") % tileW)
+    regridNearestPixels(pixels, Seq.empty, factor)
+  }
+
+  /** The argmin half of [[regridNearest]] over an ALREADY-EXPLODED pixel
+    * table — for inputs the fixed-size tile form can't express
+    * (variable-geometry multiband rasters, the q94h capstone). Input
+    * columns: `keys` (carried through as extra grouping columns — e.g.
+    * (layer, band)) plus `__r`/`__c`/`__id`/`__v`. Same exact-integer
+    * quarter-unit distance, same total tie order, same single hash
+    * exchange on (keys, target cell). */
+  def regridNearestPixels(pixels: DataFrame, keys: Seq[String],
+      factor: Int): DataFrame = {
+    require(factor >= 1)
+    val px = pixels
       .withColumn("__tr", expr(s"(__r - pmod(__r, $factor)) div $factor"))
       .withColumn("__tc", expr(s"(__c - pmod(__c, $factor)) div $factor"))
     def d2(coord: String, cell: String) = {
       val d = col(coord) * 2 - (col(cell) * (2 * factor) + lit(factor - 1))
       d * d
     }
-    pixels
-      .groupBy(col("__tr").as("cell_row"), col("__tc").as("cell_col"))
+    px.groupBy(keys.map(col) ++ Seq(col("__tr").as("cell_row"),
+        col("__tc").as("cell_col")): _*)
       .agg(min(struct(
         (d2("__r", "__tr") + d2("__c", "__tc")).as("d2"),
         col("__r").as("r"), col("__c").as("c"), col("__id").as("id"),

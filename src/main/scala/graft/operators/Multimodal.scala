@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.{Q, Tables}
 import graft.Canon.orderAll
+import graft.sources.IO
 
 /** A multimodal record: opaque payload + typed metadata (SURVEY §1.1 D4 —
   * the raster-scene-as-binary-column model). */
@@ -160,6 +162,59 @@ object GeoTiffDecoder extends Serializable {
   }
 }
 
+/** A decoded multiband geo-raster TILE: georeferencing off the GeoTIFF
+  * tags plus every band's pixels (row-major, one array per band) — the
+  * decode → geo-clip → re-grid → band-select capstone's input shape
+  * (the reference loads exactly this from its clipped per-layer GeoTIFFs,
+  * `utils/conversion.py:22-37`). */
+final case class GeoRasterTile(doc_id: Long, w: Int, h: Int,
+    lon0: Double, lat0: Double, scale_deg: Double,
+    bands: Array[Array[Int]])
+
+/** Multiband extension of [[GeoTiffDecoder]]: same real TIFF parse + tag
+  * read, but emitting the full per-band pixel payload instead of summary
+  * statistics, for pipelines that keep computing on the raster. */
+object GeoTiffTileDecoder extends Serializable {
+  import javax.imageio.plugins.tiff.TIFFDirectory
+
+  def decodeTile(reader: javax.imageio.ImageReader,
+      b: MediaBlob): GeoRasterTile = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b.content))
+    try {
+      reader.setInput(iis)
+      val img = reader.read(0)
+      val dir = TIFFDirectory.createFromMetadata(reader.getImageMetadata(0))
+      val scale = dir.getTIFFField(
+        javax.imageio.plugins.tiff.GeoTIFFTagSet.TAG_MODEL_PIXEL_SCALE)
+      val tie = dir.getTIFFField(
+        javax.imageio.plugins.tiff.GeoTIFFTagSet.TAG_MODEL_TIE_POINT)
+      require(scale != null && tie != null,
+        s"blob for doc ${b.doc_id} carries no GeoTIFF georeferencing")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bands = Array.tabulate(raster.getNumBands) { bi =>
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = raster.getSample(x, y, bi); x += 1 }
+          y += 1
+        }
+        px
+      }
+      GeoRasterTile(b.doc_id, w, h,
+        tie.getAsDouble(3), tie.getAsDouble(4), scale.getAsDouble(0), bands)
+    } finally iis.close() // reader is partition-scoped; caller disposes
+  }
+
+  /** One-shot convenience (tests): own reader, disposed after. */
+  def decodeTile(b: MediaBlob): GeoRasterTile = {
+    val r = GeoTiffDecoder.open()
+    try decodeTile(r, b) finally r.dispose()
+  }
+}
+
 /** REAL video-container decode, pure JVM: no video codec ships in any
   * JDK, but an UNCOMPRESSED RIFF/AVI (8-bit DIB frames, BI_RGB) needs no
   * codec — only a container parse — so the video modality can follow the
@@ -240,6 +295,20 @@ object AviDecoder extends MediaDecoder {
 /** Multimodal feature extraction (north-star mandate: decode /
   * feature-extract over opaque binary columns). */
 object Multimodal {
+
+  /** The reference's Africa clip extent — (lonmin, latmin, lonmax,
+    * latmax), `sources/meteosat.py:36` verbatim. */
+  val AfricaExtent: Seq[Double] = Seq(
+    -25.3605509351584004, -34.8219979618462006,
+    63.4957562687202994, 37.3404070787983002)
+
+  /** Per-layer export-band config — the reference's composites table
+    * (`sources/meteosat.py:18-24`: natural_color exports bands 1–3, the
+    * IR composite band 1 only). Band selection in q94h/q94i is DRIVEN by
+    * this map, not hard-coded per query. */
+  val ExportBands: Map[String, Seq[Int]] = Map(
+    "natural_color" -> Seq(1, 2, 3),
+    "ir108" -> Seq(1))
 
   /** Raise the blob stream to session parallelism when it arrives with
     * fewer partitions: a decode pipeline has no exchange of its own, so
@@ -376,6 +445,78 @@ object Multimodal {
         new javax.imageio.IIOImage(img, null, dir.getAsMetadata), param)
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** Deterministic 3-band (RGB) GeoTIFF for one document — the MULTIBAND
+    * fixture of the raster capstone (the reference's composites carry
+    * 1–3 export bands, `sources/meteosat.py:18-24`). Geometry is the
+    * q94b raster (w = doc_id%13+1, h = doc_id%7+1); band b (0-based)
+    * pixel (x, y) = (doc_id + 97·b + 5·y + 3·x) % 251, so every decoded
+    * pixel is id-arithmetic-predictable per band while the encode/decode
+    * is a real 3-band TIFF round-trip. Geo-tags: the 0.035° world-grid
+    * scale and a tiepoint anchored at (doc_id·7 % 360 − 180,
+    * 90 − doc_id·11 % 180) — the ×7/×11 spread puts ~10% of any id range
+    * inside the reference's Africa extent so the capstone's geo-clip is
+    * non-degenerate at every scale factor. */
+  def geoTiffMultibandFor(docId: Long): Array[Byte] = {
+    import javax.imageio.plugins.tiff.{GeoTIFFTagSet, TIFFDirectory,
+      TIFFField, TIFFTag}
+    val w = (docId % 13 + 1).toInt
+    val h = (docId % 7 + 1).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < 3) {
+          raster.setSample(x, y, b,
+            ((docId + 97 * b + 5 * y + 3 * x) % 251).toInt)
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      val itype =
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val dir = TIFFDirectory.createFromMetadata(
+        writer.getDefaultImageMetadata(itype, param))
+      val geo = GeoTIFFTagSet.getInstance()
+      dir.addTIFFField(new TIFFField(
+        geo.getTag(GeoTIFFTagSet.TAG_MODEL_PIXEL_SCALE),
+        TIFFTag.TIFF_DOUBLE, 3, Array(0.035d, 0.035d, 0.0d)))
+      dir.addTIFFField(new TIFFField(
+        geo.getTag(GeoTIFFTagSet.TAG_MODEL_TIE_POINT),
+        TIFFTag.TIFF_DOUBLE, 6,
+        Array(0.0d, 0.0d, 0.0d,
+          (docId * 7 % 360 - 180).toDouble,
+          (90 - docId * 11 % 180).toDouble, 0.0d)))
+      writer.write(null,
+        new javax.imageio.IIOImage(img, null, dir.getAsMetadata), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** The multiband sibling of [[extractGeoFeatures]]: one reader per
+    * partition, typed [[GeoRasterTile]] out with the full pixel payload. */
+  def extractGeoTiles(blobs: Dataset[MediaBlob])(
+      implicit s: SparkSession): Dataset[GeoRasterTile] = {
+    import s.implicits._
+    spread(blobs).mapPartitions { it =>
+      val reader = GeoTiffDecoder.open()
+      withDispose(it.map(b => GeoTiffTileDecoder.decodeTile(reader, b)),
+        reader)
+    }
   }
 
   /** Deterministic uncompressed AVI for one document: doc_id%5+1 frames
@@ -581,5 +722,193 @@ object Multimodal {
           i => (col("doc_id") * 31 + i) % 256).as("px"))
       orderAll(graft.Engine.regridNearest(tiles, col("doc_id"),
         col("r0"), col("c0"), col("px"), 4, 4, 4))
+    },
+
+    // Q94i (beyond-survey) — GEO-REFERENCED BAND EXTRACTION (A14 as a
+    // real raster op, not the q63 element_at analogy): decode the
+    // 3-band GeoTIFF, keep each layer's CONFIGURED bands (ExportBands —
+    // meteosat.py:18-24's composites table, the band list as config),
+    // and reduce every kept band to per-band statistics with in-row
+    // HOFs (aggregate/array_min/array_max) — zero shuffles beyond the
+    // canonical ORDER BY: band extraction is a projection at any scale.
+    Q("q94i_band_stats", bandStatsOracleSql) { (s, dir) =>
+      orderAll(selectedBands(s, dir)
+        .select(col("doc_id"), col("layer"), col("band"),
+          size(col("px")).as("n_px"),
+          aggregate(col("px"), lit(0L), (acc, x) => acc + x).as("px_sum"),
+          array_min(col("px")).as("px_min"),
+          array_max(col("px")).as("px_max")))
+    },
+
+    // Q94h (beyond-survey) — THE RASTER CAPSTONE: the reference's whole
+    // per-slot raster job (meteosat.py:152-185 + conversion.py:9-37) as
+    // ONE registered plan over real decoded bytes — what q100 is to the
+    // text-curation operators. decode (real 3-band GeoTIFF parse, tags
+    // included) → GEO-CLIP to the Africa extent via the DECODED
+    // ModelPixelScale/ModelTiepoint (pixel lon/lat = tiepoint +
+    // index·scale — the rasterio.mask step, conversion.py:22-37) →
+    // nearest-neighbour RE-GRID onto the 4×-coarser world grid keyed in
+    // integer world-pixel units (conversion.py:15-17's resample;
+    // Engine.regridNearestPixels, the q94g operator generalized to
+    // variable-geometry multiband input) → config-driven BAND SELECT
+    // (meteosat.py:177-185's export_bands loop) → PARTITIONED SINK
+    // (layer=/band= directories — meteosat.py's per-layer dirs and
+    // per-band files) and read-back. Plan shape: decode is one
+    // mapPartitions pass, band/pixel explosion stays in-row, clip is a
+    // pushable filter, and the ONLY data shuffle is the re-grid's
+    // single hash exchange on (layer, band, cell) with map-side
+    // partial argmin — at 100 TB the exchange carries candidate
+    // structs per (partition × cell), not pixels. The oracle replays
+    // the identical arithmetic (world-pixel indices are exact integers;
+    // the double lon/lat clip uses the same expression tree both
+    // sides).
+    Q("q94h_raster_capstone", rasterCapstoneOracleSql) { (s, dir) =>
+      val out = IO.scratch("q94h_raster_capstone", dir)
+      rasterCapstone(s, dir).write.mode("overwrite")
+        .partitionBy("layer", "band").parquet(out)
+      orderAll(s.read.parquet(out)
+        .select(col("layer"), col("band").cast("int").as("band"),
+          col("cell_row"), col("cell_col"), col("value")))
     })
+
+  /** The capstone's pre-publish pipeline — decode → geo-clip → re-grid
+    * over the configured bands — exposed so PlanSpec can assert its
+    * exchange budget directly (the registered query adds the partitioned
+    * sink + read-back around exactly this plan). */
+  def rasterCapstone(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pixels = selectedBands(s, dir)
+      .select(col("doc_id"), col("layer"), col("band"), col("w"),
+        col("lon0"), col("lat0"), col("scale_deg"),
+        posexplode(col("px")).as(Seq("i", "v")))
+      .withColumn("x", col("i") % col("w"))
+      .withColumn("y", expr("i div w"))
+      .withColumn("lon", col("lon0") + col("x") * col("scale_deg"))
+      .withColumn("lat", col("lat0") - col("y") * col("scale_deg"))
+      .filter(col("lon") >= lit(AfricaExtent(0)) &&
+        col("lon") <= lit(AfricaExtent(2)) &&
+        col("lat") >= lit(AfricaExtent(1)) &&
+        col("lat") <= lit(AfricaExtent(3)))
+      .select(col("layer"), col("band"),
+        (round((lit(90.0) - col("lat0")) / col("scale_deg"))
+          .cast(LongType) + col("y")).as("__r"),
+        (round((col("lon0") + lit(180.0)) / col("scale_deg"))
+          .cast(LongType) + col("x")).as("__c"),
+        col("doc_id").as("__id"), col("v").as("__v"))
+    graft.Engine.regridNearestPixels(pixels, Seq("layer", "band"),
+      factor = 4)
+  }
+
+  /** Shared decode → layer tag → CONFIG-DRIVEN band selection prefix of
+    * q94h/q94i: one row per (doc, kept band) with that band's pixels and
+    * the decoded georeferencing. The layer is doc metadata (even ids
+    * carry the 3-band natural-color composite, odd the IR one); which
+    * bands survive comes from [[ExportBands]], never per-query code. */
+  private def selectedBands(s: SparkSession, dir: String) = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val blobs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang")).as[(Long, String)]
+      .map { case (id, lang) =>
+        MediaBlob(id, "raster", lang, geoTiffMultibandFor(id)) }
+    val layered = extractGeoTiles(blobs).toDF()
+      .withColumn("layer",
+        when(col("doc_id") % 2 === 0, lit("natural_color"))
+          .otherwise(lit("ir108")))
+    val sel = ExportBands.map { case (l, bs) =>
+      col("layer") === l && col("band").isin(bs: _*)
+    }.reduce(_ || _)
+    layered.select(col("doc_id"), col("layer"), col("w"), col("h"),
+        col("lon0"), col("lat0"), col("scale_deg"),
+        posexplode(col("bands")).as(Seq("b0", "px")))
+      .withColumn("band", (col("b0") + 1).cast("int"))
+      .filter(sel)
+  }
+
+  /** DuckDB layer/geometry CTE shared by the q94h/q94i oracles — the
+    * codec-less arithmetic replay of [[geoTiffMultibandFor]]'s fixture
+    * (w/h geometry, ×7/×11 anchor spread, per-band pixel formula) and
+    * the doc→layer assignment. */
+  private def multibandT: String =
+    """t AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'natural_color' ELSE 'ir108' END
+      |      AS layer,
+      |    CAST(doc_id % 13 + 1 AS BIGINT) AS w,
+      |    CAST(doc_id % 7 + 1 AS BIGINT) AS h,
+      |    CAST(doc_id*7 % 360 - 180 AS DOUBLE) AS lon0,
+      |    CAST(90 - doc_id*11 % 180 AS DOUBLE) AS lat0
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB rendering of the [[ExportBands]] config as a band filter. */
+  private def exportBandsSql(bandCol: String): String =
+    ExportBands.toSeq.sortBy(_._1)
+      .map { case (l, bs) =>
+        s"(layer = '$l' AND $bandCol IN (${bs.mkString(", ")}))" }
+      .mkString(" OR ")
+
+  /** DuckDB oracle for Q94i: per-band statistics from the id-arithmetic
+    * pixel formula over the configured bands. */
+  private def bandStatsOracleSql: String = {
+    def lst(f: String) =
+      s"$f(list_transform(generate_series(0, w*h - 1), " +
+        "i -> (doc_id + 97*(band - 1) + 5*(i // w) + 3*(i % w)) % 251))"
+    s"""WITH $multibandT,
+       |b AS (SELECT doc_id, layer, w, h, bb.band AS band
+       |  FROM t, unnest([1, 2, 3]) bb(band)
+       |  WHERE ${exportBandsSql("bb.band")})
+       |SELECT doc_id, layer, CAST(band AS INT) AS band,
+       |  CAST(w*h AS INT) AS n_px,
+       |  CAST(${lst("list_sum")} AS BIGINT) AS px_sum,
+       |  CAST(${lst("list_min")} AS INT) AS px_min,
+       |  CAST(${lst("list_max")} AS INT) AS px_max
+       |FROM b
+       |ORDER BY doc_id NULLS FIRST, layer NULLS FIRST, band NULLS FIRST,
+       |  n_px NULLS FIRST, px_sum NULLS FIRST, px_min NULLS FIRST,
+       |  px_max NULLS FIRST""".stripMargin
+  }
+
+  /** DuckDB oracle for Q94h: the full decode→clip→regrid→band-select→
+    * publish arithmetic. World-pixel indices are exact integers (the
+    * anchor offset rounds an integer-valued double); the lon/lat clip
+    * and the argmin replay the Spark expression trees exactly. */
+  private def rasterCapstoneOracleSql: String = {
+    val (lonMin, latMin, lonMax, latMax) =
+      (AfricaExtent(0), AfricaExtent(1), AfricaExtent(2), AfricaExtent(3))
+    s"""WITH $multibandT,
+       |px AS (SELECT doc_id, layer, w, lon0, lat0, bb.band AS band,
+       |    g.i % w AS x, g.i // w AS y,
+       |    CAST((doc_id + 97*(bb.band - 1) + 5*(g.i // w) + 3*(g.i % w))
+       |      % 251 AS INT) AS v
+       |  FROM t, unnest([1, 2, 3]) bb(band),
+       |    unnest(generate_series(0, w*h - 1)) g(i)
+       |  WHERE ${exportBandsSql("bb.band")}),
+       |geo AS (SELECT *,
+       |    lon0 + x * CAST(0.035 AS DOUBLE) AS lon,
+       |    lat0 - y * CAST(0.035 AS DOUBLE) AS lat,
+       |    CAST(round((90.0 - lat0) / CAST(0.035 AS DOUBLE)) AS BIGINT)
+       |      + y AS r,
+       |    CAST(round((lon0 + 180.0) / CAST(0.035 AS DOUBLE)) AS BIGINT)
+       |      + x AS c
+       |  FROM px),
+       |clip AS (SELECT * FROM geo
+       |  WHERE lon >= CAST($lonMin AS DOUBLE)
+       |    AND lon <= CAST($lonMax AS DOUBLE)
+       |    AND lat >= CAST($latMin AS DOUBLE)
+       |    AND lat <= CAST($latMax AS DOUBLE)),
+       |k AS (SELECT layer, band, r // 4 AS cell_row, c // 4 AS cell_col,
+       |    r, c, doc_id, v,
+       |    (2*r - (8*(r // 4) + 3)) AS dr,
+       |    (2*c - (8*(c // 4) + 3)) AS dc
+       |  FROM clip),
+       |rn AS (SELECT layer, band, cell_row, cell_col, v,
+       |    row_number() OVER (
+       |      PARTITION BY layer, band, cell_row, cell_col
+       |      ORDER BY dr*dr + dc*dc, r, c, doc_id) AS rn
+       |  FROM k)
+       |SELECT layer, CAST(band AS INT) AS band, cell_row, cell_col,
+       |  v AS value
+       |FROM rn WHERE rn = 1
+       |ORDER BY layer NULLS FIRST, band NULLS FIRST, cell_row NULLS FIRST,
+       |  cell_col NULLS FIRST, value NULLS FIRST""".stripMargin
+  }
 }

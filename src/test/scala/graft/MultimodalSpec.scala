@@ -149,6 +149,23 @@ class MultimodalSpec extends AnyFunSuite {
       0L, "raster", 1, 0L, 1, -180.0, 90.0, 0.035))
   }
 
+  test("geoTiffMultibandFor: 3-band encode round-trips pixels and tags") {
+    val t = graft.operators.GeoTiffTileDecoder.decodeTile(
+      graft.operators.MediaBlob(40L, "raster", "en",
+        Multimodal.geoTiffMultibandFor(40L)))
+    assert(t.w == 2 && t.h == 6)
+    assert(t.lon0 == 100.0 && t.lat0 == 10.0 && t.scale_deg == 0.035)
+    assert(t.bands.length == 3)
+    for (b <- 0 until 3; y <- 0 until 6; x <- 0 until 2)
+      assert(t.bands(b)(y * 2 + x) == (40 + 97 * b + 5 * y + 3 * x) % 251,
+        s"band $b pixel ($x,$y)")
+    // a single-band fixture decodes to one band through the same path
+    val s1 = graft.operators.GeoTiffTileDecoder.decodeTile(
+      graft.operators.MediaBlob(40L, "raster", "en",
+        Multimodal.geoTiffFor(40L)))
+    assert(s1.bands.length == 1 && s1.bands(0).forall(_ == 40))
+  }
+
   test("extractFeatures injects either decoder through the same plumbing") {
     implicit val s = spark
     import s.implicits._

@@ -318,6 +318,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected a partial_min below the exchange:\n$p")
   }
 
+  test("q94h: the capstone's only data shuffle is the re-grid argmin") {
+    // decode is mapPartitions, band/pixel explosion is in-row, the
+    // geo-clip is a filter, band-select a filter — so the whole
+    // decode→clip→regrid pipeline must move data exactly once: the
+    // hashpartitioning on (layer, band, cell), with the argmin
+    // partial-aggregated below it (a raw-pixel shuffle is the 100 TB
+    // regression this guards). The registered query only adds the
+    // partitioned sink + read-back around this plan.
+    val p = graft.operators.Multimodal
+      .rasterCapstone(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    assert(p.contains("partial_min"),
+      s"expected a partial_min below the exchange:\n$p")
+  }
+
   test("q47: sessionization is a single data shuffle on user_id") {
     // lag window, running session index, and per-session aggregate must
     // all reuse one hashpartitioning(user_id) exchange — partitioning by
