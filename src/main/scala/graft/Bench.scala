@@ -69,11 +69,15 @@ object Bench {
     *  - a `runs` array of numbers is taken as-is (each entry was only
     *    ever appended at completion);
     *  - otherwise a legacy/new single total is carried forward only when
-    *    the artifact is NOT partial and (when the fields exist) done==of;
+    *    the artifact is NOT partial, (when the fields exist) done==of,
+    *    and `of` equals the CURRENT full registry size — an ONLY-mode
+    *    artifact is internally complete (done==of over its filter) but
+    *    its total is not a full-registry run and must never seed one;
     *  - `qhist` arrays are taken when numeric; a completed artifact
     *    without qhist seeds it from its own `queries` map.
     * Anything unparseable or failing validation starts a fresh ledger. */
-  private def readLedger(path: java.nio.file.Path): Ledger = try {
+  private def readLedger(path: java.nio.file.Path,
+      fullRegistry: Int): Ledger = try {
     val root = new ObjectMapper().readTree(java.nio.file.Files.readAllBytes(path))
     if (root == null || !root.isObject) return Ledger(Nil, Map.empty)
     def numbers(n: JsonNode): Option[Seq[Double]] =
@@ -83,7 +87,8 @@ object Bench {
     val partial = root.path("partial").asBoolean(false)
     val doneOfOk = !root.has("done") || !root.has("of") ||
       root.path("done").asInt(-1) == root.path("of").asInt(-2)
-    val completed = !partial && doneOfOk
+    val sizeOk = !root.has("of") || root.path("of").asInt(-1) == fullRegistry
+    val completed = !partial && doneOfOk && sizeOk
     val runs = numbers(root.path("runs")).filter(_.nonEmpty).getOrElse {
       if (completed && root.path("value").isNumber)
         Seq(root.path("value").asDouble)
@@ -128,7 +133,7 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         if (only.isEmpty) "bench_full.json" else "bench_only.json"))
-    val ledger = readLedger(outPath)
+    val ledger = readLedger(outPath, SparkEntry.queries.size)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
