@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt decorations defeat that: the logger's "[info] "
+// prefix on forked output, and the "[success] Total time ..." epilogue.
+// Raw-stdout strategy removes the prefix; showSuccess removes the
+// epilogue — so the bench's compact trailer is genuinely the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

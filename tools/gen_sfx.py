@@ -34,6 +34,12 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"SET threads TO 16")
+    # Spark reads duckdb's plain TIMESTAMP as TIMESTAMP_NTZ (parquet
+    # isAdjustedToUTC=false), which breaks TimestampType-only paths
+    # (unix_micros, interval arithmetic vs TZ literals). Write events.ts
+    # as TIMESTAMPTZ under a UTC session so Spark sees TimestampType with
+    # identical values to the driver's sf0.1 nanos fixture.
+    con.sql("SET TimeZone='UTC'")
 
     def t(name):
         return f"'{src}/{name}.parquet'"
@@ -49,9 +55,13 @@ def main():
     kmax["user"] = con.sql(f"SELECT max(user_id) + 1 FROM {t('events')}").fetchone()[0]
 
     # documents: per-copy word shuffle via a keyed sort of the word list.
+    # `SELECT * REPLACE` keeps every other column (n_chars — q09c/q09e
+    # weighted sampling and the q94 metadata struct need it); the shuffle
+    # preserves word multiset, so n_chars stays truthful for every copy.
     con.sql(f"""
       COPY (
-        SELECT doc_id + k * {kmax['documents']} AS doc_id,
+        SELECT * REPLACE (
+          doc_id + k * {kmax['documents']} AS doc_id,
           CASE WHEN k = 0 THEN text ELSE
             list_aggregate(list_transform(
               list_sort(list_transform(
@@ -60,27 +70,32 @@ def main():
                 z -> {{'o': hash(z[2] * 2654435761 + doc_id * 40503 + k),
                       'w': z[1]}})),
               p -> p.w), 'string_agg', ' ')
-          END AS text, lang, source
+          END AS text)
         FROM {t('documents')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
     print("documents scaled")
 
+    # `* REPLACE` keeps `label` (q92d centroids / q92e hard negatives).
     con.sql(f"""
       COPY (
-        SELECT vec_id + k * {kmax['embeddings']} AS vec_id,
+        SELECT * REPLACE (
+          vec_id + k * {kmax['embeddings']} AS vec_id,
           CASE WHEN k = 0 THEN embedding ELSE
             list_concat(embedding[(k % len(embedding)) + 1:],
                         embedding[1:(k % len(embedding))])
-          END AS embedding
+          END AS embedding)
         FROM {t('embeddings')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     print("embeddings scaled")
 
+    # `* REPLACE` keeps `props` (q65/q65b JSON extraction) and every
+    # future column; ts goes out as TIMESTAMPTZ (see session TimeZone).
     con.sql(f"""
       COPY (
-        SELECT event_id + k * {kmax['events']} AS event_id,
+        SELECT * REPLACE (
+          event_id + k * {kmax['events']} AS event_id,
           user_id + k * {kmax['user']} AS user_id,
-          event_type, ts, value
+          CAST(ts AS TIMESTAMPTZ) AS ts)
         FROM {t('events')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
     print("events scaled")
