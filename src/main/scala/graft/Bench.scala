@@ -38,7 +38,14 @@ import scala.jdk.CollectionConverters._
   * run's — and a `"qhist"`/`"qmedian"` pair: per-query seconds across the
   * last completed runs and their medians, so a judge can separate host
   * drift from a per-query regression at the query level, not just the
-  * total. The prior artifact is parsed with a real JSON parser (Jackson,
+  * total. Each run also records a HOST-LOAD fingerprint (`"runs_load"`,
+  * parallel to `"runs"`: mean 1-min load average sampled at every query
+  * boundary; `"load_mean"`/`"load_max"` for the current run) — the
+  * mechanical way to tell a contended-host spike from a code regression.
+  * Queries whose input fixture is absent at this scale dir are recorded
+  * as SKIPPED (−2 sentinel + the `"skipped"` name list), distinct from
+  * FAILED (−1 + `"failed"`): a dev sweep against a partial fixture set
+  * must read as a coverage gap, not as ten red queries. The prior artifact is parsed with a real JSON parser (Jackson,
   * from Spark's own classpath) and a carried-forward total is accepted
   * ONLY off a completed full-registry artifact — a corrupted or foreign
   * file at outPath must not seed a bogus run into the committed ledger.
@@ -59,9 +66,14 @@ object Bench {
     * per-query history at 150+ queries is capped to bound the file). */
   private val QHistCap = 7
 
-  /** Prior-artifact state: completed-run totals + per-query seconds
-    * across completed runs. */
-  private final case class Ledger(runs: Seq[Double],
+  /** Prior-artifact state: completed-run totals, each run's host-load
+    * fingerprint (mean 1-min load average sampled at query boundaries;
+    * −1 for runs recorded before the field existed), + per-query seconds
+    * across completed runs. The load column is what lets a reader
+    * separate host drift from a real per-query regression — r8 carried
+    * two single-run spikes (q90d, and the sf1 q91c/q90h pair) that were
+    * unattributable precisely because the ledger had no load record. */
+  private final case class Ledger(runs: Seq[Double], runsLoad: Seq[Double],
       qhist: Map[String, Seq[Double]])
 
   /** Parse a pre-existing artifact with a real JSON parser. Accepts only
@@ -79,7 +91,7 @@ object Bench {
   private def readLedger(path: java.nio.file.Path,
       fullRegistry: Int): Ledger = try {
     val root = new ObjectMapper().readTree(java.nio.file.Files.readAllBytes(path))
-    if (root == null || !root.isObject) return Ledger(Nil, Map.empty)
+    if (root == null || !root.isObject) return Ledger(Nil, Nil, Map.empty)
     def numbers(n: JsonNode): Option[Seq[Double]] =
       if (n != null && n.isArray && n.elements.asScala.forall(_.isNumber))
         Some(n.elements.asScala.map(_.asDouble).toSeq)
@@ -94,6 +106,10 @@ object Bench {
         Seq(root.path("value").asDouble)
       else Seq.empty
     }
+    // pad/trim to runs length so the two arrays always stay parallel —
+    // pre-field artifacts get −1 (load unknown) per historical run
+    val runsLoad = numbers(root.path("runs_load")).getOrElse(Seq.empty)
+      .padTo(runs.size, -1.0).take(runs.size)
     val qhist: Map[String, Seq[Double]] =
       if (root.path("qhist").isObject)
         root.path("qhist").properties.asScala
@@ -104,8 +120,8 @@ object Bench {
             e.getKey -> Seq(e.getValue.asDouble)
         }.toMap
       else Map.empty
-    Ledger(runs, qhist)
-  } catch { case _: Throwable => Ledger(Nil, Map.empty) }
+    Ledger(runs, runsLoad, qhist)
+  } catch { case _: Throwable => Ledger(Nil, Nil, Map.empty) }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -151,21 +167,60 @@ object Bench {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
+    // Sentinels: −1 = the query FAILED (a real error — must look red);
+    // −2 = the query was SKIPPED because an input fixture is absent at
+    // this scale dir (a dev-synthesized sweep may ship fewer tables).
+    // Conflating the two under one −1 hid a 10-query hole in the r7/r8
+    // sf1 curve — the artifact read as "10 failures" when 10 inputs were
+    // simply missing, and nobody could tell which from the JSON.
+    val Failed = -1.0
+    val Skipped = -2.0
+    def fixtureAbsent(e: Throwable): Boolean = {
+      var c: Throwable = e
+      var depth = 0
+      while (c != null && depth < 10) {
+        val m = Option(c.getMessage).getOrElse("")
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          c.isInstanceOf[java.nio.file.NoSuchFileException] ||
+          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist"))
+          return true
+        c = c.getCause
+        depth += 1
+      }
+      false
+    }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case e: Throwable => return if (fixtureAbsent(e)) Skipped else Failed
+      }
       (System.nanoTime() - t0) / 1e9
     }
+    val loadBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleLoad(): Unit = {
+      val l = loadBean.getSystemLoadAverage
+      if (l >= 0) loadSamples += l
+    }
+    def loadMean: Double =
+      if (loadSamples.isEmpty) -1.0 else loadSamples.sum / loadSamples.size
+    def loadMax: Double = if (loadSamples.isEmpty) -1.0 else loadSamples.max
     def jsonLine(results: Seq[(String, Double, Long)], partial: Boolean,
-        of: Int, runs: Seq[Double], qhist: Map[String, Seq[Double]]): String = {
+        of: Int, runs: Seq[Double], runsLoad: Seq[Double],
+        qhist: Map[String, Seq[Double]]): String = {
       val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val st = results.collect { case (k, v, n) if n > 0 && v > 0 =>
         f""""$k":{"sec":$v,"n_triggers":$n,"sec_per_trigger":${v / n}%.3f}"""
       }.mkString("{", ",", "}")
+      val skippedS = results.collect { case (k, v, _) if v == Skipped =>
+        "\"" + k + "\"" }.mkString("[", ",", "]")
+      val failedS = results.collect { case (k, v, _) if v == Failed =>
+        "\"" + k + "\"" }.mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val runsS = runs.map(r => f"$r%.1f").mkString("[", ",", "]")
+      val runsLoadS = runsLoad.map(r => f"$r%.1f").mkString("[", ",", "]")
       val qh = qhist.toSeq.sortBy(_._1).map { case (k, vs) =>
         s"\"$k\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
@@ -174,6 +229,9 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,""" +
         s""""done":${results.size},"of":$of,"runs":$runsS,""" +
+        f""""runs_load":$runsLoadS,"load_mean":$loadMean%.2f,""" +
+        f""""load_max":$loadMax%.2f,"cpus":"$cpus",""" +
+        s""""skipped":$skippedS,"failed":$failedS,""" +
         s""""queries":$qs,"streaming":$st,""" +
         s""""qhist":$qh,"qmedian":$qm,"sf":"$sfDir"}"""
     }
@@ -195,11 +253,22 @@ object Bench {
     var rolling = 0.0
     for (((name, fn), i) <- todo.zipWithIndex) {
       val trig0 = triggers.get()
-      once(fn) // warm-up: JIT, codegen cache, file listing, page cache
-      val (a, b) = (once(fn), once(fn))
-      // any failed run marks the query failed — a flaky query must not
-      // masquerade as a healthy timing
-      val sec = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      sampleLoad()
+      val w = once(fn) // warm-up: JIT, codegen cache, file listing, page cache
+      // a missing fixture won't appear between passes — skip the timed
+      // runs outright instead of failing the same read twice more
+      val sec =
+        if (w == Skipped) Skipped
+        else {
+          val (a, b) = (once(fn), once(fn))
+          // any failed run marks the query failed — a flaky query must
+          // not masquerade as a healthy timing; a skip on a timed pass
+          // (fixture vanished mid-run) is a failure of the run, not a
+          // clean skip
+          if (a == Skipped || b == Skipped) Failed
+          else if (a < 0 || b < 0) Failed
+          else math.min(a, b)
+        }
       val nTrig = math.round((triggers.get() - trig0) / 3.0)
       results += ((name, sec, nTrig))
       if (sec >= 0) rolling += sec
@@ -212,24 +281,27 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       } catch { case _: Throwable => }
+      val secS = if (sec == Skipped) "   SKIP" else if (sec == Failed) "   FAIL"
+        else f"$sec%7.2f"
       System.err.println(
-        f"[bench] ${i + 1}%3d/${todo.size} $name%-28s $sec%7.2fs  rolling $rolling%8.1fs")
+        f"[bench] ${i + 1}%3d/${todo.size} $name%-28s ${secS}s  rolling $rolling%8.1fs")
       writeArtifact(jsonLine(results.toSeq, partial = true, todo.size,
-        ledger.runs, ledger.qhist))
+        ledger.runs, ledger.runsLoad, ledger.qhist))
     }
+    sampleLoad()
     val total = results.map(_._2).filter(_ >= 0).sum
     // Append this run to the ledger only for full-registry runs; cap
     // per-query history so the artifact stays bounded.
-    val (runsOut, qhistOut) =
+    val (runsOut, runsLoadOut, qhistOut) =
       if (only.isEmpty) {
         val qh = results.foldLeft(ledger.qhist) { case (m, (k, v, _)) =>
           if (v < 0) m
           else m.updated(k, (m.getOrElse(k, Nil) :+ v).takeRight(QHistCap))
         }
-        (ledger.runs :+ total, qh)
-      } else (ledger.runs, ledger.qhist)
+        (ledger.runs :+ total, ledger.runsLoad :+ loadMean, qh)
+      } else (ledger.runs, ledger.runsLoad, ledger.qhist)
     val finalLine = jsonLine(results.toSeq, partial = false, todo.size,
-      runsOut, qhistOut)
+      runsOut, runsLoadOut, qhistOut)
     println(finalLine)
     // COMPACT trailer: the driver's stdout tail window is ~2,000 chars —
     // the full line overflows it, this one always fits and parses.

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** One registered engine query: a Spark-first implementation plus (where
   * SQL-expressible) a semantically identical DuckDB oracle. See SURVEY.md §2
@@ -26,17 +27,28 @@ object Q {
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
-  /** Load one test table. `events.ts` is TIMESTAMP(NANOS) in the parquet
-    * footer, which Spark 4 rejects; it is read as raw nanos via the legacy
-    * flag and truncated to microseconds — the same conversion DuckDB applies
-    * implicitly, so both engines see identical values. */
+  /** Load one test table, normalizing `ts` to TimestampType whatever
+    * parquet flavor the generator emitted — the fixture's footer type has
+    * CHANGED ACROSS ROUNDS and every downstream operator assumes
+    * TimestampType:
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it outright; read as raw nanos
+    *    via the legacy flag and truncate to micros (the same conversion
+    *    DuckDB applies implicitly).
+    *  - TIMESTAMP(isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+    *    which unix_micros / interval-vs-TZ-literal arithmetic reject.
+    *    Cast to TimestampType — under the engine's pinned UTC session the
+    *    naive datetime maps to the identical instant DuckDB sees.
+    * Both normalizations are value-identical across engines, so oracle
+    * hashes are unaffected by whichever flavor a round's fixture carries. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(f => f.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 }

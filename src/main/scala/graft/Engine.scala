@@ -756,34 +756,60 @@ object Engine {
       .drop("__cm_id", "cluster_id")
   }
 
-  /** 32-bit SimHash fingerprint per document (Charikar 2002): md5-derived
+  /** 64-bit SimHash fingerprint per document (Charikar 2002): md5-derived
     * token hashes (md5 is the one hash every engine shares bit-for-bit),
     * per-bit ±1 vote sums, sign → bit. One token explode + one groupBy on
     * the id — partial-aggregated map-side, the canonical fingerprint plan
-    * at any scale. Returns (doc_id, sh). */
-  def simhash32(df: DataFrame, id: Column, text: Column): DataFrame = {
+    * at any scale. Returns (doc_id, sh).
+    *
+    * WHY 64 BITS: signature-identical docs fuse unconditionally in the
+    * [[simhashClusters]] rep-collapse, so the signature width bounds the
+    * BIRTHDAY false-merge rate — at 10⁹ docs a 32-bit signature expects
+    * ~10⁸ spurious fusions (n²/2³³) where 64 bits expect ~0.03 (n²/2⁶⁵).
+    * The token hash takes BOTH 32-bit halves of the md5 prefix and
+    * composes them as (hi << 32) | lo — two's-complement arithmetic every
+    * engine reproduces bit-for-bit (a single 16-hex-digit parse would
+    * overflow a signed 64-bit cast for half the space). The signature
+    * assembles per-bit flags with bitwise OR, not addition: bit 63's flag
+    * IS Long.MinValue and must not ride an ANSI-checked sum. */
+  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("__t"))
+      .select(col("doc_id"), md5(col("__t")).as("__m"))
       .select(col("doc_id"),
-        conv(substring(md5(col("__t")), 1, 8), 16, 10)
-          .cast(LongType).as("__h"))
+        shiftleft(conv(substring(col("__m"), 1, 8), 16, 10)
+          .cast(LongType), 32)
+          .bitwiseOR(conv(substring(col("__m"), 9, 8), 16, 10)
+            .cast(LongType)).as("__h"))
     val sums = tok.groupBy("doc_id").agg(
       sum(shiftright(col("__h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("s0"),
-      (1 until 32).map(j =>
+      (1 until 64).map(j =>
         sum(shiftright(col("__h"), j).bitwiseAND(lit(1L)) * 2 - 1)
           .as(s"s$j")): _*)
-    val simhash = (0 until 32)
+    val simhash = (0 until 64)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .reduce(_ bitwiseOR _)
     sums.select(col("doc_id"), simhash.as("sh"))
   }
 
   /** Banded SimHash candidate pairs with exact Hamming verification ≤ 3,
-    * over a (doc_id, sh) table: 4 disjoint 8-bit bands → equi-join on
-    * (band, band-byte) for candidates → bit_count verify INSIDE the join
+    * over a (doc_id, sh) table: 4 disjoint 16-bit bands → equi-join on
+    * (band, band-key) for candidates → bit_count verify INSIDE the join
     * stage (both signatures already ride the joined row). With 4 bands
     * any pair within Hamming 3 shares at least one identical band
     * (pigeonhole), so banded recall is EXACT — never an all-pairs scan.
     * Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    *
+    * BAND GEOMETRY: 4 bands is the MINIMUM that pigeonholes Hamming ≤ 3,
+    * so the 64-bit signature gives each band its maximum width, 16 bits
+    * = 65,536 buckets per band. Unlike ANN probing (where [[annBits]]
+    * trades bucket count against probe cost), exact-recall banding has no
+    * width tradeoff: recall is pigeonhole-guaranteed at ANY key width, so
+    * the FULL band is always the right join key — wider keys only shrink
+    * the candidate set (expected candidate work O(S²/2¹⁶) per band vs the
+    * old 8-bit geometry's O(S²/2⁸), 256× fewer spurious collisions at
+    * crawl scale; annBits(n, target, maxBits=16) saturates at 16 for any
+    * corpus past ~10⁵ distinct signatures, i.e. the clamp IS the rule's
+    * answer at scale).
     *
     * SCALE WARNING: the PAIR SET itself is quadratic in duplicate-cluster
     * size — a boilerplate cluster of 10⁶ signature-identical docs is
@@ -793,7 +819,7 @@ object Engine {
   def simhashPairs(sh: DataFrame): DataFrame = {
     val bands = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(k =>
-        shiftright(col("sh"), 8 * k).bitwiseAND(lit(255L))): _*))
+        shiftright(col("sh"), 16 * k).bitwiseAND(lit(65535L))): _*))
         .as(Seq("band", "bk")))
     val ham = bit_count(col("sha").bitwiseXOR(col("shb")))
     bands
@@ -820,7 +846,7 @@ object Engine {
     * 10⁶-copy boilerplate cluster costs one aggregate row, not 5·10¹¹
     * pairs. */
   def simhashClusters(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val shx = simhash32(df, id, text).persistOnce()
+    val shx = simhash64(df, id, text).persistOnce()
     // one representative per distinct signature; rep_id = min doc_id, so
     // the component-min over reps IS the component-min over docs
     val rep = shx.groupBy("sh").agg(min(col("doc_id")).as("rep_id"))
@@ -846,7 +872,7 @@ object Engine {
     * the rep-level verified Hamming pairs; transitive closure over these
     * edges reaches exactly the [[simhashClusters]] components. */
   def simhashEdges(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val shx = simhash32(df, id, text).persistOnce()
+    val shx = simhash64(df, id, text).persistOnce()
     val rep = shx.groupBy("sh").agg(min(col("doc_id")).as("rep_id"))
       .persistOnce()
     val stars = shx.join(rep, Seq("sh"))

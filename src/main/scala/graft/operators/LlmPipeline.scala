@@ -517,9 +517,9 @@ object LlmPipeline {
           size(ngramsOf(col("words"), 2)).as("n_bigrams")))
     },
 
-    // Q98 (beyond-survey) — SimHash near-dup: a 32-bit per-document
+    // Q98 (beyond-survey) — SimHash near-dup: a 64-bit per-document
     // fingerprint from md5-derived token hashes (md5 is the one hash both
-    // engines share bit-for-bit), candidate pairs via 4×8-bit band
+    // engines share bit-for-bit), candidate pairs via 4×16-bit band
     // buckets, exact Hamming verification ≤ 3. With 4 bands, any pair
     // within Hamming 3 shares at least one identical band (pigeonhole),
     // so banded recall is exact — the Spark side NEVER compares all
@@ -535,7 +535,7 @@ object LlmPipeline {
       // the pair CONTRACT is quadratic in duplicate-cluster size (the
       // r7 sf1 sweep measured 8.53M pairs at 10× docs) even though the
       // banded PLAN is scale-safe.
-      orderAll(graft.Engine.simhashPairs(graft.Engine.simhash32(
+      orderAll(graft.Engine.simhashPairs(graft.Engine.simhash64(
         Tables.t(s, dir, "documents"), col("doc_id"), col("text"))))
     },
 
@@ -1549,21 +1549,31 @@ object LlmPipeline {
         dims = 64))
     })
 
-  /** DuckDB oracle for Q98: identical md5-derived SimHash, but all-pairs
-    * Hamming (affordable at sf0.01 — 500 docs). */
-  /** Shared CTE prefix of the q98 family: per-doc 32-bit SimHash, ending
+  /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending
     * in `shx(doc_id, sh)` — the DuckDB rendering of
-    * [[graft.Engine.simhash32]]. */
+    * [[graft.Engine.simhash64]]. The token hash composes both 32-bit md5
+    * halves as signed (hi << 32) | lo without a 64-bit shift or multiply
+    * overflow (DuckDB checks both): re-sign hi into int32 range first,
+    * then the scaled sum stays inside BIGINT for every input. The
+    * signature assembles per-bit flags with `|`, not `+` — bit 63's flag
+    * is BIGINT min and an addition would overflow-check. `>>` sign-
+    * extends in both engines; the `& 1` mask makes that irrelevant. */
   private def simhashCtes: String = {
-    val sumCols = (0 until 32)
+    val sumCols = (0 until 64)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
-    val shExpr = (0 until 32)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
+    val shExpr = (0 until 64)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${
+        if (j == 63) s"CAST(${Long.MinValue} AS BIGINT)" else (1L << j).toString
+      } ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |  FROM documents),
+       |hl AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+       |  CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo FROM tok),
        |h AS (SELECT doc_id,
-       |  CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+       |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+       |    * 4294967296 + lo AS h FROM hl),
        |s AS (SELECT doc_id, $sumCols FROM h GROUP BY doc_id),
        |shx AS (SELECT doc_id, $shExpr AS sh FROM s)""".stripMargin
   }

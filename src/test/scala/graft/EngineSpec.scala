@@ -483,7 +483,7 @@ class EngineSpec extends AnyFunSuite {
     // Reference: doc-level banded pairs (the q98 listing contract) →
     // connected components → assignment, unclustered docs keep themselves.
     val pairs = Engine.simhashPairs(
-      Engine.simhash32(docs, col("doc_id"), col("text")))
+      Engine.simhash64(docs, col("doc_id"), col("text")))
     val clusters = Engine.nearDupClusters(pairs.select("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ref = docs.select("doc_id").collect().map(_.getLong(0))
@@ -499,6 +499,39 @@ class EngineSpec extends AnyFunSuite {
     val refEdges = docs.select("doc_id").collect().map(_.getLong(0))
       .map(id => id -> viaEdges.getOrElse(id, id)).toMap
     assert(refEdges == ref)
+  }
+
+  test("simhash64 is bit-for-bit md5-derived and spans all 64 bits") {
+    import spark.implicits._
+    // A single-token doc's signature IS its token hash: every per-bit
+    // vote sum is ±1, so sign(bit) reproduces the hash exactly. That
+    // makes the whole pipeline (md5 → hi/lo compose → vote → assemble)
+    // checkable bit-for-bit against an independent JVM md5 — including
+    // bit 63 (sign) and bits 32..62, which a 32-bit-truncating regression
+    // would zero.
+    val words = (0 until 64).map(i => s"w$i-token")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Engine.simhash64(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    words.zipWithIndex.foreach { case (w, i) =>
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val expect = (java.lang.Long.parseLong(hex.substring(0, 8), 16) << 32) |
+        java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      assert(got(i.toLong) == expect, s"signature of '$w'")
+    }
+    // the corpus genuinely exercises the widened space: some signature
+    // has bit 63 set (negative) and the upper half is not all-zero
+    assert(got.values.exists(_ < 0), "no signature used bit 63")
+    assert(got.values.exists(v => v >= 0 && (v >>> 32) != 0),
+      "upper 32 bits never set — 32-bit truncation regression")
+    // FALSE-MERGE BOUND: distinct tokens ⇒ distinct signatures here; the
+    // birthday expectation at this width is n²/2⁶⁵ (~10⁻¹⁷ for 64 docs,
+    // ~0.03 at 10⁹ docs) vs ~10⁸ expected fusions for 32-bit at crawl
+    // scale — the reason the geometry widened.
+    assert(got.values.toSet.size == words.size)
   }
 
   test("applyDedup consumes containment pairs unchanged (one apply path)") {

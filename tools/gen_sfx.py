@@ -60,7 +60,7 @@ def main():
     # preserves word multiset, so n_chars stays truthful for every copy.
     con.sql(f"""
       COPY (
-        SELECT * REPLACE (
+        SELECT d.* REPLACE (
           doc_id + k * {kmax['documents']} AS doc_id,
           CASE WHEN k = 0 THEN text ELSE
             list_aggregate(list_transform(
@@ -71,20 +71,20 @@ def main():
                       'w': z[1]}})),
               p -> p.w), 'string_agg', ' ')
           END AS text)
-        FROM {t('documents')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
+        FROM {t('documents')} AS d CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
     print("documents scaled")
 
     # `* REPLACE` keeps `label` (q92d centroids / q92e hard negatives).
     con.sql(f"""
       COPY (
-        SELECT * REPLACE (
+        SELECT d.* REPLACE (
           vec_id + k * {kmax['embeddings']} AS vec_id,
           CASE WHEN k = 0 THEN embedding ELSE
             list_concat(embedding[(k % len(embedding)) + 1:],
                         embedding[1:(k % len(embedding))])
           END AS embedding)
-        FROM {t('embeddings')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
+        FROM {t('embeddings')} AS d CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     print("embeddings scaled")
 
@@ -92,23 +92,23 @@ def main():
     # future column; ts goes out as TIMESTAMPTZ (see session TimeZone).
     con.sql(f"""
       COPY (
-        SELECT * REPLACE (
+        SELECT d.* REPLACE (
           event_id + k * {kmax['events']} AS event_id,
           user_id + k * {kmax['user']} AS user_id,
           CAST(ts AS TIMESTAMPTZ) AS ts)
-        FROM {t('events')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
+        FROM {t('events')} AS d CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
     print("events scaled")
 
     con.sql(f"""
       COPY (
-        SELECT * REPLACE (o_orderkey + k * {kmax['orders']} AS o_orderkey)
-        FROM {t('orders')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
+        SELECT d.* REPLACE (o_orderkey + k * {kmax['orders']} AS o_orderkey)
+        FROM {t('orders')} AS d CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
     con.sql(f"""
       COPY (
-        SELECT * REPLACE (l_orderkey + k * {kmax['orders']} AS l_orderkey)
-        FROM {t('lineitem')} CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
+        SELECT d.* REPLACE (l_orderkey + k * {kmax['orders']} AS l_orderkey)
+        FROM {t('lineitem')} AS d CROSS JOIN generate_series(0, {copies - 1}) AS g(k)
       ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
     print("orders/lineitem scaled")
 
