@@ -377,20 +377,36 @@ object Engine {
         least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1 >= alpha)
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"))
-      // Dedup BEFORE the verify joins: a candidate pair recurs once per
-      // shared prefix n-gram, and the verify joins shuffle their input by
-      // doc id with the n-gram ARRAYS attached — deduping first keeps
-      // that wide shuffle to one row per pair. (Measured the other order
-      // too — verify-all-then-dedup — betting the array-attach joins
-      // would broadcast: they exceed the broadcast threshold, fall back
-      // to sort-merge, and ship every duplicate's arrays: 4× slower.)
-      .dropDuplicates("doc_a", "doc_b")
-    val verified = cands
-      .join(docs.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
-        Seq("doc_a"))
-      .join(docs.select(col("__id").as("doc_b"), col("__sv").as("__sb")),
-        Seq("doc_b"))
-    val inter = expr("sorted_intersect_count(__sa, __sb)")
+    // VERIFY-STAGE POLICY: dedup the NARROW pair list first (two longs a
+    // row — a candidate recurs once per shared prefix n-gram, and on a
+    // saturated vocabulary that duplication factor alone multiplies
+    // verify work), then attach the n-gram arrays by the size-gated
+    // strategy of [[verifyBroadcastMaxDocs]]: a bounded corpus
+    // BROADCASTS its array table, so distinct pairs stream through two
+    // in-memory hash joins and the arrays never ride an exchange; past
+    // the gate, sort-merge — the only shape when the corpus outgrows a
+    // broadcast. The 10× scale fixture is the motivating regime: its
+    // ~31-word vocabulary saturates the trigram space, prefix
+    // selectivity collapses (10.9M candidates for 256 true pairs), and
+    // the old SMJ attach shipped every pair's arrays through two
+    // shuffles — measured 39–58 s solo at sf1 vs ~14 s streamed.
+    val nDocs = docs.count() // docs is persisted; also warms the verify side
+    val sa = docs.select(col("__id").as("doc_a"), col("__sv").as("__sa"))
+    val sb = docs.select(col("__id").as("doc_b"), col("__sv").as("__sb"))
+    val distinctPairs = cands.dropDuplicates("doc_a", "doc_b")
+    val verified =
+      if (nDocs <= verifyBroadcastMaxDocs)
+        distinctPairs.join(broadcast(sa), Seq("doc_a"))
+          .join(broadcast(sb), Seq("doc_b"))
+      else
+        distinctPairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    // Early-terminating merge (see [[graft.plans.SortedIntersectAtLeast]]):
+    // J ≥ t ⟺ inter ≥ α = ⌈t/(1+t)·(|a|+|b|)⌉, so α is the exact
+    // per-row required minimum — doomed candidates exit the walk in
+    // ~α steps, survivors return exact counts, output unchanged.
+    val inter = expr("sorted_intersect_count(__sa, __sb, " +
+      s"(CAST($thresholdPct AS BIGINT) * (size(__sa) + size(__sb)) + " +
+      s"${100 + thresholdPct - 1}) div ${100 + thresholdPct})")
     val uni = size(col("__sa")) + size(col("__sb")) - inter
     verified
       .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
@@ -400,6 +416,19 @@ object Engine {
       .filter(inter.cast("long") * 100 >= uni.cast("long") * thresholdPct)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Gate for the prefix-filter joins' verify stage: corpora at or under
+    * this row count attach their n-gram arrays to the (deduped) candidate
+    * pairs via BROADCAST hash joins — the arrays cross the cluster once,
+    * never per pair; larger corpora sort-merge. ~250k docs × ~400 B of
+    * sorted n-gram array ≈ 100 MB — comfortable in the deployment
+    * contract's executor memory, far under Spark's 8 GB broadcast cap.
+    * The gate matters because a vocabulary-saturated corpus floods the
+    * candidate join (42,000× the true-pair count measured on the 10×
+    * fixture) and an SMJ attach ships arrays per PAIR, while a 100 TB
+    * corpus can never broadcast its arrays and only the sort-merge shape
+    * survives. Size, not semantics: both branches verify identically. */
+  val verifyBroadcastMaxDocs: Long = 250000L
 
   /** PRODUCT-QUANTIZATION encode: split each embedding into `blocks`
     * contiguous sub-vectors and assign every block the id of its nearest
@@ -579,13 +608,29 @@ object Engine {
         least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
           >= ceilTna)
       .select("doc_a", "doc_b", "__na")
-      .dropDuplicates("doc_a", "doc_b")
-    val verified = cands
-      .join(db.select(col("__id").as("doc_b"), col("__sv").as("__sb")),
-        Seq("doc_b"))
-      .join(da.select(col("__id").as("doc_a"), col("__sv").as("__sa")),
-        Seq("doc_a"))
-    val inter = expr("sorted_intersect_count(__sa, __sb)")
+    // Same verify policy as [[jaccardJoin]]: ALWAYS dedup the narrow
+    // pair list first — containment's candidate duplication factor is
+    // the worst of the family (the container side has no size-relative
+    // prefix bound, so a pair recurs once per shared gram and the
+    // saturated-vocabulary fixture measured ~20× duplication; streaming
+    // raw candidates through the merge kernel cost 2× the OLD shape) —
+    // then attach arrays by the [[verifyBroadcastMaxDocs]] size gate.
+    val sb2 = db.select(col("__id").as("doc_b"), col("__sv").as("__sb"))
+    val sa2 = da.select(col("__id").as("doc_a"), col("__sv").as("__sa"))
+    val distinctPairs = cands.dropDuplicates("doc_a", "doc_b")
+    val verified =
+      if (da.count() + db.count() <= verifyBroadcastMaxDocs)
+        distinctPairs.join(broadcast(sb2), Seq("doc_b"))
+          .join(broadcast(sa2), Seq("doc_a"))
+      else
+        distinctPairs.join(sb2, Seq("doc_b")).join(sa2, Seq("doc_a"))
+    // Early-terminating merge: containment needs inter ≥ ⌈t·n_a⌉, the
+    // same bound the candidate filter used — verify exits doomed pairs
+    // after ~⌈t·n_a⌉ steps (the saturated-vocabulary fixture put 31.9M
+    // candidates in front of 30 true pairs; the full walk was 13.8 s of
+    // the query's 26 s).
+    val inter = expr("sorted_intersect_count(__sa, __sb, " +
+      s"(__na * $thresholdPct + 99) div 100)")
     verified
       .filter(inter.cast("long") * 100 >= col("__na") * thresholdPct)
       .select(col("doc_a"), col("doc_b"),
@@ -667,7 +712,11 @@ object Engine {
         Seq("left_id"))
       .join(dr.select(col("__id").as("right_id"), col("__sv").as("__sb")),
         Seq("right_id"))
-    val inter = expr("sorted_intersect_count(__sa, __sb)")
+    // Early-terminating merge with the same α bound as the self-join
+    // form (exact survivors, doomed pairs exit early — see jaccardJoin).
+    val inter = expr("sorted_intersect_count(__sa, __sb, " +
+      s"(CAST($thresholdPct AS BIGINT) * (size(__sa) + size(__sb)) + " +
+      s"${100 + thresholdPct - 1}) div ${100 + thresholdPct})")
     val uni = size(col("__sa")) + size(col("__sb")) - inter
     verified
       .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
@@ -706,26 +755,34 @@ object Engine {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val nbrMin = edges
+      // FUSED PROPAGATION: neighbor-min and pointer jump are both "send
+      // a label to a node" messages, so they ride ONE message stream —
+      //  - a real edge (src, dst) delivers lbl(src) to dst (neighbor
+      //    min), and
+      //  - a label link (lbl(id) → id) delivers lbl(lbl(id)) to id (the
+      //    POINTER JUMP: every label value is a node id in the same
+      //    component, so the lookup is total).
+      // One equi-join + one groupBy-min + one apply-join per round,
+      // where the unfused form paid two joins, a groupBy and a three-way
+      // combine — the per-round fixed cost (stages + exchanges), not
+      // shuffle volume, dominates this loop at test scale. Jumping makes
+      // label chains halve each round, so rounds grow with
+      // log(component diameter): the SimHash rep graph's 13-round chains
+      // (measured at sf0.1) converge in 5. Monotonicity is unchanged —
+      // least(old, incoming-min) only ever decreases toward the
+      // component min, and the fixpoint is identical to the unfused
+      // update least(old, nbrMin, jumpLbl).
+      val links = labels.select(col("lbl").as("src"), col("id").as("dst"))
+      val msgs = edges.unionByName(links)
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
-      // POINTER JUMP: each node also adopts its current label's label
-      // (labels self-joined on lbl = id — every label value is a node id
-      // in the same component, so the join is total). Label chains halve
-      // each round, so rounds grow with log(component diameter) instead
-      // of the diameter itself: the SimHash rep graph's 13-round chains
-      // (measured at sf0.1) converge in 5. Monotonicity is unchanged —
-      // labels only ever decrease toward the component min.
-      val jump = labels.select(col("id").as("__jid"), col("lbl").as("__jlbl"))
       // The previous label rides the checkpointed row, so the convergence
       // check is a filter-count over already-materialized blocks — no
       // extra per-round shuffle join against the old label table.
       val next = labels
-        .join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .join(jump, labels("lbl") === col("__jid"), "left")
+        .join(msgs, labels("id") === msgs("id2"), "left")
         .select(col("id"), col("lbl").as("__prev"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
-            coalesce(col("__jlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       val changes = next.filter(col("lbl") =!= col("__prev")).count()
       mat.unpersist() // next is checkpointed; the old blocks can go

@@ -62,10 +62,40 @@ object Streams {
     */
   private val statePartitions = 4
 
+  /** Dev knob: run the streaming family against an alternate state-store
+    * provider (`SPARK_GRAFT_STATE_PROVIDER=rocksdb`) to A/B the store
+    * cost. Measured at sf0.1 (see the q78 scaladoc): the default
+    * HDFS-backed in-memory store wins at replay scale — RocksDB's
+    * per-trigger native commit (JNI + SST flush per store instance)
+    * multiplies across 4 partitions × 4 stores × both join sides, while
+    * the live-key count (~150 users) never approaches the heap pressure
+    * RocksDB exists to relieve. At production state volume (10⁷+ live
+    * keys per partition, state ≫ executor heap) the tradeoff inverts and
+    * this knob is the cutover — the provider is a config, not a plan
+    * change, so the choice stays a deployment decision. */
+  private val stateProviderConf: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").collect {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }
+
   private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
     val old = s.conf.get("spark.sql.shuffle.partitions")
+    val oldProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+    stateProviderConf.foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", old)
+      stateProviderConf.foreach { _ =>
+        oldProv match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
   }
 
   /** Run `df` to a parquet file sink (exactly-once via _spark_metadata +

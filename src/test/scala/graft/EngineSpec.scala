@@ -31,6 +31,27 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters: an aborted run is recoverable by rerunning from the edge list") {
+    import spark.implicits._
+    // The loop localCheckpoints its per-round labels, trading lineage
+    // (an executor-loss recompute path) for bounded analysis cost; the
+    // documented recovery contract is that a failed run is abandoned and
+    // the CALLER reruns from the cheap edge list. Exercise exactly that:
+    // a long chain whose closure cannot finish in 1 round aborts
+    // mid-loop (the same abandon-the-run state a lost checkpoint block
+    // leaves behind — checkpointed label blocks from a dead run, plus
+    // the persisted edge list), then a fresh full run over the SAME
+    // input must converge to the right components, unpolluted by the
+    // aborted run's leftovers.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Engine.nearDupClusters(chain, maxIterations = 1).count()
+    }
+    val got = Engine.nearDupClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
   test("cosineTopK: rank 1 of every query is the query itself at cos 1.0") {
     val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
     val top1 = Engine.cosineTopK(e, "vec_id", "embedding",

@@ -90,6 +90,38 @@ class ExpressionSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("sorted_intersect_count 3-arg: exact at/above the bound, early-exit below") {
+    graft.plans.SortedIntersectCount.register(spark)
+    import spark.implicits._
+    // Contract of the early-terminating form: true intersection ≥ min ⇒
+    // EXACT count (the abort bound never fires); true intersection < min
+    // ⇒ some partial count that is still < min (callers filter on
+    // count ≥ min, so survivors and surviving values are identical to
+    // the 2-arg kernel).
+    val d = Tables.t(spark, TestSpark.sfDir, "documents")
+      .withColumn("sv",
+        sort_array(graft.Engine.wordNgrams(split(col("text"), " "), 2)))
+      .select(col("doc_id"), col("sv"))
+    val a = d.select(col("doc_id").as("ia"), col("sv").as("sa"))
+    val b = d.select(col("doc_id").as("ib"), col("sv").as("sb"))
+    val pairs = a.join(b, col("ib") === col("ia") + 1)
+      .withColumn("exact", expr("sorted_intersect_count(sa, sb)"))
+    (1 to 20 by 7).foreach { m =>
+      val bad = pairs
+        .withColumn("fast", expr(s"sorted_intersect_count(sa, sb, $m)"))
+        .filter(
+          (col("exact") >= m && col("fast") =!= col("exact")) ||
+          (col("exact") < m && col("fast") >= m)).count()
+      assert(bad == 0, s"contract violated at min=$m")
+    }
+    // long-typed third argument works too (the operators pass div results)
+    val longMin = pairs
+      .withColumn("fast",
+        expr("sorted_intersect_count(sa, sb, CAST(3 AS BIGINT))"))
+      .filter(col("exact") >= 3 && col("fast") =!= col("exact")).count()
+    assert(longMin == 0)
+  }
+
   test("sorted_intersect_count participates in whole-stage codegen") {
     graft.plans.SortedIntersectCount.register(spark)
     val df = Tables.t(spark, TestSpark.sfDir, "documents")
