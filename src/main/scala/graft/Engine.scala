@@ -724,15 +724,34 @@ object Engine {
       .select("left_id", "right_id", "jaccard")
   }
 
+  /** Edge-count gate for [[nearDupClusters]]' driver fast path: pair
+    * lists at or under this size are collected and union-found on the
+    * driver (milliseconds), skipping the iterative join loop whose
+    * per-round FIXED cost — a union-join-aggregate-join pipeline, a
+    * localCheckpoint materialization and a convergence count action —
+    * dwarfs the actual work on sparse near-dup graphs (the common case:
+    * this corpus's rep graphs carry tens of edges; even an aggressive
+    * dedup rarely pairs more than a few permille of a corpus). 1M edges
+    * collect to ~30 MB of rows — trivially safe in the deployment
+    * contract's driver heap — while a crawl-scale pair list blows the
+    * gate and takes the distributed loop, which remains the 100 TB
+    * path. */
+  val driverCcMaxEdges: Long = 1000000L
+
   /** Connected components over an undirected pair list (first two columns
     * = the edge endpoints): every node gets the minimum id of its
-    * component. Iterative min-label propagation; rounds bounded by the
-    * component diameter, lineage truncated and the previous round's
-    * blocks freed each round, driver sees only a scalar per round.
-    * Throws IllegalStateException if `maxIterations` rounds don't reach a
+    * component. Size-adaptive: bounded pair lists (≤
+    * [[driverCcMaxEdges]]) run an exact union-find on the driver in one
+    * collect; larger graphs run iterative min-label propagation — rounds
+    * bounded by log(component diameter) via pointer jumping, lineage
+    * truncated and the previous round's blocks freed each round, driver
+    * sees only a scalar per round. Both paths produce the identical
+    * (doc_id, cluster_id = component-min) assignment. Throws
+    * IllegalStateException if `maxIterations` rounds don't reach a
     * fixpoint — a silent partial answer would assign one component
     * multiple cluster ids. */
-  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20,
+      driverMaxEdges: Long = driverCcMaxEdges): DataFrame = {
     require(pairs.columns.length >= 2,
       "nearDupClusters expects a two-column (src, dst) pair DataFrame")
     val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
@@ -741,6 +760,37 @@ object Engine {
       // read every round; persist keeps the producing pipeline's lineage
       // so a lost executor recomputes rather than kills the job
       .persistOnce()
+    // DRIVER FAST PATH: the gate count runs on the just-persisted edge
+    // blocks (one cheap job), the collect re-reads the same blocks.
+    if (edges.count() <= 2 * driverMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        // path compression: point the whole chain at the root
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { case (s, d) =>
+        val (rs, rd) = (find(s), find(d))
+        // union by MIN id: the root IS the component minimum, so no
+        // second relabeling pass is needed (chains stay shallow through
+        // path compression; the edge list is bounded by the gate)
+        if (rs < rd) parent.put(rd, rs)
+        else if (rd < rs) parent.put(rs, rd)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      edges.unpersist()
+      return nodes.iterator.map(n => (n, find(n))).toSeq
+        .toDF("doc_id", "cluster_id")
+    }
     // The per-round labels DO use localCheckpoint: an iterative join loop
     // is the one case where lineage must be TRUNCATED (a persisted plan
     // grows a join level per round and analysis cost compounds). The

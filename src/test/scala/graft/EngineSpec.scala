@@ -44,12 +44,32 @@ class EngineSpec extends AnyFunSuite {
     // input must converge to the right components, unpolluted by the
     // aborted run's leftovers.
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // driverMaxEdges = 0 forces the distributed loop (the path under test)
     intercept[IllegalStateException] {
-      Engine.nearDupClusters(chain, maxIterations = 1).count()
+      Engine.nearDupClusters(chain, maxIterations = 1, driverMaxEdges = 0)
+        .count()
     }
-    val got = Engine.nearDupClusters(chain)
+    val got = Engine.nearDupClusters(chain, driverMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("nearDupClusters: driver union-find == distributed loop") {
+    import spark.implicits._
+    // Adversarial mix: a long chain (pointer-jump territory), a star, a
+    // triangle with a pendant, singleton pairs, ids out of order —
+    // identical assignment from both paths on the same input.
+    val pairs = ((1L until 30L).map(i => (i + 1, i)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L),
+        (200L, 201L), (201L, 202L), (202L, 200L), (202L, 203L),
+        (500L, 400L))).toDF("doc_a", "doc_b")
+    val fast = Engine.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Engine.nearDupClusters(pairs, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
+    assert(fast(30L) == 1L && fast(103L) == 100L &&
+      fast(203L) == 200L && fast(500L) == 400L)
   }
 
   test("cosineTopK: rank 1 of every query is the query itself at cos 1.0") {
