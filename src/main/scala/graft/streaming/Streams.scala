@@ -64,13 +64,16 @@ object Streams {
 
   /** Dev knob: run the streaming family against an alternate state-store
     * provider (`SPARK_GRAFT_STATE_PROVIDER=rocksdb`) to A/B the store
-    * cost. Measured at sf0.1 (see the q78 scaladoc): the default
-    * HDFS-backed in-memory store wins at replay scale — RocksDB's
-    * per-trigger native commit (JNI + SST flush per store instance)
-    * multiplies across 4 partitions × 4 stores × both join sides, while
-    * the live-key count (~150 users) never approaches the heap pressure
-    * RocksDB exists to relieve. At production state volume (10⁷+ live
-    * keys per partition, state ≫ executor heap) the tradeoff inverts and
+    * cost. MEASURED at sf0.1, q78+q78b back to back (min-of-2 passes
+    * each): default HDFS-backed store 8.4 s combined, RocksDB 10.7 s —
+    * ~27% slower, so the default store stays. The shape of the result is
+    * the expected one: RocksDB pays a native commit (JNI boundary +
+    * memtable/SST machinery) per store instance per trigger, which
+    * multiplies across 4 state partitions × 4 stores of a two-sided
+    * join, while the replay's live-key count (~150 users) never
+    * approaches the heap pressure RocksDB exists to relieve. At
+    * production state volume (10⁷+ live keys per partition, state ≫
+    * executor heap, changelog checkpointing) the tradeoff inverts and
     * this knob is the cutover — the provider is a config, not a plan
     * change, so the choice stays a deployment decision. */
   private val stateProviderConf: Option[String] =
