@@ -193,7 +193,15 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
-        case e: Throwable => return if (fixtureAbsent(e)) Skipped else Failed
+        case e: Throwable =>
+          return if (fixtureAbsent(e)) Skipped
+          else {
+            // a silent −1 hid q90d's sf1 broadcast failure for a round —
+            // always leave the reason in the stderr log
+            System.err.println(s"[bench] FAIL reason: ${e.getClass.getName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ")}")
+            Failed
+          }
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -684,21 +684,31 @@ object Engine {
     val alpha = expr(
       s"(($thresholdPct * (__na + __nb) + ${100 + thresholdPct - 1})" +
         s" div ${100 + thresholdPct})")
-    // EXPLICIT broadcast shapes — the bipartite join's asymmetry IS the
+    // EXPLICIT broadcast shape — the bipartite join's asymmetry IS the
     // scale contract (left = the bounded incremental batch, right = the
-    // standing corpus), so the batch-side prefixes and the candidate
-    // pair list are the broadcastable sides BY DESIGN, and pinning them
-    // also pins the plan: left to AQE's size estimates, the broadcast
-    // choice flapped run-to-run, and the bad pick rebuilt a shingling
-    // sub-plan serially inside the broadcast-build thread (measured 17
-    // vs 6 s for identical code — stage trace showed 16-35 s
-    // single-task broadcast builds). dfreq stays unhinted: vocabulary
-    // scales with the corpus and must shuffle, never collect. The
-    // DEFAULT is unpinned (broadcastBounded = false): only a call site
-    // that KNOWS its left side is a bounded batch may opt in — a pinned
-    // default would silently turn any new corpus-vs-corpus caller's
-    // AQE-degradable oversized side into a hard 8 GB-broadcast /
-    // driver-OOM failure at production scale.
+    // standing corpus), so the batch-side PREFIX table is broadcastable
+    // by design, and pinning it also pins the plan: left to AQE's size
+    // estimates, the broadcast choice flapped run-to-run, and the bad
+    // pick rebuilt a shingling sub-plan serially inside the
+    // broadcast-build thread (measured 17 vs 6 s for identical code —
+    // stage trace showed 16-35 s single-task broadcast builds). dfreq
+    // stays unhinted: vocabulary scales with the corpus and must
+    // shuffle, never collect. The DEFAULT is unpinned (broadcastBounded
+    // = false): only a call site that KNOWS its left side is a bounded
+    // batch may opt in — a pinned default would silently turn any new
+    // corpus-vs-corpus caller's AQE-degradable oversized side into a
+    // hard 8 GB-broadcast / driver-OOM failure at production scale.
+    //
+    // The CANDIDATE list is deliberately NOT broadcastable-by-claim:
+    // its size is candidate-volume-bound, not batch-bound — on a
+    // vocabulary-saturated corpus the prefix equi-join floods (the 10×
+    // fixture measured ~10⁸ raw candidates for a 10k-doc batch), and a
+    // pinned broadcast(cands) turned that into a hard driver-side
+    // collect failure the first time q90d ran at sf1. Verify instead
+    // follows the [[verifyBroadcastMaxDocs]] size gate on the ARRAY
+    // tables, whose sizes are known (both sides are persisted corpora):
+    // bounded ⇒ distinct pairs stream through broadcast attach joins;
+    // unbounded ⇒ plain sort-merge, AQE free to degrade.
     def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
     val cands = bounded(a).join(b, Seq("__t"))
       .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&
@@ -707,11 +717,14 @@ object Engine {
           >= alpha)
       .select("left_id", "right_id")
       .dropDuplicates("left_id", "right_id") // dedup before the wide verify
-    val verified = bounded(cands)
-      .join(dl.select(col("__id").as("left_id"), col("__sv").as("__sa")),
-        Seq("left_id"))
-      .join(dr.select(col("__id").as("right_id"), col("__sv").as("__sb")),
-        Seq("right_id"))
+    val sl = dl.select(col("__id").as("left_id"), col("__sv").as("__sa"))
+    val sr = dr.select(col("__id").as("right_id"), col("__sv").as("__sb"))
+    val verified =
+      if (dl.count() + dr.count() <= verifyBroadcastMaxDocs)
+        cands.join(broadcast(sl), Seq("left_id"))
+          .join(broadcast(sr), Seq("right_id"))
+      else
+        cands.join(sl, Seq("left_id")).join(sr, Seq("right_id"))
     // Early-terminating merge with the same α bound as the self-join
     // form (exact survivors, doomed pairs exit early — see jaccardJoin).
     val inter = expr("sorted_intersect_count(__sa, __sb, " +
