@@ -427,8 +427,16 @@ object Engine {
     * candidate join (42,000× the true-pair count measured on the 10×
     * fixture) and an SMJ attach ships arrays per PAIR, while a 100 TB
     * corpus can never broadcast its arrays and only the sort-merge shape
-    * survives. Size, not semantics: both branches verify identically. */
-  val verifyBroadcastMaxDocs: Long = 250000L
+    * survives. Size, not semantics: both branches verify identically —
+    * EngineSpec pins that equivalence by forcing the sort-merge branch
+    * through the system-property override (the gate would otherwise
+    * never flip below 250k docs, leaving the exact branch that runs at
+    * production scale untested). The property also serves as an ops
+    * tuning knob for executors whose memory budget differs from the
+    * deployment contract's. */
+  def verifyBroadcastMaxDocs: Long =
+    sys.props.get("graft.verifyBroadcastMaxDocs").map(_.toLong)
+      .getOrElse(250000L)
 
   /** PRODUCT-QUANTIZATION encode: split each embedding into `blocks`
     * contiguous sub-vectors and assign every block the id of its nearest

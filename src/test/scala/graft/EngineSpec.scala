@@ -259,6 +259,35 @@ class EngineSpec extends AnyFunSuite {
     assert(frac > 0.05 && frac < 0.16, s"fraction $frac")
   }
 
+  test("verify attach: forced sort-merge branch == broadcast branch (the 100 TB shape)") {
+    // The verifyBroadcastMaxDocs gate never flips below 250k docs, so
+    // without the property override the sort-merge attach — the ONLY
+    // shape a 100 TB corpus can run — would go to production untested.
+    // Force it and require bit-identical output from all three
+    // prefix-filter joins.
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    def all() = (
+      Engine.jaccardJoin(docs, "doc_id", "text", thresholdPct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet,
+      Engine.jaccardJoinAcross(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", thresholdPct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet,
+      Engine.containmentJoin(docs, docs, "doc_id", "text",
+          thresholdPct = 80)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet)
+    val viaBroadcast = all()
+    assert(viaBroadcast._1.nonEmpty && viaBroadcast._3.nonEmpty)
+    sys.props("graft.verifyBroadcastMaxDocs") = "0"
+    try assert(all() == viaBroadcast)
+    finally sys.props -= "graft.verifyBroadcastMaxDocs"
+  }
+
   test("jaccardJoin: prefix filtering finds EXACTLY the brute-force pairs (recall 1.0)") {
     val docs = Tables.t(spark, TestSpark.sfDir, "documents")
     val got = Engine.jaccardJoin(docs, "doc_id", "text",
