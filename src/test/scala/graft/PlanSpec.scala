@@ -459,6 +459,37 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("q90d: the candidate pair list is never broadcast (the sf1 OOM class)") {
+    // Candidate volume is saturation-bound, not batch-bound (~10^8 raw
+    // rows at the 10x fixture), so a broadcast of the deduped pair list
+    // is a driver-side collect failure waiting for scale — exactly how
+    // q90d died the first time it ran at sf1. The pair dedup (a
+    // HashAggregate grouping on left_id+right_id) must therefore only
+    // ever appear on the STREAMED side of the verify joins, never under
+    // a BroadcastExchange. The batch prefix table and the array tables
+    // remain legitimately broadcastable.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => flatten(a.initialPlan)
+      case n => Seq(n)
+    }.flatten
+    val plan = SparkEntry.queries("q90d_incremental_dedup")(
+      spark, TestSpark.sfDir).queryExecution.executedPlan
+    def dedupsPairs(p: SparkPlan): Boolean = flatten(p).exists {
+      case agg: BaseAggregateExec =>
+        agg.groupingExpressions.map(_.name).toSet == Set("left_id", "right_id")
+      case _ => false
+    }
+    assert(dedupsPairs(plan), "expected the pair-dedup aggregate in the plan")
+    val offenders = flatten(plan).collect {
+      case b: BroadcastExchangeExec if dedupsPairs(b.child) => b
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
