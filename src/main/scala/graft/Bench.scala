@@ -50,6 +50,15 @@ import scala.jdk.CollectionConverters._
   * ONLY off a completed full-registry artifact — a corrupted or foreign
   * file at outPath must not seed a bogus run into the committed ledger.
   *
+  * SHUFFLE I/O (`"qio"`): per query, shuffle bytes read/written and disk
+  * spill over the warm-up pass (the timed passes replay persisted state,
+  * so pass 1 is the true cold volume). Seconds are environment-dependent
+  * — the r9 ledger shift moved every untouched query ~1.4× with zero
+  * code change — but bytes are a property of the plan: identical across
+  * hosts and rounds for identical code+data (verified byte-for-byte
+  * reproducible across runs). Compare `qio`, not seconds, to decide
+  * whether a cross-round delta is host drift or a real plan change.
+  *
   * Streaming queries additionally report their micro-batch count and
   * seconds/trigger (via a StreamingQueryListener), decomposing their cost
   * into the fixed per-trigger state-store/checkpoint machinery vs data
@@ -157,6 +166,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SHUFFLE I/O capture: seconds proved environment-dependent (the r9
+    // ledger shift moved every untouched query ~1.4× with no code
+    // change), but shuffle read/write/spill BYTES are a property of the
+    // PLAN — identical across hosts and rounds for identical code+data.
+    // `"qio"` is therefore the environment-independent regression
+    // signal: a query whose seconds moved but whose bytes didn't was
+    // host drift; bytes that moved is a real plan change. Captured over
+    // the warm-up pass only (the timed passes replay from persisted
+    // state, so pass 1 is the query's true cold shuffle volume).
+    val ioRead = new java.util.concurrent.atomic.AtomicLong()
+    val ioWrite = new java.util.concurrent.atomic.AtomicLong()
+    val ioSpill = new java.util.concurrent.atomic.AtomicLong()
+    val lastTaskEvent =
+      new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            ioRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            ioWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ioSpill.addAndGet(m.diskBytesSpilled)
+            ()
+          }
+          lastTaskEvent.set(System.nanoTime())
+        }
+      })
+    // Listener events are async; wait for a quiet window so a query's
+    // last task-end deltas land in ITS snapshot (bounded — the wait sits
+    // outside every timed region, so totals are unaffected).
+    def drainTaskEvents(): Unit = {
+      val deadline = System.nanoTime() + 1_000_000_000L
+      while (System.nanoTime() < deadline &&
+          System.nanoTime() - lastTaskEvent.get() < 50_000_000L)
+        Thread.sleep(10)
+    }
     val triggers = new java.util.concurrent.atomic.AtomicLong()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
@@ -214,17 +260,21 @@ object Bench {
     def loadMean: Double =
       if (loadSamples.isEmpty) -1.0 else loadSamples.sum / loadSamples.size
     def loadMax: Double = if (loadSamples.isEmpty) -1.0 else loadSamples.max
-    def jsonLine(results: Seq[(String, Double, Long)], partial: Boolean,
+    def jsonLine(results: Seq[(String, Double, Long, (Long, Long, Long))],
+        partial: Boolean,
         of: Int, runs: Seq[Double], runsLoad: Seq[Double],
         qhist: Map[String, Seq[Double]]): String = {
-      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val st = results.collect { case (k, v, n) if n > 0 && v > 0 =>
+      val st = results.collect { case (k, v, n, _) if n > 0 && v > 0 =>
         f""""$k":{"sec":$v,"n_triggers":$n,"sec_per_trigger":${v / n}%.3f}"""
       }.mkString("{", ",", "}")
-      val skippedS = results.collect { case (k, v, _) if v == Skipped =>
+      val qio = results.collect { case (k, v, _, (r, w, s)) if v >= 0 =>
+        s""""$k":{"shuffle_read":$r,"shuffle_write":$w,"spill":$s}"""
+      }.mkString("{", ",", "}")
+      val skippedS = results.collect { case (k, v, _, _) if v == Skipped =>
         "\"" + k + "\"" }.mkString("[", ",", "]")
-      val failedS = results.collect { case (k, v, _) if v == Failed =>
+      val failedS = results.collect { case (k, v, _, _) if v == Failed =>
         "\"" + k + "\"" }.mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val runsS = runs.map(r => f"$r%.1f").mkString("[", ",", "]")
@@ -240,7 +290,7 @@ object Bench {
         f""""runs_load":$runsLoadS,"load_mean":$loadMean%.2f,""" +
         f""""load_max":$loadMax%.2f,"cpus":"$cpus",""" +
         s""""skipped":$skippedS,"failed":$failedS,""" +
-        s""""queries":$qs,"streaming":$st,""" +
+        s""""queries":$qs,"streaming":$st,"qio":$qio,""" +
         s""""qhist":$qh,"qmedian":$qm,"sf":"$sfDir"}"""
     }
     def writeArtifact(line: String): Unit =
@@ -257,12 +307,17 @@ object Bench {
     // across rounds.
     val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    val results = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Double, Long, (Long, Long, Long))]
     var rolling = 0.0
     for (((name, fn), i) <- todo.zipWithIndex) {
       val trig0 = triggers.get()
       sampleLoad()
+      val io0 = (ioRead.get(), ioWrite.get(), ioSpill.get())
       val w = once(fn) // warm-up: JIT, codegen cache, file listing, page cache
+      drainTaskEvents()
+      val io = (ioRead.get() - io0._1, ioWrite.get() - io0._2,
+        ioSpill.get() - io0._3)
       // a missing fixture won't appear between passes — skip the timed
       // runs outright instead of failing the same read twice more
       val sec =
@@ -278,7 +333,7 @@ object Bench {
           else math.min(a, b)
         }
       val nTrig = math.round((triggers.get() - trig0) / 3.0)
-      results += ((name, sec, nTrig))
+      results += ((name, sec, nTrig, io))
       if (sec >= 0) rolling += sec
       // Drop THIS query's pinned state before the next query runs: the
       // warm-up and both timed passes share cache (a query's own reuse is
@@ -302,7 +357,7 @@ object Bench {
     // per-query history so the artifact stays bounded.
     val (runsOut, runsLoadOut, qhistOut) =
       if (only.isEmpty) {
-        val qh = results.foldLeft(ledger.qhist) { case (m, (k, v, _)) =>
+        val qh = results.foldLeft(ledger.qhist) { case (m, (k, v, _, _)) =>
           if (v < 0) m
           else m.updated(k, (m.getOrElse(k, Nil) :+ v).takeRight(QHistCap))
         }
