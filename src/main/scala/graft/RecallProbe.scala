@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN QUALITY probe (dev main, alongside Bench/Verify): recall@k of
+  * every approximate-search path in the engine against exact brute-force
+  * cosine top-k over the embeddings table of SPARK_GRAFT_SF_DIR.
+  *
+  * The oracle gate pins each ANN query's OUTPUT for a fixed geometry;
+  * what it cannot say is how much of the true neighborhood an
+  * approximate path retrieves as the corpus and the tuning knobs
+  * (bits / nprobe / blocks) move — the number a deployment actually
+  * tunes against, and the evidence that "bucketed, never all-pairs"
+  * is a quality-preserving claim rather than a hope. Methodology:
+  * queries are every 97th vec_id (deterministic, ~1% of the corpus);
+  * truth is [[Engine.cosineTopK]] (exact; self-matches included for
+  * every method alike, so they cancel in comparison); recall@k is
+  * |approx ∩ truth| / |truth| pooled over all queries. Prints one
+  * JSON line on stdout.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.CosineSimilarity.register(spark)
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).persist()
+    val n = e.count()
+    val queries = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val truth = Engine.cosineTopK(e, "vec_id", "embedding",
+        queries, "query_id", "qe", k)
+      .select("query_id", "vec_id").persist()
+    val denom = truth.count().toDouble
+    def recall(approx: DataFrame): Double =
+      truth.join(approx.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id")).count() / denom
+
+    // The same fixed coarse-quantizer seed set the q99b/q99c queries
+    // bootstrap from (production would feed kmeansRefine output).
+    val cent = e.filter(col("vec_id")
+        .isin(Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+    // IVF with a probe-width knob — q99b's shape (assignment via the
+    // broadcast centroid table; probes equi-join their nprobe cells).
+    def ivf(nprobe: Int): DataFrame = {
+      def cells(src: DataFrame, idc: String, vecc: String,
+          np: Int): DataFrame = {
+        val w = Window.partitionBy(col(idc))
+          .orderBy(col("__cos").desc, col("cid").asc)
+        src.crossJoin(broadcast(cent))
+          .withColumn("__cos", round(expr(s"cosine_sim($vecc, ce)"), 6))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= np)
+          .select(col(idc), col(vecc), col("cid").as("cell"))
+      }
+      val scored = cells(e, "vec_id", "embedding", 1)
+        .join(broadcast(cells(queries, "query_id", "qe", nprobe)), Seq("cell"))
+        .select(col("query_id"), col("vec_id"),
+          round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    }
+
+    val codes = Engine.pqEncode(e, "vec_id", "embedding",
+      cent, "cid", "ce", blocks = 8)
+    val results = Seq(
+      "lsh_8bit" -> recall(Engine.lshTopK(e, "vec_id", "embedding",
+        queries, "query_id", "qe", k)),
+      "lsh_sized" -> recall(Engine.lshTopK(e, "vec_id", "embedding",
+        queries, "query_id", "qe", k,
+        bits = Engine.annBits(n, targetBucket = 32))),
+      "ivf_nprobe1" -> recall(ivf(1)),
+      "ivf_nprobe2" -> recall(ivf(2)),
+      "ivf_nprobe4" -> recall(ivf(4)),
+      "pq_adc" -> recall(Engine.pqSearch(codes, queries, "query_id", "qe",
+        cent, "cid", "ce", blocks = 8, k = k)))
+    val body = results.map { case (m, r) => f""""$m":$r%.4f""" }
+      .mkString(",")
+    println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +
+      s""""n_queries":${truth.select("query_id").distinct.count()},""" +
+      s"""$body,"sf":"$dir"}""")
+    spark.stop()
+  }
+}
