@@ -499,6 +499,74 @@ object Engine {
         col("vec_id"), col("adist"))
   }
 
+  /** IVF-PQ top-k search — the two ANN halves composed the way a
+    * billion-vector index actually runs: the IVF coarse quantizer
+    * prunes the corpus to the queries' `nprobe` nearest cells, and PQ
+    * asymmetric distance scores ONLY those candidates from their codes.
+    * [[lshTopK]]'s measured limit motivates this composition: hash
+    * geometry saturates once 2·bits exhausts the embedding dims (the
+    * RecallProbe result), while IVF cells grow with the corpus and PQ
+    * keeps the candidate read at `blocks` small ints per vector.
+    *
+    * Plan shape: centroids broadcast for BOTH assignments (corpus cells
+    * and query probes are maps, no shuffle); the probe list and the
+    * query LUT are queries×nprobe / queries×blocks×K scalars — bounded
+    * config, broadcast; candidate selection is one equi-join on the
+    * cell id (the inverted-file read — nprobe/K of the corpus, never
+    * all of it); ADC scoring joins the candidates' codes to the LUT on
+    * (query, block, code) and partial-aggregates the DECIMAL(38,6)
+    * block sums map-side. No corpus float is read after encode; no
+    * all-pairs stage anywhere. At 100 TB: grow K toward √N (cells stay
+    * small, the centroid broadcast stays bounded) and feed
+    * [[kmeansRefine]] output as both centroid set and codebook.
+    *
+    * Determinism: cell argmax runs over ROUNDED cosines with centroid-id
+    * tiebreak (the q99b discipline); block distances and their sums
+    * reuse [[pqEncode]]'s decimal-exact kernel; final ranking ties break
+    * (adist ASC, id ASC). */
+  def ivfPqSearch(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      blocks: Int, nprobe: Int, k: Int, subDim: Int = 8): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    val cent = broadcast(
+      centroids.select(col(cid).as("__ccid"), col(cvec).as("__ce")))
+    def nearestCells(src: DataFrame, idAs: String, vecName: String,
+        probe: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__cos").desc, col("__ccid").asc)
+      src.crossJoin(cent)
+        .select(col(idAs), col("__ccid"),
+          round(expr(s"cosine_sim($vecName, __ce)"), 6).as("__cos"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= probe)
+        .select(col(idAs), col("__ccid").as("cell"))
+    }
+    val cells = nearestCells(corpus.select(col(id).as("vec_id"),
+      col(vec).as("__e")), "vec_id", "__e", probe = 1)
+    val probes = nearestCells(queries.select(col(qid).as("query_id"),
+      col(qvec).as("__qe")), "query_id", "__qe", probe = nprobe)
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"))
+    val codes = pqEncode(corpus, id, vec, centroids, cid, cvec,
+      blocks, subDim)
+    val lut = broadcast(pqBlockDistances(queries, qid, qvec,
+      centroids, cid, cvec, blocks, subDim))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(lut, col("__qid") === col("query_id") &&
+        col("__blk") === col("block") && col("__cid") === col("code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("__dd").cast(org.apache.spark.sql.types
+        .DecimalType(38, 6))).cast(DoubleType).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("vec_id"), col("adist"))
+  }
+
   /** The shared (id, block, code, dist) distance kernel behind
     * [[pqEncode]] (argmin of it) and [[pqSearch]]'s LUT (all of it):
     * every block's squared L2 to every codebook sub-vector, computed
@@ -1140,6 +1208,37 @@ object Engine {
       .select(col("__vid").as(id), col("cell"))
   }
 
+  /** SEMANTIC decontamination: flag every corpus vector whose rounded
+    * cosine to ANY benchmark vector reaches `tau` — the embedding-space
+    * analog of [[decontaminate]]'s n-gram overlap, catching the
+    * paraphrased/translated eval leakage that no lexical gram can (the
+    * reason modern pipelines run both). Returns
+    * (id, n_bench_hits, max_cos) for contaminated vectors only.
+    *
+    * Scale shape: benchmark suites are FIXED-SIZE while the corpus
+    * grows, so the benchmark side broadcasts and the corpus is scanned
+    * once — a bounded crossJoin + per-row threshold + one partial-agg
+    * groupBy on the id; never corpus×corpus. If the benchmark ever
+    * outgrows a broadcast, bucket both sides with [[lshTopK]]'s code
+    * family first (the q90g sketch-then-verify move in embedding
+    * space). Cosines round through 6 decimals before the threshold and
+    * the max, so both the flag and the reported score are
+    * engine-stable. */
+  def semanticDecontaminate(vecs: DataFrame, id: String, vec: String,
+      isBenchmark: Column, tau: Double): DataFrame = {
+    graft.plans.CosineSimilarity.register(vecs.sparkSession)
+    val bench = broadcast(vecs.filter(isBenchmark)
+      .select(col(vec).as("__be")))
+    vecs.filter(!isBenchmark)
+      .select(col(id).as(id), col(vec).as("__e"))
+      .crossJoin(bench)
+      .select(col(id), round(expr("cosine_sim(__e, __be)"), 6).as("__c"))
+      .filter(col("__c") >= lit(tau))
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_bench_hits"),
+        max(col("__c")).as("max_cos"))
+  }
+
   /** Distributed LLOYD REFINEMENT (k-means on cosine assignment): run
     * `iters` rounds of assign-to-nearest-centroid → recompute centroids
     * as the per-cell per-dimension mean, starting from a seed centroid
@@ -1417,6 +1516,37 @@ object Engine {
       .groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).cast("int").as("n_docs"),
         sum(col("__nt")).as("n_tokens"))
+  }
+
+  /** Deterministic GLOBAL SHUFFLE + SHARDING for training export: every
+    * row gets a shard (`md5(seed:key) mod shards`) and a position within
+    * its shard (rank of the same hash, key tiebreak) — the
+    * write-training-shards pass between packing and the trainer, where
+    * example order must be random-looking, reproducible bit-for-bit
+    * across reruns/engines/partitioning (Spark's orderBy(rand()) is
+    * none of those), and stable under corpus growth (a new doc lands in
+    * its hash position without renumbering other shards).
+    *
+    * Plan shape: ONE hash exchange on the shard id plus a per-shard
+    * sort — exactly the physical layout the export needs to write
+    * shard files, so the shuffle is the work, not overhead. There is
+    * deliberately NO global order: a total order would funnel the
+    * corpus through a range exchange; per-shard positions give the
+    * same training-time randomness at 1/shards the sort width. At
+    * 100 TB size `shards` so a shard fits an executor's sort buffer
+    * (shards ≈ corpus/256 MB); the md5 keys are uniform, so shards
+    * balance without salting. */
+  def shardShuffle(df: DataFrame, key: Column, seed: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1)
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, key.asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
   }
 
   /** Stratified [[stableSample]]: the per-stratum rate arrives as a
@@ -1783,6 +1913,74 @@ object Engine {
               lit(b) * (col("__dl").cast(DoubleType) / col("__avgdl")))))
       .groupBy(col("__id").as("doc_id"))
       .agg(graft.Canon.sumDec(col("__s")).as("score"))
+  }
+
+  /** BM25 top-k RETRIEVAL: rank corpus documents against EVERY query in
+    * a bounded query table at once — [[bm25Rank]] generalized from one
+    * fixed term list to a per-query inverted-index search, the
+    * retrieval pass of deduplication-by-retrieval and RAG-corpus
+    * curation. A query's terms are its own distinct tokens; its own
+    * document is excluded from its result. Returns
+    * (query_id, rnk, doc_id, score), top `k` per query.
+    *
+    * Plan shape: corpus stats (N, avgdl) partial-aggregate to ONE row;
+    * the query-term table (queries × their distinct tokens) and the
+    * per-term document frequencies — computed only for QUERY terms, via
+    * a semi-join before the df aggregate — are both bounded by the
+    * query set, so all three broadcast. The corpus-sized work is one
+    * token scan whose exploded stream is pruned map-side by the
+    * broadcast term join BEFORE the (doc, term) tf aggregate — the
+    * postings read touches only query-term postings, never the corpus
+    * vocabulary. Scoring partial-aggregates per (query, doc) through
+    * DECIMAL(38,6); top-k is a rank-k window that compiles to a partial
+    * WindowGroupLimit below its exchange (the q44 family). No doc×doc
+    * join; at 100 TB this is the scatter-gather inverted-index plan.
+    *
+    * Determinism: [[bm25Rank]]'s rational idf (ln is only
+    * 1-ulp-correct across engines; its monotone argument is exact) and
+    * decimal-routed score sums; ranking ties break (score DESC,
+    * doc_id ASC) over bit-identical doubles. */
+  def bm25Search(df: DataFrame, id: Column, text: Column,
+      isQuery: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1)
+    val docs = df.select(id.as("__id"), split(text, " ").as("__w"),
+      isQuery.as("__isq"))
+      .withColumn("__dl", size(col("__w")))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("__avgdl"))
+    val toks = docs.select(col("__id"), col("__dl"),
+      explode(col("__w")).as("__t"))
+    val qterms = broadcast(docs.filter(col("__isq"))
+      .select(col("__id").as("__qid"), explode(col("__w")).as("__t"))
+      .distinct())
+    val dfT = broadcast(toks
+      .join(qterms.select("__t").distinct(), Seq("__t"), "left_semi")
+      .select(col("__id"), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df")))
+    toks.join(qterms, Seq("__t"))
+      .filter(col("__id") =!= col("__qid"))
+      .groupBy(col("__qid"), col("__id"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .join(dfT, Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        (col("__n") + lit(1L)).cast(DoubleType) /
+          (col("__df").cast(DoubleType) + lit(0.5)))
+      .withColumn("__s",
+        col("__idf") * (col("__tf").cast(DoubleType) * lit(k1 + 1.0)) /
+          (col("__tf").cast(DoubleType) +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("__dl").cast(DoubleType) / col("__avgdl")))))
+      .groupBy(col("__qid").as("query_id"), col("__id").as("doc_id"))
+      .agg(graft.Canon.sumDec(col("__s")).as("score"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("score"))
   }
 
   /** Achlioptas-style SIGN RANDOM PROJECTION of an embedding column to

@@ -86,11 +86,21 @@ object RecallProbe {
       "ivf_nprobe2" -> recall(ivf(2)),
       "ivf_nprobe4" -> recall(ivf(4)),
       "pq_adc" -> recall(Engine.pqSearch(codes, queries, "query_id", "qe",
-        cent, "cid", "ce", blocks = 8, k = k)))
+        cent, "cid", "ce", blocks = 8, k = k)),
+      // the composed q99e path: how much of flat PQ-ADC's (already
+      // quantization-limited) recall survives the IVF cell pruning —
+      // the number that says whether nprobe or the codebook is the
+      // binding constraint at this corpus size
+      "ivfpq_nprobe2" -> recall(Engine.ivfPqSearch(e, "vec_id",
+        "embedding", queries, "query_id", "qe", cent, "cid", "ce",
+        blocks = 8, nprobe = 2, k = k)),
+      "ivfpq_nprobe4" -> recall(Engine.ivfPqSearch(e, "vec_id",
+        "embedding", queries, "query_id", "qe", cent, "cid", "ce",
+        blocks = 8, nprobe = 4, k = k)))
     val body = results.map { case (m, r) => f""""$m":$r%.4f""" }
       .mkString(",")
     println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +
-      s""""n_queries":${truth.select("query_id").distinct.count()},""" +
+      s""""n_queries":${truth.select("query_id").distinct().count()},""" +
       s"""$body,"sf":"$dir"}""")
     spark.stop()
   }

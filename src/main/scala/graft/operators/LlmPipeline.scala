@@ -1547,6 +1547,139 @@ object LlmPipeline {
       orderAll(graft.Engine.signProjection(
         Tables.t(s, dir, "embeddings"), col("vec_id"), "embedding", 8,
         dims = 64))
+    },
+
+    // Q99e (beyond-survey) — IVF-PQ combined search, the two ANN halves
+    // composed the way a billion-vector index runs: IVF cells prune the
+    // corpus to each query's nprobe=2 nearest cells, PQ asymmetric
+    // distance scores only those candidates from their codes
+    // ([[graft.Engine.ivfPqSearch]]). The RecallProbe measurement is
+    // the design argument: LSH saturates once 2·bits exhausts the
+    // embedding dims while IVF cells grow with the corpus — and PQ cuts
+    // the candidate read to `blocks` small ints per vector. Centroids
+    // and codebook are the q99b/q92i seed set, so encode, cells, LUT
+    // and ranking are all hash-gated against the CTE replay.
+    Q("q99e_ivfpq_ann", ivfPqOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.ivfPqSearch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
+        "vec_id", "embedding", blocks = 8, nprobe = 2, k = 3))
+    },
+
+    // Q93j (beyond-survey) — BM25 top-k RETRIEVAL: q93h's scorer
+    // generalized to a per-query inverted-index search
+    // ([[graft.Engine.bm25Search]]) — every query doc (doc_id < 5, the
+    // q99c bounded-query convention) retrieves its top-5 corpus
+    // neighbors by BM25 over its own distinct tokens, self-match
+    // excluded. The retrieval pass of dedup-by-retrieval and RAG-corpus
+    // curation; see the operator Scaladoc for the broadcast-dims /
+    // pruned-postings plan.
+    Q("q93j_bm25_search", bm25SearchOracleSql) { (s, dir) =>
+      orderAll(graft.Engine.bm25Search(Tables.t(s, dir, "documents"),
+        col("doc_id"), col("text"), col("doc_id") < 5, k = 5))
+    },
+
+    // Q93k (beyond-survey) — deterministic training-export SHUFFLE +
+    // SHARDING ([[graft.Engine.shardShuffle]]): shard = md5(seed:id)
+    // mod 8, position = hash rank within the shard — the
+    // write-training-shards pass where example order must look random
+    // yet reproduce bit-for-bit across reruns/engines/partitioning
+    // (orderBy(rand()) is none of those) and stay stable under corpus
+    // growth. One hash exchange on the shard id + per-shard sort — the
+    // exact physical layout the shard files need, with no global-order
+    // range exchange anywhere.
+    Q("q93k_shard_shuffle", shardShuffleOracleSql) { (s, dir) =>
+      orderAll(graft.Engine.shardShuffle(Tables.t(s, dir, "documents"),
+          col("doc_id"), seed = "42", shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos")))
+    },
+
+    // Q95f (beyond-survey) — GOPHER-style rule-based quality gates (cf.
+    // Rae et al. 2021 §A1.1): word-count bounds, mean word length,
+    // alphabetic-word fraction, distinct-stopword floor and max word
+    // length, each reported per document with the combined pass flag.
+    // Complements q95's ratio score with the hard-threshold filter
+    // family production curation actually stacks. Pure per-row
+    // projection — no join, no shuffle; the pass predicate evaluates
+    // over the ROUNDED metrics so the boolean is engine-stable by
+    // construction.
+    Q("q95f_gopher_rules",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 6)
+        |    AS mean_wl,
+        |  round(CAST(len(list_filter(w, x -> regexp_matches(x,
+        |    '^[a-z]+$'))) AS DOUBLE) / len(w), 6) AS alpha_frac,
+        |  CAST(len(list_distinct(list_filter(w, x -> x = 'the'
+        |    OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to'))) AS INT)
+        |    AS n_stop,
+        |  CAST(list_max(list_transform(w, x -> length(x))) AS INT)
+        |    AS max_wl
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_wl, alpha_frac, n_stop, max_wl,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3 AND 10
+        |    AND alpha_frac >= 0.8 AND n_stop >= 2 AND max_wl <= 15)
+        |    AS gopher_pass
+        |FROM m
+        |ORDER BY doc_id NULLS FIRST, n_words NULLS FIRST,
+        |  mean_wl NULLS FIRST, alpha_frac NULLS FIRST, n_stop NULLS FIRST,
+        |  max_wl NULLS FIRST, gopher_pass NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = split(col("text"), " ")
+        val nWords = size(w)
+        val meanWl = round(length(translate(col("text"), " ", ""))
+          .cast(DoubleType) / nWords, 6)
+        val alphaFrac = round(size(filter(w, x => x.rlike("^[a-z]+$")))
+          .cast(DoubleType) / nWords, 6)
+        val nStop = size(array_distinct(filter(w,
+          x => x.isin("the", "a", "of", "and", "to"))))
+        val maxWl = array_max(transform(w, x => length(x)))
+        orderAll(Tables.t(s, dir, "documents")
+          .select(col("doc_id"), nWords.as("n_words"),
+            meanWl.as("mean_wl"), alphaFrac.as("alpha_frac"),
+            nStop.as("n_stop"), maxWl.as("max_wl"))
+          .withColumn("gopher_pass",
+            col("n_words").between(50, 100000) &&
+              col("mean_wl").between(3, 10) &&
+              col("alpha_frac") >= 0.8 && col("n_stop") >= 2 &&
+              col("max_wl") <= 15))
+    },
+
+    // Q92j (beyond-survey) — SEMANTIC decontamination
+    // ([[graft.Engine.semanticDecontaminate]]): flag corpus vectors
+    // within rounded cosine ≥ 0.3 (the q92b near-dup threshold on this
+    // near-uniform corpus) of ANY benchmark vector — the q09 stable 5%
+    // hash sample standing in for the eval suite. The embedding-space
+    // counterpart of q90b: lexical gram overlap misses paraphrased/
+    // translated leakage; this catches it. Benchmark suites are
+    // fixed-size while the corpus grows, so the bench side broadcasts
+    // and the corpus is scanned once — never corpus×corpus.
+    Q("q92j_semantic_decontaminate", semanticDecontaminateOracleSql) {
+      (s, dir) =>
+        orderAll(graft.Engine.semanticDecontaminate(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+          graft.Engine.stableSample(col("vec_id"), 5), tau = 0.3))
+    },
+
+    // Q90i (beyond-survey) — train/test SPLIT-LEAKAGE audit: q90b's
+    // decontamination operator pointed at the pipeline's own q09e
+    // hash-splits — flag every TRAIN document sharing an 8-gram with
+    // the held-out TEST split (val excluded from both sides). The
+    // honest-eval gate that must run after any split assignment: hash
+    // splitting is leakage-free only at the DOCUMENT level, and this
+    // measures the n-gram leakage that survives it. Same scale shape as
+    // q90b: test grams are a fixed-size distinct set vs a growing
+    // corpus, equi-join on the gram, never doc×doc.
+    Q("q90i_split_leakage", splitLeakageOracleSql) { (s, dir) =>
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      val isTrain = h * 100 < lit(80 * 65536)
+      val isTest = h * 100 >= lit(90 * 65536)
+      orderAll(graft.Engine.decontaminate(
+        Tables.t(s, dir, "documents").filter(isTrain || isTest),
+        col("doc_id"), col("text"), isTest, n = 8))
     })
 
   /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending
@@ -1941,4 +2074,132 @@ object LlmPipeline {
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
        |  cos_sim NULLS FIRST""".stripMargin
   }
+
+  /** DuckDB oracle for Q99e: the q99b cell-assignment CTEs (argmax
+    * rounded cosine, cid tiebreak; corpus nprobe=1, queries nprobe=2)
+    * restricting the q99c ADC scoring to probed-cell candidates. */
+  private def ivfPqOracleSql: String =
+    s"""WITH ${pqDistCtes},
+       |assign AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6) DESC,
+       |      c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+       |qassign AS (
+       |  SELECT e.vec_id AS query_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6) DESC,
+       |      c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5),
+       |probes AS (SELECT query_id, cid AS cell FROM qassign WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT p.query_id, cl.vec_id
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell),
+       |lut AS (SELECT vec_id AS query_id, blk, cid, dd FROM dist
+       |  WHERE vec_id < 5),
+       |sc AS (SELECT n.query_id, n.vec_id,
+       |    CAST(sum(CAST(l.dd AS DECIMAL(38,6))) AS DOUBLE) AS adist
+       |  FROM cand n JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN lut l ON l.query_id = n.query_id AND l.blk = c.blk
+       |    AND l.cid = c.code
+       |  GROUP BY n.query_id, n.vec_id),
+       |r AS (SELECT query_id, vec_id, adist, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sc)
+       |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, adist
+       |FROM r WHERE rn <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
+       |  vec_id NULLS FIRST, adist NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q93j: q93h's BM25 arithmetic with the term set
+    * drawn per-query from the query docs' own distinct tokens (df
+    * computed only for query terms), self-match excluded, top-5 ranked
+    * (score DESC, doc_id ASC) over the decimal-routed sums. */
+  private def bm25SearchOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
+      |st AS (SELECT count(*) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |tok AS (SELECT doc_id, dl, unnest(w) AS t FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS qid, t FROM tok WHERE doc_id < 5),
+      |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+      |  WHERE t IN (SELECT t FROM qt) GROUP BY t),
+      |ft AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+      |  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, dl, t),
+      |s AS (SELECT q.qid, f.doc_id,
+      |    (CAST(n + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 0.5e0))
+      |      * (CAST(tf AS DOUBLE) * 2.2e0)
+      |      / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 *
+      |          (CAST(dl AS DOUBLE) / avgdl))) AS sc
+      |  FROM ft f JOIN qt q ON f.t = q.t AND f.doc_id != q.qid
+      |  JOIN dfq ON dfq.t = f.t CROSS JOIN st),
+      |sc2 AS (SELECT qid AS query_id, doc_id,
+      |    CAST(sum(CAST(sc AS DECIMAL(38,6))) AS DOUBLE) AS score
+      |  FROM s GROUP BY qid, doc_id),
+      |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+      |  FROM sc2)
+      |SELECT query_id, CAST(rn AS INT) AS rnk, doc_id, score
+      |FROM r WHERE rn <= 5
+      |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
+      |  doc_id NULLS FIRST, score NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q93k: identical md5('42:'||id) hash, mod-8 shard,
+    * (hash, id)-ranked position within the shard. */
+  private def shardShuffleOracleSql: String =
+    """WITH h AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY h % 8
+      |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+      |FROM h
+      |ORDER BY doc_id NULLS FIRST, shard NULLS FIRST,
+      |  pos NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q92j: identical md5 benchmark split, rounded
+    * cosine threshold, per-vector hit count + max. */
+  private def semanticDecontaminateOracleSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+       |    AS INT) * 100 < 5 * 65536),
+       |c AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE NOT (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+       |    1, 4) AS INT) * 100 < 5 * 65536)),
+       |s AS (SELECT c.vec_id,
+       |    round(${Similarity.cosineSql("c.embedding", "b.embedding")}, 6)
+       |      AS cs
+       |  FROM c CROSS JOIN b)
+       |SELECT vec_id, CAST(count(*) AS INT) AS n_bench_hits,
+       |  max(cs) AS max_cos
+       |FROM s WHERE cs >= 0.3
+       |GROUP BY vec_id
+       |ORDER BY vec_id NULLS FIRST, n_bench_hits NULLS FIRST,
+       |  max_cos NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q90i: q90b's gram-overlap chain with the q09e
+    * hash-split predicates — val rows excluded, test grams the bench
+    * set, train docs reported. */
+  private def splitLeakageOracleSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      |      AS INT) AS h
+      |  FROM documents),
+      |f AS (SELECT * FROM w0
+      |  WHERE h * 100 < 80 * 65536 OR h * 100 >= 90 * 65536),
+      |g AS (SELECT doc_id, h, unnest(CASE WHEN len(w) >= 8 THEN
+      |    list_distinct(list_transform(generate_series(1, len(w) - 7),
+      |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+      |        w[i+4], w[i+5], w[i+6], w[i+7])))
+      |    ELSE [] END) AS g FROM f),
+      |bench AS (SELECT DISTINCT g FROM g WHERE h * 100 >= 90 * 65536)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_shared_grams
+      |FROM g JOIN bench USING (g)
+      |WHERE h * 100 < 80 * 65536
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST, n_shared_grams NULLS FIRST""".stripMargin
 }

@@ -677,4 +677,102 @@ class EngineSpec extends AnyFunSuite {
     for (a <- ys.indices; b <- ys.indices if a < b)
       assert(ys(a) != ys(b), s"y${a + 1} == y${b + 1} (${ys(a)})")
   }
+
+  test("ivfPqSearch at nprobe=K == pqSearch (IVF pruning is the only delta)") {
+    // With every cell probed the candidate set is the whole corpus, so
+    // IVF-PQ must reduce EXACTLY to flat PQ-ADC — same codes, same LUT,
+    // same decimal sums, same (adist, id) ranking. This pins the cell
+    // restriction as the only thing nprobe changes; recall at nprobe<K
+    // is then purely a quantizer-quality question, not a scoring bug.
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val cents = e.filter(col("vec_id")
+      .isin(Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L): _*))
+    val queries = e.filter(col("vec_id") < 5)
+    val flat = Engine.pqSearch(
+      Engine.pqEncode(e, "vec_id", "embedding", cents, "vec_id",
+        "embedding", blocks = 8),
+      queries, "vec_id", "embedding", cents, "vec_id", "embedding",
+      blocks = 8, k = 3)
+    val ivf = Engine.ivfPqSearch(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", cents, "vec_id", "embedding",
+      blocks = 8, nprobe = 8, k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = rows(ivf)
+    assert(got == rows(flat))
+    assert(got.nonEmpty)
+  }
+
+  test("bm25Search == per-query bm25Rank with that query's own terms") {
+    import spark.implicits._
+    // The retrieval operator must be exactly the fixed-term scorer run
+    // once per query with the query's distinct tokens as the term set
+    // (self-match dropped) — the equivalence that makes q93j the same
+    // verified arithmetic as q93h, not a reimplementation.
+    val docs = Seq(
+      (1L, "spark window join"),
+      (2L, "hash table scan"),
+      (3L, "spark spark hash join window"),
+      (4L, "sort merge join window window"),
+      (5L, "scan filter scan")).toDF("id", "text")
+    val got = Engine.bm25Search(docs, col("id"), col("text"),
+        col("id") <= 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.nonEmpty)
+    for (qid <- Seq(1L, 2L)) {
+      val terms = docs.filter(col("id") === qid).head()
+        .getString(1).split(" ").distinct.toSeq
+      val want = Engine.bm25Rank(docs, col("id"), col("text"), terms)
+        .filter(col("doc_id") =!= qid)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val gotQ = got.collect { case ((q, d), s) if q == qid => d -> s }
+      assert(gotQ == want, s"query $qid")
+    }
+  }
+
+  test("semanticDecontaminate: flags exactly the corpus vectors within tau of a bench vector") {
+    import spark.implicits._
+    // bench = {1}; corpus 2 is identical (cos 1), 4 is oblique
+    // (cos 0.8), 3 is orthogonal (cos 0) — tau 0.5 must flag 2 and 4
+    // with their rounded scores and never report a benchmark row.
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val got = Engine.semanticDecontaminate(vs, "vec_id", "embedding",
+        col("vec_id") === 1L, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(got == Map(2L -> (1, 1.0), 4L -> (1, 0.8)))
+  }
+
+  test("shardShuffle: per-shard 1..n positions, partition-invariant, growth-stable shards") {
+    import spark.implicits._
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      Engine.shardShuffle(df, col("doc_id"), seed = "42", shards = 8)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val base = keyed(docs)
+    assert(base.size == docs.count())
+    // positions form exactly 1..n within every shard
+    base.values.groupBy(_._1).foreach { case (shard, vs) =>
+      val ps = vs.map(_._2).toSeq.sorted
+      assert(ps == (1 to ps.size), s"shard $shard positions")
+    }
+    // bit-identical under arbitrary repartitioning (orderBy(rand()) is
+    // not; this is the property that makes the export reproducible)
+    assert(keyed(docs.repartition(7)) == base)
+    // corpus growth must never move an existing doc's SHARD (positions
+    // may shift as new hashes interleave — that is the rank contract)
+    val grown = keyed(docs.unionByName(
+      Seq((100001L, "new doc text", "en", "web", 12L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")))
+    base.foreach { case (id, (shard, _)) =>
+      assert(grown(id)._1 == shard, s"doc $id moved shard")
+    }
+  }
 }

@@ -445,7 +445,12 @@ class PlanSpec extends AnyFunSuite {
       "q92f_semantic_dedup", "q92g_kmeans_refine",
       // 8-entry PQ codebook broadcast (pqBlockDistances), plus the
       // bounded query set's LUT in q99c — the q99b class again
-      "q92i_pq_codes", "q99c_pq_ann")
+      "q92i_pq_codes", "q99c_pq_ann",
+      // q99e composes exactly those two shapes: the 8-centroid
+      // assignment crosses (q99b) and the codebook/LUT crosses (q99c)
+      "q99e_ivfpq_ann",
+      "q93j_bm25_search", // 1-row (N, avgdl) stats scalar, the q93h class
+      "q92j_semantic_decontaminate") // bounded benchmark broadcast (q92 class)
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
