@@ -2035,4 +2035,175 @@ object Engine {
     }
     vecs.select((id.as("vec_id") +: ys): _*)
   }
+
+  /** Per-document gram→hash-bucket stream shared by [[dsirWeights]]:
+    * unigrams plus POSITIONAL bigrams (multiset counts, not distinct —
+    * DSIR models occurrence frequencies), each hashed to one of
+    * `buckets` ids by the q09 md5 discipline (first 16 digest bits mod
+    * B) so bucketing is reproducible across engines, reruns and
+    * partitioning. */
+  private def dsirBuckets(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int): DataFrame = {
+    val d = spreadInput(docs.select(id.as("__id"), isTarget.as("__tgt"),
+      split(text, " ").as("__w")))
+    d.select(col("__id"), col("__tgt"),
+        explode(concat(col("__w"), positionalNgrams(col("__w"), 2)))
+          .as("__g"))
+      .withColumn("__b",
+        conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("int")
+          % buckets)
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every document by how much more likely its
+    * hashed-n-gram feature counts are under a TARGET distribution than
+    * under the raw-corpus distribution — log w(x) = Σ_b c_b ·
+    * ln(p̂_tgt[b] / p̂_raw[b]) with Laplace-smoothed bucket estimates
+    * p̂[b] = (cnt_b + 1)/(total + B). `isTarget` marks the rows that
+    * define the target distribution (a trusted high-quality slice — the
+    * target set rides inside the same scan, no second input needed).
+    * Returns (doc_id, n_grams, dsir_logw).
+    *
+    * Plan shape: ONE gram explode feeds a single (doc, bucket) count
+    * aggregate (map-side combined — the only data-sized exchange); both
+    * distributions come off that result by a second B-bounded aggregate
+    * (count + conditional count in one pass, so the target set is never
+    * re-scanned), and the B-row log-ratio table broadcasts back onto
+    * the per-doc counts. Nothing doc×doc, nothing collected; at 100 TB
+    * the shuffle is bounded by docs × min(B, grams-per-doc) rows of
+    * three integers. The (doc, bucket) frame is persisted because both
+    * the distribution pass and the scoring join read it — recomputing
+    * would replay the corpus-sized explode.
+    *
+    * Determinism: the ln argument is assembled as
+    * ((t+1)·(R+B)) / ((r+1)·(T+B)) — one division, mirrored exactly in
+    * the oracle; per-bucket terms round through DECIMAL(38,6) before
+    * the per-doc sum (the q95d discipline), so addition order cannot
+    * perturb the score. */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val bk = dsirBuckets(docs, id, text, isTarget, buckets)
+    val dc = bk.groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__tgt")).as("__tgt"))
+      .persistOnce()
+    val dists = dc.groupBy(col("__b")).agg(
+      sum(col("__c")).as("__r"),
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__t"))
+    // distinct total names (__rtot/__ttot, not __R/__T): the analyzer is
+    // case-insensitive by default, so __T would collide with dists' __t
+    val tot = dists.agg(
+      sum(col("__r")).cast(DoubleType).as("__rtot"),
+      sum(col("__t")).cast(DoubleType).as("__ttot"))
+    val lr = broadcast(dists.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        log(((col("__t").cast(DoubleType) + lit(1.0)) *
+            (col("__rtot") + lit(buckets.toDouble))) /
+          ((col("__r").cast(DoubleType) + lit(1.0)) *
+            (col("__ttot") + lit(buckets.toDouble)))).as("__lr")))
+    dc.join(lr, Seq("__b"))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(sum(col("__c")).as("n_grams"),
+        round(sum((col("__c").cast(DoubleType) * col("__lr"))
+          .cast(dec)).cast(DoubleType), 6).as("dsir_logw"))
+  }
+
+  /** DSIR importance RESAMPLING: draw the `k` documents a
+    * target-distribution-matched corpus would keep, via the Gumbel
+    * top-k identity — adding an independent Gumbel noise term to each
+    * log-weight and taking the top k IS sampling without replacement
+    * with probability ∝ exp(log w). The Gumbel uniform derives from the
+    * row key's md5 (the q09c A-ES discipline), so the "random" draw is
+    * reproducible across engines, reruns and partitioning — a rerun
+    * selects the identical corpus, which is what makes the sampled
+    * training set auditable. Returns (doc_id, dsir_logw, gkey), the
+    * selection key exposed for the audit trail.
+    *
+    * Plan: [[dsirWeights]] + a per-row key projection + a global top-k
+    * that compiles to TakeOrderedAndProject (per-partition k, merge
+    * k·parts on the driver — no global sort exchange). The 6-dp round
+    * and doc-id tiebreak pin the selection boundary across engines. */
+  def dsirResample(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, k: Int, buckets: Int = 256): DataFrame = {
+    require(k >= 1)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast(DoubleType) + lit(1.0)) / lit(65537.0)
+    dsirWeights(docs, id, text, isTarget, buckets)
+      .withColumn("gkey",
+        round(col("dsir_logw") - log(-log(u)), 6))
+      .orderBy(col("gkey").desc_nulls_last, col("doc_id").asc_nulls_first,
+        col("dsir_logw").asc_nulls_first)
+      .limit(k)
+      .select(col("doc_id"), col("dsir_logw"), col("gkey"))
+  }
+
+  /** Canonical-copy selection over a dedup clustering: given cluster
+    * assignments (member, cluster) and a per-document score, keep the
+    * highest-scoring member of each cluster — the production "WHICH
+    * copy survives" policy ([[applyDedup]]'s min-id rule replaced by a
+    * quality argmax: keep the longest / highest-quality / most recent
+    * copy, whatever `score` encodes). Returns (cluster_id, kept,
+    * score).
+    *
+    * Plan: one equi-join attaching the score (AQE broadcasts iff the
+    * score side measures small), then a rank-1 window on the cluster
+    * id that compiles to a partial WindowGroupLimit BELOW its exchange
+    * — per-partition candidates-only shuffle, never the full member
+    * list twice. Ties break (score DESC, member ASC) so the survivor
+    * is engine-stable. */
+  def keepBest(clusters: DataFrame, member: String, cluster: String,
+      scores: DataFrame, scoreId: String, score: Column): DataFrame = {
+    val sc = scores.select(col(scoreId).as("__m"), score.as("score"))
+    val w = Window.partitionBy(col(cluster))
+      .orderBy(col("score").desc, col(member).asc)
+    clusters.join(sc, col(member) === col("__m"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(cluster).as("cluster_id"), col(member).as("kept"),
+        col("score"))
+  }
+
+  /** Cluster-BALANCED corpus capping: assign every vector to its
+    * nearest centroid (rounded-cosine argmax, the q99b discipline) and
+    * keep at most `cap` members per cell, chosen by the stable md5
+    * rank of the id — the embedding-space counterpart of the q95e
+    * per-source cap. Web-scale corpora are extremely cluster-skewed
+    * (boilerplate templates form giant cells); capping per SEMANTIC
+    * cell flattens that skew where a per-source cap cannot see it
+    * (one domain spans many templates, one template spans many
+    * domains). Returns (cell, vec_id, rnk) for the kept rows.
+    *
+    * Plan: centroids broadcast (bounded config), assignment is a
+    * per-row argmax — no data exchange; the cap is a rank window on
+    * the cell id, one hash exchange, pruned below it by the partial
+    * WindowGroupLimit. The md5 rank makes the kept set reproducible
+    * across engines/reruns/partitioning — a hash-ordered reservoir,
+    * not an RNG. */
+  def clusterCap(vecs: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1)
+    graft.plans.CosineSimilarity.register(vecs.sparkSession)
+    val cent = broadcast(
+      centroids.select(col(cid).as("__cid"), col(cvec).as("__ce")))
+    val aw = Window.partitionBy(col("__vid"))
+      .orderBy(col("__cos").desc, col("__cid").asc)
+    val cells = spreadInput(vecs)
+      .select(col(id).as("__vid"), col(vec).as("__e"))
+      .crossJoin(cent)
+      .select(col("__vid"), col("__cid"),
+        round(expr("cosine_sim(__e, __ce)"), 6).as("__cos"))
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") === 1)
+      .select(col("__vid"), col("__cid").as("cell"))
+    val kw = Window.partitionBy(col("cell"))
+      .orderBy(substring(md5(col("__vid").cast("string")), 1, 8).asc,
+        col("__vid").asc)
+    cells.withColumn("rnk", row_number().over(kw))
+      .filter(col("rnk") <= cap)
+      .select(col("cell"), col("__vid").as("vec_id"),
+        col("rnk").cast("int").as("rnk"))
+  }
 }

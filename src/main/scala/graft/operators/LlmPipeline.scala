@@ -1680,6 +1680,61 @@ object LlmPipeline {
       orderAll(graft.Engine.decontaminate(
         Tables.t(s, dir, "documents").filter(isTrain || isTest),
         col("doc_id"), col("text"), isTest, n = 8))
+    },
+
+    // Q93l (beyond-survey) — DSIR importance WEIGHTS (Xie et al. 2023,
+    // Data Selection via Importance Resampling): score every document
+    // by the log-likelihood ratio of its hashed unigram+bigram counts
+    // under a target distribution (here the lang='en' slice — the
+    // trusted-quality stand-in) vs the raw corpus, Laplace-smoothed
+    // over 256 md5 buckets. The model-free "does this look like the
+    // data I want more of" scorer that sits between q95's hard rules
+    // and q95d's LM perplexity in every production curation stack. See
+    // [[graft.Engine.dsirWeights]] for the single-explode / B-bounded-
+    // distribution / broadcast-ratio plan.
+    Q("q93l_dsir_weights", dsirWeightsOracleSql) { (s, dir) =>
+      orderAll(graft.Engine.dsirWeights(Tables.t(s, dir, "documents"),
+        col("doc_id"), col("text"), col("lang") === "en"))
+    },
+
+    // Q93m (beyond-survey) — DSIR importance RESAMPLING: the selection
+    // half of q93l — Gumbel top-k over the importance weights draws the
+    // 25 documents a target-matched corpus keeps, with the Gumbel
+    // uniform derived from the doc key's md5 (the q09c discipline) so
+    // the sampled training set reproduces bit-for-bit across engines,
+    // reruns and partitioning. TakeOrderedAndProject, no global sort.
+    Q("q93m_dsir_resample", dsirResampleOracleSql) { (s, dir) =>
+      graft.Engine.dsirResample(Tables.t(s, dir, "documents"),
+        col("doc_id"), col("text"), col("lang") === "en", k = 25)
+    },
+
+    // Q90j (beyond-survey) — canonical-copy selection over the q98b
+    // SimHash clustering: keep the LONGEST member of every cluster
+    // (n_chars argmax, doc-id tiebreak) instead of applyDedup's min-id
+    // rule — the production "which copy survives dedup" policy, where
+    // the canonical copy should be the most complete one, not the one
+    // with the smallest key. See [[graft.Engine.keepBest]] for the
+    // join + rank-1 WindowGroupLimit plan.
+    Q("q90j_keep_best", keepBestOracleSql) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      orderAll(graft.Engine.keepBest(
+        graft.Engine.simhashClusters(d, col("doc_id"), col("text")),
+        "doc_id", "cluster_id", d, "doc_id", col("n_chars")))
+    },
+
+    // Q92k (beyond-survey) — cluster-BALANCED capping: nearest-centroid
+    // assignment (the q99b cells) + a per-cell cap of 40 by stable md5
+    // rank — q95e's per-source cap moved into embedding space, where
+    // template-skew actually lives (one boilerplate template spans many
+    // domains; a source cap cannot see it, a semantic-cell cap can).
+    // Centroids broadcast, assignment is exchange-free, the cap is one
+    // WindowGroupLimit-pruned shuffle on the cell id
+    // ([[graft.Engine.clusterCap]]).
+    Q("q92k_cluster_cap", clusterCapOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.clusterCap(e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
+        "vec_id", "embedding", cap = 40))
     })
 
   /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending
@@ -1742,6 +1797,98 @@ object LlmPipeline {
        |    coalesce(rclu.cid, rep.rep_id) AS cluster_id
        |  FROM shx d JOIN rep ON d.sh = rep.sh
        |  LEFT JOIN rclu ON rep.rep_id = rclu.rep_id)""".stripMargin
+
+  /** Shared CTE prefix of Q93l/Q93m — the DuckDB replay of
+    * [[graft.Engine.dsirWeights]] (target = lang='en', B = 256), ending
+    * in `wts(doc_id, n_grams, dsir_logw)`: unigram + positional-bigram
+    * stream, 16-bit-md5 mod-256 buckets, one-pass raw/target bucket
+    * counts, and the Laplace log-ratio assembled as
+    * ((t+1)·(R+B)) / ((r+1)·(T+B)) — the IDENTICAL float expression
+    * shape the Spark side evaluates, with per-bucket terms routed
+    * through DECIMAL(38,6) before the per-doc sum. */
+  private def dsirCtes: String =
+    """w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |g1 AS (SELECT doc_id, lang, unnest(ws) AS g FROM w),
+      |g2 AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+      |  FROM w CROSS JOIN unnest(generate_series(1, len(ws) - 1))
+      |    AS t(i)),
+      |gr AS (SELECT doc_id, lang, g FROM g1
+      |  UNION ALL SELECT doc_id, lang, g FROM g2),
+      |bk AS (SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(g), 1, 4) AS INT) % 256 AS b FROM gr),
+      |dc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+      |dist AS (SELECT b, count(*) AS r,
+      |    count(*) FILTER (WHERE lang = 'en') AS t FROM bk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(r) AS DOUBLE) AS br,
+      |    CAST(sum(t) AS DOUBLE) AS bt FROM dist),
+      |lr AS (SELECT b, ln(((CAST(t AS DOUBLE) + 1.0) * (br + 256.0)) /
+      |    ((CAST(r AS DOUBLE) + 1.0) * (bt + 256.0))) AS lr
+      |  FROM dist CROSS JOIN tot),
+      |wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(38,6)))
+      |      AS DOUBLE), 6) AS dsir_logw
+      |  FROM dc JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB oracle for Q93l. */
+  private def dsirWeightsOracleSql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_grams, dsir_logw FROM wts
+       |ORDER BY doc_id NULLS FIRST, n_grams NULLS FIRST,
+       |  dsir_logw NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q93m: q93l's weights + the md5-derived Gumbel
+    * key, top-25 (gkey DESC, doc_id tiebreak) — the same 6-dp rounded
+    * boundary the Spark TakeOrderedAndProject ranks on. */
+  private def dsirResampleOracleSql: String =
+    s"""WITH $dsirCtes,
+       |ky AS (SELECT doc_id, dsir_logw,
+       |    round(dsir_logw - ln(-ln(
+       |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |        AS INT) + 1.0) / 65537.0)), 6) AS gkey
+       |  FROM wts)
+       |SELECT doc_id, dsir_logw, gkey FROM ky
+       |ORDER BY gkey DESC NULLS LAST, doc_id ASC NULLS FIRST,
+       |  dsir_logw ASC NULLS FIRST
+       |LIMIT 25""".stripMargin
+
+  /** DuckDB oracle for Q90j: the q98b cluster assignment joined to the
+    * documents' n_chars, rank-1 per cluster (n_chars DESC, doc_id ASC). */
+  private def keepBestOracleSql: String =
+    s"""$simhashClusterCtes,
+       |jn AS (SELECT asg.cluster_id, asg.doc_id, d.n_chars
+       |  FROM asg JOIN documents d ON asg.doc_id = d.doc_id),
+       |rk AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+       |    PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM jn)
+       |SELECT cluster_id, doc_id AS kept,
+       |  CAST(n_chars AS BIGINT) AS score
+       |FROM rk WHERE rn = 1
+       |ORDER BY cluster_id NULLS FIRST, kept NULLS FIRST,
+       |  score NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q92k: the q99b assignment CTE (argmax rounded
+    * cosine, centroid-id tiebreak) + per-cell md5-rank cap at 40. */
+  private def clusterCapOracleSql: String = {
+    val ids = ivfCentroidIds.mkString(", ")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |assign AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6)
+       |        DESC, c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+       |rk AS (SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+       |    ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) ASC,
+       |      vec_id ASC) AS rn
+       |  FROM cells)
+       |SELECT cell, vec_id, CAST(rn AS INT) AS rnk FROM rk
+       |WHERE rn <= 40
+       |ORDER BY cell NULLS FIRST, vec_id NULLS FIRST,
+       |  rnk NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB oracle for Q98b. */
   private def simhashClustersOracleSql: String =

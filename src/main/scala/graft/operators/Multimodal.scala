@@ -93,6 +93,15 @@ object WavDecoder extends MediaDecoder {
   }
 }
 
+/** Thumbnail operator output: source dims + the statistics of the
+  * nearest-neighbour-resampled `side`×`side` preview raster. */
+final case class ThumbFeatures(doc_id: Long, w: Int, h: Int,
+    thumb_sum: Long, thumb_mean: Double)
+
+/** Frame-sampling output: one row per KEPT frame. */
+final case class FrameSample(doc_id: Long, frame_idx: Int,
+    frame_mean: Double)
+
 /** Geo-raster decoder output: raster statistics plus the georeferencing
   * carried in the blob's own GeoTIFF tags — the typed-metadata struct for
   * the raster modality (`utils/conversion.py:9-19`'s GeoTIFF write).
@@ -225,7 +234,13 @@ object GeoTiffTileDecoder extends Serializable {
   * assumed away). `feat_dim` is dwTotalFrames off the parsed header,
   * cross-checked against the frames actually walked. */
 object AviDecoder extends MediaDecoder {
-  override def decode(b: MediaBlob): MediaFeatures = {
+  /** The shared RIFF walk behind [[decode]] (whole-clip statistics) and
+    * [[frameMeans]] (per-frame emission): parses the chunk tree with the
+    * full malformed-input guard set and invokes `onFrame(frameIdx,
+    * width, height, pixelSum)` for every decoded `00db` frame. Returns
+    * (frames, width, height) after the header/movi cross-check. */
+  private def walkFrames(b: MediaBlob)(
+      onFrame: (Int, Int, Int, Long) => Unit): (Int, Int, Int) = {
     val buf = java.nio.ByteBuffer.wrap(b.content)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -235,7 +250,6 @@ object AviDecoder extends MediaDecoder {
     buf.getInt // riff size
     require(fourcc() == "AVI ", s"not an AVI container for doc ${b.doc_id}")
     var frames = 0; var width = 0; var height = 0; var declared = -1
-    var pixels = 0L; var sum = 0L
     def walk(end: Int): Unit = while (buf.position() < end) {
       // a truncated chunk header (< 8 bytes to the list end) must raise
       // the same loud per-doc error as every other malformed path, not a
@@ -270,15 +284,16 @@ object AviDecoder extends MediaDecoder {
           require(sz == stride * height,
             s"frame size $sz != $stride*$height in doc ${b.doc_id}")
           val base = buf.position()
+          var fsum = 0L
           var y = 0
           while (y < height) {
             var x = 0
             while (x < width) {
-              sum += buf.get(base + y * stride + x) & 0xff; x += 1
+              fsum += buf.get(base + y * stride + x) & 0xff; x += 1
             }
             y += 1
           }
-          pixels += width.toLong * height
+          onFrame(frames, width, height, fsum)
           frames += 1
         case _ => // strh/strf/JUNK/idx1: skipped, not needed for stats
       }
@@ -288,7 +303,32 @@ object AviDecoder extends MediaDecoder {
     require(declared == frames,
       s"header declares $declared frames, movi carries $frames " +
         s"(doc ${b.doc_id})")
+    (frames, width, height)
+  }
+
+  override def decode(b: MediaBlob): MediaFeatures = {
+    var pixels = 0L
+    var sum = 0L
+    val (frames, _, _) = walkFrames(b) { (_, fw, fh, fsum) =>
+      sum += fsum
+      pixels += fw.toLong * fh
+    }
     MediaFeatures(b.doc_id, b.modality, pixels.toInt, sum, frames)
+  }
+
+  /** Every `stride`-th frame's mean pixel value — the frame-SAMPLING
+    * primitive (training pipelines keyframe videos, they don't ingest
+    * every frame). The mean of an exact integer sum over w·h pixels:
+    * exact in IEEE whenever the quotient is (the fixture's constant
+    * frames), deterministic division everywhere else. */
+  def frameMeans(b: MediaBlob, stride: Int): Seq[(Int, Double)] = {
+    require(stride >= 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    walkFrames(b) { (idx, fw, fh, fsum) =>
+      if (idx % stride == 0)
+        out += ((idx, fsum.toDouble / (fw.toLong * fh)))
+    }
+    out.toSeq
   }
 }
 
@@ -337,6 +377,86 @@ object Multimodal {
     * (`ImageIO.write`, run on the executors), whose decoded statistics an
     * engine with no codec can still predict from the id arithmetic. PNG
     * is lossless, so the decoded raster returns exactly these values. */
+  /** A GRADIENT grayscale PNG (pixel(x,y) = (docId + 3x + 5y) mod 251,
+    * w = docId%13+4, h = docId%7+4) — position-sensitive content, so a
+    * resize that samples the wrong source pixel produces the wrong
+    * statistic (the flat [[pngFor]] fixture cannot catch a resampling
+    * bug: every pixel is equal). Distinct x/y coefficients keep the two
+    * axes distinguishable — a transposed lookup also fails loudly. */
+  def gradPngFor(docId: Long): Array[Byte] = {
+    val w = (docId % 13 + 4).toInt
+    val h = (docId % 7 + 4).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId + 3 * x + 5 * y) % 251).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbour THUMBNAIL extraction: decode each image blob
+    * through the real codec and resample it to a `side`×`side` preview
+    * (source pixel (x·w/side, y·h/side) — the index-mapped NN kernel
+    * every thumbnail pipeline starts from), reporting the preview's sum
+    * and mean. Same mapPartitions shape as [[extractFeatures]]: codec
+    * init once per partition, streamed decode, no collect; at 100 TB
+    * the thumbnail pass pipelines inside the blob scan exactly like the
+    * feature pass. */
+  def thumbnails(blobs: Dataset[MediaBlob], side: Int)(
+      implicit s: SparkSession): Dataset[ThumbFeatures] = {
+    require(side >= 1)
+    import s.implicits._
+    spread(blobs).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.content))
+        require(img != null,
+          s"undecodable image blob for doc ${b.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            sum += raster.getSample(x * w / side, y * h / side, 0)
+            x += 1
+          }
+          y += 1
+        }
+        ThumbFeatures(b.doc_id, w, h, sum,
+          sum.toDouble / (side.toLong * side))
+      }
+    }
+  }
+
+  /** Frame SAMPLING over the video modality: every `stride`-th frame's
+    * index and mean pixel value, one row per kept frame — the keyframe
+    * pass of a video ingestion pipeline ([[AviDecoder.frameMeans]] per
+    * blob, flatMapped on the same per-partition stream as every other
+    * decode operator). */
+  def sampleFrames(blobs: Dataset[MediaBlob], stride: Int)(
+      implicit s: SparkSession): Dataset[FrameSample] = {
+    import s.implicits._
+    spread(blobs).mapPartitions { it =>
+      it.flatMap { b =>
+        AviDecoder.frameMeans(b, stride).map { case (idx, mean) =>
+          FrameSample(b.doc_id, idx, mean)
+        }
+      }
+    }
+  }
+
   def pngFor(docId: Long): Array[Byte] = {
     val w = (docId % 13 + 1).toInt
     val h = (docId % 7 + 1).toInt
@@ -769,6 +889,60 @@ object Multimodal {
       orderAll(s.read.parquet(out)
         .select(col("layer"), col("band").cast("int").as("band"),
           col("cell_row"), col("cell_col"), col("value")))
+    },
+
+    // Q94j (beyond-survey) — nearest-neighbour THUMBNAIL extraction
+    // through the real PNG codec: gradient-content fixtures (pixel =
+    // (doc_id + 3x + 5y) mod 251 — position-SENSITIVE, so a resample
+    // that reads the wrong source pixel, or transposes axes, fails the
+    // hash), resized to 4×4 by the index-mapped NN kernel. The oracle
+    // predicts the 16 sampled pixels arithmetically; the mean divides
+    // an exact integer sum by 16 — exact in IEEE (power of two).
+    Q("q94j_thumbnail",
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
+        |    CAST(doc_id % 7 + 4 AS INT) AS h FROM documents),
+        |s AS (SELECT doc_id, w, h, list_sum(flatten(list_transform(
+        |    generate_series(0, 3), y -> list_transform(
+        |      generate_series(0, 3),
+        |      x -> (doc_id + 3 * ((x * w) // 4) + 5 * ((y * h) // 4))
+        |        % 251)))) AS ts
+        |  FROM t)
+        |SELECT doc_id, w, h, CAST(ts AS BIGINT) AS thumb_sum,
+        |  CAST(ts AS DOUBLE) / 16.0 AS thumb_mean
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, w NULLS FIRST, h NULLS FIRST,
+        |  thumb_sum NULLS FIRST, thumb_mean NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")).as[(Long, String)]
+          .map { case (id, lang) =>
+            MediaBlob(id, "image", lang, gradPngFor(id)) }
+        orderAll(thumbnails(blobs, side = 4).toDF())
+    },
+
+    // Q94k (beyond-survey) — FRAME SAMPLING over the video modality:
+    // every 2nd frame's index and mean pixel value off the real RIFF/
+    // AVI walk ([[AviDecoder.frameMeans]]) — the keyframe pass of video
+    // ingestion (pipelines keyframe, they don't ingest every frame).
+    // Fixture frames are constant (doc_id + f) mod 251, so the oracle
+    // predicts each sampled frame's mean exactly.
+    Q("q94k_frame_sample",
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST((doc_id + f) % 251 AS DOUBLE) AS frame_mean
+        |FROM documents CROSS JOIN unnest(
+        |  generate_series(0, CAST(doc_id % 5 AS INT))) AS t(f)
+        |WHERE f % 2 = 0
+        |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST,
+        |  frame_mean NULLS FIRST""".stripMargin) { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val blobs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang")).as[(Long, String)]
+        .map { case (id, lang) =>
+          MediaBlob(id, "video", lang, aviFor(id)) }
+      orderAll(sampleFrames(blobs, stride = 2).toDF())
     })
 
   /** The capstone's pre-publish pipeline — decode → geo-clip → re-grid

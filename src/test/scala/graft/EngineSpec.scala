@@ -775,4 +775,84 @@ class EngineSpec extends AnyFunSuite {
       assert(grown(id)._1 == shard, s"doc $id moved shard")
     }
   }
+
+  test("dsirWeights: content-only scoring, target vocabulary outscores off-target") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa bb", "en"),
+      (2L, "aa bb bb aa", "en"),
+      (3L, "zz yy zz yy", "de"),
+      (4L, "aa bb aa bb", "de")).toDF("doc_id", "text", "lang")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      Engine.dsirWeights(df, col("doc_id"), col("text"),
+          col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val w = weights(docs)
+    // 4 words -> 4 unigrams + 3 positional bigrams
+    assert(w(1L)._1 == 7)
+    // doc 4 carries the target vocabulary (despite its own label) and
+    // must outscore the genuinely off-target doc 3 — the weight is a
+    // function of CONTENT against the fitted distributions, not of the
+    // row's own target flag
+    assert(w(4L)._2 > w(3L)._2)
+    assert(w(4L)._2 == w(1L)._2)
+    // reproducible under arbitrary repartitioning
+    assert(weights(docs.repartition(5)) == w)
+  }
+
+  test("dsirResample: exactly k rows, boundary-ordered, partition-invariant") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Engine.dsirResample(df, col("doc_id"), col("text"),
+        col("lang") === "en", k = 25).collect()
+    val rows = sample(docs)
+    assert(rows.length == 25)
+    // the produced order IS the selection order: gkey DESC, id ASC
+    val keys = rows.map(r => (r.getDouble(2), r.getLong(0))).toSeq
+    assert(keys.sliding(2).forall {
+      case Seq((g1, d1), (g2, d2)) => g1 > g2 || (g1 == g2 && d1 < d2)
+      case _ => true
+    })
+    // the Gumbel draw derives from md5, not an RNG: the identical
+    // corpus re-sampled under different partitioning keeps the
+    // identical training set in the identical order
+    assert(sample(docs.repartition(7)).map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(0)).toSeq)
+  }
+
+  test("keepBest: quality argmax per cluster, min-id on ties") {
+    import spark.implicits._
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (7L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L))
+      .toDF("id", "n")
+    val got = Engine.keepBest(clusters, "doc_id", "cluster_id",
+        scores, "id", col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // cluster 10: docs 2 and 3 tie at score 9 -> min id 2 survives;
+    // singleton clusters keep their only member
+    assert(got == Map(10L -> (2L, 9L), 7L -> (7L, 1L)))
+  }
+
+  test("clusterCap: per-cell cap respected, ranks dense, partition-invariant") {
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val cents = e.filter(col("vec_id")
+      .isin(Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L): _*))
+    def cap(df: org.apache.spark.sql.DataFrame) =
+      Engine.clusterCap(df, "vec_id", "embedding", cents, "vec_id",
+        "embedding", cap = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = cap(e)
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (cell, rs) =>
+      val ps = rs.map(_._3).toSeq.sorted
+      assert(ps.size <= 10, s"cell $cell over cap")
+      assert(ps == (1 to ps.size), s"cell $cell ranks not dense")
+    }
+    // the md5-rank reservoir is partition-invariant — same kept set,
+    // same ranks, whatever the input layout
+    assert(cap(e.repartition(7)).toSet == got.toSet)
+  }
 }

@@ -182,4 +182,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(aud.toSeq == Seq(
       graft.operators.MediaFeatures(8L, "audio", 3, 6L, 4)))
   }
+
+  test("thumbnails: NN resample reads exactly the index-mapped source pixels") {
+    implicit val s = spark
+    import s.implicits._
+    // doc 40: 5x9 gradient. The expected 4x4 preview is computed from
+    // the same index map the kernel owes us — sample (x*w/4, y*h/4) of
+    // pixel (40 + 3x + 5y) mod 251; a transposed or off-by-one lookup
+    // produces a different sum because the content is position-sensitive.
+    val bytes = Multimodal.gradPngFor(40L)
+    assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val want = (for (y <- 0 until 4; x <- 0 until 4)
+      yield (40L + 3 * (x * 5 / 4) + 5 * (y * 9 / 4)) % 251).sum
+    val got = Multimodal.thumbnails(
+      Seq(MediaBlob(40L, "image", "en", bytes)).toDS(), side = 4)
+      .collect().toSeq
+    assert(got == Seq(graft.operators.ThumbFeatures(
+      40L, 5, 9, want, want.toDouble / 16)))
+    // side=1 degenerates to the top-left pixel
+    val one = Multimodal.thumbnails(
+      Seq(MediaBlob(40L, "image", "en", bytes)).toDS(), side = 1)
+      .collect().head
+    assert(one.thumb_sum == 40L % 251 && one.thumb_mean == 40.0)
+    // undecodable bytes fail loudly through the same guard as q94b
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.thumbnails(
+        Seq(MediaBlob(1L, "image", "en", Array[Byte](9, 9))).toDS(),
+        side = 4).collect()
+    }
+  }
+
+  test("sampleFrames: every stride-th frame, exact per-frame means") {
+    implicit val s = spark
+    import s.implicits._
+    // doc 7: 3 frames of constant values 7, 8, 9 — stride 2 keeps
+    // frames 0 and 2; stride 1 is the full per-frame decode.
+    val blob = MediaBlob(7L, "video", "en", Multimodal.aviFor(7L))
+    assert(graft.operators.AviDecoder.frameMeans(blob, 1) ==
+      Seq((0, 7.0), (1, 8.0), (2, 9.0)))
+    val got = Multimodal.sampleFrames(Seq(blob).toDS(), stride = 2)
+      .collect().toSeq
+    assert(got == Seq(
+      graft.operators.FrameSample(7L, 0, 7.0),
+      graft.operators.FrameSample(7L, 2, 9.0)))
+  }
 }

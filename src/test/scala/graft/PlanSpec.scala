@@ -450,7 +450,10 @@ class PlanSpec extends AnyFunSuite {
       // assignment crosses (q99b) and the codebook/LUT crosses (q99c)
       "q99e_ivfpq_ann",
       "q93j_bm25_search", // 1-row (N, avgdl) stats scalar, the q93h class
-      "q92j_semantic_decontaminate") // bounded benchmark broadcast (q92 class)
+      "q92j_semantic_decontaminate", // bounded benchmark broadcast (q92 class)
+      // 1-row (R, T) gram-total scalar broadcast, the q93f class
+      "q93l_dsir_weights", "q93m_dsir_resample",
+      "q92k_cluster_cap") // 8-centroid assignment cross, the q99b class
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
