@@ -2206,4 +2206,72 @@ object Engine {
       .select(col("cell"), col("__vid").as("vec_id"),
         col("rnk").cast("int").as("rnk"))
   }
+
+  /** Text CANONICALIZATION for normalization-aware dedup: lowercase,
+    * strip everything outside [a-z0-9 ], collapse whitespace runs, trim
+    * — the CCNet-style pass that makes `"The  cat!"` and `"the cat"`
+    * hash-identical so [[exactDedup]] catches formatting variants
+    * byte-exact hashing misses. Pure per-row projection (codegen'd
+    * regexp_replace chain), deliberately ASCII-conservative: anything
+    * outside the kept class (punctuation, digits-with-accents, emoji)
+    * is dropped rather than transliterated, so the canonical form never
+    * depends on locale tables that differ across engines. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      // punctuation becomes a WORD BOUNDARY (replace with space, then
+      // collapse) — deleting it outright would weld "the,cat" into
+      // "thecat" and split tokens differently than any tokenizer does
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** EXPORT MANIFEST over the [[shardShuffle]] layout: per shard, the
+    * integrity triple a training-data consumer re-derives to prove the
+    * shard files it read are the shard files the pipeline wrote —
+    * row count, exact payload total (`chars`), and an ORDER-FREE
+    * content checksum (sum of each key's 32-bit md5 integer — addition
+    * commutes, so the checksum is independent of row order, file
+    * split, and read parallelism; a dropped, duplicated or substituted
+    * row moves it). Returns (shard, n_docs, n_chars_total, checksum).
+    *
+    * Plan: the shard-id hash exchange [[shardShuffle]] already needs,
+    * then a partial-aggregated groupBy on the SAME partitioning — AQE
+    * reuses the exchange, so the manifest costs one map-side-combined
+    * pass over the export, no second shuffle. */
+  def exportManifest(df: DataFrame, key: Column, chars: Column,
+      seed: String, shards: Int): DataFrame =
+    shardShuffle(df, key, seed, shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(chars).as("n_chars_total"),
+        sum(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+          .cast(LongType)).as("checksum"))
+
+  /** TOKEN-BUDGET temperature mixture: [[temperatureMix]] re-weighted
+    * by payload size — strata weights are Σ chars (the token-budget
+    * proxy), not document counts, because production mixture budgets
+    * are set in TOKENS and a doc-count rebalance over-serves strata
+    * with short documents. Keeps an expected budget·√w_s/Σ√w_j chars
+    * from stratum s (α = 0.5 — sqrt is the one power IEEE rounds
+    * exactly, the q09d argument), with the keep decision the same
+    * md5-threshold hash draw: reproducible across engines, reruns,
+    * partitioning, and corpus growth.
+    *
+    * Plan: one partial-agg count exchange to |strata| rows, a 1-row
+    * √-sum, a broadcast rates dim, one per-row hash filter. Identical
+    * shape to [[temperatureMix]] — nothing data-sized shuffles. */
+  def tokenBudgetMix(df: DataFrame, key: Column, stratum: String,
+      chars: Column, budget: Double): DataFrame = {
+    val weights = df.groupBy(col(stratum)).agg(sum(chars).as("__n"))
+    val tot = weights.agg(
+      sum(sqrt(col("__n")).cast(org.apache.spark.sql.types
+        .DecimalType(38, 6))).cast(DoubleType).as("__S"))
+    val rates = weights.crossJoin(broadcast(tot))
+      .select(col(stratum),
+        least(lit(1.0),
+          lit(budget) * sqrt(col("__n")) / col("__S") / col("__n"))
+          .as("__r"))
+    df.join(broadcast(rates), Seq(stratum))
+      .filter(conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("int") < floor(col("__r") * 65536).cast("int"))
+      .drop("__r")
+  }
 }

@@ -1735,6 +1735,62 @@ object LlmPipeline {
       orderAll(graft.Engine.clusterCap(e, "vec_id", "embedding",
         e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
         "vec_id", "embedding", cap = 40))
+    },
+
+    // Q90k (beyond-survey) — NORMALIZATION-aware exact dedup: q90's
+    // hash-groupBy over [[graft.Engine.normalizeText]] canonical forms
+    // (lowercase, strip non-[a-z0-9 ], collapse whitespace), so
+    // formatting variants of the same content — here an upper-cased
+    // shadow of every document — collapse into one group where
+    // byte-exact md5 sees two. The crawl fixture makes the property
+    // checkable: every group must carry BOTH the original and its
+    // re-cased twin (n_copies ≥ 2 everywhere). Same one-shuffle
+    // hash-agg plan as q90.
+    Q("q90k_normalized_dedup",
+      """WITH crawl AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents)
+        |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM crawl GROUP BY 1
+        |ORDER BY content_hash NULLS FIRST, keeper_id NULLS FIRST,
+        |  n_copies NULLS FIRST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val crawl = d.unionAll(d.select(col("doc_id") + 1000000,
+        upper(col("text"))))
+      orderAll(graft.Engine.exactDedup(crawl, col("doc_id"),
+        graft.Engine.normalizeText(col("text"))))
+    },
+
+    // Q93n (beyond-survey) — EXPORT MANIFEST over the q93k shard
+    // layout ([[graft.Engine.exportManifest]]): per shard, row count,
+    // exact char total and an order-free content checksum (sum of each
+    // key's 32-bit md5 integer) — the integrity record a training-data
+    // consumer re-derives to prove the shards it read are the shards
+    // the pipeline wrote, independent of row order, file split and
+    // read parallelism. One hash exchange, reused between the shard
+    // window and the manifest aggregate.
+    Q("q93n_export_manifest",
+      """WITH sh AS (SELECT doc_id, n_chars,
+        |    CAST(CAST('0x' || substr(md5('42:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS INT)
+        |      AS shard,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS ck
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |  CAST(sum(ck) AS BIGINT) AS checksum
+        |FROM sh GROUP BY shard
+        |ORDER BY shard NULLS FIRST, n_docs NULLS FIRST,
+        |  n_chars_total NULLS FIRST, checksum NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.exportManifest(
+          Tables.t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+          seed = "42", shards = 8))
     })
 
   /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending

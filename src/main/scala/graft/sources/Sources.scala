@@ -546,6 +546,35 @@ object Sources {
             sum(col("n_chars")).as("n_chars_total")))
     },
 
+    // Q09f (beyond-survey) — TOKEN-BUDGET temperature mixture: q09d's
+    // α = 0.5 rebalance re-weighted by Σ n_chars per stratum instead of
+    // document counts ([[graft.Engine.tokenBudgetMix]]) — production
+    // mixture budgets are set in TOKENS, and a doc-count rebalance
+    // over-serves strata whose documents are short. Same plan shape as
+    // q09d (|strata|-row partial agg, 1-row √-sum, broadcast rates,
+    // per-row md5 threshold); budget 20 000 chars keeps every stratum
+    // strictly below rate 1 at all shipped scales, so the sampling
+    // boundary is actually exercised.
+    Q("q09f_token_budget_mix",
+      """WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(38,6))) AS DOUBLE)
+        |  AS S FROM c),
+        |r AS (SELECT lang, least(1.0, 20000.0 * sqrt(n) / S / n) AS r
+        |  FROM c CROSS JOIN t)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars
+        |FROM documents d
+        |JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |    AS INT) < CAST(floor(r.r * 65536) AS INT)
+        |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST,
+        |  n_chars NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.tokenBudgetMix(
+          Tables.t(s, dir, "documents"), col("doc_id"), "lang",
+          col("n_chars"), budget = 20000.0)
+        .select(col("doc_id"), col("lang"), col("n_chars")))
+    },
+
     // Q06 — streaming file source → streaming parquet sink, exactly-once:
     // the file sink's _spark_metadata commit log plus the checkpoint offset
     // log reproduce the reference's fsync-then-atomic-rename cursor commit

@@ -855,4 +855,51 @@ class EngineSpec extends AnyFunSuite {
     // same ranks, whatever the input layout
     assert(cap(e.repartition(7)).toSet == got.toSet)
   }
+
+  test("normalizeText: case/punct/whitespace variants collapse to one canonical form") {
+    import spark.implicits._
+    val forms = Seq("The  cat RUNS!", "the cat runs", "  the,cat ; runs.")
+      .toDF("t").select(Engine.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(forms == Set("the cat runs"))
+  }
+
+  test("exportManifest: order-free checksum, layout-invariant, shards partition the corpus") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Engine.exportManifest(df, col("doc_id"), col("n_chars"),
+        seed = "42", shards = 8).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val base = manifest(docs)
+    // shards partition the corpus exactly
+    assert(base.values.map(_._1).sum == docs.count())
+    // the checksum is a sum — commutative — so any physical layout of
+    // the same rows reproduces the identical manifest (the property a
+    // consumer relies on when re-deriving it with different parallelism)
+    assert(manifest(docs.repartition(11)) == base)
+    assert(manifest(docs.orderBy(col("n_chars"))) == base)
+    // a substituted row moves the checksum (integrity, not just counts)
+    val tampered = docs.withColumn("doc_id",
+      when(col("doc_id") === 0L, 999983L).otherwise(col("doc_id")))
+    assert(manifest(tampered) != base)
+  }
+
+  test("tokenBudgetMix: kept chars land near the budget, partition-invariant") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Engine.tokenBudgetMix(df, col("doc_id"), "lang", col("n_chars"),
+        budget = 20000.0).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val base = kept(docs)
+    assert(base.nonEmpty && base.size < docs.count())
+    // expected kept chars = budget·Σ(√w_s/Σ√w) = budget; the md5 draw
+    // is a fixed deterministic sample, so allow generous slack
+    val chars = docs.filter(col("doc_id").isin(base.toSeq: _*))
+      .agg(sum("n_chars")).head().getLong(0)
+    assert(chars > 20000 / 2 && chars < 20000 * 2,
+      s"kept $chars chars for a 20000 budget")
+    // the hash draw is partition-invariant
+    assert(kept(docs.repartition(7)) == base)
+  }
 }
