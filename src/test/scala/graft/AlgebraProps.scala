@@ -378,6 +378,24 @@ object AlgebraProps extends Properties("algebra") {
     }
   }
 
+  property("normalizeText is idempotent, case/punct-invariant, and emits canonical forms") =
+    forAll(Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaLowerChar, Gen.alphaUpperChar, Gen.numChar,
+      Gen.oneOf(' ', ' ', ',', '.', ';', '!', '-', '\t')))
+      .map(_.mkString)) { s =>
+      import spark.implicits._
+      def norm(xs: String*): Seq[String] =
+        xs.toDF("t").select(Engine.normalizeText(col("t"))).collect()
+          .map(_.getString(0)).toSeq
+      val Seq(n1) = norm(s)
+      val Seq(n2, nUp) = norm(n1, s.toUpperCase)
+      // idempotent (a canonical form normalizes to itself), re-casing
+      // never changes the canonical form, and the output grammar is
+      // exactly space-separated [a-z0-9] words with no edge spaces
+      n2 == n1 && nUp == n1 &&
+        n1.matches("|[a-z0-9]+( [a-z0-9]+)*")
+    }
+
   property("dupSpans == brute-force duplicated-gram island merge") =
     forAll(
       Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
