@@ -1650,17 +1650,20 @@ object LlmPipeline {
     // Q92j (beyond-survey) — SEMANTIC decontamination
     // ([[graft.Engine.semanticDecontaminate]]): flag corpus vectors
     // within rounded cosine ≥ 0.3 (the q92b near-dup threshold on this
-    // near-uniform corpus) of ANY benchmark vector — the q09 stable 5%
-    // hash sample standing in for the eval suite. The embedding-space
+    // near-uniform corpus) of ANY benchmark vector. The embedding-space
     // counterpart of q90b: lexical gram overlap misses paraphrased/
-    // translated leakage; this catches it. Benchmark suites are
-    // fixed-size while the corpus grows, so the bench side broadcasts
-    // and the corpus is scanned once — never corpus×corpus.
+    // translated leakage; this catches it. The benchmark set is the
+    // FIXED id slice vec_id < 25 (present at every scale), not a
+    // percentage sample: benchmark suites are fixed-size while the
+    // corpus grows — a fractional sample would quietly turn the
+    // registered query quadratic (the r9 sf1 sweep measured 12.9 s for
+    // the 5 %-sample form vs linear for this one), violating the very
+    // broadcast-and-scan-once contract the operator documents.
     Q("q92j_semantic_decontaminate", semanticDecontaminateOracleSql) {
       (s, dir) =>
         orderAll(graft.Engine.semanticDecontaminate(
           Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
-          graft.Engine.stableSample(col("vec_id"), 5), tau = 0.3))
+          col("vec_id") < 25, tau = 0.3))
     },
 
     // Q90i (beyond-survey) — train/test SPLIT-LEAKAGE audit: q90b's
@@ -2368,11 +2371,9 @@ object LlmPipeline {
     * cosine threshold, per-vector hit count + max. */
   private def semanticDecontaminateOracleSql: String =
     s"""WITH b AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)
-       |    AS INT) * 100 < 5 * 65536),
+       |  WHERE vec_id < 25),
        |c AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE NOT (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
-       |    1, 4) AS INT) * 100 < 5 * 65536)),
+       |  WHERE NOT (vec_id < 25)),
        |s AS (SELECT c.vec_id,
        |    round(${Similarity.cosineSql("c.embedding", "b.embedding")}, 6)
        |      AS cs
