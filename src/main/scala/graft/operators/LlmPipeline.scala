@@ -1605,46 +1605,20 @@ object LlmPipeline {
     // over the ROUNDED metrics so the boolean is engine-stable by
     // construction.
     Q("q95f_gopher_rules",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text
         |  FROM documents),
-        |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words,
-        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 6)
-        |    AS mean_wl,
-        |  round(CAST(len(list_filter(w, x -> regexp_matches(x,
-        |    '^[a-z]+$'))) AS DOUBLE) / len(w), 6) AS alpha_frac,
-        |  CAST(len(list_distinct(list_filter(w, x -> x = 'the'
-        |    OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to'))) AS INT)
-        |    AS n_stop,
-        |  CAST(list_max(list_transform(w, x -> length(x))) AS INT)
-        |    AS max_wl
-        |  FROM t)
+        |m AS (SELECT *, $gopherMetricsSql FROM t)
         |SELECT doc_id, n_words, mean_wl, alpha_frac, n_stop, max_wl,
-        |  (n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3 AND 10
-        |    AND alpha_frac >= 0.8 AND n_stop >= 2 AND max_wl <= 15)
-        |    AS gopher_pass
+        |  ($gopherPassSql) AS gopher_pass
         |FROM m
         |ORDER BY doc_id NULLS FIRST, n_words NULLS FIRST,
         |  mean_wl NULLS FIRST, alpha_frac NULLS FIRST, n_stop NULLS FIRST,
         |  max_wl NULLS FIRST, gopher_pass NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        val w = split(col("text"), " ")
-        val nWords = size(w)
-        val meanWl = round(length(translate(col("text"), " ", ""))
-          .cast(DoubleType) / nWords, 6)
-        val alphaFrac = round(size(filter(w, x => x.rlike("^[a-z]+$")))
-          .cast(DoubleType) / nWords, 6)
-        val nStop = size(array_distinct(filter(w,
-          x => x.isin("the", "a", "of", "and", "to"))))
-        val maxWl = array_max(transform(w, x => length(x)))
         orderAll(Tables.t(s, dir, "documents")
-          .select(col("doc_id"), nWords.as("n_words"),
-            meanWl.as("mean_wl"), alphaFrac.as("alpha_frac"),
-            nStop.as("n_stop"), maxWl.as("max_wl"))
-          .withColumn("gopher_pass",
-            col("n_words").between(50, 100000) &&
-              col("mean_wl").between(3, 10) &&
-              col("alpha_frac") >= 0.8 && col("n_stop") >= 2 &&
-              col("max_wl") <= 15))
+          .select(col("doc_id") +:
+            gopherMetrics.map { case (n, c) => c.as(n) }: _*)
+          .withColumn("gopher_pass", gopherPass))
     },
 
     // Q92j (beyond-survey) — SEMANTIC decontamination
@@ -1768,6 +1742,40 @@ object LlmPipeline {
         graft.Engine.normalizeText(col("text"))))
     },
 
+    // Q100b (beyond-survey) — the EXPORT capstone, composing this
+    // session's surface end-to-end the way a production export job
+    // stacks it: Gopher hard gates → first-occurrence dedup on the
+    // NORMALIZED content hash (formatting variants collapse) →
+    // token-budget temperature mix over the survivors → deterministic
+    // shard manifest. The intake capstone q100 ends at packed
+    // sequences; this one ends at the shipped artifact's integrity
+    // record. Every stage is the registered library operator — the
+    // composition is one Catalyst plan (gate and dedup fuse into the
+    // scan; mix adds a broadcast rates dim; the manifest reuses the
+    // shard exchange), so the capstone also demonstrates that the ops
+    // compose without materialization barriers.
+    Q("q100b_export_pipeline", exportPipelineOracleSql) { (s, dir) =>
+      val gated = Tables.t(s, dir, "documents")
+        .withColumns(gopherMetrics.toMap)
+        .filter(gopherPass)
+        .select("doc_id", "lang", "n_chars", "text")
+      // first-occurrence selection as a window MIN over the hash — ONE
+      // exchange on the content hash, and the regex-normalize chain
+      // runs once per row (a groupBy+self-join re-derives the hash on
+      // both sides and shuffles twice; measured 9.9 s → this form at
+      // the 10× fixture)
+      val kept = gated
+        .withColumn("__h", md5(graft.Engine.normalizeText(col("text"))))
+        .withColumn("__keep",
+          min(col("doc_id")).over(Window.partitionBy(col("__h"))))
+        .filter(col("doc_id") === col("__keep"))
+        .drop("__h", "__keep")
+      val mixed = graft.Engine.tokenBudgetMix(kept, col("doc_id"),
+        "lang", col("n_chars"), budget = 20000.0)
+      orderAll(graft.Engine.exportManifest(mixed, col("doc_id"),
+        col("n_chars"), seed = "42", shards = 8))
+    },
+
     // Q93n (beyond-survey) — EXPORT MANIFEST over the q93k shard
     // layout ([[graft.Engine.exportManifest]]): per shard, row count,
     // exact char total and an order-free content checksum (sum of each
@@ -1856,6 +1864,89 @@ object LlmPipeline {
        |    coalesce(rclu.cid, rep.rep_id) AS cluster_id
        |  FROM shx d JOIN rep ON d.sh = rep.sh
        |  LEFT JOIN rclu ON rep.rep_id = rclu.rep_id)""".stripMargin
+
+  /** The Gopher hard-threshold metric set over a `text` column (Rae et
+    * al. 2021 §A1.1), shared by q95f (per-doc report) and the q100b
+    * export capstone (gate stage): rounded metrics, so the pass
+    * boolean is engine-stable by construction. */
+  private def gopherMetrics: Seq[(String, org.apache.spark.sql.Column)] = {
+    val w = split(col("text"), " ")
+    val nWords = size(w)
+    Seq(
+      "n_words" -> nWords,
+      "mean_wl" -> round(length(translate(col("text"), " ", ""))
+        .cast(DoubleType) / nWords, 6),
+      "alpha_frac" -> round(size(filter(w, x => x.rlike("^[a-z]+$")))
+        .cast(DoubleType) / nWords, 6),
+      "n_stop" -> size(array_distinct(filter(w,
+        x => x.isin("the", "a", "of", "and", "to")))),
+      "max_wl" -> array_max(transform(w, x => length(x))))
+  }
+
+  /** The combined Gopher gate over the [[gopherMetrics]] columns. */
+  private def gopherPass: org.apache.spark.sql.Column =
+    col("n_words").between(50, 100000) && col("mean_wl").between(3, 10) &&
+      col("alpha_frac") >= 0.8 && col("n_stop") >= 2 && col("max_wl") <= 15
+
+  /** DuckDB rendering of [[gopherMetrics]] (select-list fragment over a
+    * CTE carrying `text` and `w = string_split(text, ' ')`). */
+  private def gopherMetricsSql: String =
+    """CAST(len(w) AS INT) AS n_words,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 6)
+      |    AS mean_wl,
+      |  round(CAST(len(list_filter(w, x -> regexp_matches(x,
+      |    '^[a-z]+$'))) AS DOUBLE) / len(w), 6) AS alpha_frac,
+      |  CAST(len(list_distinct(list_filter(w, x -> x = 'the'
+      |    OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to'))) AS INT)
+      |    AS n_stop,
+      |  CAST(list_max(list_transform(w, x -> length(x))) AS INT)
+      |    AS max_wl""".stripMargin
+
+  /** DuckDB rendering of [[gopherPass]]. */
+  private def gopherPassSql: String =
+    "n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3 AND 10 " +
+      "AND alpha_frac >= 0.8 AND n_stop >= 2 AND max_wl <= 15"
+
+  /** DuckDB rendering of [[graft.Engine.normalizeText]]. */
+  private def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', " +
+      "'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB oracle for Q100b — the export chain unrolled: gopher gate →
+    * first occurrence per normalized content hash → token-budget mix
+    * (rates computed over the SURVIVORS, the same frame the Spark side
+    * feeds [[graft.Engine.tokenBudgetMix]]) → shard manifest. */
+  private def exportPipelineOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
+       |    string_split(text, ' ') AS w FROM documents),
+       |m AS (SELECT *, $gopherMetricsSql FROM t),
+       |g AS (SELECT doc_id, lang, n_chars, text FROM m
+       |  WHERE $gopherPassSql),
+       |k AS (SELECT *, min(doc_id) OVER (PARTITION BY
+       |    md5(${normalizeTextSql("text")})) AS keeper FROM g),
+       |d AS (SELECT doc_id, lang, n_chars FROM k WHERE doc_id = keeper),
+       |c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n FROM d
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(38,6))) AS DOUBLE)
+       |  AS S FROM c),
+       |r AS (SELECT lang, least(1.0, 20000.0 * sqrt(n) / S / n) AS r
+       |  FROM c CROSS JOIN tt),
+       |x AS (SELECT d.doc_id, d.n_chars FROM d JOIN r USING (lang)
+       |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+       |    AS INT) < CAST(floor(r.r * 65536) AS INT)),
+       |sh AS (SELECT doc_id, n_chars,
+       |    CAST(CAST('0x' || substr(md5('42:' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS INT)
+       |      AS shard,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) AS ck
+       |  FROM x)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(sum(ck) AS BIGINT) AS checksum
+       |FROM sh GROUP BY shard
+       |ORDER BY shard NULLS FIRST, n_docs NULLS FIRST,
+       |  n_chars_total NULLS FIRST, checksum NULLS FIRST""".stripMargin
 
   /** Shared CTE prefix of Q93l/Q93m — the DuckDB replay of
     * [[graft.Engine.dsirWeights]] (target = lang='en', B = 256), ending

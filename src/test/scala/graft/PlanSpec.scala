@@ -454,7 +454,8 @@ class PlanSpec extends AnyFunSuite {
       // 1-row (R, T) gram-total scalar broadcast, the q93f class
       "q93l_dsir_weights", "q93m_dsir_resample",
       "q92k_cluster_cap", // 8-centroid assignment cross, the q99b class
-      "q09f_token_budget_mix") // 1-row √-sum scalar, the q09d class
+      // 1-row √-sum scalar, the q09d class (q100b composes the mix)
+      "q09f_token_budget_mix", "q100b_export_pipeline")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
