@@ -576,15 +576,15 @@ object Engine {
       codebook: DataFrame, cid: String, cvec: String,
       blocks: Int, subDim: Int): DataFrame = {
     require(blocks >= 1 && subDim >= 1)
-    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    graft.plans.PqBlockDists.register(vecs.sparkSession)
     // DIMENSION CONTRACT: every source vector and codebook sub-vector
     // must be exactly blocks·subDim floats. Without this guard a short
-    // vector null-pads through zip_with, the NULL propagates through
-    // the decimal sum, and pqEncode's min(struct) then silently assigns
-    // the lowest code id (NULL sorts first) — garbage codes with no
-    // diagnostic; extra trailing dims would be silently ignored. The
-    // guard lives IN the row path (when/raise_error), so column pruning
-    // cannot optimize it away the way a detached assert_true could be.
+    // vector silently truncates the distance loop (min-length
+    // semantics), and pqEncode's min(struct) then silently assigns
+    // garbage codes with no diagnostic; extra trailing dims would be
+    // silently ignored. The guard lives IN the row path
+    // (when/raise_error), so column pruning cannot optimize it away
+    // the way a detached assert_true could be.
     val want = blocks * subDim
     def guarded(c: Column, side: String): Column =
       when(size(c) === lit(want), c).otherwise(raise_error(concat(
@@ -593,20 +593,18 @@ object Engine {
     val cent = broadcast(
       codebook.select(col(cid).as("__cid"),
         guarded(col(cvec), "codebook").as("__ce")))
-    def blockDist(b: Int) = aggregate(
-      zip_with(
-        slice(col("__e"), lit(b * subDim + 1), lit(subDim)),
-        slice(col("__ce"), lit(b * subDim + 1), lit(subDim)),
-        (x, c) => {
-          val d = x.cast(DoubleType) - c.cast(DoubleType)
-          (d * d).cast(dec)
-        }),
-      lit(0).cast(dec),
-      (acc, t) => acc + t).cast(DoubleType)
+    // One fused codegen loop per (vector, code) pair — the
+    // [[graft.plans.PqBlockDists]] expression, decimal-summation-exact
+    // but in primitive long fixed-point. The HOF predecessor
+    // (per-block slice → zip_with → decimal aggregate) allocated a
+    // BigDecimal PER TERM: blocks·subDim·|codebook| per vector, the
+    // measured bottleneck of the whole PQ family at the 10× fixture
+    // (q92i 11.3 s → see BENCH ledger after the swap). ExpressionSpec
+    // pins bit-equality of the two forms.
     vecs.select(col(id).as("__qid"), guarded(col(vec), "source").as("__e"))
       .crossJoin(cent)
       .select(col("__qid"), col("__cid"),
-        posexplode(array((0 until blocks).map(blockDist): _*))
+        posexplode(expr(s"pq_block_dists(__e, __ce, $blocks)"))
           .as(Seq("__blk", "__dd")))
       .select(col("__qid"), col("__blk").cast("int").as("__blk"),
         col("__cid"), col("__dd"))

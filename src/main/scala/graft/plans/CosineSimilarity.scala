@@ -119,5 +119,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getCanonicalName,
         SortedIntersectCount.name),
       SortedIntersectCount.builder))
+    ext.injectFunction((FunctionIdentifier(PqBlockDists.name),
+      new ExpressionInfo(classOf[PqBlockDists].getCanonicalName,
+        PqBlockDists.name),
+      PqBlockDists.builder))
   }
 }

@@ -153,4 +153,58 @@ class ExpressionSpec extends AnyFunSuite {
     }
     assert(got == exp)
   }
+
+  test("pq_block_dists is bit-identical to the decimal HOF form over the corpus") {
+    graft.plans.PqBlockDists.register(spark)
+    // The expression replaced the per-block slice→zip_with→DECIMAL(38,6)
+    // aggregate chain in Engine.pqBlockDistances; this rebuilds that
+    // EXACT predecessor and demands bitwise equality on every
+    // (vector, codebook) pair over the real corpus — including the
+    // half-up rounding at every term, which the long fixed-point path
+    // must reproduce through its tie-boundary fallback.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val (blocks, subDim) = (8, 8)
+    def hofBlock(b: Int) = aggregate(
+      zip_with(
+        slice(col("ea"), lit(b * subDim + 1), lit(subDim)),
+        slice(col("eb"), lit(b * subDim + 1), lit(subDim)),
+        (x, c) => {
+          val d = x.cast(org.apache.spark.sql.types.DoubleType) -
+            c.cast(org.apache.spark.sql.types.DoubleType)
+          (d * d).cast(dec)
+        }),
+      lit(0).cast(dec),
+      (acc, t) => acc + t).cast(org.apache.spark.sql.types.DoubleType)
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val cents = e.filter(col("vec_id") % 61 === 0)
+      .select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val diffs = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(broadcast(cents))
+      .select(expr(s"pq_block_dists(ea, eb, $blocks)").as("fast"),
+        array((0 until blocks).map(hofBlock): _*).as("hof"))
+      .filter(col("fast") =!= col("hof")) // bitwise: any ULP diff survives
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("pq_block_dists: interpreted eval agrees with the dataframe path; tie rounds half-up") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val mk = (xs: Seq[Float]) => Literal.create(xs,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    // 4 dims, 2 blocks: diffs (1.5, 0.5 | 0.25, 0) → blocks (2.5, 0.0625)
+    val e = graft.plans.PqBlockDists(
+      mk(Seq(2f, 1f, 0.5f, 1f)), mk(Seq(0.5f, 0.5f, 0.25f, 1f)), 2)
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
+    assert(got == Seq(2.25 + 0.25, 0.0625))
+    // the tie 5e-7 (half of the last kept digit) must round UP like the
+    // decimal cast: 5e-7 is not exactly representable, but
+    // BigDecimal.valueOf sees its shortest decimal "5.0E-7" — an exact
+    // tie — and HALF_UP gives 1; the fast path must defer to that
+    assert(graft.plans.PqBlockDists.round6(5e-7) == 1L)
+    assert(graft.plans.PqBlockDists.round6(4.999e-7) == 0L)
+    assert(graft.plans.PqBlockDists.round6(0.0) == 0L)
+  }
 }
