@@ -2010,7 +2010,7 @@ object Engine {
   def signProjection(vecs: DataFrame, id: Column, vec: String,
       outDims: Int, dims: Int): DataFrame = {
     require(outDims >= 1 && dims >= 1)
-    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    graft.plans.SignProject.register(vecs.sparkSession)
     def sign(j: Int, i: Int): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$j:$i".getBytes("UTF-8"))
@@ -2023,15 +2023,19 @@ object Engine {
       .otherwise(raise_error(concat(
         lit(s"signProjection expects $dims-dim vectors, got "),
         size(col(vec)).cast(StringType))))
-    val ys = (1 to outDims).map { i =>
-      val signs = typedLit((1 to dims).map(j => sign(j, i)))
-      aggregate(
-        zip_with(guarded, signs,
-          (x, r) => (x.cast(DoubleType) * r).cast(dec)),
-        lit(0).cast(dec),
-        (acc, t) => acc + t).cast(DoubleType).as(s"y$i")
-    }
-    vecs.select((id.as("vec_id") +: ys): _*)
+    // All outDims dot products in ONE fused codegen loop
+    // ([[graft.plans.SignProject]]) — decimal-summation-exact long
+    // fixed-point; the HOF predecessor (zip_with + decimal aggregate
+    // per output dim) allocated dims × outDims BigDecimals per row.
+    // Two projects so the expression evaluates once and the y-columns
+    // are plain element_at reads, whatever CSE decides.
+    val matrix =
+      typedLit((1 to outDims).map(i => (1 to dims).map(j => sign(j, i))))
+    vecs.select(id.as("vec_id"),
+        call_function(graft.plans.SignProject.name, guarded, matrix)
+          .as("__ys"))
+      .select(col("vec_id") +:
+        (1 to outDims).map(i => element_at(col("__ys"), i).as(s"y$i")): _*)
   }
 
   /** Per-document gram→hash-bucket stream shared by [[dsirWeights]]:

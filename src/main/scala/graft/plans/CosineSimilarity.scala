@@ -123,5 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqBlockDists].getCanonicalName,
         PqBlockDists.name),
       PqBlockDists.builder))
+    ext.injectFunction((FunctionIdentifier(SignProject.name),
+      new ExpressionInfo(classOf[SignProject].getCanonicalName,
+        SignProject.name),
+      SignProject.builder))
   }
 }

@@ -207,4 +207,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(graft.plans.PqBlockDists.round6(4.999e-7) == 0L)
     assert(graft.plans.PqBlockDists.round6(0.0) == 0L)
   }
+
+  test("sign_project is bit-identical to the per-dim decimal HOF form") {
+    graft.plans.SignProject.register(spark)
+    // Rebuild Engine.signProjection's HOF predecessor (one decimal
+    // aggregate per output dim over the SAME md5 sign matrix) and
+    // demand bitwise equality of every y over the real corpus —
+    // including the ±round(x) symmetry the fixed-point path relies on
+    // for negative inputs.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val (outDims, dims) = (8, 64)
+    def sign(j: Int, i: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1; case 1 => -1; case _ => 0
+      }
+    }
+    val matrix =
+      typedLit((1 to outDims).map(i => (1 to dims).map(j => sign(j, i))))
+    def hofY(i: Int) = aggregate(
+      zip_with(col("embedding"),
+        typedLit((1 to dims).map(j => sign(j, i))),
+        (x, r) => (x.cast(org.apache.spark.sql.types.DoubleType) * r)
+          .cast(dec)),
+      lit(0).cast(dec),
+      (acc, t) => acc + t).cast(org.apache.spark.sql.types.DoubleType)
+    val diffs = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(
+        call_function("sign_project", col("embedding"), matrix).as("fast"),
+        array((1 to outDims).map(hofY): _*).as("hof"))
+      .filter(col("fast") =!= col("hof")) // bitwise
+      .count()
+    assert(diffs == 0)
+  }
 }
