@@ -996,40 +996,50 @@ object LlmPipeline {
     // the scalar total rides a broadcast 1-row cross join — no driver
     // collect, no unpartitioned window.
     Q("q95d_lm_score",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        |  FROM documents),
-        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
-        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  round(- CAST(sum(CAST(CAST(tf AS DOUBLE) *
-        |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-        |      AS DECIMAL(38,6))) AS DOUBLE)
-        |    / CAST(sum(tf) AS DOUBLE), 6) AS avg_neg_logp
-        |FROM tf JOIN vocab USING (t) CROSS JOIN tot
-        |GROUP BY doc_id
+      s"""WITH $lmScoreCtes
+        |SELECT doc_id, n_tokens, avg_neg_logp FROM sc
         |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST,
         |  avg_neg_logp NULLS FIRST""".stripMargin) { (s, dir) =>
-      val tok = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
-      val tot = vocab.agg(sum(col("cnt")).as("total"))
-      val term = col("tf").cast(DoubleType) *
-        log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
-      // no broadcast hint on vocab: natural-language vocabularies are
-      // sublinear in corpus size but NOT bounded by the data model
-      // (adversarial corpora mint unique tokens), so the 8 GB
-      // broadcast-build ceiling applies — AQE broadcasts at runtime iff
-      // the measured size permits (the q29 discipline). The 1-row total
-      // is always broadcast.
-      orderAll(tf.join(vocab, Seq("t"))
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_tokens"),
-          round(-(sum(term.cast(org.apache.spark.sql.types
-              .DecimalType(38, 6))).cast(DoubleType)) /
-            sum(col("tf")).cast(DoubleType), 6).as("avg_neg_logp")))
+      orderAll(lmScores(s, dir))
+    },
+
+    // Q95g (beyond-survey) — CCNet-style QUALITY TIERS: bucket every
+    // document into head/middle/tail by the corpus-wide tertiles of
+    // its q95d unigram-LM score (Wenzek et al. 2020 §4.3 — the split
+    // that decides what trains, what gets sampled, what gets dropped).
+    // Thresholds are the EXACT percentile aggregate rounded at 6 dp
+    // (the q38 parity discipline: interpolation-ulp differences across
+    // engines are absorbed by the round, and scores are themselves
+    // 6-dp-rounded); the cuts broadcast as one row and the tier is a
+    // per-row comparison. Scale note: exact global percentile gathers
+    // the score multiset into one aggregation buffer — at production
+    // scale swap `approx_percentile(…, accuracy)` in the SAME plan
+    // position (the cut precision question is then statistical, not
+    // distributional; everything else is unchanged).
+    Q("q95g_quality_tiers",
+      s"""WITH $lmScoreCtes,
+        |c AS (SELECT
+        |    round(quantile_cont(avg_neg_logp, 0.3333333333333333), 6)
+        |      AS c1,
+        |    round(quantile_cont(avg_neg_logp, 0.6666666666666666), 6)
+        |      AS c2 FROM sc)
+        |SELECT doc_id, avg_neg_logp,
+        |  CASE WHEN avg_neg_logp <= c1 THEN 'head'
+        |    WHEN avg_neg_logp <= c2 THEN 'middle'
+        |    ELSE 'tail' END AS tier
+        |FROM sc CROSS JOIN c
+        |ORDER BY doc_id NULLS FIRST, avg_neg_logp NULLS FIRST,
+        |  tier NULLS FIRST""".stripMargin) { (s, dir) =>
+      val sc = lmScores(s, dir)
+      val cuts = sc.agg(expr("percentile(avg_neg_logp, " +
+          "array(0.3333333333333333D, 0.6666666666666666D))").as("qs"))
+        .select(round(element_at(col("qs"), 1), 6).as("c1"),
+          round(element_at(col("qs"), 2), 6).as("c2"))
+      orderAll(sc.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("avg_neg_logp"),
+          when(col("avg_neg_logp") <= col("c1"), "head")
+            .when(col("avg_neg_logp") <= col("c2"), "middle")
+            .otherwise("tail").as("tier")))
     },
 
     // Q91d (beyond-survey) — FUZZY (edit-distance-1) join via DELETION
@@ -1864,6 +1874,48 @@ object LlmPipeline {
        |    coalesce(rclu.cid, rep.rep_id) AS cluster_id
        |  FROM shx d JOIN rep ON d.sh = rep.sh
        |  LEFT JOIN rclu ON rep.rep_id = rclu.rep_id)""".stripMargin
+
+  /** Per-document unigram-LM scores shared by q95d (the report) and
+    * q95g (the tier split): (doc_id, n_tokens, avg_neg_logp). No
+    * broadcast hint on vocab: natural-language vocabularies are
+    * sublinear in corpus size but NOT bounded by the data model
+    * (adversarial corpora mint unique tokens), so the 8 GB
+    * broadcast-build ceiling applies — AQE broadcasts at runtime iff
+    * the measured size permits (the q29 discipline). The 1-row total
+    * is always broadcast. */
+  private def lmScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("total"))
+    val term = col("tf").cast(DoubleType) *
+      log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
+    tf.join(vocab, Seq("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-(sum(term.cast(org.apache.spark.sql.types
+            .DecimalType(38, 6))).cast(DoubleType)) /
+          sum(col("tf")).cast(DoubleType), 6).as("avg_neg_logp"))
+  }
+
+  /** DuckDB rendering of [[lmScores]], ending in
+    * `sc(doc_id, n_tokens, avg_neg_logp)`. */
+  private def lmScoreCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+      |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  round(- CAST(sum(CAST(CAST(tf AS DOUBLE) *
+      |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      AS DECIMAL(38,6))) AS DOUBLE)
+      |    / CAST(sum(tf) AS DOUBLE), 6) AS avg_neg_logp
+      |FROM tf JOIN vocab USING (t) CROSS JOIN tot
+      |GROUP BY doc_id)""".stripMargin
 
   /** The Gopher hard-threshold metric set over a `text` column (Rae et
     * al. 2021 §A1.1), shared by q95f (per-doc report) and the q100b

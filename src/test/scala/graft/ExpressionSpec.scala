@@ -208,6 +208,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(graft.plans.PqBlockDists.round6(0.0) == 0L)
   }
 
+  test("pq_block_dists: float vector x double codebook (the kmeansRefine seam)") {
+    // Production feeds kmeansRefine output as the codebook — ARRAY<DOUBLE>
+    // against the corpus's ARRAY<FLOAT>. The expression must take the
+    // double getter on that side and still match the decimal HOF chain.
+    graft.plans.PqBlockDists.register(spark)
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val v = Seq((1L, Array(1.5f, -2.25f, 0.5f, 3f))).toDF("id", "x")
+    val c = Seq((1L, Array(0.25, 1.0, -0.5, 2.125))).toDF("id", "c")
+    def hofBlock(b: Int) = aggregate(
+      zip_with(
+        slice(col("x"), lit(b * 2 + 1), lit(2)),
+        slice(col("c"), lit(b * 2 + 1), lit(2)),
+        (x, y) => {
+          val d = x.cast(org.apache.spark.sql.types.DoubleType) -
+            y.cast(org.apache.spark.sql.types.DoubleType)
+          (d * d).cast(dec)
+        }),
+      lit(0).cast(dec),
+      (acc, t) => acc + t).cast(org.apache.spark.sql.types.DoubleType)
+    val row = v.join(c, "id")
+      .select(expr("pq_block_dists(x, c, 2)").as("fast"),
+        array(hofBlock(0), hofBlock(1)).as("hof"))
+      .head()
+    assert(row.getSeq[Double](0) == row.getSeq[Double](1))
+  }
+
   test("sign_project is bit-identical to the per-dim decimal HOF form") {
     graft.plans.SignProject.register(spark)
     // Rebuild Engine.signProjection's HOF predecessor (one decimal

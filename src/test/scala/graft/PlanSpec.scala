@@ -455,7 +455,9 @@ class PlanSpec extends AnyFunSuite {
       "q93l_dsir_weights", "q93m_dsir_resample",
       "q92k_cluster_cap", // 8-centroid assignment cross, the q99b class
       // 1-row √-sum scalar, the q09d class (q100b composes the mix)
-      "q09f_token_budget_mix", "q100b_export_pipeline")
+      "q09f_token_budget_mix", "q100b_export_pipeline",
+      // 1-row token-total + 1-row tertile-cuts scalar broadcasts
+      "q95g_quality_tiers")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
