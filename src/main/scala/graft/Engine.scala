@@ -42,7 +42,7 @@ object Engine {
     * build the identical intermediate would otherwise both call
     * `.persist` and the second fills the log with `CacheManager: Asked
     * to cache already cached data` warnings. */
-  private implicit class PersistOnceOps(private val df: DataFrame) {
+  private[graft] implicit class PersistOnceOps(private val df: DataFrame) {
     def persistOnce(): DataFrame =
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1030,7 +1030,11 @@ object LlmPipeline {
         |FROM sc CROSS JOIN c
         |ORDER BY doc_id NULLS FIRST, avg_neg_logp NULLS FIRST,
         |  tier NULLS FIRST""".stripMargin) { (s, dir) =>
-      val sc = lmScores(s, dir)
+      // persisted: both the tertile aggregate and the per-doc tier read
+      // this frame — without the pin the whole token-count subtree
+      // (corpus scan + three aggregates) executes twice
+      import graft.Engine.PersistOnceOps
+      val sc = lmScores(s, dir).persistOnce()
       val cuts = sc.agg(expr("percentile(avg_neg_logp, " +
           "array(0.3333333333333333D, 0.6666666666666666D))").as("qs"))
         .select(round(element_at(col("qs"), 1), 6).as("c1"),
