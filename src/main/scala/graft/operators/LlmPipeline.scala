@@ -1778,12 +1778,17 @@ object LlmPipeline {
       // runs once per row (a groupBy+self-join re-derives the hash on
       // both sides and shuffles twice; measured 9.9 s → this form at
       // the 10× fixture)
+      // persisted: tokenBudgetMix reads the survivors twice (stratum
+      // rate aggregate + the keep join) — without the pin the gate +
+      // normalize + dedup-window subtree executes twice
+      import graft.Engine.PersistOnceOps
       val kept = gated
         .withColumn("__h", md5(graft.Engine.normalizeText(col("text"))))
         .withColumn("__keep",
           min(col("doc_id")).over(Window.partitionBy(col("__h"))))
         .filter(col("doc_id") === col("__keep"))
         .drop("__h", "__keep")
+        .persistOnce()
       val mixed = graft.Engine.tokenBudgetMix(kept, col("doc_id"),
         "lang", col("n_chars"), budget = 20000.0)
       orderAll(graft.Engine.exportManifest(mixed, col("doc_id"),
