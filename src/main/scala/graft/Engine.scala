@@ -113,9 +113,18 @@ object Engine {
         posexplode(positionalNgrams(col("__w"), n)).as(Seq("__p", "__g")))
       .select(col("__id"), (col("__p") + 1).cast("int").as("__i"),
         col("__g"))
-    val dup = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select(col("__g"))
-    val pos = grams.join(dup, Seq("__g"), "left_semi")
+    // duplicated-gram detection as ONE unbounded count window over the
+    // gram — the n-gram string (the n-word payload, the heavy column)
+    // rides a single exchange. The groupBy+semi-join predecessor
+    // shipped it three times (count shuffle + both join sides) and
+    // recomputed the explode for the join probe; measured 11.1 → see
+    // ledger at the 10× fixture. Skew note: a pathologically hot gram
+    // concentrates its occurrences in one partition either way (the
+    // semi-join had the same property on its probe side); the window
+    // adds a sort but no per-key state.
+    val pos = grams
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__c") > 1)
       .select(col("__id"), col("__i"))
     val wdoc = Window.partitionBy(col("__id")).orderBy(col("__i"))
     val run = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
