@@ -396,6 +396,28 @@ object AlgebraProps extends Properties("algebra") {
         n1.matches("|[a-z0-9]+( [a-z0-9]+)*")
     }
 
+  property("round6 == the exact decimal half-up rule, ties included") =
+    // Pure-JVM kernel, so each of the 10 scalacheck cases sweeps a
+    // 2 000-value batch: uniform magnitudes across the working range
+    // plus values engineered AT and NEAR the k·1e-6 + 5e-7 rounding
+    // tie with ±ulp jitter — the region where the fast path must defer
+    // to BigDecimal or silently drift one fixed-point unit.
+    forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      def exact(d: Double) = java.math.BigDecimal.valueOf(d)
+        .movePointRight(6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      (0 until 1000).forall { _ =>
+        val d = rnd.nextDouble() * 1.0e7
+        graft.plans.PqBlockDists.round6(d) == exact(d)
+      } && (0 until 1000).forall { _ =>
+        val base = rnd.nextLong(1_000_000_000L) * 1e-6 + 5e-7
+        val j = rnd.nextInt(7) - 3
+        val d = if (j == 0) base else base + j * Math.ulp(base)
+        graft.plans.PqBlockDists.round6(d) == exact(d)
+      }
+    }
+
   property("dupSpans == brute-force duplicated-gram island merge") =
     forAll(
       Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
