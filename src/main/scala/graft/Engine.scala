@@ -1807,6 +1807,35 @@ object Engine {
     * one file per partition value. Content is untouched — the companion
     * query's oracle proves the round-trip, SourcesSpec proves the file
     * counts. */
+  /** RETENTION VACUUM over a partitioned layout: delete every
+    * `partitionCol=value` directory whose value sorts strictly below
+    * `cutoff` (lexicographic — exact for the ISO-date/zero-padded slot
+    * values partitioned layouts use). Returns the kept partition
+    * values, sorted. The third layout-maintenance primitive next to
+    * [[compact]] and [[zOrderKey]]: retention is how a 100 TB store
+    * stays 100 TB — and a compliance requirement, not an optimization.
+    *
+    * Hadoop FileSystem API, not java.io — the identical call runs
+    * against HDFS/S3A on a cluster. Deletion is per-partition-DIRECTORY
+    * (the recursive delete of one slot), so a concurrent reader sees
+    * each partition wholly present or wholly gone — partition-granular
+    * atomicity, the retention-job contract; never file-by-file inside
+    * a live partition. Driver-side listing is O(|partitions|), which a
+    * partitioned layout bounds by design (slots, not rows). */
+  def vacuumPartitions(spark: org.apache.spark.sql.SparkSession,
+      path: String, partitionCol: String, cutoff: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    val parts = fs.listStatus(root)
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+    val (drop, keep) =
+      parts.partition(_.getName.stripPrefix(prefix) < cutoff)
+    drop.foreach(d => fs.delete(d, true))
+    keep.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "compact targets a partitioned layout")

@@ -336,6 +336,34 @@ object Sources {
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
     },
 
+    // Q05d (beyond-survey) — RETENTION VACUUM, the third
+    // layout-maintenance primitive (compaction q05b, z-order q05c):
+    // stage events partitioned by slot date, delete every partition
+    // strictly before the 2024-01-15 cutoff
+    // ([[graft.Engine.vacuumPartitions]] — Hadoop FS, per-partition-
+    // directory deletion so readers see each slot wholly present or
+    // wholly gone), and prove via read-back that exactly the retained
+    // slots survive with their full contents. Retention is how a
+    // 100 TB store stays 100 TB; the oracle is the retained-range
+    // aggregate over the source table.
+    Q("q05d_retention_vacuum",
+      s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS slot_date,
+         |  count(*) AS n, ${sumDecSql("value")} AS sum_value
+         |FROM events
+         |WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         |GROUP BY 1
+         |ORDER BY slot_date NULLS FIRST, n NULLS FIRST,
+         |  sum_value NULLS FIRST""".stripMargin) { (s, dir) =>
+      val raw = IO.scratch("q05d_raw", dir)
+      Tables.t(s, dir, "events")
+        .withColumn("slot_date", to_date(col("ts")).cast("string"))
+        .write.mode("overwrite").partitionBy("slot_date").parquet(raw)
+      graft.Engine.vacuumPartitions(s, raw, "slot_date", "2024-01-15")
+      orderAll(s.read.parquet(raw)
+        .groupBy(col("slot_date").cast("string").as("slot_date"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value")))
+    },
+
     // Q09c (beyond-survey) — WEIGHTED sampling without replacement
     // (Efraimidis–Spirakis A-ES): keep the k rows minimizing
     // -ln(u)/w, where u is a (0,1) uniform DERIVED FROM THE ROW's md5

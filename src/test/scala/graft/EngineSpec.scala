@@ -856,6 +856,25 @@ class EngineSpec extends AnyFunSuite {
     assert(cap(e.repartition(7)).toSet == got.toSet)
   }
 
+  test("vacuumPartitions: drops exactly the pre-cutoff slots, keeps the rest intact") {
+    import spark.implicits._
+    val dir = graft.sources.IO.scratch("enginespec-vacuum", TestSpark.sfDir)
+    Seq(("2024-01-10", 1L), ("2024-01-14", 2L), ("2024-01-15", 3L),
+      ("2024-01-20", 4L))
+      .toDF("slot", "v")
+      .write.mode("overwrite").partitionBy("slot").parquet(dir)
+    val kept = Engine.vacuumPartitions(spark, dir, "slot", "2024-01-15")
+    // strict < cutoff dropped; the cutoff slot itself survives
+    assert(kept == Seq("2024-01-15", "2024-01-20"))
+    // the surviving partitions are untouched, contents included
+    val rows = spark.read.parquet(dir)
+      .select(col("slot").cast("string"), col("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(rows == Set("2024-01-15" -> 3L, "2024-01-20" -> 4L))
+    // idempotent: a second vacuum with the same cutoff is a no-op
+    assert(Engine.vacuumPartitions(spark, dir, "slot", "2024-01-15") == kept)
+  }
+
   test("normalizeText: case/punct/whitespace variants collapse to one canonical form") {
     import spark.implicits._
     val forms = Seq("The  cat RUNS!", "the cat runs", "  the,cat ; runs.")

@@ -416,7 +416,8 @@ class PlanSpec extends AnyFunSuite {
       "q01b_schema_evolution", "q02_csv_scan", "q03_json_scan",
       "q03b_corrupt_json", "q03c_xml_roundtrip", "q04_binary_scan",
       "q05_partitioned_sink", "q05b_compacted_roundtrip",
-      "q05c_zorder_layout", "q06_stream_sink", "q08_orc_roundtrip",
+      "q05c_zorder_layout", "q05d_retention_vacuum",
+      "q06_stream_sink", "q08_orc_roundtrip",
       "q70_tumbling", "q71_sliding", "q72_session", "q73_watermark",
       "q74_dedup", "q75_stateful_cursor", "q75b_transform_with_state",
       "q76_stream_static_join", "q76b_stream_anti_join",
