@@ -102,6 +102,10 @@ final case class ThumbFeatures(doc_id: Long, w: Int, h: Int,
 final case class FrameSample(doc_id: Long, frame_idx: Int,
     frame_mean: Double)
 
+/** Audio decimation output: source length + kept-sample statistics. */
+final case class AudioSample(doc_id: Long, n_samples: Int, kept: Int,
+    pcm_sum: Long, pcm_mean: Double)
+
 /** Geo-raster decoder output: raster statistics plus the georeferencing
   * carried in the blob's own GeoTIFF tags — the typed-metadata struct for
   * the raster modality (`utils/conversion.py:9-19`'s GeoTIFF write).
@@ -453,6 +457,59 @@ object Multimodal {
         AviDecoder.frameMeans(b, stride).map { case (idx, mean) =>
           FrameSample(b.doc_id, idx, mean)
         }
+      }
+    }
+  }
+
+  /** A GRADIENT WAVE fixture (sample k = (docId + 7k) mod 251,
+    * n = docId%29+4 samples at 8 kHz unsigned 8-bit mono) —
+    * position-sensitive content, so a decimation that keeps the wrong
+    * sample indices produces the wrong statistics (the [[gradPngFor]]
+    * argument applied to audio: [[wavFor]]'s constant signal cannot
+    * catch a stride bug). */
+  def gradWavFor(docId: Long): Array[Byte] = {
+    val n = (docId % 29 + 4).toInt
+    val data = Array.tabulate(n)(k => ((docId + 7 * k) % 251).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio DECIMATION through the real codec: decode each WAVE blob via
+    * an actual javax.sound parse, keep every `factor`-th PCM sample
+    * (the naive-but-honest downsample every audio ingestion pipeline
+    * starts from — production swaps in a windowed-sinc kernel at the
+    * same seam), and report source length + kept-sample statistics.
+    * Completes the per-modality sampling trio: image [[thumbnails]],
+    * video [[sampleFrames]], audio here — same mapPartitions decode
+    * stream, no collect, pipelines inside the blob scan at any scale. */
+  def decimateAudio(blobs: Dataset[MediaBlob], factor: Int)(
+      implicit s: SparkSession): Dataset[AudioSample] = {
+    require(factor >= 1)
+    import s.implicits._
+    spread(blobs).mapPartitions { it =>
+      it.map { b =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b.content))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"unexpected WAVE layout for doc ${b.doc_id}: $fmt")
+        val pcm = ais.readAllBytes()
+        var sum = 0L
+        var kept = 0
+        var i = 0
+        while (i < pcm.length) {
+          sum += pcm(i) & 0xff
+          kept += 1
+          i += factor
+        }
+        AudioSample(b.doc_id, pcm.length, kept, sum,
+          sum.toDouble / kept)
       }
     }
   }
@@ -928,6 +985,36 @@ object Multimodal {
     // ingestion (pipelines keyframe, they don't ingest every frame).
     // Fixture frames are constant (doc_id + f) mod 251, so the oracle
     // predicts each sampled frame's mean exactly.
+    // Q94l (beyond-survey) — audio DECIMATION through the real codec:
+    // gradient WAVE fixtures (sample k = (doc_id + 7k) mod 251 — a
+    // wrong stride index fails the hash), every 2nd PCM sample kept.
+    // Completes the per-modality sampling trio (image thumbnail q94j,
+    // video frame-sample q94k, audio here); pcm_mean divides the exact
+    // integer sum by the kept count — the identical double division in
+    // both engines.
+    Q("q94l_audio_decimate",
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INT) AS n
+        |  FROM documents),
+        |x AS (SELECT doc_id, n, (doc_id + 7 * k) % 251 AS v
+        |  FROM t CROSS JOIN unnest(
+        |    generate_series(0, CAST(n - 1 AS BIGINT))) AS u(k)
+        |  WHERE k % 2 = 0)
+        |SELECT doc_id, n AS n_samples, CAST(count(*) AS INT) AS kept,
+        |  CAST(sum(v) AS BIGINT) AS pcm_sum,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS pcm_mean
+        |FROM x GROUP BY doc_id, n
+        |ORDER BY doc_id NULLS FIRST, n_samples NULLS FIRST,
+        |  kept NULLS FIRST, pcm_sum NULLS FIRST,
+        |  pcm_mean NULLS FIRST""".stripMargin) { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val blobs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang")).as[(Long, String)]
+        .map { case (id, lang) =>
+          MediaBlob(id, "audio", lang, gradWavFor(id)) }
+      orderAll(decimateAudio(blobs, factor = 2).toDF())
+    },
+
     Q("q94k_frame_sample",
       """SELECT doc_id, CAST(f AS INT) AS frame_idx,
         |  CAST((doc_id + f) % 251 AS DOUBLE) AS frame_mean

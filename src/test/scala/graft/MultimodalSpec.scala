@@ -212,6 +212,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decimateAudio: keeps exactly the stride-indexed samples of the decoded PCM") {
+    implicit val s = spark
+    import s.implicits._
+    // doc 40: 15 gradient samples (40 + 7k) mod 251; stride 2 keeps
+    // k = 0,2,…,14 — eight samples whose expected sum comes from the
+    // same index map the kernel owes us. A transposed/off-by-one
+    // stride produces a different sum because the signal is a gradient.
+    val bytes = Multimodal.gradWavFor(40L)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val want = (0 until 15 by 2).map(k => (40L + 7 * k) % 251).sum
+    val got = Multimodal.decimateAudio(
+      Seq(MediaBlob(40L, "audio", "en", bytes)).toDS(), factor = 2)
+      .collect().toSeq
+    assert(got == Seq(graft.operators.AudioSample(
+      40L, 15, 8, want, want.toDouble / 8)))
+    // factor=1 degenerates to the full decode
+    val full = Multimodal.decimateAudio(
+      Seq(MediaBlob(40L, "audio", "en", bytes)).toDS(), factor = 1)
+      .collect().head
+    assert(full.kept == 15 &&
+      full.pcm_sum == (0 until 15).map(k => (40L + 7 * k) % 251).sum)
+  }
+
   test("sampleFrames: every stride-th frame, exact per-frame means") {
     implicit val s = spark
     import s.implicits._
