@@ -204,12 +204,29 @@ object Bench {
         Thread.sleep(10)
     }
     val triggers = new java.util.concurrent.atomic.AtomicLong()
+    // SPARK_GRAFT_STREAM_PROFILE=1: per-trigger cost DECOMPOSITION to
+    // stderr — durationMs (addBatch / queryPlanning / walCommit /
+    // commitOffsets…) plus each state operator's commit time and row
+    // counts. This is how a per-trigger outlier (q75b's 3.2 s on the
+    // 10× fixture) is attributed to state-store commit vs planning vs
+    // data instead of guessed at.
+    val streamProfile = sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit =
-        triggers.incrementAndGet(): Unit
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        triggers.incrementAndGet()
+        if (streamProfile) {
+          val p = e.progress
+          val st = p.stateOperators.map(o =>
+            s"${o.operatorName}{commitMs=${o.commitTimeMs}," +
+              s"rowsTotal=${o.numRowsTotal},updated=${o.numRowsUpdated}}")
+            .mkString(" ")
+          System.err.println(s"[stream] batch=${p.batchId} " +
+            s"durationMs=${p.durationMs} $st")
+        }
+      }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })

@@ -384,25 +384,49 @@ object Engine {
         col("__nb") * 100 >= col("__na") * thresholdPct &&
         col("__na") * 100 >= col("__nb") * thresholdPct &&
         least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1 >= alpha)
+    // VERIFY-STAGE POLICY: reduce the candidate stream to a NARROW pair
+    // list first (a candidate recurs once per shared prefix n-gram, and
+    // on a saturated vocabulary that duplication factor alone multiplies
+    // verify work) — and make the reduction do double duty: the same
+    // per-pair aggregate that dedups also computes the EXACT PPJoin
+    // suffix bound. Per pair, the surviving join rows are a PREFIX of
+    // the pair's shared-token sequence (both prefixes rank in the ONE
+    // global (df, gram) order, so shared tokens appear in the same
+    // relative order on both sides and the per-row first-token filter
+    // above is monotone along that sequence); with __o shared tokens
+    // seen and the last at (max __ra, max __rb), every further shared
+    // token lies beyond BOTH, so
+    //   overlap ≤ __o + min(__na − max(__ra), __nb − max(__rb))
+    // — Xiao et al.'s PPJoin suffix bound, strictly tighter than the
+    // first-token bound whenever a pair shares several prefix grams but
+    // little else (the gram-saturated regime: hot boilerplate grams
+    // recur across unrelated docs, and this bound is what prunes them
+    // before the array-attach verify). Exact — a true pair has
+    // overlap ≥ α, and the bound never under-estimates — so recall
+    // stays 1.0 and the output is hash-identical; EngineSpec pins the
+    // equivalence against the unfiltered verify.
+    val pruned = cands
+      .groupBy(col("ida"), col("idb"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__o"),
+        max(col("__ra")).as("__ram"), max(col("__rb")).as("__rbm"))
+      .filter(col("__o") + least(col("__na") - col("__ram"),
+        col("__nb") - col("__rbm")) >= alpha)
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"))
-    // VERIFY-STAGE POLICY: dedup the NARROW pair list first (two longs a
-    // row — a candidate recurs once per shared prefix n-gram, and on a
-    // saturated vocabulary that duplication factor alone multiplies
-    // verify work), then attach the n-gram arrays by the size-gated
-    // strategy of [[verifyBroadcastMaxDocs]]: a bounded corpus
-    // BROADCASTS its array table, so distinct pairs stream through two
-    // in-memory hash joins and the arrays never ride an exchange; past
-    // the gate, sort-merge — the only shape when the corpus outgrows a
-    // broadcast. The 10× scale fixture is the motivating regime: its
-    // ~31-word vocabulary saturates the trigram space, prefix
-    // selectivity collapses (10.9M candidates for 256 true pairs), and
-    // the old SMJ attach shipped every pair's arrays through two
-    // shuffles — measured 39–58 s solo at sf1 vs ~14 s streamed.
+    // Then attach the n-gram arrays by the size-gated strategy of
+    // [[verifyBroadcastMaxDocs]]: a bounded corpus BROADCASTS its array
+    // table, so distinct pairs stream through two in-memory hash joins
+    // and the arrays never ride an exchange; past the gate, sort-merge —
+    // the only shape when the corpus outgrows a broadcast. The 10× scale
+    // fixture is the motivating regime: its ~31-word vocabulary
+    // saturates the trigram space, prefix selectivity collapses (10.9M
+    // candidates for 256 true pairs), and the old SMJ attach shipped
+    // every pair's arrays through two shuffles — measured 39–58 s solo
+    // at sf1 vs ~14 s streamed.
     val nDocs = docs.count() // docs is persisted; also warms the verify side
     val sa = docs.select(col("__id").as("doc_a"), col("__sv").as("__sa"))
     val sb = docs.select(col("__id").as("doc_b"), col("__sv").as("__sb"))
-    val distinctPairs = cands.dropDuplicates("doc_a", "doc_b")
+    val distinctPairs = pruned
     val verified =
       if (nDocs <= verifyBroadcastMaxDocs)
         distinctPairs.join(broadcast(sa), Seq("doc_a"))
@@ -685,22 +709,33 @@ object Engine {
         col("__rn").as("__ra"), col("__na"))
     val allB = rankOf(tokOf(db)).select(col("__t"),
       col("__id").as("doc_b"), col("__rn").as("__rb"), col("__n").as("__nb"))
-    val cands = prefA.join(allB, Seq("__t"))
-      .filter(col("doc_a") =!= col("doc_b") &&
-        col("__nb") * 100 >= col("__na") * thresholdPct &&
-        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
-          >= ceilTna)
-      .select("doc_a", "doc_b", "__na")
-    // Same verify policy as [[jaccardJoin]]: ALWAYS dedup the narrow
+    // Same verify policy as [[jaccardJoin]]: ALWAYS reduce to the narrow
     // pair list first — containment's candidate duplication factor is
     // the worst of the family (the container side has no size-relative
     // prefix bound, so a pair recurs once per shared gram and the
     // saturated-vocabulary fixture measured ~20× duplication; streaming
     // raw candidates through the merge kernel cost 2× the OLD shape) —
-    // then attach arrays by the [[verifyBroadcastMaxDocs]] size gate.
+    // and the reducing aggregate carries the EXACT PPJoin suffix bound
+    // (the jaccardJoin argument: a pair's surviving rows are a prefix of
+    // its shared-gram sequence in the one global (container-df, gram)
+    // order, so inter ≤ __o + min(__na − max __ra, __nb − max __rb)),
+    // here against containment's required overlap ⌈t·n_a⌉. Exact; the
+    // array attach then follows the [[verifyBroadcastMaxDocs]] size
+    // gate.
+    val cands = prefA.join(allB, Seq("__t"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("__nb") * 100 >= col("__na") * thresholdPct &&
+        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
+          >= ceilTna)
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__o"),
+        max(col("__ra")).as("__ram"), max(col("__rb")).as("__rbm"))
+      .filter(col("__o") + least(col("__na") - col("__ram"),
+        col("__nb") - col("__rbm")) >= ceilTna)
+      .select("doc_a", "doc_b", "__na")
     val sb2 = db.select(col("__id").as("doc_b"), col("__sv").as("__sb"))
     val sa2 = da.select(col("__id").as("doc_a"), col("__sv").as("__sa"))
-    val distinctPairs = cands.dropDuplicates("doc_a", "doc_b")
+    val distinctPairs = cands
     val verified =
       if (da.count() + db.count() <= verifyBroadcastMaxDocs)
         distinctPairs.join(broadcast(sb2), Seq("doc_b"))
@@ -793,13 +828,24 @@ object Engine {
     // bounded ⇒ distinct pairs stream through broadcast attach joins;
     // unbounded ⇒ plain sort-merge, AQE free to degrade.
     def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
+    // Pair reduction = dedup + the EXACT PPJoin suffix bound in ONE
+    // aggregate (see jaccardJoin for the prefix-of-shared-sequence
+    // argument): overlap ≤ __o + min(__na − max __ra, __nb − max __rb),
+    // strictly tighter than the per-row first-token bound on
+    // gram-saturated corpora — the q90d regime, where hot boilerplate
+    // grams put the same pair in front of the verify via many shared
+    // prefix grams. Exact: recall 1.0, output hash-identical.
     val cands = bounded(a).join(b, Seq("__t"))
       .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&
         col("__na") * 100 >= col("__nb") * thresholdPct &&
         least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
           >= alpha)
+      .groupBy(col("left_id"), col("right_id"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__o"),
+        max(col("__ra")).as("__ram"), max(col("__rb")).as("__rbm"))
+      .filter(col("__o") + least(col("__na") - col("__ram"),
+        col("__nb") - col("__rbm")) >= alpha)
       .select("left_id", "right_id")
-      .dropDuplicates("left_id", "right_id") // dedup before the wide verify
     val sl = dl.select(col("__id").as("left_id"), col("__sv").as("__sa"))
     val sr = dr.select(col("__id").as("right_id"), col("__sv").as("__sb"))
     val verified =
@@ -1148,6 +1194,88 @@ object Engine {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
+  /** HYPERPLANE multi-table OR-LSH top-k — [[lshTopK]]'s growth axis
+    * past the dimension cap. The coordinate-pair codes of [[lshTopK]]
+    * spend 2 embedding dims per bit and give each table a DISJOINT
+    * coordinate range, so a 64-dim embedding caps out at 4 tables × 8
+    * bits — and RecallProbe measured that cap as recall decaying to
+    * ~0.55 by 20k vectors (buckets grow, the probed fraction with
+    * them). Here each bit is the sign of the vector's dot product with
+    * a pseudo-random sparse ±1/0 hyperplane (the [[signProjection]]
+    * md5 matrix rule — deterministic, no RNG state, reproducible in
+    * any engine), so EVERY bit sees the whole vector: `bits` sizes
+    * with the corpus via [[annBits]] unbounded by dims, and `tables`
+    * independent hyperplane sets are the recall lever (OR
+    * construction — a neighbor missed by one table's code is caught
+    * by another's; the (tbl, bucket) equi-join IS the union, and
+    * candidates dedup on (query, vec) before the one exact scoring
+    * pass).
+    *
+    * Plan shape: all tables·bits dot products per vector run in ONE
+    * fused [[graft.plans.SignProject]] codegen loop (exact long
+    * fixed-point — the sign comparison is deterministic, never an FP
+    * epsilon); buckets are in-row bit-assembly; the corpus never
+    * all-pairs — per-query work is O(tables · (bits+1) · N/2^bits).
+    * Queries probe their bucket plus every Hamming-1 flip and ride a
+    * broadcast (bounded query set, the q99 contract). */
+  def lshTopKHyper(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String, k: Int,
+      tables: Int = 8, bits: Int = 10, dims: Int = 64): DataFrame = {
+    require(tables >= 1 && bits >= 1 && bits <= 30 && dims >= 1,
+      s"lshTopKHyper(tables=$tables, bits=$bits, dims=$dims)")
+    graft.plans.SignProject.register(corpus.sparkSession)
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    val matrix = typedLit((1 to tables * bits).map(h =>
+      (1 to dims).map(j => signMatrixEntry(j, h))))
+    def guarded(c: Column) = when(size(c) === dims, c)
+      .otherwise(raise_error(concat(
+        lit(s"lshTopKHyper expects $dims-dim vectors, got "),
+        size(c).cast(StringType))))
+    // hyperplane h (1-based) = table (h-1) div bits, bit (h-1) mod bits
+    def tabsOf(df: DataFrame, idName: String, vecName: String) =
+      df.select(col(idName), col(vecName),
+          call_function(graft.plans.SignProject.name,
+            guarded(col(vecName)), matrix).as("__ys"))
+        .select(col(idName), col(vecName), posexplode(
+          array((0 until tables).map { t =>
+            (0 until bits).map(i =>
+              when(element_at(col("__ys"), t * bits + i + 1) > 0,
+                lit(1 << i)).otherwise(lit(0)))
+              .reduce(_ + _) }: _*)).as(Seq("tbl", "bucket")))
+    val e = tabsOf(corpus.select(col(id).as("vec_id"),
+      col(vec).as("embedding")), "vec_id", "embedding")
+    val probeXors = 0 +: (0 until bits).map(1 << _)
+    val probes = tabsOf(queries.select(col(qid).as("query_id"),
+        col(qvec).as("qe")), "query_id", "qe")
+      .withColumn("__xor", explode(array(probeXors.map(lit): _*)))
+      .select(col("query_id"), col("qe"), col("tbl"),
+        col("bucket").bitwiseXOR(col("__xor")).as("bucket"))
+    val cands = e.join(broadcast(probes), Seq("tbl", "bucket"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select(col("query_id"), col("vec_id"),
+      round(expr("cosine_sim(qe, embedding)"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
+  /** The deterministic sparse-sign matrix entry shared by
+    * [[signProjection]] and [[lshTopKHyper]]: ±1 with probability 1/6
+    * each, else 0, keyed on (input dim j, output dim / hyperplane h)
+    * through md5 — Achlioptas's database-friendly JL matrix, no RNG
+    * state, bit-reproducible in any engine with md5 (the DuckDB
+    * oracles replay it in SQL). */
+  private[graft] def signMatrixEntry(j: Int, h: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$h".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    java.lang.Long.parseLong(hex, 16) % 6 match {
+      case 0 => 1; case 1 => -1; case _ => 0
+    }
   }
 
   /** Exact top-k cosine of a bounded query set against a corpus; the
@@ -1830,10 +1958,25 @@ object Engine {
     val parts = fs.listStatus(root)
       .filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith(prefix))
-    val (drop, keep) =
-      parts.partition(_.getName.stripPrefix(prefix) < cutoff)
+    // Compare the partition VALUE, not the directory name: the writer
+    // Hive-escapes special characters (`:` → %3A etc.), and the escaped
+    // form sorts differently — a cutoff comparison on raw names would
+    // silently mis-order any value the writer escaped. A null partition
+    // (__HIVE_DEFAULT_PARTITION__) has no place in a value order at
+    // all: refuse loudly rather than silently retain it forever.
+    def valueOf(name: String): String = {
+      val raw = name.stripPrefix(prefix)
+      require(raw !=
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME,
+        s"vacuumPartitions: null partition '$name' cannot be ordered " +
+          s"against cutoff '$cutoff' — clean it explicitly")
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(raw)
+    }
+    val (drop, keep) = parts.partition(p => valueOf(p.getName) < cutoff)
     drop.foreach(d => fs.delete(d, true))
-    keep.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+    keep.map(p => valueOf(p.getName)).toSeq.sorted
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
@@ -2049,14 +2192,7 @@ object Engine {
       outDims: Int, dims: Int): DataFrame = {
     require(outDims >= 1 && dims >= 1)
     graft.plans.SignProject.register(vecs.sparkSession)
-    def sign(j: Int, i: Int): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$j:$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 4)
-      java.lang.Long.parseLong(hex, 16) % 6 match {
-        case 0 => 1; case 1 => -1; case _ => 0
-      }
-    }
+    def sign(j: Int, i: Int): Int = signMatrixEntry(j, i)
     val guarded = when(size(col(vec)) === dims, col(vec))
       .otherwise(raise_error(concat(
         lit(s"signProjection expects $dims-dim vectors, got "),

@@ -82,6 +82,19 @@ object RecallProbe {
       "lsh_sized" -> recall(Engine.lshTopK(e, "vec_id", "embedding",
         queries, "query_id", "qe", k,
         bits = Engine.annBits(n, targetBucket = 32))),
+      // the hyperplane OR-LSH growth axis: bits sized by the same rule
+      // but UNCAPPED by dims (each bit is a whole-vector hyperplane
+      // sign), tables the recall lever — measured as a curve so the
+      // tables-vs-recall trade is a number, not prose
+      "lsh_hyper_8t" -> recall(Engine.lshTopKHyper(e, "vec_id",
+        "embedding", queries, "query_id", "qe", k, tables = 8,
+        bits = Engine.annBits(n, targetBucket = 32, maxBits = 16))),
+      "lsh_hyper_16t" -> recall(Engine.lshTopKHyper(e, "vec_id",
+        "embedding", queries, "query_id", "qe", k, tables = 16,
+        bits = Engine.annBits(n, targetBucket = 32, maxBits = 16))),
+      "lsh_hyper_32t" -> recall(Engine.lshTopKHyper(e, "vec_id",
+        "embedding", queries, "query_id", "qe", k, tables = 32,
+        bits = Engine.annBits(n, targetBucket = 32, maxBits = 16))),
       "ivf_nprobe1" -> recall(ivf(1)),
       "ivf_nprobe2" -> recall(ivf(2)),
       "ivf_nprobe4" -> recall(ivf(4)),

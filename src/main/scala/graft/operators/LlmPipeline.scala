@@ -1581,6 +1581,30 @@ object LlmPipeline {
         "vec_id", "embedding", blocks = 8, nprobe = 2, k = 3))
     },
 
+    // Q99f (beyond-survey) — HYPERPLANE multi-table OR-LSH
+    // ([[graft.Engine.lshTopKHyper]]): q99's growth axis past the
+    // dimension cap. q99/q99d spend 2 embedding coordinates per code
+    // bit over disjoint per-table ranges, so 64 dims hard-caps the
+    // family at 4 tables × 8 bits — and RecallProbe measured recall
+    // decaying as the corpus outgrows that ceiling (0.74 at 2k
+    // vectors for the sized coordinate path vs 0.90 for this one,
+    // same probe). Here every bit is the sign of a whole-vector dot
+    // product with a deterministic md5-derived ±1/0 hyperplane (the
+    // q92h projection matrix rule), so `bits` follows Engine.annBits
+    // with NO dim bound and `tables` is the recall lever. All
+    // tables·bits projections run in one fused SignProject codegen
+    // loop (exact fixed-point — the sign test is deterministic);
+    // buckets assemble in-row; the oracle replays matrix, sizing
+    // rule, buckets, Hamming-1 probes and ranking from scratch.
+    Q("q99f_hyperplane_ann", hyperAnnOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val bits = graft.Engine.annBits(e.count(), targetBucket = 32,
+        maxBits = 16)
+      orderAll(graft.Engine.lshTopKHyper(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        tables = 8, bits = bits))
+    },
+
     // Q93j (beyond-survey) — BM25 top-k RETRIEVAL: q93h's scorer
     // generalized to a per-query inverted-index search
     // ([[graft.Engine.bm25Search]]) — every query doc (doc_id < 5, the
@@ -2396,6 +2420,57 @@ object LlmPipeline {
        |    round(${Similarity.cosineSql("qe", "embedding")}, 6)
        |      AS cos_sim
        |  FROM cand),
+       |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
+       |  cos_sim NULLS FIRST""".stripMargin
+  }
+
+  /** DuckDB oracle for Q99f: replays the md5 ±1/0 hyperplane matrix
+    * (the q92h sign rule keyed (input dim j : hyperplane h)), the
+    * annBits sizing rule (maxBits 16), per-table bucket assembly
+    * (table (h−1) div bits, bit (h−1) mod bits), Hamming-1 probing and
+    * the cosine ranking — from scratch in SQL. */
+  private def hyperAnnOracleSql: String = {
+    val signCase = "(CASE (CAST('0x' || substr(md5(" +
+      "CAST(j AS VARCHAR) || ':' || CAST(hh.h AS VARCHAR)), 1, 4) " +
+      "AS BIGINT) % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |bb AS (SELECT coalesce((SELECT min(g.b)
+       |    FROM generate_series(1, 16) g(b), nn
+       |    WHERE (CAST(1 AS BIGINT) << g.b) * 32 >= nn.n), 16) AS bits
+       |  FROM nn),
+       |t AS (SELECT vec_id, CAST(embedding[j] AS DOUBLE) AS x, j
+       |  FROM embeddings
+       |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(j)),
+       |ys AS (SELECT t.vec_id, hh.h AS h, bb.bits AS bits,
+       |    CAST(sum(CAST(x * $signCase AS DECIMAL(38,6))) AS DOUBLE) AS y
+       |  FROM t, bb
+       |  CROSS JOIN unnest(generate_series(1, 8 * bb.bits)) AS hh(h)
+       |  GROUP BY t.vec_id, hh.h, bb.bits),
+       |tabs AS (SELECT vec_id, CAST((h - 1) // bits AS INT) AS tbl,
+       |    CAST(sum(CASE WHEN y > 0 THEN
+       |      (CAST(1 AS BIGINT) << CAST((h - 1) % bits AS INT))
+       |      ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM ys GROUP BY vec_id, (h - 1) // bits),
+       |masks AS (SELECT mm.m AS m FROM bb, unnest([0] || list_transform(
+       |    generate_series(0, bb.bits - 1), j -> 1 << j)) AS mm(m)),
+       |probes AS (SELECT q.vec_id AS query_id, q.tbl,
+       |    xor(q.bucket, CAST(ms.m AS BIGINT)) AS bucket
+       |  FROM tabs q, masks ms
+       |  WHERE q.vec_id < 20),
+       |cand AS (SELECT DISTINCT p.query_id, e.vec_id
+       |  FROM probes p JOIN tabs e
+       |    ON p.tbl = e.tbl AND p.bucket = e.bucket),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(${Similarity.cosineSql("qv.embedding", "cv.embedding")}, 6)
+       |      AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings qv ON qv.vec_id = c.query_id
+       |  JOIN embeddings cv ON cv.vec_id = c.vec_id),
        |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |  FROM scored)

@@ -65,6 +65,7 @@ case class PqBlockDists(left: Expression, right: Expression, blocks: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = math.min(xa.numElements(), xb.numElements())
+    PqBlockDists.checkShape(n, blocks)
     val subDim = n / blocks
     val sums = new Array[Long](blocks)
     var i = 0
@@ -77,7 +78,7 @@ case class PqBlockDists(left: Expression, right: Expression, blocks: Int)
     }
     val out = new Array[Double](blocks)
     var j = 0
-    while (j < blocks) { out(j) = sums(j).toDouble / 1e6; j += 1 }
+    while (j < blocks) { out(j) = PqBlockDists.div6(sums(j)); j += 1 }
     new GenericArrayData(out)
   }
 
@@ -92,6 +93,7 @@ case class PqBlockDists(left: Expression, right: Expression, blocks: Int)
         else s"$arr.getDouble($idx)"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |graft.plans.PqBlockDists.checkShape($n, $blocks);
          |final int $sub = $n / $blocks;
          |final long[] $sums = new long[$blocks];
          |for (int $i = 0; $i < $n; $i++) {
@@ -100,7 +102,7 @@ case class PqBlockDists(left: Expression, right: Expression, blocks: Int)
          |}
          |final double[] $out = new double[$blocks];
          |for (int $j = 0; $j < $blocks; $j++) {
-         |  $out[$j] = ((double) $sums[$j]) / 1e6;
+         |  $out[$j] = graft.plans.PqBlockDists.div6($sums[$j]);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -113,6 +115,30 @@ case class PqBlockDists(left: Expression, right: Expression, blocks: Int)
 
 object PqBlockDists {
   val name = "pq_block_dists"
+
+  /** Input-shape gate shared by eval and generated code: the function is
+    * PUBLICLY registered, so a caller bypassing Engine's raise_error
+    * guards must still get a descriptive error — not a raw / by zero
+    * (length < blocks) or an out-of-bounds index (length not a multiple
+    * of blocks). */
+  def checkShape(n: Int, blocks: Int): Unit =
+    if (n < blocks || n % blocks != 0)
+      throw new IllegalArgumentException(
+        s"$name: vector length $n must be a positive multiple of " +
+          s"blocks=$blocks")
+
+  /** The exact-long-sum → double division, correctly rounded for EVERY
+    * accumulator: `acc/1e6` in double is the correctly-rounded quotient
+    * only while acc is exactly representable (|acc| < 2⁵³ — block
+    * distance sums up to ~9e9, far beyond this data model); past that
+    * the double division double-rounds and can differ from the
+    * DECIMAL(38,6) cast by 1 ulp, so the slow path divides through
+    * BigDecimal's correctly-rounded doubleValue — bit-equality with
+    * `CAST(… AS DECIMAL(38,6))`'s toDouble holds unconditionally, not
+    * just below the 2⁵³ fixed-point bound. */
+  def div6(acc: Long): Double =
+    if (math.abs(acc) < (1L << 53)) acc.toDouble / 1e6
+    else java.math.BigDecimal.valueOf(acc, 6).doubleValue()
 
   /** round(dd · 10⁶) under the double→DECIMAL(38,6) cast's half-up rule,
     * exact for every non-negative input: primitive fast path away from
@@ -132,6 +158,12 @@ object PqBlockDists {
 
   private[plans] val builder: Seq[Expression] => Expression = {
     case Seq(a, b, blocks) =>
+      // A non-foldable third argument (e.g. a column reference) would be
+      // eval'd against no input row — null/undefined behavior instead of
+      // an error. blocks is part of the expression's SHAPE (output array
+      // length), so it must be a literal.
+      if (!blocks.foldable) throw new IllegalArgumentException(
+        s"$name: blocks must be an integer literal, got ${blocks.sql}")
       val k = blocks.eval() match {
         case i: Int => i
         case l: Long => l.toInt

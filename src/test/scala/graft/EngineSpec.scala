@@ -218,12 +218,18 @@ class EngineSpec extends AnyFunSuite {
     }
     val bucketed = recallOf("q99_bucketed_ann")
     val ivf = recallOf("q99b_ivf_ann")
-    info(f"recall@3: bucketed=$bucketed%.3f ivf=$ivf%.3f")
+    val hyper = recallOf("q99f_hyperplane_ann")
+    info(f"recall@3: bucketed=$bucketed%.3f ivf=$ivf%.3f hyper=$hyper%.3f")
     // Lower bounds leave headroom under the measured values so a real
     // recall regression (bucket family edit, centroid drift) fails loudly
     // while seed-level jitter does not.
     assert(bucketed >= 0.5, f"bucketed-ANN recall@3 $bucketed%.3f")
     assert(ivf >= 0.5, f"IVF-ANN recall@3 $ivf%.3f")
+    // the hyperplane OR construction must BEAT the dim-capped family —
+    // being the growth axis is its reason to exist
+    assert(hyper >= bucketed,
+      f"hyperplane-ANN recall@3 $hyper%.3f < coordinate-LSH $bucketed%.3f")
+    assert(hyper >= 0.7, f"hyperplane-ANN recall@3 $hyper%.3f")
   }
 
   test("q91 banding recall against the exact pair set is a bound, not prose") {
@@ -310,6 +316,46 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(want.nonEmpty, "test needs at least one qualifying pair")
     assert(got == want)
+  }
+
+  test("PPJoin suffix bound: bipartite + containment joins find EXACTLY " +
+      "the brute-force pairs (the tightened per-pair prune drops nothing)") {
+    // The per-pair aggregate bound (o + min(na−ram, nb−rbm) ≥ α) prunes
+    // strictly more candidates than the per-row first-token bound; this
+    // pins that it prunes ONLY false ones — set equality, not ⊆.
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val sets = docs
+      .withColumn("sv", Engine.wordNgrams(split(col("text"), " "), 2))
+      .filter(size(col("sv")) >= 1)
+      .select(col("doc_id"), col("sv"))
+    val gotAcross = Engine.jaccardJoinAcross(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", thresholdPct = 60)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val la = sets.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("lid"), col("sv").as("sa"))
+    val rb = sets.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("rid"), col("sv").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val uni = size(col("sa")) + size(col("sb")) - inter
+    val wantAcross = la.crossJoin(rb).filter(inter * 100 >= uni * 60)
+      .select("lid", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(wantAcross.nonEmpty, "test needs at least one qualifying pair")
+    assert(gotAcross == wantAcross)
+    val gotCont = Engine.containmentJoin(docs, docs, "doc_id", "text",
+        thresholdPct = 80)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ca = sets.select(col("doc_id").as("da"), col("sv").as("sa"))
+    val cb = sets.select(col("doc_id").as("db"), col("sv").as("sb"))
+    val wantCont = ca.crossJoin(cb).filter(col("da") =!= col("db"))
+      .filter(size(array_intersect(col("sa"), col("sb"))) * 100 >=
+        size(col("sa")) * 80)
+      .select("da", "db")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(wantCont.nonEmpty, "test needs at least one contained pair")
+    assert(gotCont == wantCont)
   }
 
   test("exactDedup: doubled input halves to one keeper per distinct text") {
@@ -873,6 +919,75 @@ class EngineSpec extends AnyFunSuite {
     assert(rows == Set("2024-01-15" -> 3L, "2024-01-20" -> 4L))
     // idempotent: a second vacuum with the same cutoff is a no-op
     assert(Engine.vacuumPartitions(spark, dir, "slot", "2024-01-15") == kept)
+  }
+
+  test("vacuumPartitions: Hive-escaped values compare UNESCAPED; the null " +
+      "partition is refused, not silently retained") {
+    import spark.implicits._
+    val dir = graft.sources.IO.scratch("enginespec-vacuum-escape",
+      TestSpark.sfDir)
+    // ':' (0x3A) sorts above '9' but its escape '%3A' starts with '%'
+    // (0x25), below every digit — so a raw directory-name comparison
+    // INVERTS this order: escaped "09%3A30" < cutoff "09:00" even
+    // though the value "09:30" is past it. The value comparison must
+    // keep 09:30 and drop 08:45.
+    Seq(("08:45", 1L), ("09:30", 2L)).toDF("slot", "v")
+      .write.mode("overwrite").partitionBy("slot").parquet(dir)
+    assert(Engine.vacuumPartitions(spark, dir, "slot", "09:00")
+      == Seq("09:30"))
+    // a null slot (__HIVE_DEFAULT_PARTITION__) has no place in a value
+    // order: refuse loudly instead of silently surviving every cutoff
+    val dir2 = graft.sources.IO.scratch("enginespec-vacuum-null",
+      TestSpark.sfDir)
+    Seq((Option("2024-01-10"), 1L), (Option.empty[String], 2L))
+      .toDF("slot", "v")
+      .write.mode("overwrite").partitionBy("slot").parquet(dir2)
+    intercept[IllegalArgumentException] {
+      Engine.vacuumPartitions(spark, dir2, "slot", "2024-01-15")
+    }
+  }
+
+  test("vacuumPartitions under a concurrent reader: all-or-nothing, never " +
+      "a silent partial partition") {
+    import spark.implicits._
+    // The retention contract (the fs.py:21-48 atomic-publish discipline
+    // applied to DELETION): a reader whose scan straddles a vacuum must
+    // see a to-be-dropped partition either wholly (planned before the
+    // delete and still readable) or not at all — and if the files
+    // vanish under its tasks, it must FAIL loudly (ignoreMissingFiles
+    // is false by default), never return a partition's partial rows as
+    // if they were the whole slot. Kept partitions are untouched either
+    // way.
+    val dir = graft.sources.IO.scratch("enginespec-vacuum-reader",
+      TestSpark.sfDir)
+    // many files per partition so a partial-partition read is possible
+    // in principle — the thing the contract forbids
+    (1 to 40).map(i => (f"2024-01-${i % 2 + 10}%02d", i.toLong)).toDF("slot", "v")
+      .repartition(8).write.mode("overwrite").partitionBy("slot").parquet(dir)
+    val oldCount = spark.read.parquet(dir)
+      .filter(col("slot") === "2024-01-10").count()
+    assert(oldCount == 20)
+    // reader plans (file listing happens here) BEFORE the vacuum…
+    val midScan = spark.read.parquet(dir).filter(col("slot") === "2024-01-10")
+    midScan.rdd.getNumPartitions // forces listing + plan
+    assert(Engine.vacuumPartitions(spark, dir, "slot", "2024-01-11")
+      == Seq("2024-01-11"))
+    // …and collects AFTER: either the complete old partition (a
+    // filesystem still serving the open snapshot) or a loud failure —
+    // any other row count is a silent partial read, the contract breach
+    val outcome = try Right(midScan.collect().length)
+    catch { case e: org.apache.spark.SparkException => Left(e) }
+    outcome match {
+      case Right(rows) => assert(rows.toLong == oldCount,
+        s"partial partition: $rows of $oldCount rows")
+      case Left(_) => () // loud failure: acceptable, and the common case
+    }
+    // a fresh reader sees the partition wholly gone, the kept one whole
+    val after = spark.read.parquet(dir)
+      .select(col("slot").cast("string"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after.map(_._1) == Set("2024-01-11"))
+    assert(after.size == 20)
   }
 
   test("normalizeText: case/punct/whitespace variants collapse to one canonical form") {

@@ -34,6 +34,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(z == graft.operators.MediaFeatures(0L, "audio", 1, 0L, 8))
   }
 
+  test("WavCodec.open resolves the WAVE reader once; per-partition path " +
+      "is output-identical to the per-blob AudioSystem path") {
+    import graft.operators.{WavCodec, WavDecoder}
+    val reader = WavCodec.open()
+    // The resolved reader IS the JDK's RIFF/WAVE codec: a non-WAVE blob
+    // must be rejected the same way AudioSystem would reject it.
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      WavCodec.pcm(reader, MediaBlob(1L, "audio", "en", Array[Byte](1, 2, 3)))
+    }
+    // Reader reuse across blobs (the per-partition contract): many blobs
+    // through ONE resolved reader equal the one-shot decode per blob.
+    for (id <- 0L until 64L) {
+      val b = MediaBlob(id, "audio", "en", Multimodal.wavFor(id))
+      assert(WavDecoder.decodeWith(reader, b) == WavDecoder.decode(b))
+    }
+  }
+
+  test("decimateAudio fails loudly on a zero-sample WAVE (no silent NaN)") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // A structurally valid WAVE with an empty data chunk: the mean of
+    // zero samples must raise per-doc, not propagate NaN downstream.
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray), fmt, 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val blobs = Seq(MediaBlob(7L, "audio", "en", bos.toByteArray)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decimateAudio(blobs, factor = 2).collect()
+    }
+    assert(e.getMessage.contains("empty PCM") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty PCM")))
+  }
+
   test("ImageIoDecoder fails loudly on undecodable bytes") {
     ImageIoDecoder.open()
     intercept[IllegalArgumentException] {
