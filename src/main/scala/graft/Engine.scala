@@ -329,7 +329,8 @@ object Engine {
     * the operator from 23.4 s to ~8 s for the identical output.
     */
   def jaccardJoin(df: DataFrame, id: String, text: String,
-      thresholdPct: Int = 60, ngramWords: Int = 2): DataFrame = {
+      thresholdPct: Int = 60, ngramWords: Int = 2,
+      suffixBound: Boolean = false): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(df.sparkSession)
     val docs = spreadInput(df)
@@ -387,30 +388,11 @@ object Engine {
     // VERIFY-STAGE POLICY: reduce the candidate stream to a NARROW pair
     // list first (a candidate recurs once per shared prefix n-gram, and
     // on a saturated vocabulary that duplication factor alone multiplies
-    // verify work) — and make the reduction do double duty: the same
-    // per-pair aggregate that dedups also computes the EXACT PPJoin
-    // suffix bound. Per pair, the surviving join rows are a PREFIX of
-    // the pair's shared-token sequence (both prefixes rank in the ONE
-    // global (df, gram) order, so shared tokens appear in the same
-    // relative order on both sides and the per-row first-token filter
-    // above is monotone along that sequence); with __o shared tokens
-    // seen and the last at (max __ra, max __rb), every further shared
-    // token lies beyond BOTH, so
-    //   overlap ≤ __o + min(__na − max(__ra), __nb − max(__rb))
-    // — Xiao et al.'s PPJoin suffix bound, strictly tighter than the
-    // first-token bound whenever a pair shares several prefix grams but
-    // little else (the gram-saturated regime: hot boilerplate grams
-    // recur across unrelated docs, and this bound is what prunes them
-    // before the array-attach verify). Exact — a true pair has
-    // overlap ≥ α, and the bound never under-estimates — so recall
-    // stays 1.0 and the output is hash-identical; EngineSpec pins the
-    // equivalence against the unfiltered verify.
-    val pruned = cands
-      .groupBy(col("ida"), col("idb"), col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("__o"),
-        max(col("__ra")).as("__ram"), max(col("__rb")).as("__rbm"))
-      .filter(col("__o") + least(col("__na") - col("__ram"),
-        col("__nb") - col("__rbm")) >= alpha)
+    // verify work), by the [[suffixBoundReduce]] policy (default: the
+    // two-long dedup — the measured winner; opt-in: the exact PPJoin
+    // suffix-bound aggregate, see that method's scaladoc for the
+    // measured refutation).
+    val pruned = suffixBoundReduce(cands, suffixBound, "ida", "idb", alpha)
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"))
     // Then attach the n-gram arrays by the size-gated strategy of
@@ -448,6 +430,59 @@ object Engine {
       // ANSI mode turns into a job-killing exception (r3 advice).
       .filter(inter.cast("long") * 100 >= uni.cast("long") * thresholdPct)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Pair-list reduction shared by the three prefix-filter joins:
+    * collapse the per-shared-gram candidate stream (id pair + positions
+    * `__ra`/`__rb` + sizes `__na`/`__nb`) to distinct pairs. Two shapes,
+    * chosen by `exact`:
+    *
+    * DEFAULT (exact = false) — dropDuplicates on the id pair: the
+    * hash-aggregate entry is two longs, the narrowest possible, which
+    * bounds the map/spill footprint when a gram-saturated corpus floods
+    * the candidate join (77.7M distinct pairs at the 10× fixture).
+    *
+    * OPT-IN (exact = true) — Xiao et al.'s PPJoin suffix bound computed
+    * in the same aggregate: per pair, the surviving join rows are a
+    * PREFIX of the pair's shared-gram sequence (both sides rank in the
+    * ONE global (df, gram) order, so shared grams appear in the same
+    * relative order on both sides and the per-row first-token
+    * positional filter is monotone along that sequence); with `__o`
+    * shared grams seen and the last at (max `__ra`, max `__rb`), every
+    * further shared gram lies beyond BOTH, so
+    *   overlap ≤ __o + min(__na − max __ra, __nb − max __rb)
+    * — checked against `requiredOverlap` (α for Jaccard, ⌈t·n_a⌉ for
+    * containment). Exact — the bound never under-estimates — so recall
+    * stays 1.0 and the output is hash-identical; EngineSpec pins all
+    * three joins against brute force with the bound ON.
+    *
+    * Why the tighter bound is NOT the default — it was measured, and it
+    * lost: on the 10× gram-saturated fixture it prunes 0 of 77,734,986
+    * q90d candidate pairs (saturated collisions share MANY grams, so
+    * __o + suffix never falls below α) while the aggregate entry grows
+    * from 2 longs to 4 group keys + 3 buffers — measured as
+    * pair-reduction spill 1.11 → 3.09 GB (byte-deterministic, host-
+    * independent) and q90d solo ~39 → ~50 s at sf1. The verify stage's
+    * early-terminating merge already exits a false pair in ~α steps, so
+    * the bound's savings cannot repay a wider 78M-entry hash map.
+    * Enable it for long-document corpora where candidate pairs share
+    * FEW grams and the array-attach verify dominates — the regime the
+    * bound was invented for. */
+  private def suffixBoundReduce(cands: DataFrame, exact: Boolean,
+      idA: String, idB: String, requiredOverlap: Column,
+      extra: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq(idA, idB) ++ extra).map(col)
+    // both branches NARROW before reducing — a carried-along column
+    // becomes a per-entry first-value buffer in the dedup aggregate,
+    // which is exactly the footprint this policy exists to bound
+    if (!exact) cands.select(keep: _*).dropDuplicates(idA, idB)
+    else cands
+      .groupBy(col(idA), col(idB), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__o"),
+        max(col("__ra")).as("__ram"), max(col("__rb")).as("__rbm"))
+      .filter(col("__o") + least(col("__na") - col("__ram"),
+        col("__nb") - col("__rbm")) >= requiredOverlap)
+      .select(keep: _*)
   }
 
   /** Gate for the prefix-filter joins' verify stage: corpora at or under
@@ -679,7 +714,7 @@ object Engine {
     * the contract is integer-only — (n_shared, n_grams_a), no FP. */
   def containmentJoin(contained: DataFrame, container: DataFrame,
       id: String, text: String, thresholdPct: Int = 80,
-      ngramWords: Int = 2): DataFrame = {
+      ngramWords: Int = 2, suffixBound: Boolean = false): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(contained.sparkSession)
     def docsOf(df: DataFrame) = spreadInput(df)
@@ -715,24 +750,17 @@ object Engine {
     // prefix bound, so a pair recurs once per shared gram and the
     // saturated-vocabulary fixture measured ~20× duplication; streaming
     // raw candidates through the merge kernel cost 2× the OLD shape) —
-    // and the reducing aggregate carries the EXACT PPJoin suffix bound
-    // (the jaccardJoin argument: a pair's surviving rows are a prefix of
-    // its shared-gram sequence in the one global (container-df, gram)
-    // order, so inter ≤ __o + min(__na − max __ra, __nb − max __rb)),
-    // here against containment's required overlap ⌈t·n_a⌉. Exact; the
-    // array attach then follows the [[verifyBroadcastMaxDocs]] size
+    // via the [[suffixBoundReduce]] policy, with containment's required
+    // overlap ⌈t·n_a⌉ as the bound when the exact form is opted in;
+    // the array attach then follows the [[verifyBroadcastMaxDocs]] size
     // gate.
-    val cands = prefA.join(allB, Seq("__t"))
-      .filter(col("doc_a") =!= col("doc_b") &&
-        col("__nb") * 100 >= col("__na") * thresholdPct &&
-        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
-          >= ceilTna)
-      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("__o"),
-        max(col("__ra")).as("__ram"), max(col("__rb")).as("__rbm"))
-      .filter(col("__o") + least(col("__na") - col("__ram"),
-        col("__nb") - col("__rbm")) >= ceilTna)
-      .select("doc_a", "doc_b", "__na")
+    val cands = suffixBoundReduce(
+      prefA.join(allB, Seq("__t"))
+        .filter(col("doc_a") =!= col("doc_b") &&
+          col("__nb") * 100 >= col("__na") * thresholdPct &&
+          least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
+            >= ceilTna),
+      suffixBound, "doc_a", "doc_b", ceilTna, extra = Seq("__na"))
     val sb2 = db.select(col("__id").as("doc_b"), col("__sv").as("__sb"))
     val sa2 = da.select(col("__id").as("doc_a"), col("__sv").as("__sa"))
     val distinctPairs = cands
@@ -774,7 +802,8 @@ object Engine {
     * kernel. Returns (left_id, right_id, jaccard). */
   def jaccardJoinAcross(left: DataFrame, right: DataFrame, id: String,
       text: String, thresholdPct: Int = 60, ngramWords: Int = 2,
-      broadcastBounded: Boolean = false): DataFrame = {
+      broadcastBounded: Boolean = false,
+      suffixBound: Boolean = false): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(left.sparkSession)
     def docsOf(df: DataFrame) = spreadInput(df)
@@ -828,24 +857,18 @@ object Engine {
     // bounded ⇒ distinct pairs stream through broadcast attach joins;
     // unbounded ⇒ plain sort-merge, AQE free to degrade.
     def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
-    // Pair reduction = dedup + the EXACT PPJoin suffix bound in ONE
-    // aggregate (see jaccardJoin for the prefix-of-shared-sequence
-    // argument): overlap ≤ __o + min(__na − max __ra, __nb − max __rb),
-    // strictly tighter than the per-row first-token bound on
-    // gram-saturated corpora — the q90d regime, where hot boilerplate
-    // grams put the same pair in front of the verify via many shared
-    // prefix grams. Exact: recall 1.0, output hash-identical.
-    val cands = bounded(a).join(b, Seq("__t"))
-      .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&
-        col("__na") * 100 >= col("__nb") * thresholdPct &&
-        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
-          >= alpha)
-      .groupBy(col("left_id"), col("right_id"), col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("__o"),
-        max(col("__ra")).as("__ram"), max(col("__rb")).as("__rbm"))
-      .filter(col("__o") + least(col("__na") - col("__ram"),
-        col("__nb") - col("__rbm")) >= alpha)
-      .select("left_id", "right_id")
+    // Pair reduction before the wide verify, by the
+    // [[suffixBoundReduce]] policy (default: two-long dedup — at this
+    // join's 10× flood, 77.7M distinct pairs, entry width IS the spill
+    // bill; the exact PPJoin bound is the measured-and-documented
+    // opt-in).
+    val cands = suffixBoundReduce(
+      bounded(a).join(b, Seq("__t"))
+        .filter(col("__nb") * 100 >= col("__na") * thresholdPct &&
+          col("__na") * 100 >= col("__nb") * thresholdPct &&
+          least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1
+            >= alpha),
+      suffixBound, "left_id", "right_id", alpha)
     val sl = dl.select(col("__id").as("left_id"), col("__sv").as("__sa"))
     val sr = dr.select(col("__id").as("right_id"), col("__sv").as("__sb"))
     val verified =

@@ -318,20 +318,36 @@ class EngineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("PPJoin suffix bound: bipartite + containment joins find EXACTLY " +
-      "the brute-force pairs (the tightened per-pair prune drops nothing)") {
-    // The per-pair aggregate bound (o + min(na−ram, nb−rbm) ≥ α) prunes
-    // strictly more candidates than the per-row first-token bound; this
-    // pins that it prunes ONLY false ones — set equality, not ⊆.
+  test("PPJoin suffix bound (opt-in): all three prefix-filter joins find " +
+      "EXACTLY the brute-force pairs with the tightened per-pair prune on") {
+    // The per-pair aggregate bound (o + min(na−ram, nb−rbm) ≥ required
+    // overlap) prunes strictly more candidates than the per-row
+    // first-token bound; this pins that it prunes ONLY false ones — set
+    // equality against brute force, not ⊆ — for the self-join,
+    // bipartite and containment forms. (The DEFAULT narrow-dedup arms
+    // are covered by the self-join brute-force test above and the
+    // q90d/q90h oracle gates.)
     val docs = Tables.t(spark, TestSpark.sfDir, "documents")
     val sets = docs
       .withColumn("sv", Engine.wordNgrams(split(col("text"), " "), 2))
       .filter(size(col("sv")) >= 1)
       .select(col("doc_id"), col("sv"))
+    val gotSelf = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = 60, suffixBound = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sa0 = sets.select(col("doc_id").as("pa"), col("sv").as("sa"))
+    val sb0 = sets.select(col("doc_id").as("pb"), col("sv").as("sb"))
+    val interS = size(array_intersect(col("sa"), col("sb")))
+    val uniS = size(col("sa")) + size(col("sb")) - interS
+    val wantSelf = sa0.crossJoin(sb0).filter(col("pa") < col("pb"))
+      .filter(interS * 100 >= uniS * 60)
+      .select("pa", "pb")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(wantSelf.nonEmpty && gotSelf == wantSelf)
     val gotAcross = Engine.jaccardJoinAcross(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", thresholdPct = 60)
+        "doc_id", "text", thresholdPct = 60, suffixBound = true)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val la = sets.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("lid"), col("sv").as("sa"))
@@ -345,7 +361,7 @@ class EngineSpec extends AnyFunSuite {
     assert(wantAcross.nonEmpty, "test needs at least one qualifying pair")
     assert(gotAcross == wantAcross)
     val gotCont = Engine.containmentJoin(docs, docs, "doc_id", "text",
-        thresholdPct = 80)
+        thresholdPct = 80, suffixBound = true)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val ca = sets.select(col("doc_id").as("da"), col("sv").as("sa"))
     val cb = sets.select(col("doc_id").as("db"), col("sv").as("sb"))
