@@ -82,6 +82,11 @@ object ImageIoDecoder extends MediaDecoder {
   * javax.sound codec path (the JDK's own WaveFileReader does the RIFF
   * parse), minus the per-row service lookup. */
 object WavCodec {
+  /** The provider probe: a minimal 1-sample PCM WAVE, encoded once per
+    * JVM (the encode itself walks the AudioFileWriter registry — paying
+    * that per partition would be the same class of waste open() kills). */
+  private lazy val probeBytes: Array[Byte] = Multimodal.wavFor(0L)
+
   /** Per-partition codec init: ONE ServiceLoader walk + provider probe.
     * The JDK registers its WAVE/AIFF/AU/float-WAVE readers as
     * `AudioFileReader` services in the java.desktop module; the probe (a
@@ -90,7 +95,7 @@ object WavCodec {
     * UnsupportedAudioFileException, which is the SPI's documented
     * "not mine" signal, not an error. */
   def open(): javax.sound.sampled.spi.AudioFileReader = {
-    val probe = Multimodal.wavFor(0L)
+    val probe = probeBytes
     val it = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
     while (it.hasNext) {
