@@ -2235,6 +2235,46 @@ object Engine {
         (1 to outDims).map(i => element_at(col("__ys"), i).as(s"y$i")): _*)
   }
 
+  /** Symmetric per-vector INT8 quantization — the embedding-STORAGE
+    * half of the ANN story (PQ compresses for search; int8 is the
+    * standard lossless-enough format embeddings are stored and shipped
+    * in, a 4× footprint cut that at 100 TB of vectors is the difference
+    * between one cluster and four). Per vector: scale = max|x|/127,
+    * code_i = round(x_i / scale) — |x_i| ≤ max|x| caps |code| at 127
+    * with no clamp branch; an all-zero vector quantizes to zero codes
+    * (scale 0 guarded), not NaN.
+    *
+    * Plan shape: a PURE per-row map (array HOFs, no explode, no
+    * shuffle, nothing to spill — pipelines inside the scan at any
+    * scale). Returned per vector: integer-exact code summaries
+    * (sum/min/max — they pin every code without an array-typed
+    * compare), the 6-dp scale, and the DECIMAL(38,6)-exact L1
+    * reconstruction error Σ|x_i − code_i·scale| (each term rounds
+    * through the decimal grid, the sum is order-free — both engines
+    * agree bit-for-bit). Determinism note: round() on DOUBLE is
+    * half-away-from-zero in BOTH engines, and x/scale is one IEEE
+    * divide of identical inputs, so codes can never differ. */
+  def quantizeInt8(vecs: DataFrame, id: String, vec: String): DataFrame = {
+    val base = spreadInput(vecs).select(col(id).as("vec_id"),
+        col(vec).as("__v"))
+      .withColumn("__scale",
+        expr("array_max(transform(__v, x -> abs(CAST(x AS DOUBLE))))")
+          / lit(127.0d))
+      .withColumn("__q", expr(
+        "transform(__v, x -> CASE WHEN __scale = 0.0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(round(CAST(x AS DOUBLE) / __scale) AS BIGINT) END)"))
+    base.select(col("vec_id"),
+      round(col("__scale"), 6).as("scale"),
+      expr("aggregate(__q, CAST(0 AS BIGINT), (a, q) -> a + q)")
+        .as("code_sum"),
+      expr("array_min(__q)").cast("int").as("code_min"),
+      expr("array_max(__q)").cast("int").as("code_max"),
+      expr("CAST(aggregate(zip_with(__v, __q, (x, q) -> " +
+        "CAST(abs(CAST(x AS DOUBLE) - q * __scale) AS DECIMAL(38,6))), " +
+        "CAST(0 AS DECIMAL(38,6)), (a, t) -> a + t) AS DOUBLE)")
+        .as("recon_l1"))
+  }
+
   /** Per-document gram→hash-bucket stream shared by [[dsirWeights]]:
     * unigrams plus POSITIONAL bigrams (multiset counts, not distinct —
     * DSIR models occurrence frequencies), each hashed to one of

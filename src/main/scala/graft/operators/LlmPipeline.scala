@@ -1563,6 +1563,41 @@ object LlmPipeline {
         dims = 64))
     },
 
+    // Q92l (beyond-survey) — symmetric per-vector INT8 quantization
+    // ([[graft.Engine.quantizeInt8]]): the embedding-STORAGE format (4×
+    // footprint cut — at 100 TB of vectors, the difference between one
+    // cluster and four; PQ (q92i) compresses for SEARCH, int8 for
+    // storage/shipping). Pure per-row map, no shuffle. Codes are pinned
+    // by integer-exact summaries (sum/min/max), the scale by its 6-dp
+    // rounding, and the information loss by the DECIMAL(38,6)-exact L1
+    // reconstruction error — round() is half-away-from-zero on DOUBLE
+    // in both engines and x/scale is one IEEE divide of identical
+    // inputs, so the two engines cannot disagree on a single code.
+    Q("q92l_int8_quantize",
+      s"""WITH u AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127
+         |      AS scale FROM u),
+         |t AS (SELECT vec_id, scale, CAST(v[g.i] AS DOUBLE) AS x,
+         |    CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(round(CAST(v[g.i] AS DOUBLE) / scale) AS BIGINT)
+         |    END AS q
+         |  FROM s CROSS JOIN unnest(generate_series(1, len(v))) AS g(i))
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  CAST(sum(q) AS BIGINT) AS code_sum,
+         |  CAST(min(q) AS INT) AS code_min,
+         |  CAST(max(q) AS INT) AS code_max,
+         |  CAST(sum(CAST(abs(x - q * scale) AS DECIMAL(38,6))) AS DOUBLE)
+         |    AS recon_l1
+         |FROM t GROUP BY vec_id, scale
+         |ORDER BY vec_id NULLS FIRST, scale NULLS FIRST,
+         |  code_sum NULLS FIRST, code_min NULLS FIRST,
+         |  code_max NULLS FIRST, recon_l1 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.quantizeInt8(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding"))
+    },
+
     // Q99e (beyond-survey) — IVF-PQ combined search, the two ANN halves
     // composed the way a billion-vector index runs: IVF cells prune the
     // corpus to each query's nprobe=2 nearest cells, PQ asymmetric

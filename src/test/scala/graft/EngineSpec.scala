@@ -374,6 +374,32 @@ class EngineSpec extends AnyFunSuite {
     assert(gotCont == wantCont)
   }
 
+  test("quantizeInt8: codes bounded, L1 error within the half-step bound, " +
+      "zero vector quantizes to zeros not NaN") {
+    import spark.implicits._
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val out = Engine.quantizeInt8(e, "vec_id", "embedding").collect()
+    assert(out.nonEmpty)
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    out.foreach { r =>
+      val (scale, cmin, cmax, err) =
+        (r.getDouble(1), r.getInt(3), r.getInt(4), r.getDouble(5))
+      // symmetric quantization: |code| ≤ 127 with no clamp (|x| ≤ 127·scale)
+      assert(cmin >= -127 && cmax <= 127, s"codes out of range: $r")
+      // per-dim error ≤ scale/2 (round-to-nearest), so L1 ≤ dims·scale/2
+      // (+ the 1e-6 decimal grid per term)
+      assert(err <= dims * (scale + 1e-6) / 2 + dims * 1e-6,
+        s"recon error above the half-step bound: $r")
+    }
+    // the all-zero vector: scale 0 must yield zero codes and zero error,
+    // never a 0/0 NaN
+    val z = Engine.quantizeInt8(
+      Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").head()
+    assert(z.getDouble(1) == 0.0 && z.getLong(2) == 0L &&
+      z.getInt(3) == 0 && z.getInt(4) == 0 && z.getDouble(5) == 0.0)
+  }
+
   test("exactDedup: doubled input halves to one keeper per distinct text") {
     val d = Tables.t(spark, TestSpark.sfDir, "documents")
     val out = Engine.exactDedup(d.unionAll(d), col("doc_id"), col("text"))
