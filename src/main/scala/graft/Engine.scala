@@ -1286,6 +1286,55 @@ object Engine {
       .select("query_id", "rnk", "vec_id", "cos_sim")
   }
 
+  /** Two-stage TRUNCATE-then-RERANK retrieval (the Matryoshka recipe:
+    * score the corpus on a dim prefix, rerank a shortlist at full
+    * precision). Stage 1 computes cosine on the first `dTrunc` dims —
+    * a `dims/dTrunc`× FLOP and bandwidth cut over the full scan — and
+    * keeps the top `shortlist` per query; stage 2 rescores ONLY the
+    * shortlist with full-dim cosine and returns the top `k`. Both
+    * stages round to 6 dp and tie-break on ascending id, so the
+    * shortlist boundary is deterministic in any engine.
+    *
+    * Plan shape: the stage-1 shuffle moves LEAN rows (query_id,
+    * vec_id, cos_trunc — ~20 bytes), never the embeddings; the
+    * shortlist (|Q|·shortlist rows — bounded because the query set is
+    * bounded, the same contract as [[cosineTopK]]) is broadcast back
+    * onto the corpus so stage 2 touches |Q|·shortlist full vectors
+    * instead of |corpus|. At 100 TB, stage 1 composes with the q99
+    * bucketed/IVF pruning — truncation cuts the per-candidate cost,
+    * bucketing cuts the candidate count; they multiply.
+    *
+    * With `shortlist >= |corpus|` truncation cannot prune, so the
+    * output's (query_id, rnk, vec_id, cos_sim) equals [[cosineTopK]]
+    * exactly — the spec's equivalence gate. */
+  def truncateRerank(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String,
+      dTrunc: Int, shortlist: Int, k: Int): DataFrame = {
+    require(dTrunc >= 1 && shortlist >= k && k >= 1)
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(qid).as("query_id"),
+      col(qvec).as("__qe"), slice(col(qvec), 1, dTrunc).as("__qt")))
+    val lean = corpus
+      .select(col(id).as("vec_id"), slice(col(vec), 1, dTrunc).as("__et"))
+      .crossJoin(q.select(col("query_id"), col("__qt")))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("cosine_sim(__qt, __et)"), 6).as("cos_trunc"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_trunc").desc, col("vec_id").asc)
+    val short = lean.withColumn("__s", row_number().over(w1))
+      .filter(col("__s") <= shortlist).drop("__s")
+    val rescored = corpus.select(col(id).as("vec_id"), col(vec).as("__e"))
+      .join(broadcast(short), Seq("vec_id"))
+      .join(q.select(col("query_id"), col("__qe")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cos_trunc"),
+        round(expr("cosine_sim(__qe, __e)"), 6).as("cos_sim"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    rescored.withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos_trunc", "cos_sim")
+  }
+
   /** The deterministic sparse-sign matrix entry shared by
     * [[signProjection]] and [[lshTopKHyper]]: ±1 with probability 1/6
     * each, else 0, keyed on (input dim j, output dim / hyperplane h)

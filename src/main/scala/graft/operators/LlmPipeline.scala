@@ -1598,6 +1598,51 @@ object LlmPipeline {
           Tables.t(s, dir, "embeddings"), "vec_id", "embedding"))
     },
 
+    // Q92m (beyond-survey) — two-stage TRUNCATE-then-RERANK retrieval
+    // ([[graft.Engine.truncateRerank]], the Matryoshka recipe): stage 1
+    // scores every corpus vector on its first 16 of 64 dims (4× less
+    // FLOP and bandwidth than the full scan) and shortlists the top 20
+    // per query on LEAN rows; stage 2 rescores only the shortlist at
+    // full precision via a broadcast-back join and keeps the top 5.
+    // Both stages round to 6 dp with an ascending-id tie-break, so the
+    // shortlist BOUNDARY — the one place a two-stage retriever can
+    // diverge between engines — is pinned; the oracle replays both
+    // stages with identical list slicing and left-to-right dot sums.
+    Q("q92m_truncate_rerank",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    embedding[1:16] AS qt
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding AS e, embedding[1:16] AS et
+         |  FROM embeddings),
+         |s1 AS (SELECT query_id, vec_id,
+         |    round(${Similarity.cosineSql("qt", "et")}, 6) AS cos_trunc
+         |  FROM q CROSS JOIN c),
+         |sl AS (SELECT query_id, vec_id, cos_trunc, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY cos_trunc DESC, vec_id ASC) AS srn
+         |  FROM s1),
+         |rr AS (SELECT sl.query_id, sl.vec_id, sl.cos_trunc,
+         |    round(${Similarity.cosineSql("q.qe", "c.e")}, 6) AS cos_sim
+         |  FROM sl JOIN q ON q.query_id = sl.query_id
+         |          JOIN c ON c.vec_id = sl.vec_id
+         |  WHERE sl.srn <= 20),
+         |rk AS (SELECT query_id, vec_id, cos_trunc, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |  FROM rr)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_trunc,
+         |  cos_sim
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
+         |  vec_id NULLS FIRST, cos_trunc NULLS FIRST,
+         |  cos_sim NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.truncateRerank(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dTrunc = 16, shortlist = 20, k = 5))
+    },
+
     // Q99e (beyond-survey) — IVF-PQ combined search, the two ANN halves
     // composed the way a billion-vector index runs: IVF cells prune the
     // corpus to each query's nprobe=2 nearest cells, PQ asymmetric

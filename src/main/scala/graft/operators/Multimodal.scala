@@ -164,6 +164,12 @@ final case class FrameSample(doc_id: Long, frame_idx: Int,
 final case class AudioSample(doc_id: Long, n_samples: Int, kept: Int,
     pcm_sum: Long, pcm_mean: Double)
 
+/** Scene-change detection output: per video, the frame count, the number
+  * of shot boundaries (consecutive-frame mean jumps above threshold) and
+  * the largest jump observed (0.0 for single-frame clips). */
+final case class SceneStats(doc_id: Long, n_frames: Int, n_changes: Int,
+    max_abs_delta: Double)
+
 /** Geo-raster decoder output: raster statistics plus the georeferencing
   * carried in the blob's own GeoTIFF tags — the typed-metadata struct for
   * the raster modality (`utils/conversion.py:9-19`'s GeoTIFF write).
@@ -565,6 +571,41 @@ object Multimodal {
         }
         AudioSample(b.doc_id, pcm.length, kept, sum,
           sum.toDouble / kept)
+      }
+    }
+  }
+
+  /** SCENE-CHANGE (shot boundary) detection over the video modality:
+    * decode every frame's mean, flag consecutive-frame jumps with
+    * |Δmean| > `threshold`, report per-clip boundary count and the
+    * largest jump — the keyframe-segmentation pass a video curation
+    * pipeline runs before sampling ([[sampleFrames]]) so cuts land on
+    * shot boundaries, not mid-shot.
+    *
+    * Scale shape: a video's frames live INSIDE its blob, so the
+    * consecutive-frame comparison is per-blob local — the whole
+    * operator is one `mapPartitions` decode pass with ZERO shuffle
+    * (a lag-window over an exploded frame table would shuffle every
+    * frame of every video to re-create adjacency the container already
+    * has). Same per-partition decode stream as every other codec
+    * operator. */
+  def sceneChanges(blobs: Dataset[MediaBlob], threshold: Double)(
+      implicit s: SparkSession): Dataset[SceneStats] = {
+    require(threshold > 0)
+    import s.implicits._
+    spread(blobs).mapPartitions { it =>
+      it.map { b =>
+        val means = AviDecoder.frameMeans(b, stride = 1).toArray
+        var changes = 0
+        var maxD = 0.0
+        var i = 1
+        while (i < means.length) {
+          val d = math.abs(means(i)._2 - means(i - 1)._2)
+          if (d > threshold) changes += 1
+          if (d > maxD) maxD = d
+          i += 1
+        }
+        SceneStats(b.doc_id, means.length, changes, maxD)
       }
     }
   }
@@ -1100,6 +1141,39 @@ object Multimodal {
         .map { case (id, lang) =>
           MediaBlob(id, "video", lang, aviFor(id)) }
       orderAll(sampleFrames(blobs, stride = 2).toDF())
+    },
+
+    // Q94m (beyond-survey) — SCENE-CHANGE detection over the video
+    // modality ([[sceneChanges]]): per clip, the count of consecutive-
+    // frame mean jumps above 100 and the largest jump, through the real
+    // RIFF/AVI parse. The fixture's frame means are (doc_id+f) % 251,
+    // so jumps are +1 everywhere except the mod wraparound (a 250-point
+    // drop) — the oracle predicts the boundaries arithmetically with a
+    // lag window while the engine finds them per-blob with ZERO shuffle
+    // (frame adjacency lives inside the container; exploding to a
+    // lag-window would shuffle every frame to re-create it).
+    Q("q94m_scene_change",
+      """WITH f AS (SELECT doc_id, CAST(g AS INT) AS fi,
+        |    CAST((doc_id + g) % 251 AS DOUBLE) AS m
+        |  FROM documents CROSS JOIN unnest(
+        |    generate_series(0, CAST(doc_id % 5 AS INT))) AS t(g)),
+        |d AS (SELECT doc_id,
+        |    abs(m - lag(m) OVER (PARTITION BY doc_id ORDER BY fi)) AS ad
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        |  CAST(count(CASE WHEN ad > 100 THEN 1 END) AS INT) AS n_changes,
+        |  CAST(coalesce(max(ad), 0.0) AS DOUBLE) AS max_abs_delta
+        |FROM d GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, n_frames NULLS FIRST,
+        |  n_changes NULLS FIRST, max_abs_delta NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")).as[(Long, String)]
+          .map { case (id, lang) =>
+            MediaBlob(id, "video", lang, aviFor(id)) }
+        orderAll(sceneChanges(blobs, threshold = 100.0).toDF())
     })
 
   /** The capstone's pre-publish pipeline — decode → geo-clip → re-grid

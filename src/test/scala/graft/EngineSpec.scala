@@ -84,6 +84,35 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("truncateRerank: with an unpruned shortlist the reranked top-k " +
+      "equals the exact brute force; pruned shortlists stay self-first") {
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    // shortlist >= corpus: truncation cannot prune, so stage 2 sees
+    // every vector and the output must equal cosineTopK exactly.
+    val full = Engine.truncateRerank(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", dTrunc = 16, shortlist = n, k = 3)
+      .select("query_id", "rnk", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val exact = Engine.cosineTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(full == exact)
+    // pruned: the query's own vector has truncated cosine 1.0, so it
+    // survives any shortlist and reranks to the top at full precision.
+    val pruned = Engine.truncateRerank(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", dTrunc = 16, shortlist = 10, k = 1)
+      .collect()
+    assert(pruned.length == 5)
+    pruned.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2)) // query_id == vec_id
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-6)
+    }
+  }
+
   /** (query_id, vec_id) result pairs of an ANN-shaped frame. */
   private def annPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("query_id", "vec_id").collect()

@@ -285,4 +285,21 @@ class MultimodalSpec extends AnyFunSuite {
       graft.operators.FrameSample(7L, 0, 7.0),
       graft.operators.FrameSample(7L, 2, 9.0)))
   }
+
+  test("sceneChanges: wraparound jump is a boundary, smooth clip is not, " +
+      "single-frame clip reports zero delta") {
+    implicit val s = spark
+    import s.implicits._
+    // doc 249: 5 frames, means 249, 250, 0, 1, 2 — one 250-point drop
+    // at the mod wrap; doc 7: 3 frames, means 7, 8, 9 — all jumps 1;
+    // doc 250: a single frame — no deltas at all.
+    val blobs = Seq(249L, 7L, 250L).map(id =>
+      MediaBlob(id, "video", "en", Multimodal.aviFor(id))).toDS()
+    val got = Multimodal.sceneChanges(blobs, threshold = 100.0)
+      .collect().toSeq.sortBy(_.doc_id)
+    assert(got == Seq(
+      graft.operators.SceneStats(7L, 3, 0, 1.0),
+      graft.operators.SceneStats(249L, 5, 1, 250.0),
+      graft.operators.SceneStats(250L, 1, 0, 0.0)))
+  }
 }
