@@ -266,6 +266,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q92m: both rerank joins broadcast; nothing plans a cartesian") {
+    val p = planOf("q92m_truncate_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // stage 2 = shortlist broadcast onto the corpus + query-vector
+    // attach: both must be broadcast joins, never a shuffle join of
+    // corpus-sized sides against a 200-row shortlist.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q94m: scene detection itself is exchange-free (per-blob local)") {
+    implicit val s = spark
+    import s.implicits._
+    val blobs = Seq(1L, 2L).map(id => graft.operators.MediaBlob(
+      id, "video", "en", graft.operators.Multimodal.aviFor(id))).toDS()
+    val p = graft.operators.Multimodal.sceneChanges(blobs, 100.0)
+      .queryExecution.executedPlan.toString
+    // frame adjacency lives inside the blob: no keyed shuffle anywhere
+    // (the one RoundRobin exchange is spread()'s decode balancer over
+    // BLOB rows; the registered query's orderAll sort is the
+    // driver-compare determinism wrapper — neither moves a frame).
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q57: NOT IN plans as a null-aware hash anti join, not a nested loop") {
     val p = planOf("q57_not_in_null")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -436,6 +462,7 @@ class PlanSpec extends AnyFunSuite {
     // bounds-row × distinct-keys spine; q99b the 8-centroid seed set.
     val bnljOk = Set("q23_cross_join", "q92_cosine_topk",
       "q92e_hard_negatives", // bounded query set, same plan as q92
+      "q92m_truncate_rerank", // bounded query set (stage 1), q92 class
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
       "q93f_heavy_hitters",   // 1-row token-total scalar broadcast
