@@ -65,6 +65,37 @@ object Engine {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
+  /** Contiguous 0-based GLOBAL row ids in `orderCol` order — the
+    * training-example indexing primitive (every packed/exported corpus
+    * needs a dense id space; `monotonically_increasing_id` leaves
+    * partition-sized gaps, and `row_number() OVER (ORDER BY ...)` is
+    * the classic scale-killer: Catalyst plans an empty-frame window as
+    * ONE partition holding the whole corpus).
+    *
+    * The scale shape: range-repartition + in-partition sort gives the
+    * total order across partitions; `zipWithIndex` then runs one
+    * lightweight count job over the first P−1 partitions, prefix-sums
+    * the P counts on the driver (P scalars, bounded by the partition
+    * count), and attaches offset+local index in a second pass — the
+    * shuffle files materialized by the count job are REUSED by the
+    * attach job (same RDD lineage), so the sampled range boundaries
+    * cannot shift between the two passes. Zero corpus-sized windows,
+    * zero single-partition exchanges, one range shuffle total.
+    *
+    * `orderCol` must be a total order (unique values) — with ties the
+    * in-partition tie order, and therefore the ids, would be
+    * nondeterministic. */
+  def globalIds(df: DataFrame, orderCol: String,
+      outCol: String = "global_id"): DataFrame = {
+    val sorted = spreadInput(df).repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(withIds, schema)
+  }
+
   /** Distinct word n-grams of a BOUND words-array column (see
     * LlmPipeline scaladoc for why the array must be materialized and why
     * slicing beats indexed lambdas ~7×). */

@@ -33,6 +33,28 @@ object Projections {
         (col("l_extendedprice") * col("l_tax")).as("tax_amount"))).limit(5000)
     },
 
+    // Q10b (beyond-survey) — contiguous GLOBAL row ids in doc_id order
+    // ([[graft.Engine.globalIds]]): the dense example-index every packed
+    // or exported training corpus needs. The oracle is the textbook
+    // row_number() OVER (ORDER BY ...) — which is exactly what the
+    // engine must NOT plan (an empty-frame global window executes as a
+    // single partition holding the whole corpus). Instead: one range
+    // shuffle + in-partition sort for the total order, then the
+    // partition-offset attach (zipWithIndex — a P-scalar driver prefix
+    // sum whose count job reuses the same shuffle files as the attach
+    // job). PlanSpec asserts no SinglePartition exchange survives.
+    Q("q10b_global_ids",
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        |    AS global_id
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST, source NULLS FIRST,
+        |  global_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.globalIds(
+        Tables.t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id"))
+    },
+
     // Q11 — comparison + boolean predicate algebra.
     Q("q11_filter",
       """SELECT l_orderkey, l_linenumber

@@ -84,6 +84,17 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("globalIds: dense 0-based ids in key order, robust to a skewed " +
+      "input partitioning") {
+    val d = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id")).repartition(7) // arbitrary input layout
+    val got = Engine.globalIds(d, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val want = d.collect().map(_.getLong(0)).sorted.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }
+    assert(got.toSeq == want.toSeq) // contiguous, gap-free, key-ordered
+  }
+
   test("truncateRerank: with an unpruned shortlist the reranked top-k " +
       "equals the exact brute force; pruned shortlists stay self-first") {
     val e = Tables.t(spark, TestSpark.sfDir, "embeddings")

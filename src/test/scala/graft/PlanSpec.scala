@@ -266,6 +266,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q10b: id assignment plans no single-partition exchange or " +
+      "global window") {
+    // the whole point of globalIds: the oracle's row_number() OVER
+    // (ORDER BY ...) would collapse the corpus to one partition; the
+    // engine's plan must never contain that shape (orderAll's final
+    // rangepartitioning sort is fine — every partition stays parallel).
+    val p = planOf("q10b_global_ids")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q92m: both rerank joins broadcast; nothing plans a cartesian") {
     val p = planOf("q92m_truncate_rerank")
     assert(!p.contains("CartesianProduct"), p)
