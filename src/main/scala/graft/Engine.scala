@@ -65,6 +65,62 @@ object Engine {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
+  /** Single-scan DATA-QUALITY audit (the Deequ discipline): every
+    * row-local constraint is a conditional sum fused into ONE partial
+    * aggregate, so auditing N constraints costs one corpus pass — not
+    * N. `constraints` are (name, violation-predicate) pairs; a NULL
+    * predicate counts as non-violating (nulls get their own IS NULL
+    * constraint, keeping each check single-purpose). `uniqueKey` adds a
+    * duplicate-count check (rows − distinct keys), the one constraint
+    * that cannot be row-local: it plans as Spark's Expand + two-phase
+    * distinct aggregate — the honest corpus shuffle any exact
+    * uniqueness audit pays; swap in `approx_count_distinct` when a ±1%
+    * audit suffices at 100 TB. Returns one row per constraint:
+    * (check_name, n_violations, n_rows). */
+  def constraintAudit(df: DataFrame, constraints: Seq[(String, Column)],
+      uniqueKey: Seq[String]): DataFrame = {
+    require(constraints.nonEmpty && uniqueKey.nonEmpty)
+    val sums = constraints.map { case (n, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"__v_$n")
+    }
+    val uniq = (count(lit(1)) -
+      countDistinct(uniqueKey.head, uniqueKey.tail: _*)).as("__v_unique_key")
+    val agg = df.agg(count(lit(1)).as("__n"), (sums :+ uniq): _*)
+    val names = constraints.map(_._1) :+ "unique_key"
+    val stackArgs = names.map(n => s"'$n', __v_$n").mkString(", ")
+    agg.select(
+      expr(s"stack(${names.size}, $stackArgs) AS (check_name, n_violations)"),
+      col("__n").as("n_rows"))
+  }
+
+  /** Distribution DRIFT between a reference and a candidate slice as
+    * per-bucket total-variation terms — the training-data monitoring
+    * pass that catches a source mix shifting under the pipeline.
+    * Deliberately TVD, not PSI/KL: shares are exact-integer counts
+    * through one IEEE divide and subtract, so the result is
+    * bit-deterministic in any engine — a log() would tie the contract
+    * to each engine's libm rounding. Plan: one filtered scan into one
+    * conditional-sum aggregate on the bucket key (both slices in the
+    * same pass — no self-join), plus a 1-row totals broadcast; sums
+    * over the bucket table (≤ bucket-count rows) give TVD =
+    * 0.5·Σ gap. */
+  def tvdDrift(df: DataFrame, isRef: Column, isCand: Column,
+      bucket: Column): DataFrame = {
+    val b = df.filter(isRef || isCand)
+      .select(bucket.cast("int").as("bucket"),
+        isRef.as("__r"), isCand.as("__c"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__r"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("n_cand"))
+    val tot = b.agg(sum("n_ref").as("__tr"), sum("n_cand").as("__tc"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cand"),
+        round(col("n_ref") / col("__tr"), 6).as("share_ref"),
+        round(col("n_cand") / col("__tc"), 6).as("share_cand"),
+        round(abs(col("n_ref") / col("__tr") - col("n_cand") / col("__tc")),
+          6).as("gap"))
+  }
+
   /** Contiguous 0-based GLOBAL row ids in `orderCol` order — the
     * training-example indexing primitive (every packed/exported corpus
     * needs a dense id space; `monotonically_increasing_id` leaves

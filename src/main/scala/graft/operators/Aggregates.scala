@@ -413,5 +413,45 @@ object Aggregates {
         round(slope, 6).as("slope"),
         round(col("sy") / col("n") - slope * (col("sx") / col("n")), 6)
           .as("intercept")))
+    },
+
+    // Q46c (beyond-survey) — distribution DRIFT between two corpus
+    // slices ([[graft.Engine.tvdDrift]]): per-length-bucket
+    // total-variation terms comparing even-numbered sources (reference)
+    // against odd (candidate) — the monitoring pass that catches a
+    // source mix shifting under a training pipeline. Deliberately TVD,
+    // not PSI/KL: shares are exact integer counts through one IEEE
+    // divide and subtract, bit-deterministic in any engine, where a
+    // log() would tie the contract to libm rounding. One filtered scan
+    // into one conditional-sum aggregate on the bucket key — both
+    // slices in the same pass, no self-join — plus a 1-row totals
+    // broadcast.
+    Q("q46c_tvd_drift",
+      """WITH d AS (SELECT
+        |    least(5, CAST(n_chars // 100 AS INT)) AS bucket,
+        |    CAST(substr(source, 4) AS INT) % 2 = 0 AS r
+        |  FROM documents),
+        |b AS (SELECT bucket,
+        |    sum(CASE WHEN r THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS n_cand
+        |  FROM d GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |    CAST(sum(n_cand) AS BIGINT) AS tc FROM b)
+        |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cand AS BIGINT) AS n_cand,
+        |  round(CAST(n_ref AS DOUBLE) / tr, 6) AS share_ref,
+        |  round(CAST(n_cand AS DOUBLE) / tc, 6) AS share_cand,
+        |  round(abs(CAST(n_ref AS DOUBLE) / tr
+        |    - CAST(n_cand AS DOUBLE) / tc), 6) AS gap
+        |FROM b CROSS JOIN t
+        |ORDER BY bucket NULLS FIRST, n_ref NULLS FIRST, n_cand NULLS FIRST,
+        |  share_ref NULLS FIRST, share_cand NULLS FIRST,
+        |  gap NULLS FIRST""".stripMargin) { (s, dir) =>
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      orderAll(graft.Engine.tvdDrift(
+        Tables.t(s, dir, "documents"),
+        isRef = srcNum % 2 === 0,
+        isCand = srcNum % 2 =!= 0,
+        bucket = least(lit(5), floor(col("n_chars") / lit(100)).cast("int"))))
     })
 }

@@ -70,6 +70,45 @@ object Projections {
         .select("l_orderkey", "l_linenumber")).limit(5000)
     },
 
+    // Q11b (beyond-survey) — single-scan DATA-QUALITY audit
+    // ([[graft.Engine.constraintAudit]], the Deequ discipline): four
+    // row-local constraints fused into ONE partial aggregate (auditing
+    // N checks costs one corpus pass, not N) plus the exact
+    // composite-key uniqueness count — the only check that cannot be
+    // row-local; it pays the honest distinct shuffle (Expand +
+    // two-phase agg; swap approx_count_distinct for a ±1% audit at
+    // 100 TB). The fixture makes three checks non-trivial: ~24k
+    // quantities over 30, ~27k discounts over 0.05, and ~14k duplicate
+    // (l_orderkey, l_linenumber) pairs.
+    Q("q11b_constraint_audit",
+      """WITH a AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS v3,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |        THEN 1 ELSE 0 END) AS v4,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v5
+        |  FROM lineitem)
+        |SELECT v.check_name,
+        |  CAST(CASE v.k WHEN 1 THEN a.v1 WHEN 2 THEN a.v2 WHEN 3 THEN a.v3
+        |    WHEN 4 THEN a.v4 ELSE a.v5 END AS BIGINT) AS n_violations,
+        |  CAST(a.n AS BIGINT) AS n_rows
+        |FROM a CROSS JOIN (VALUES
+        |  ('key_not_null', 1), ('qty_le_30', 2), ('disc_le_005', 3),
+        |  ('flag_in_domain', 4), ('unique_key', 5))
+        |  AS v(check_name, k)
+        |ORDER BY check_name NULLS FIRST, n_violations NULLS FIRST,
+        |  n_rows NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.constraintAudit(
+        Tables.t(s, dir, "lineitem"),
+        Seq(
+          "key_not_null" -> col("l_orderkey").isNull,
+          "qty_le_30" -> (col("l_quantity") > 30),
+          "disc_le_005" -> (col("l_discount") > 0.05),
+          "flag_in_domain" -> !col("l_returnflag").isin("A", "N", "R")),
+        uniqueKey = Seq("l_orderkey", "l_linenumber")))
+    },
+
     // Q12 — BETWEEN range predicate (the bbox-clip analog, meteosat.py:36).
     Q("q12_between",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate

@@ -84,6 +84,40 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("constraintAudit: fused conditional sums and the exact duplicate " +
+      "count agree with hand counts; null predicates do not count") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1, 10.0), (1L, 1, 20.0), // duplicate (key, line)
+      (2L, 1, 60.0), (3L, 2, 5.0)
+    ).toDF("k", "ln", "qty")
+      .withColumn("qty", when(col("k") === 3, lit(null)).otherwise(col("qty")))
+    val out = Engine.constraintAudit(d,
+        Seq("qty_le_50" -> (col("qty") > 50),
+          "k_not_null" -> col("k").isNull),
+        uniqueKey = Seq("k", "ln"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // row 4's NULL qty predicate is neither true nor false — not a
+    // violation; the duplicate (1,1) pair counts exactly once.
+    assert(out == Set(("qty_le_50", 1L, 4L), ("k_not_null", 0L, 4L),
+      ("unique_key", 1L, 4L)))
+  }
+
+  test("tvdDrift: identical slices show zero gap; disjoint buckets sum " +
+      "to total variation 1") {
+    import spark.implicits._
+    val same = Seq((0, true), (0, false), (1, true), (1, false))
+      .toDF("b", "r")
+    val zero = Engine.tvdDrift(same, col("r"), !col("r"), col("b"))
+      .collect()
+    assert(zero.length == 2 && zero.forall(_.getDouble(5) == 0.0))
+    val disjoint = Seq((0, true), (0, true), (1, false)).toDF("b", "r")
+    val gaps = Engine.tvdDrift(disjoint, col("r"), !col("r"), col("b"))
+      .collect().map(_.getDouble(5)).sum
+    assert(gaps == 2.0) // TVD = 0.5 * 2.0 = 1: full separation
+  }
+
   test("globalIds: dense 0-based ids in key order, robust to a skewed " +
       "input partitioning") {
     val d = Tables.t(spark, TestSpark.sfDir, "documents")

@@ -474,6 +474,7 @@ class PlanSpec extends AnyFunSuite {
     val bnljOk = Set("q23_cross_join", "q92_cosine_topk",
       "q92e_hard_negatives", // bounded query set, same plan as q92
       "q92m_truncate_rerank", // bounded query set (stage 1), q92 class
+      "q46c_tvd_drift",       // 1-row totals scalar broadcast, q93f class
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
       "q93f_heavy_hitters",   // 1-row token-total scalar broadcast
