@@ -170,6 +170,11 @@ final case class AudioSample(doc_id: Long, n_samples: Int, kept: Int,
 final case class SceneStats(doc_id: Long, n_frames: Int, n_changes: Int,
     max_abs_delta: Double)
 
+/** Activity-detection output: per clip, complete energy windows, windows
+  * whose energy clears the threshold, and the loudest window's energy. */
+final case class VadStats(doc_id: Long, n_windows: Int, n_active: Int,
+    max_energy: Long)
+
 /** Geo-raster decoder output: raster statistics plus the georeferencing
   * carried in the blob's own GeoTIFF tags — the typed-metadata struct for
   * the raster modality (`utils/conversion.py:9-19`'s GeoTIFF write).
@@ -571,6 +576,48 @@ object Multimodal {
         }
         AudioSample(b.doc_id, pcm.length, kept, sum,
           sum.toDouble / kept)
+      }
+    }
+  }
+
+  /** Energy-window ACTIVITY detection over the audio modality (the VAD
+    * pass an audio curation pipeline runs to drop silence and keep
+    * speech-bearing segments): decode the PCM, cut it into
+    * non-overlapping `window`-sample windows (short tail discarded —
+    * an incomplete window has no comparable energy), compute each
+    * window's energy Σ s² over the unsigned samples as EXACT 64-bit
+    * integers (max 255²·window per window — no overflow until window
+    * ≈ 1.4e14), and report windows cleared vs total plus the loudest
+    * window. Same per-blob-local zero-shuffle shape as
+    * [[sceneChanges]]: sample adjacency lives inside the blob, and the
+    * per-partition [[WavCodec.open]] reader kills the provider-scan
+    * tax. */
+  def detectActivity(blobs: Dataset[MediaBlob], window: Int,
+      threshold: Long)(implicit s: SparkSession): Dataset[VadStats] = {
+    require(window >= 1 && threshold >= 0)
+    import s.implicits._
+    spread(blobs).mapPartitions { it =>
+      val reader = WavCodec.open() // one provider walk per partition
+      it.map { b =>
+        val (pcm, _) = WavCodec.pcm(reader, b)
+        val nw = pcm.length / window
+        var active = 0
+        var maxE = 0L
+        var w = 0
+        while (w < nw) {
+          var e = 0L
+          var i = w * window
+          val end = i + window
+          while (i < end) {
+            val v = (pcm(i) & 0xff).toLong
+            e += v * v
+            i += 1
+          }
+          if (e > threshold) active += 1
+          if (e > maxE) maxE = e
+          w += 1
+        }
+        VadStats(b.doc_id, nw, active, maxE)
       }
     }
   }
@@ -1174,6 +1221,43 @@ object Multimodal {
           .map { case (id, lang) =>
             MediaBlob(id, "video", lang, aviFor(id)) }
         orderAll(sceneChanges(blobs, threshold = 100.0).toDF())
+    },
+
+    // Q94n (beyond-survey) — energy-window ACTIVITY detection (VAD)
+    // over the audio modality ([[detectActivity]]): non-overlapping
+    // 4-sample windows, exact integer energies Σ s², threshold 80000 —
+    // the silence-dropping pass audio curation runs before sampling.
+    // The gradient fixture's PCM is (doc_id + 7k) % 251, so the oracle
+    // predicts every window energy arithmetically while the engine
+    // computes them per-blob through the real javax.sound parse with
+    // ZERO shuffle and the per-partition reader (no provider-scan
+    // tax). Short tails are discarded — an incomplete window has no
+    // comparable energy.
+    Q("q94n_audio_vad",
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INT) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(k // 4 AS INT) AS w,
+        |    (doc_id + 7 * k) % 251 AS v
+        |  FROM p CROSS JOIN unnest(generate_series(0, n - 1)) AS t(k)
+        |  WHERE k // 4 < n // 4),
+        |e AS (SELECT doc_id, w, sum(v * v) AS energy
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+        |  CAST(count(CASE WHEN energy > 80000 THEN 1 END) AS INT)
+        |    AS n_active,
+        |  CAST(max(energy) AS BIGINT) AS max_energy
+        |FROM e GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST, n_windows NULLS FIRST,
+        |  n_active NULLS FIRST, max_energy NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")).as[(Long, String)]
+          .map { case (id, lang) =>
+            MediaBlob(id, "audio", lang, gradWavFor(id)) }
+        orderAll(detectActivity(blobs, window = 4, threshold = 80000L)
+          .toDF())
     })
 
   /** The capstone's pre-publish pipeline — decode → geo-clip → re-grid

@@ -302,4 +302,21 @@ class MultimodalSpec extends AnyFunSuite {
       graft.operators.SceneStats(249L, 5, 1, 250.0),
       graft.operators.SceneStats(250L, 1, 0, 0.0)))
   }
+
+  test("detectActivity: exact window energies through the real decode; " +
+      "short tail discarded") {
+    implicit val s = spark
+    import s.implicits._
+    // doc 3: n = 3%29+4 = 7 samples, values (3+7k)%251 = 3,10,17,24,
+    // 31,38,45 — one complete 4-window [3,10,17,24] (energy 9+100+289
+    // +576 = 974), tail [31,38,45] discarded.
+    val blobs = Seq(MediaBlob(3L, "audio", "en",
+      Multimodal.gradWavFor(3L))).toDS()
+    val lo = Multimodal.detectActivity(blobs, window = 4, threshold = 900L)
+      .collect().toSeq
+    assert(lo == Seq(graft.operators.VadStats(3L, 1, 1, 974L)))
+    val hi = Multimodal.detectActivity(blobs, window = 4, threshold = 974L)
+      .collect().toSeq // strict >: energy == threshold is NOT active
+    assert(hi == Seq(graft.operators.VadStats(3L, 1, 0, 974L)))
+  }
 }
