@@ -498,5 +498,43 @@ object Windows {
         .orderBy(col("dist").asc_nulls_first,
           col("user_id").asc_nulls_first, col("event_id").asc_nulls_first)
         .limit(5)
+    },
+
+    // Q49c (beyond-survey) — per-key EWMA (α = 0.5), the recursive
+    // smoothing feature a training pipeline backfills per user/entity.
+    // Recursion defeats SQL window frames (each term depends on the
+    // previous OUTPUT, not a previous input), so both engines fold the
+    // per-key time-ordered value list LEFT-TO-RIGHT: Spark
+    // array_sort(collect_list(struct)) + aggregate with a null seed,
+    // DuckDB list(ORDER BY) + list_reduce — the identical operation
+    // sequence 0.5·x + 0.5·acc from the same first element, so every
+    // intermediate is IEEE-bit-equal (α = 0.5 multiplies are exact).
+    // One shuffle on the key; per-key state is the user's event list —
+    // bounded by per-entity history, the q93e-kernel contract (the
+    // unbounded-history variant is the streaming q75b shape instead).
+    Q("q49c_ewma",
+      """WITH l AS (SELECT user_id,
+        |    list(value ORDER BY ts, event_id) AS vs,
+        |    count(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n AS INT) AS n_events,
+        |  round(list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc), 6)
+        |    AS ewma
+        |FROM l
+        |ORDER BY user_id NULLS FIRST, n_events NULLS FIRST,
+        |  ewma NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DoubleType
+      val byUser = Tables.t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("value")))),
+            x => x.getField("value")).as("__vs"))
+      orderAll(byUser.select(col("user_id"), col("n_events"),
+        round(aggregate(col("__vs"), lit(null).cast(DoubleType),
+            (acc, x) => when(acc.isNull, x)
+              .otherwise(lit(0.5) * x + lit(0.5) * acc)), 6)
+          .as("ewma")))
     })
 }

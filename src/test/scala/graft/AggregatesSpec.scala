@@ -49,4 +49,24 @@ class AggregatesSpec extends AnyFunSuite {
     assert(key(100, 5) < key(100, 50))
     assert(key(1700000000L, 1) < key(1700000900L, 0))
   }
+
+  test("q49c EWMA fold: left-to-right recursion from the oldest value, " +
+      "exact at alpha = 0.5") {
+    // the registered fold's semantics, checked against the hand
+    // recursion e_i = 0.5 v_i + 0.5 e_{i-1}, e_0 = v_0: for [1, 2, 4]
+    // → 1, then 1.5, then 2.75 — every step exact in binary.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val got = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0)).toDF("i", "v")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("v")))),
+          x => x.getField("v")),
+        lit(null).cast(DoubleType),
+        (acc, x) => when(acc.isNull, x)
+          .otherwise(lit(0.5) * x + lit(0.5) * acc)).as("e"))
+      .head().getDouble(0)
+    assert(got == 2.75)
+  }
 }
