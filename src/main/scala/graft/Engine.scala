@@ -80,6 +80,13 @@ object Engine {
   def constraintAudit(df: DataFrame, constraints: Seq[(String, Column)],
       uniqueKey: Seq[String]): DataFrame = {
     require(constraints.nonEmpty && uniqueKey.nonEmpty)
+    // names are spliced into a stack() SQL string below — restrict to
+    // identifier characters so a quote in a name cannot break (or
+    // inject into) the generated expression
+    constraints.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"constraint name must be [A-Za-z0-9_]+, got '$n'")
+    }
     val sums = constraints.map { case (n, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(s"__v_$n")
     }
@@ -143,7 +150,10 @@ object Engine {
     * nondeterministic. */
   def globalIds(df: DataFrame, orderCol: String,
       outCol: String = "global_id"): DataFrame = {
-    val sorted = spreadInput(df).repartitionByRange(col(orderCol))
+    // repartitionByRange IS the spread: it redistributes any input
+    // layout across shuffle-partition count ranges, so a spreadInput
+    // here would only stack a second (round-robin) exchange under it.
+    val sorted = df.repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
