@@ -87,11 +87,19 @@ object Engine {
       require(n.matches("[A-Za-z0-9_]+"),
         s"constraint name must be [A-Za-z0-9_]+, got '$n'")
     }
+    val names0 = constraints.map(_._1)
+    require(names0.distinct.size == names0.size && !names0.contains(
+      "unique_key"), "constraint names must be unique and not the " +
+      s"reserved 'unique_key': ${names0.mkString(",")}")
     val sums = constraints.map { case (n, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(s"__v_$n")
     }
+    // distinct over the STRUCT, not the column list: countDistinct(a, b)
+    // silently skips tuples containing a NULL (so a NULL-keyed row would
+    // read as a duplicate), while a struct with null fields is itself
+    // non-null and counts — the row-value distinct SQL semantics
     val uniq = (count(lit(1)) -
-      countDistinct(uniqueKey.head, uniqueKey.tail: _*)).as("__v_unique_key")
+      countDistinct(struct(uniqueKey.map(col): _*))).as("__v_unique_key")
     val agg = df.agg(count(lit(1)).as("__n"), (sums :+ uniq): _*)
     val names = constraints.map(_._1) :+ "unique_key"
     val stackArgs = names.map(n => s"'$n', __v_$n").mkString(", ")
@@ -113,6 +121,13 @@ object Engine {
     * 0.5·Σ gap. */
   def tvdDrift(df: DataFrame, isRef: Column, isCand: Column,
       bucket: Column): DataFrame = {
+    // Rows in NEITHER slice (both predicates false — or NULL, e.g. an
+    // unparseable partition key) are out of scope by contract: they
+    // belong to no distribution being compared. An entirely EMPTY
+    // slice is the zero measure — its shares are 0 and every gap
+    // equals the other slice's share (TVD → 1, maximal drift). A
+    // NULL-on-zero-divide here would instead blank the gaps exactly
+    // when the monitor has the most to say.
     val b = df.filter(isRef || isCand)
       .select(bucket.cast("int").as("bucket"),
         isRef.as("__r"), isCand.as("__c"))
@@ -120,12 +135,15 @@ object Engine {
       .agg(sum(when(col("__r"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("__c"), 1L).otherwise(0L)).as("n_cand"))
     val tot = b.agg(sum("n_ref").as("__tr"), sum("n_cand").as("__tc"))
+    def share(n: Column, t: Column): Column =
+      when(t === 0, lit(0.0)).otherwise(n / t)
+    val sr = share(col("n_ref"), col("__tr"))
+    val sc = share(col("n_cand"), col("__tc"))
     b.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_ref"), col("n_cand"),
-        round(col("n_ref") / col("__tr"), 6).as("share_ref"),
-        round(col("n_cand") / col("__tc"), 6).as("share_cand"),
-        round(abs(col("n_ref") / col("__tr") - col("n_cand") / col("__tc")),
-          6).as("gap"))
+        round(sr, 6).as("share_ref"),
+        round(sc, 6).as("share_cand"),
+        round(abs(sr - sc), 6).as("gap"))
   }
 
   /** Contiguous 0-based GLOBAL row ids in `orderCol` order — the
@@ -147,7 +165,12 @@ object Engine {
     *
     * `orderCol` must be a total order (unique values) — with ties the
     * in-partition tie order, and therefore the ids, would be
-    * nondeterministic. */
+    * nondeterministic.
+    *
+    * EAGER: zipWithIndex computes its partition offsets in its
+    * CONSTRUCTOR, so building the returned frame already runs the scan
+    * + range shuffle (one job), before any action on the result — call
+    * this when you mean to execute, not to compose a lazy plan. */
   def globalIds(df: DataFrame, orderCol: String,
       outCol: String = "global_id"): DataFrame = {
     // repartitionByRange IS the spread: it redistributes any input
@@ -2401,8 +2424,12 @@ object Engine {
     * half-away-from-zero in BOTH engines, and x/scale is one IEEE
     * divide of identical inputs, so codes can never differ. */
   def quantizeInt8(vecs: DataFrame, id: String, vec: String): DataFrame = {
-    val base = spreadInput(vecs).select(col(id).as("vec_id"),
-        col(vec).as("__v"))
+    // zero-LENGTH vectors are excluded (nothing to quantize: no scale,
+    // no codes, no error — distinct from the all-zero vector, which
+    // quantizes to zero codes); emitting an all-NULL row instead would
+    // just defer the malformed input to the consumer
+    val base = spreadInput(vecs).filter(size(col(vec)) >= 1)
+      .select(col(id).as("vec_id"), col(vec).as("__v"))
       .withColumn("__scale",
         expr("array_max(transform(__v, x -> abs(CAST(x AS DOUBLE))))")
           / lit(127.0d))

@@ -434,16 +434,21 @@ object Aggregates {
         |b AS (SELECT bucket,
         |    sum(CASE WHEN r THEN 1 ELSE 0 END) AS n_ref,
         |    sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS n_cand
-        |  FROM d GROUP BY bucket),
+        |  FROM d WHERE r IS NOT NULL GROUP BY bucket),
         |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
-        |    CAST(sum(n_cand) AS BIGINT) AS tc FROM b)
+        |    CAST(sum(n_cand) AS BIGINT) AS tc FROM b),
+        |s AS (SELECT bucket, n_ref, n_cand,
+        |    CASE WHEN tr = 0 THEN 0.0
+        |         ELSE CAST(n_ref AS DOUBLE) / tr END AS sr,
+        |    CASE WHEN tc = 0 THEN 0.0
+        |         ELSE CAST(n_cand AS DOUBLE) / tc END AS sc
+        |  FROM b CROSS JOIN t)
         |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
         |  CAST(n_cand AS BIGINT) AS n_cand,
-        |  round(CAST(n_ref AS DOUBLE) / tr, 6) AS share_ref,
-        |  round(CAST(n_cand AS DOUBLE) / tc, 6) AS share_cand,
-        |  round(abs(CAST(n_ref AS DOUBLE) / tr
-        |    - CAST(n_cand AS DOUBLE) / tc), 6) AS gap
-        |FROM b CROSS JOIN t
+        |  round(sr, 6) AS share_ref,
+        |  round(sc, 6) AS share_cand,
+        |  round(abs(sr - sc), 6) AS gap
+        |FROM s
         |ORDER BY bucket NULLS FIRST, n_ref NULLS FIRST, n_cand NULLS FIRST,
         |  share_ref NULLS FIRST, share_cand NULLS FIRST,
         |  gap NULLS FIRST""".stripMargin) { (s, dir) =>

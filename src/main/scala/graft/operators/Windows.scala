@@ -505,10 +505,14 @@ object Windows {
     // Recursion defeats SQL window frames (each term depends on the
     // previous OUTPUT, not a previous input), so both engines fold the
     // per-key time-ordered value list LEFT-TO-RIGHT: Spark
-    // array_sort(collect_list(struct)) + aggregate with a null seed,
-    // DuckDB list(ORDER BY) + list_reduce — the identical operation
-    // sequence 0.5·x + 0.5·acc from the same first element, so every
-    // intermediate is IEEE-bit-equal (α = 0.5 multiplies are exact).
+    // array_sort(collect_list(struct)) + aggregate SEEDED WITH THE
+    // FIRST ELEMENT over the tail, DuckDB list(ORDER BY) + list_reduce
+    // — the identical operation sequence 0.5·x + 0.5·acc from the same
+    // first element, so every intermediate is IEEE-bit-equal (α = 0.5
+    // multiplies are exact). The first-element seed (not a null-seeded
+    // when(acc IS NULL, …) fold) also makes a NULL value mid-series
+    // propagate to a NULL EWMA in BOTH engines — a sentinel-null fold
+    // would silently RESTART the smoothing after the NULL instead.
     // One shuffle on the key; per-key state is the user's event list —
     // bounded by per-entity history, the q93e-kernel contract (the
     // unbounded-history variant is the streaming q75b shape instead).
@@ -523,7 +527,6 @@ object Windows {
         |FROM l
         |ORDER BY user_id NULLS FIRST, n_events NULLS FIRST,
         |  ewma NULLS FIRST""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.types.DoubleType
       val byUser = Tables.t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).cast("int").as("n_events"),
@@ -531,10 +534,12 @@ object Windows {
             array_sort(collect_list(
               struct(col("ts"), col("event_id"), col("value")))),
             x => x.getField("value")).as("__vs"))
+      val vs = col("__vs")
       orderAll(byUser.select(col("user_id"), col("n_events"),
-        round(aggregate(col("__vs"), lit(null).cast(DoubleType),
-            (acc, x) => when(acc.isNull, x)
-              .otherwise(lit(0.5) * x + lit(0.5) * acc)), 6)
+        round(aggregate(
+            slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+            element_at(vs, 1),
+            (acc, x) => lit(0.5) * x + lit(0.5) * acc), 6)
           .as("ewma")))
     })
 }

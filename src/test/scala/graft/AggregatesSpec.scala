@@ -51,22 +51,28 @@ class AggregatesSpec extends AnyFunSuite {
   }
 
   test("q49c EWMA fold: left-to-right recursion from the oldest value, " +
-      "exact at alpha = 0.5") {
+      "exact at alpha = 0.5; a NULL value poisons, never restarts") {
     // the registered fold's semantics, checked against the hand
     // recursion e_i = 0.5 v_i + 0.5 e_{i-1}, e_0 = v_0: for [1, 2, 4]
     // → 1, then 1.5, then 2.75 — every step exact in binary.
     val spark = TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.DoubleType
-    val got = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0)).toDF("i", "v")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("i"), col("v")))),
-          x => x.getField("v")),
-        lit(null).cast(DoubleType),
-        (acc, x) => when(acc.isNull, x)
-          .otherwise(lit(0.5) * x + lit(0.5) * acc)).as("e"))
-      .head().getDouble(0)
-    assert(got == 2.75)
+    def ewma(vals: Seq[java.lang.Double]) = {
+      val vs = col("__vs")
+      Seq(vals).toDF("__vs")
+        .select(aggregate(
+          slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+          element_at(vs, 1),
+          (acc, x) => lit(0.5) * x + lit(0.5) * acc).as("e"))
+        .head()
+    }
+    assert(ewma(Seq(1.0, 2.0, 4.0)).getDouble(0) == 2.75)
+    assert(ewma(Seq(7.0)).getDouble(0) == 7.0) // single event: seed only
+    // a NULL mid-series must propagate to a NULL EWMA (DuckDB
+    // list_reduce semantics) — NOT silently restart the smoothing at
+    // the next value, which is what a null-seeded when(acc IS NULL, …)
+    // fold would do
+    assert(ewma(Seq(1.0, null, 4.0)).isNullAt(0))
   }
 }

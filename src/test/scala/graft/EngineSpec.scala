@@ -104,6 +104,28 @@ class EngineSpec extends AnyFunSuite {
       ("unique_key", 1L, 4L)))
   }
 
+  test("constraintAudit: a NULL key column is a distinct key value, not " +
+      "a duplicate; reserved/duplicate names rejected") {
+    import spark.implicits._
+    // countDistinct(a, b) would SKIP the (null, 1) tuple and report a
+    // phantom duplicate; the struct-distinct counts it (row-value SQL
+    // semantics, matching DuckDB's count(DISTINCT (a, b))).
+    val d = Seq((Some(1L), 1), (None, 1), (Some(2L), 1))
+      .toDF("k", "ln")
+    val uniq = Engine.constraintAudit(d,
+        Seq("noop" -> lit(false)), uniqueKey = Seq("k", "ln"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(uniq("unique_key") == 0L)
+    intercept[IllegalArgumentException] {
+      Engine.constraintAudit(d, Seq("unique_key" -> lit(false)),
+        uniqueKey = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Engine.constraintAudit(d,
+        Seq("a" -> lit(false), "a" -> lit(true)), uniqueKey = Seq("k"))
+    }
+  }
+
   test("tvdDrift: identical slices show zero gap; disjoint buckets sum " +
       "to total variation 1") {
     import spark.implicits._
@@ -116,6 +138,17 @@ class EngineSpec extends AnyFunSuite {
     val gaps = Engine.tvdDrift(disjoint, col("r"), !col("r"), col("b"))
       .collect().map(_.getDouble(5)).sum
     assert(gaps == 2.0) // TVD = 0.5 * 2.0 = 1: full separation
+    // an entirely EMPTY candidate slice is the zero measure: its share
+    // is 0.0 and every gap equals the reference share — maximal drift
+    // must surface as numbers, never as NULL-on-zero-divide
+    val empty = Seq((0, true), (1, true)).toDF("b", "r")
+    val rows = Engine.tvdDrift(empty, col("r"), !col("r"), col("b"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == 0.0) // share_cand
+      assert(r.getDouble(5) == 0.5) // gap == share_ref
+    }
   }
 
   test("globalIds: dense 0-based ids in key order, robust to a skewed " +
@@ -466,12 +499,17 @@ class EngineSpec extends AnyFunSuite {
         s"recon error above the half-step bound: $r")
     }
     // the all-zero vector: scale 0 must yield zero codes and zero error,
-    // never a 0/0 NaN
-    val z = Engine.quantizeInt8(
-      Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding"),
-      "vec_id", "embedding").head()
-    assert(z.getDouble(1) == 0.0 && z.getLong(2) == 0L &&
-      z.getInt(3) == 0 && z.getInt(4) == 0 && z.getDouble(5) == 0.0)
+    // never a 0/0 NaN; the zero-LENGTH vector is excluded entirely
+    // (nothing to quantize — not an all-NULL row)
+    val mixed = Engine.quantizeInt8(
+      Seq((1L, Array.fill(8)(0f)), (2L, Array.empty[Float]))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding").collect()
+    assert(mixed.length == 1)
+    val z = mixed.head
+    assert(z.getLong(0) == 1L && z.getDouble(1) == 0.0 &&
+      z.getLong(2) == 0L && z.getInt(3) == 0 && z.getInt(4) == 0 &&
+      z.getDouble(5) == 0.0)
   }
 
   test("exactDedup: doubled input halves to one keeper per distinct text") {
