@@ -755,6 +755,65 @@ object Engine {
         col("vec_id"), col("adist"))
   }
 
+  /** IVF search served from a PERSISTED index — the missing operational
+    * half of [[ivfPqSearch]]: a billion-vector index is not rebuilt per
+    * query batch, it is a TABLE, laid out so the storage engine prunes
+    * it. Build: assign every corpus vector its nearest cell (rounded
+    * cosine, centroid-id tiebreak — the q99b discipline) and write
+    * (vec_id, embedding) PARTITIONED BY cell to `indexPath`. Serve:
+    * compute each query's `nprobe` nearest cells, collect the DISTINCT
+    * probed-cell list (bounded by min(|queries|·nprobe, K) scalars — a
+    * config-sized driver list, never data), and read the index back
+    * with `cell IN (…)`: the filter lands on the PARTITION column, so
+    * the scan reads only the probed directories — nprobe/K of the
+    * corpus off disk, which is the entire point of an inverted file.
+    * Scoring then joins the broadcast probes on the cell and ranks
+    * top-k exactly like the in-memory path; same results, index build
+    * amortized across every future query batch.
+    *
+    * The cell key is written as the STRING "c<centroid-id>" — a
+    * numeric partition value would be re-inferred as INT on read-back
+    * and the long/int coercion cast would defeat partition pruning. */
+  def ivfPersistedSearch(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      indexPath: String, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    val spark = corpus.sparkSession
+    graft.plans.CosineSimilarity.register(spark)
+    val cent = broadcast(
+      centroids.select(col(cid).as("__ccid"), col(cvec).as("__ce")))
+    def nearestCells(src: DataFrame, idAs: String, vecAs: String,
+        probe: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__cos").desc, col("__ccid").asc)
+      src.crossJoin(cent)
+        .select(col(idAs), col(vecAs), col("__ccid"),
+          round(expr(s"cosine_sim($vecAs, __ce)"), 6).as("__cos"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= probe)
+        .select(col(idAs), col(vecAs),
+          concat(lit("c"), col("__ccid")).as("cell"))
+    }
+    nearestCells(corpus.select(col(id).as("vec_id"),
+        col(vec).as("embedding")), "vec_id", "embedding", probe = 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val probes = nearestCells(queries.select(col(qid).as("query_id"),
+      col(qvec).as("__qe")), "query_id", "__qe", probe = nprobe)
+    val probed = probes.select("cell").distinct()
+      .collect().map(_.getString(0)).sorted // bounded: ≤ |Q|·nprobe
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.toSeq: _*))
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("cosine_sim(__qe, embedding)"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
   /** The shared (id, block, code, dist) distance kernel behind
     * [[pqEncode]] (argmin of it) and [[pqSearch]]'s LUT (all of it):
     * every block's squared L2 to every codebook sub-vector, computed

@@ -659,6 +659,27 @@ object LlmPipeline {
         .select("query_id", "rnk", "vec_id", "cos_sim"))
     },
 
+    // Q99g (beyond-survey) — IVF served from a PERSISTED index
+    // ([[graft.Engine.ivfPersistedSearch]]): same query semantics and
+    // SAME ORACLE as q99b, but the inverted file is a parquet table
+    // partitioned by cell, and the probe step reads back ONLY the
+    // probed-cell directories (the `cell IN (…)` filter lands on the
+    // partition column — PlanSpec asserts the scan's PartitionFilters).
+    // This is the operational half q99b abstracts away: a
+    // billion-vector index is built once and pruned by storage on
+    // every query batch, not reassigned per run. The probed-cell
+    // driver list is bounded by min(|Q|·nprobe, K) scalars.
+    Q("q99g_persisted_ivf", ivfAnnOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.ivfPersistedSearch(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        e.filter(col("vec_id").isin(ivfCentroidIds: _*)), "vec_id",
+        "embedding",
+        indexPath = IO.scratch("q99g_ivf_index", dir),
+        nprobe = 2, k = 3))
+    },
+
     // Q92i (beyond-survey) — PRODUCT-QUANTIZATION encode: each 64-dim
     // embedding becomes 8 sub-vector codes (nearest codebook entry per
     // block, squared L2, decimal-exact, id tiebreak) — the library

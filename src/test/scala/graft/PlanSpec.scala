@@ -266,6 +266,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q99g: the index read-back prunes on the cell PARTITION column") {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.initialPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val df = SparkEntry.queries("q99g_persisted_ivf")(
+      spark, TestSpark.sfDir)
+    // the probed-cell IN-list must land in PartitionFilters (directory
+    // pruning), NOT in the data filters — that is the inverted-file
+    // read the persisted layout exists for
+    val pruned = scans(df.queryExecution.executedPlan).filter(
+      _.partitionFilters.exists(_.toString.contains("cell")))
+    assert(pruned.nonEmpty)
+  }
+
   test("q10b: id assignment plans no single-partition exchange or " +
       "global window") {
     // the whole point of globalIds: the oracle's row_number() OVER
@@ -461,7 +479,8 @@ class PlanSpec extends AnyFunSuite {
       "q77_foreach_batch", "q77b_stream_upsert", "q78_stream_stream_join",
       "q78b_stream_stream_outer",
       "q20c_bloom_join", "q20d_bucketed_join",
-      "q91b_neardup_clusters", "q91e_apply_dedup")
+      "q91b_neardup_clusters", "q91e_apply_dedup",
+      "q99g_persisted_ivf") // writes its index on build; targeted test
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
