@@ -778,28 +778,73 @@ object Engine {
       queries: DataFrame, qid: String, qvec: String,
       centroids: DataFrame, cid: String, cvec: String,
       indexPath: String, nprobe: Int, k: Int): DataFrame = {
-    require(nprobe >= 1 && k >= 1)
-    val spark = corpus.sparkSession
-    graft.plans.CosineSimilarity.register(spark)
+    buildIvfIndex(corpus, id, vec, centroids, cid, cvec, indexPath)
+    searchIvfIndex(queries, qid, qvec, centroids, cid, cvec, indexPath,
+      nprobe, k)
+  }
+
+  /** The shared cell-assignment map: nearest `probe` centroids per row
+    * by rounded cosine with centroid-id tiebreak (the q99b
+    * discipline); centroids broadcast, assignment is a map pass. */
+  private def ivfCells(src: DataFrame, idAs: String, vecAs: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      probe: Int): DataFrame = {
+    graft.plans.CosineSimilarity.register(src.sparkSession)
     val cent = broadcast(
       centroids.select(col(cid).as("__ccid"), col(cvec).as("__ce")))
-    def nearestCells(src: DataFrame, idAs: String, vecAs: String,
-        probe: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__cos").desc, col("__ccid").asc)
-      src.crossJoin(cent)
-        .select(col(idAs), col(vecAs), col("__ccid"),
-          round(expr(s"cosine_sim($vecAs, __ce)"), 6).as("__cos"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= probe)
-        .select(col(idAs), col(vecAs),
-          concat(lit("c"), col("__ccid")).as("cell"))
-    }
-    nearestCells(corpus.select(col(id).as("vec_id"),
-        col(vec).as("embedding")), "vec_id", "embedding", probe = 1)
+    val w = Window.partitionBy(col(idAs))
+      .orderBy(col("__cos").desc, col("__ccid").asc)
+    src.crossJoin(cent)
+      .select(col(idAs), col(vecAs), col("__ccid"),
+        round(expr(s"cosine_sim($vecAs, __ce)"), 6).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= probe)
+      .select(col(idAs), col(vecAs),
+        concat(lit("c"), col("__ccid")).as("cell"))
+  }
+
+  /** Build the persisted inverted file: one cell per vector, written
+    * partitioned by cell (overwriting any previous index). */
+  def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      indexPath: String): Unit =
+    ivfCells(corpus.select(col(id).as("vec_id"), col(vec).as("embedding")),
+        "vec_id", "embedding", centroids, cid, cvec, probe = 1)
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
-    val probes = nearestCells(queries.select(col(qid).as("query_id"),
-      col(qvec).as("__qe")), "query_id", "__qe", probe = nprobe)
+
+  /** INCREMENTAL index maintenance: assign the delta batch with the
+    * SAME centroid set and append into the existing cell directories —
+    * the nightly ingest path of a persisted index (a rebuild would
+    * rewrite the whole corpus to add 0.1% of it). Append-only is the
+    * honest mode here: the centroid set must not move between build
+    * and append (a moved centroid re-cells old vectors), which is also
+    * the real constraint production IVF maintenance operates under —
+    * re-clustering is a rebuild, not an append. Readers see old+new
+    * identically to a fresh build over the union corpus (spec +
+    * q99h's oracle equivalence). */
+  def appendIvfIndex(delta: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      indexPath: String): Unit =
+    ivfCells(delta.select(col(id).as("vec_id"), col(vec).as("embedding")),
+        "vec_id", "embedding", centroids, cid, cvec, probe = 1)
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+
+  /** Serve top-k from the persisted index: probe each query's `nprobe`
+    * nearest cells, collect the DISTINCT probed-cell list (bounded by
+    * min(|queries|·nprobe, K) scalars — config-sized, never data), and
+    * read the index back with `cell IN (…)` on the PARTITION column —
+    * the scan prunes to the probed directories, nprobe/K of the corpus
+    * off disk. See [[ivfPersistedSearch]] for the build+serve compose
+    * and the string-cell-key rationale. */
+  def searchIvfIndex(queries: DataFrame, qid: String, qvec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      indexPath: String, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    val spark = queries.sparkSession
+    graft.plans.CosineSimilarity.register(spark)
+    val probes = ivfCells(queries.select(col(qid).as("query_id"),
+      col(qvec).as("__qe")), "query_id", "__qe", centroids, cid, cvec,
+      probe = nprobe)
     val probed = probes.select("cell").distinct()
       .collect().map(_.getString(0)).sorted // bounded: ≤ |Q|·nprobe
     val index = spark.read.parquet(indexPath)

@@ -680,6 +680,28 @@ object LlmPipeline {
         nprobe = 2, k = 3))
     },
 
+    // Q99h (beyond-survey) — INCREMENTAL index maintenance
+    // ([[graft.Engine.appendIvfIndex]]): the index is built from 90% of
+    // the corpus, the remaining tenth arrives as a delta batch appended
+    // into the existing cell directories with the SAME centroid set
+    // (the real production constraint — moving centroids is a rebuild,
+    // not an append), and the search result must be IDENTICAL to a
+    // fresh build over the union: same oracle as q99b/q99g. This is
+    // the nightly-ingest path — appending 0.1% of a billion-vector
+    // index must not rewrite the other 99.9%.
+    Q("q99h_index_append", ivfAnnOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      val path = IO.scratch("q99h_ivf_index", dir)
+      graft.Engine.buildIvfIndex(e.filter(col("vec_id") % 10 =!= 3),
+        "vec_id", "embedding", cents, "vec_id", "embedding", path)
+      graft.Engine.appendIvfIndex(e.filter(col("vec_id") % 10 === 3),
+        "vec_id", "embedding", cents, "vec_id", "embedding", path)
+      orderAll(graft.Engine.searchIvfIndex(
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        cents, "vec_id", "embedding", path, nprobe = 2, k = 3))
+    },
+
     // Q92i (beyond-survey) — PRODUCT-QUANTIZATION encode: each 64-dim
     // embedding becomes 8 sub-vector codes (nearest codebook entry per
     // block, squared L2, decimal-exact, id tiebreak) — the library

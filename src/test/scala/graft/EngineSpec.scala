@@ -191,6 +191,31 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("appendIvfIndex: build(90%) + append(10%) serves identically to " +
+      "a fresh build over the union") {
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val cents = e.filter(col("vec_id") % 61 === 2) // any fixed seed set
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = graft.sources.IO.scratch("enginespec-ivf-full",
+      TestSpark.sfDir)
+    Engine.buildIvfIndex(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding", full)
+    val incr = graft.sources.IO.scratch("enginespec-ivf-incr",
+      TestSpark.sfDir)
+    Engine.buildIvfIndex(e.filter(col("vec_id") % 10 =!= 3),
+      "vec_id", "embedding", cents, "vec_id", "embedding", incr)
+    Engine.appendIvfIndex(e.filter(col("vec_id") % 10 === 3),
+      "vec_id", "embedding", cents, "vec_id", "embedding", incr)
+    def serve(path: String) = rows(Engine.searchIvfIndex(
+      q, "vec_id", "embedding", cents, "vec_id", "embedding",
+      path, nprobe = 2, k = 3))
+    assert(serve(incr) == serve(full))
+    assert(serve(full).nonEmpty)
+  }
+
   /** (query_id, vec_id) result pairs of an ANN-shaped frame. */
   private def annPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("query_id", "vec_id").collect()

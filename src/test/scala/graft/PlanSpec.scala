@@ -480,7 +480,8 @@ class PlanSpec extends AnyFunSuite {
       "q78b_stream_stream_outer",
       "q20c_bloom_join", "q20d_bucketed_join",
       "q91b_neardup_clusters", "q91e_apply_dedup",
-      "q99g_persisted_ivf") // writes its index on build; targeted test
+      // write their index on build; targeted partition-pruning test
+      "q99g_persisted_ivf", "q99h_index_append")
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
