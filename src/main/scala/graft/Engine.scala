@@ -146,6 +146,52 @@ object Engine {
         round(abs(sr - sc), 6).as("gap"))
   }
 
+  /** ROBUST per-group outlier profile via median/MAD — the quality gate
+    * that survives what mean/stddev cannot: a single corrupted batch of
+    * extreme values drags a z-score gate's own yardstick toward the
+    * garbage (breakdown point 0), while the median absolute deviation
+    * ignores up to half the data being bad. Per key: med = median(v),
+    * mad = median(|v − med|), and a row is an outlier when
+    * |v − med| > k·mad (strict — the MAD=0 degenerate group, over half
+    * its values identical, flags exactly the rows off the mode).
+    *
+    * Determinism: med and mad are ROUNDED to 6 dp before anything
+    * compares against them — exact-interpolation medians agree across
+    * engines only to ~1 ulp, and an unrounded boundary comparison would
+    * flip rows at exactly the threshold (the q99b rounded-cosine
+    * discipline applied to quantiles). After rounding, |v − med| and
+    * k·mad are single IEEE ops on identical doubles — bit-identical
+    * everywhere.
+    *
+    * Plan shape: the two medians are inherently SEQUENTIAL (the second
+    * aggregates a quantity defined by the first — no single-pass form
+    * exists), so the floor is two grouped aggregates on the same key
+    * plus the flagging pass, all sharing one hash partitioning; the
+    * per-key scalar tables (med, mad) join back unhinted — group
+    * cardinality is not bounded by this API's contract, so the
+    * broadcast is AQE's runtime-size call, not a pinned claim (the q29
+    * discipline). At 100 TB swap the exact percentile for
+    * approx_percentile(·, 0.5, ε) per the q39 accuracy note. */
+  def madOutliers(df: DataFrame, key: String, value: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1)
+    val v = df.select(col(key).as("__k"),
+      col(value).cast("double").as("__v"))
+    val med = v.groupBy("__k")
+      .agg(round(expr("percentile(__v, 0.5D)"), 6).as("med"))
+    val dev = v.join(med, Seq("__k"))
+      .withColumn("__ad", abs(col("__v") - col("med")))
+    val mad = dev.groupBy("__k")
+      .agg(round(expr("percentile(__ad, 0.5D)"), 6).as("mad"))
+    dev.join(mad, Seq("__k"))
+      .groupBy(col("__k"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ad") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("__k").as(key), col("med"), col("mad"), col("n"),
+        col("n_outliers"))
+  }
+
   /** Contiguous 0-based GLOBAL row ids in `orderCol` order — the
     * training-example indexing primitive (every packed/exported corpus
     * needs a dense id space; `monotonically_increasing_id` leaves

@@ -458,5 +458,39 @@ object Aggregates {
         isRef = srcNum % 2 === 0,
         isCand = srcNum % 2 =!= 0,
         bucket = least(lit(5), floor(col("n_chars") / lit(100)).cast("int"))))
+    },
+
+    // Q46d (beyond-survey) — ROBUST outlier detection via median/MAD
+    // (Engine.madOutliers): the anomaly gate a telemetry-driven curation
+    // pipeline runs per segment. Deliberately NOT mean/stddev — one
+    // corrupted batch drags a z-score's own yardstick toward the garbage
+    // (breakdown 0), while MAD tolerates up to half the data being bad.
+    // Both medians round to 6 dp BEFORE any comparison (exact
+    // interpolation agrees across engines only to ~1 ulp; an unrounded
+    // threshold would flip boundary rows — the q99b rounded-cosine
+    // discipline applied to quantiles). Two sequential grouped
+    // aggregates on the same key (irreducible: the second median's
+    // input is defined by the first) + the flagging pass; per-key
+    // scalar tables join back unhinted (q29 discipline). At 100 TB the
+    // exact percentile swaps for approx_percentile per the q39 note.
+    Q("q46d_mad_outliers",
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |md AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, d.med, md.mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN d.ad > md.mad * 3 THEN 1 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type, d.med, md.mad
+        |ORDER BY event_type NULLS FIRST, med NULLS FIRST, mad NULLS FIRST,
+        |  n NULLS FIRST, n_outliers NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.madOutliers(
+          Tables.t(s, dir, "events"), "event_type", "value", k = 3))
     })
 }

@@ -702,6 +702,36 @@ object LlmPipeline {
         cents, "vec_id", "embedding", path, nprobe = 2, k = 3))
     },
 
+    // Q99i (beyond-survey) — ANN RECALL EVALUATION as a registered
+    // operator, not a dev script: every production ANN deployment ships
+    // the job that measures what its index actually recalls (the
+    // "measure, don't guess" discipline RecallProbe applies in tests,
+    // promoted to the query surface). The approximate side is the q99
+    // multi-table LSH plan; ground truth is the q92 exact plan over the
+    // SAME bounded query sample; recall@3 is one lean (query_id,
+    // vec_id) left join + count — all integers through one IEEE
+    // divide, bit-deterministic. At 100 TB the eval runs on a sampled
+    // query set (here: the same bounded probe set both plans already
+    // share), so the exact side's brute-force cost is |sample|·N — a
+    // monitoring job, not a serving path; the oracle replays BOTH
+    // pipelines as CTEs of one query, so the measured recall is itself
+    // hash-gated.
+    Q("q99i_ann_recall", annRecallOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 20)
+      val ap = graft.Engine.lshTopK(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      val gt = graft.Engine.cosineTopK(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("vec_id"))
+      orderAll(gt.join(ap, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_true"), 6)))
+    },
+
     // Q92i (beyond-survey) — PRODUCT-QUANTIZATION encode: each 64-dim
     // embedding becomes 8 sub-vector codes (nearest codebook entry per
     // block, squared L2, decimal-exact, id tiebreak) — the library
@@ -1942,6 +1972,49 @@ object LlmPipeline {
         col("n_chars"), seed = "42", shards = 8))
     },
 
+    // Q100c (beyond-survey) — the INCREMENTAL curation capstone: the
+    // nightly path where only the DELTA flows through the pipeline.
+    // Compose: the q58b snapshot diff selects added+modified docs (the
+    // day's effective new content) → exact content dedup of the delta
+    // against the UNCHANGED history — an anti-join on md5(text), the
+    // q90 discipline, where history contributes only its hash set (at
+    // rest that set is the incrementally-maintained dedup index,
+    // bucketed by hash ⇒ the anti-join co-partitions to zero exchange)
+    // → length gate (standing in for the q95f Gopher gate q100/q100b
+    // exercise in full) → the q93n deterministic shard manifest with
+    // this pipeline's own (seed, shards). The 100 TB point IS the
+    // shape: history is never re-scored, re-deduped, or re-exported —
+    // it is touched exactly once, as a hash-set probe; everything
+    // data-sized that moves is delta-sized. Delta is pinned
+    // (persistOnce): it feeds both the history anti-join and the
+    // export, and re-deriving it would re-run the diff join twice.
+    Q("q100c_incremental_pipeline", incrementalPipelineOracleSql) {
+      (s, dir) =>
+        import graft.Engine.PersistOnceOps
+        val docs = Tables.t(s, dir, "documents")
+        val sn = docs.filter(col("doc_id") % 11 =!= 7)
+          .select(col("doc_id"), col("text"),
+            when(col("doc_id") % 5 === 0, lit("xx"))
+              .otherwise(col("lang")).as("lang"), col("n_chars"))
+        val snh = sn.withColumn("__h",
+          md5(concat_ws("|", col("text"), col("lang"))))
+        val so = docs.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"),
+            md5(concat_ws("|", col("text"), col("lang"))).as("__ho"))
+        val delta = snh.join(so, Seq("doc_id"), "left")
+          .filter(col("__ho").isNull || col("__ho") =!= col("__h"))
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .persistOnce()
+        val hist = snh
+          .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(md5(col("text")).as("__th")).distinct()
+        val ded = delta.join(hist,
+          md5(col("text")) === col("__th"), "left_anti")
+        val gated = ded.filter(col("n_chars").between(50, 5000))
+        orderAll(graft.Engine.exportManifest(gated, col("doc_id"),
+          col("n_chars"), seed = "d1", shards = 4))
+    },
+
     // Q93n (beyond-survey) — EXPORT MANIFEST over the q93k shard
     // layout ([[graft.Engine.exportManifest]]): per shard, row count,
     // exact char total and an order-free content checksum (sum of each
@@ -1968,6 +2041,44 @@ object LlmPipeline {
         orderAll(graft.Engine.exportManifest(
           Tables.t(s, dir, "documents"), col("doc_id"), col("n_chars"),
           seed = "42", shards = 8))
+    },
+
+    // Q93o (beyond-survey) — WORD CO-OCCURRENCE counts within a ±2
+    // token window: the corpus pass embedding training starts from
+    // (word2vec/GloVe build their matrix from exactly these skip-gram
+    // pair counts; PMI-based phrase mining divides them). The pair
+    // generation is ROW-LOCAL by construction — token adjacency lives
+    // inside the document, so each offset j is one zip of the word
+    // array with its own j-shifted self (two slices + zip_with, all
+    // codegen HOFs; same argument as q94m's in-blob frame adjacency),
+    // never an explode + positional self-join, which would shuffle
+    // every token once per window slot to rebuild what the row already
+    // holds (the oracle does exactly that — affordable at sf0.01,
+    // wrong at 100 TB). The one exchange is the final count groupBy on
+    // the pair key, partial-aggregated map-side, output bounded by
+    // vocabulary², not corpus size. Directional pairs (left word
+    // first); count cast to the oracle's BIGINT.
+    Q("q93o_cooccurrence",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS w,
+        |    generate_subscripts(ws, 1) AS pos FROM w)
+        |SELECT a.w AS w1, b.w AS w2, count(*) AS cnt
+        |FROM t a JOIN t b
+        |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        |GROUP BY 1, 2
+        |ORDER BY w1 NULLS FIRST, w2 NULLS FIRST,
+        |  cnt NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .select(split(col("text"), " ").as("__ws"))
+      def zipAt(j: Int) =
+        expr(s"zip_with(slice(__ws, 1, greatest(size(__ws) - $j, 0)), " +
+          s"slice(__ws, ${j + 1}, greatest(size(__ws) - $j, 0)), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")
+      orderAll(docs
+        .select(explode(concat(zipAt(1), zipAt(2))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
     })
 
   /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending
@@ -2124,6 +2235,45 @@ object LlmPipeline {
     * first occurrence per normalized content hash → token-budget mix
     * (rates computed over the SURVIVORS, the same frame the Spark side
     * feeds [[graft.Engine.tokenBudgetMix]]) → shard manifest. */
+  /** Q100c oracle: the q58b snapshot CTEs → delta selection → exact
+    * content dedup of the delta against the unchanged history (LEFT
+    * JOIN anti form, never NOT IN — a NULL hash must keep, not
+    * annihilate) → length gate → the q93n manifest arithmetic with
+    * this pipeline's own (seed, shards). */
+  private def incrementalPipelineOracleSql: String =
+    """WITH sn AS (SELECT doc_id, text,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    n_chars
+      |  FROM documents WHERE doc_id % 11 <> 7),
+      |snh AS (SELECT doc_id, text, n_chars,
+      |    md5(concat_ws('|', text, lang)) AS h FROM sn),
+      |so AS (SELECT doc_id, md5(concat_ws('|', text, lang)) AS h
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |delta AS (SELECT snh.doc_id, snh.text, snh.n_chars
+      |  FROM snh LEFT JOIN so ON snh.doc_id = so.doc_id
+      |  WHERE so.doc_id IS NULL OR so.h <> snh.h),
+      |hist AS (SELECT DISTINCT md5(snh.text) AS th FROM snh
+      |  LEFT JOIN delta ON snh.doc_id = delta.doc_id
+      |  WHERE delta.doc_id IS NULL),
+      |ded AS (SELECT delta.doc_id, delta.n_chars FROM delta
+      |  LEFT JOIN hist ON md5(delta.text) = hist.th
+      |  WHERE hist.th IS NULL),
+      |gated AS (SELECT doc_id, n_chars FROM ded
+      |  WHERE n_chars BETWEEN 50 AND 5000),
+      |sh AS (SELECT doc_id, n_chars,
+      |    CAST(CAST('0x' || substr(md5('d1:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS INT)
+      |      AS shard,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) AS ck
+      |  FROM gated)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |  CAST(sum(ck) AS BIGINT) AS checksum
+      |FROM sh GROUP BY shard
+      |ORDER BY shard NULLS FIRST, n_docs NULLS FIRST,
+      |  n_chars_total NULLS FIRST, checksum NULLS FIRST""".stripMargin
+
   private def exportPipelineOracleSql: String =
     s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
        |    string_split(text, ' ') AS w FROM documents),
@@ -2629,6 +2779,56 @@ object LlmPipeline {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
        |  cos_sim NULLS FIRST""".stripMargin
+  }
+
+  /** Q99i oracle: the q99 LSH pipeline and the q92 exact pipeline as
+    * CTEs of ONE query, joined into per-query recall@3 — both sides
+    * replay the same rounded-cosine/id-tiebreak ranking as their
+    * standalone oracles, so the measured recall is itself hash-gated. */
+  private def annRecallOracleSql: String = {
+    val masks = probeXors.map(x => s"($x)").mkString(", ")
+    val tabs = (0 until annTables).map(t =>
+      s"SELECT vec_id, embedding, $t AS tbl, " +
+        s"${bucketCodeSqlAt(16 * t)} AS bucket FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"""WITH tabs AS ($tabs),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, tbl, bucket
+       |  FROM tabs WHERE vec_id < 20),
+       |probes AS (SELECT query_id, qe, tbl, xor(bucket, m.x) AS bucket
+       |  FROM q CROSS JOIN (VALUES $masks) m(x)),
+       |cand AS (SELECT DISTINCT p.query_id, p.qe, e.vec_id, e.embedding
+       |  FROM probes p JOIN tabs e
+       |    ON p.tbl = e.tbl AND p.bucket = e.bucket),
+       |ascored AS (
+       |  SELECT query_id, vec_id,
+       |    round(${Similarity.cosineSql("qe", "embedding")}, 6)
+       |      AS cos_sim
+       |  FROM cand),
+       |aranked AS (SELECT query_id, vec_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM ascored),
+       |ap AS (SELECT query_id, vec_id FROM aranked WHERE rnk <= 3),
+       |eq AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 20),
+       |escored AS (
+       |  SELECT query_id, vec_id,
+       |    round(${Similarity.cosineSql("qe", "embedding")}, 6)
+       |      AS cos_sim
+       |  FROM eq CROSS JOIN embeddings),
+       |eranked AS (SELECT query_id, vec_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM escored),
+       |gt AS (SELECT query_id, vec_id FROM eranked WHERE rnk <= 3),
+       |rec AS (
+       |  SELECT gt.query_id AS query_id, CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+       |    round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 6) AS recall
+       |  FROM gt LEFT JOIN ap
+       |    ON gt.query_id = ap.query_id AND gt.vec_id = ap.vec_id
+       |  GROUP BY gt.query_id)
+       |SELECT query_id, n_true, n_hit, recall FROM rec
+       |ORDER BY query_id NULLS FIRST, n_true NULLS FIRST,
+       |  n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin
   }
 
   /** DuckDB oracle for Q99e: the q99b cell-assignment CTEs (argmax

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.{Q, Tables}
@@ -155,6 +156,9 @@ object WavDecoder extends MediaDecoder {
   * nearest-neighbour-resampled `side`×`side` preview raster. */
 final case class ThumbFeatures(doc_id: Long, w: Int, h: Int,
     thumb_sum: Long, thumb_mean: Double)
+
+/** Average-hash output: one 64-bit perceptual fingerprint per image. */
+final case class AHashRow(doc_id: Long, ahash: Long)
 
 /** Frame-sampling output: one row per KEPT frame. */
 final case class FrameSample(doc_id: Long, frame_idx: Int,
@@ -509,6 +513,59 @@ object Multimodal {
         }
         ThumbFeatures(b.doc_id, w, h, sum,
           sum.toDouble / (side.toLong * side))
+      }
+    }
+  }
+
+  /** AVERAGE-HASH perceptual fingerprints: decode each image through the
+    * real codec, resample to `side`×`side` with the same index-mapped NN
+    * kernel as [[thumbnails]], and set bit i = (sample_i above the
+    * preview mean) — the classic aHash, the cheapest member of the
+    * perceptual-hash family and the standard first pass of image dedup
+    * (brightness shifts cancel: the bit rule compares each sample to the
+    * preview's OWN mean, so two images differing only by a constant
+    * offset collide — which is the point). The bit rule is INTEGER
+    * (v·side² > Σv, strict) — no floating point anywhere in the
+    * fingerprint, so the hash is bit-deterministic on any JVM. Same
+    * mapPartitions shape as [[extractFeatures]]: codec init once per
+    * partition, streamed decode, no shuffle — the grouping that turns
+    * fingerprints into duplicate clusters is the caller's one
+    * hash-exchange (q94o), exactly the q90 exact-dedup shape applied to
+    * pixels instead of text. */
+  def averageHashes(blobs: Dataset[MediaBlob], side: Int)(
+      implicit s: SparkSession): Dataset[AHashRow] = {
+    require(side >= 1 && side <= 8, "aHash packs side*side bits into i64")
+    import s.implicits._
+    val n = side * side
+    spread(blobs).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.content))
+        require(img != null,
+          s"undecodable image blob for doc ${b.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val v = new Array[Long](n)
+        var sum = 0L
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val px = raster.getSample(x * w / side, y * h / side, 0).toLong
+            v(y * side + x) = px
+            sum += px
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < n) {
+          if (v(i) * n > sum) hash |= 1L << i
+          i += 1
+        }
+        AHashRow(b.doc_id, hash)
       }
     }
   }
@@ -1258,6 +1315,49 @@ object Multimodal {
             MediaBlob(id, "audio", lang, gradWavFor(id)) }
         orderAll(detectActivity(blobs, window = 4, threshold = 80000L)
           .toDF())
+    },
+
+    // Q94o (beyond-survey) — IMAGE NEAR-DUP via average-hash: the q90
+    // exact-dedup shape applied to pixels. Each gradient PNG decodes
+    // through the real codec, resamples 4×4 (the q94j NN kernel) and
+    // fingerprints with the integer aHash bit rule (v·16 > Σv — zero FP,
+    // bit-deterministic); duplicate clusters are then ONE hash-groupBy
+    // away (dup_of = min doc_id over the fingerprint — a window on the
+    // 8-byte hash, never on pixels). The fixture makes the semantics
+    // visible: the gradient's id offset CANCELS in the mean comparison,
+    // so every non-wrapping doc in a (w,h) geometry class collides (same
+    // pattern, shifted brightness — exactly what aHash must collapse)
+    // while mod-251 wraps break out as singletons. At 100 TB: the decode
+    // pass pipelines inside the blob scan, the exchange carries (id,
+    // hash) pairs only, and the hash column is the bucketing key for an
+    // incrementally-maintained fingerprint index.
+    Q("q94o_image_ahash",
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
+        |    CAST(doc_id % 7 + 4 AS INT) AS h FROM documents),
+        |s AS (SELECT doc_id, i,
+        |    (doc_id + 3 * (((i % 4) * w) // 4)
+        |      + 5 * (((i // 4) * h) // 4)) % 251 AS v
+        |  FROM t CROSS JOIN unnest(generate_series(0, 15)) AS u(i)),
+        |g AS (SELECT doc_id, sum(v) AS ts FROM s GROUP BY doc_id),
+        |hb AS (SELECT s.doc_id,
+        |    CAST(sum(CASE WHEN s.v * 16 > g.ts
+        |      THEN CAST(1 AS BIGINT) << s.i ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM s JOIN g USING (doc_id) GROUP BY s.doc_id)
+        |SELECT doc_id, ahash,
+        |  min(doc_id) OVER (PARTITION BY ahash) AS dup_of
+        |FROM hb
+        |ORDER BY doc_id NULLS FIRST, ahash NULLS FIRST,
+        |  dup_of NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val blobs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")).as[(Long, String)]
+          .map { case (id, lang) =>
+            MediaBlob(id, "image", lang, gradPngFor(id)) }
+        val hashes = averageHashes(blobs, side = 4).toDF()
+        orderAll(hashes.withColumn("dup_of",
+          min(col("doc_id")).over(Window.partitionBy(col("ahash")))))
     })
 
   /** The capstone's pre-publish pipeline — decode → geo-clip → re-grid

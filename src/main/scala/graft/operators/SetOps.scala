@@ -219,6 +219,53 @@ object SetOps {
             sumDec(col("price")).as("sum_price")))
     },
 
+    // Q58b (beyond-survey) — SNAPSHOT DIFF: the change feed between two
+    // corpus versions (yesterday's crawl vs today's), the upstream half
+    // of q58's MERGE — a pipeline that can't compute WHAT changed can't
+    // apply it incrementally. Both versions are derived deterministically
+    // from the fixture (old drops doc_id%11=3, new drops %11=7 and
+    // re-tags lang for %5=0), then each side projects to (key, digest)
+    // BEFORE the full-outer join: at 100 TB the exchange carries 40-byte
+    // digest rows, never document bodies — content equality by md5, the
+    // same narrow-shuffle discipline as the q90 hash dedup. Unchanged
+    // rows (the overwhelming majority at scale) are dropped, so the
+    // output is the bounded delta feed. One co-partitionable shuffle on
+    // the key; with both snapshots key-bucketed at rest the diff is
+    // zero-exchange.
+    Q("q58b_snapshot_diff",
+      """WITH so AS (
+        |  SELECT doc_id, md5(concat_ws('|', text, lang)) AS h
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |sn AS (
+        |  SELECT doc_id, md5(concat_ws('|', text,
+        |      CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END)) AS h
+        |  FROM documents WHERE doc_id % 11 <> 7),
+        |d AS (
+        |  SELECT coalesce(so.doc_id, sn.doc_id) AS doc_id,
+        |    CASE WHEN so.h IS NULL THEN 'added'
+        |      WHEN sn.h IS NULL THEN 'removed'
+        |      WHEN so.h <> sn.h THEN 'modified' END AS change
+        |  FROM so FULL OUTER JOIN sn ON so.doc_id = sn.doc_id)
+        |SELECT doc_id, change FROM d WHERE change IS NOT NULL
+        |ORDER BY doc_id NULLS FIRST, change NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val old = docs.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"),
+            md5(concat_ws("|", col("text"), col("lang"))).as("__ho"))
+        val neu = docs.filter(col("doc_id") % 11 =!= 7)
+          .select(col("doc_id"),
+            md5(concat_ws("|", col("text"),
+              when(col("doc_id") % 5 === 0, lit("xx"))
+                .otherwise(col("lang")))).as("__hn"))
+        orderAll(old.join(neu, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("__ho").isNull, "added")
+              .when(col("__hn").isNull, "removed")
+              .when(col("__ho") =!= col("__hn"), "modified").as("change"))
+          .filter(col("change").isNotNull))
+    },
+
     // Q59 (beyond-survey) — SCD TYPE-2 history build: collapse an event
     // log into attribute-validity intervals. Per customer, each PRIORITY
     // CHANGE (detected with lag) opens an interval; lead() closes it at

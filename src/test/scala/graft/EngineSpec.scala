@@ -1215,4 +1215,24 @@ class EngineSpec extends AnyFunSuite {
     // the hash draw is partition-invariant
     assert(kept(docs.repartition(7)) == base)
   }
+
+  test("madOutliers: hand-computed medians, MAD=0 degenerate group, " +
+    "null values ignored by the quantiles") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0),
+      ("b", null)).toDF("k", "v")
+    val got = Engine.madOutliers(df, "k", "v", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // a: med 3, deviations (2,1,0,1,97) → mad 1; only 100 exceeds 3·1
+    assert(got("a") == ((3.0, 1.0, 5L, 1L)))
+    // b: med 5, deviations (0,0,0,4,null) → mad 0 — the degenerate
+    // group where MAD flags exactly the rows off the mode (strict >);
+    // the null row counts toward n but never toward the quantiles or
+    // the outlier count
+    assert(got("b") == ((5.0, 0.0, 5L, 1L)))
+  }
 }

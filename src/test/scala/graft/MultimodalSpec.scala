@@ -319,4 +319,38 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().toSeq // strict >: energy == threshold is NOT active
     assert(hi == Seq(graft.operators.VadStats(3L, 1, 0, 974L)))
   }
+
+  test("averageHashes: integer bit rule matches the fixture arithmetic, " +
+    "and a pure brightness shift collides") {
+    implicit val s = spark
+    import s.implicits._
+    // doc 40: 5x9 gradient; the expected hash replays the kernel's own
+    // contract — sample (x*w/4, y*h/4) of pixel (40+3x+5y) mod 251,
+    // bit i=(y*4+x) set iff v*16 > sum (strict, integer — no FP).
+    def predicted(id: Long): Long = {
+      val (w, h) = ((id % 13 + 4).toInt, (id % 7 + 4).toInt)
+      val v = (for (y <- 0 until 4; x <- 0 until 4)
+        yield (id + 3 * (x * w / 4) + 5 * (y * h / 4)) % 251).toArray
+      val sum = v.sum
+      v.zipWithIndex.collect { case (p, i) if p * 16 > sum => 1L << i }
+        .foldLeft(0L)(_ | _)
+    }
+    def hashOf(id: Long): Long = Multimodal.averageHashes(
+      Seq(MediaBlob(id, "image", "en", Multimodal.gradPngFor(id))).toDS(),
+      side = 4).collect().head.ahash
+    assert(hashOf(40L) == predicted(40L))
+    // 131 = 40 + 91 (= 13*7): identical geometry class, every pixel
+    // shifted by a constant 91 with no mod-251 wrap on either doc —
+    // aHash's defining invariance says the fingerprints MUST collide
+    assert(hashOf(131L) == hashOf(40L))
+    // a geometry class with a genuinely different relief (7x4: row 0
+    // already crosses the mean at x=3) produces a different bit pattern
+    assert(hashOf(42L) == predicted(42L) && hashOf(42L) != hashOf(40L))
+    // undecodable bytes fail loudly through the decoder-family guard
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.averageHashes(
+        Seq(MediaBlob(1L, "image", "en", Array[Byte](9, 9))).toDS(),
+        side = 4).collect()
+    }
+  }
 }

@@ -443,6 +443,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q93o: co-occurrence pair generation is in-row; one count exchange") {
+    // token adjacency lives inside the document row: pair emission is
+    // zip_with over slices (no explode + positional self-join), so the
+    // ONLY hash exchange is the final pair-count aggregate and the plan
+    // is join-free
+    val p = planOf("q93o_cooccurrence")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q94o: aHash decode is shuffle-free; one exchange groups the hash") {
+    // fingerprints are computed per-blob inside the decode scan; the
+    // only hash exchange is the dup-cluster window on the 8-byte hash
+    val p = planOf("q94o_image_ahash")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("q93h: BM25 dims broadcast; tf is the only data-sized exchange") {
     // df-per-term joins as a broadcast hash join; (N, avgdl) is a 1-row
     // BNLJ cross (allowlisted); the doc-keyed tf/score aggregates are
@@ -511,6 +531,9 @@ class PlanSpec extends AnyFunSuite {
       "q99e_ivfpq_ann",
       "q93j_bm25_search", // 1-row (N, avgdl) stats scalar, the q93h class
       "q92j_semantic_decontaminate", // bounded benchmark broadcast (q92 class)
+      // the recall eval's ground-truth side IS the q92 plan (bounded
+      // query set crossed against the corpus); the LSH side is equi-join
+      "q99i_ann_recall",
       // 1-row (R, T) gram-total scalar broadcast, the q93f class
       "q93l_dsir_weights", "q93m_dsir_resample",
       "q92k_cluster_cap", // 8-centroid assignment cross, the q99b class
