@@ -146,6 +146,44 @@ object Engine {
         round(abs(sr - sc), 6).as("gap"))
   }
 
+  /** Fixed-point integer PAGERANK over a directed edge list — the
+    * TextRank/centrality kernel (q93p). Scores are scaled by 10⁶ and
+    * every operation is integer: per-edge contribution `pr div outdeg`,
+    * damping `(85·Σ) div 100`, floor (1−d)·scale = 150000 — zero
+    * floating point, so any two engines agree in every bit of every
+    * iteration (the q49c EWMA determinism argument applied to an
+    * iterative fixpoint). Self-loops are the caller's concern; dangling
+    * nodes keep the floor.
+    *
+    * Scale shape: the iteration count is FIXED and small, and each
+    * round is one equi-join + one hash aggregate on the node key over
+    * the EDGE-LIST-sized tables — for the TextRank use the graph is
+    * vocabulary-sized (sublinear in corpus), so the loop never touches
+    * corpus-sized data. A convergence-driven variant must add the
+    * [[nearDupClusters]] lineage-truncation discipline; at a fixed 3
+    * rounds the lineage is 3 joins deep and needs none. */
+  def pageRankInt(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20)
+    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
+      .distinct().persistOnce()
+    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__od"))
+    val nodes = e.select(col("__src").as("word"))
+      .unionByName(e.select(col("__dst").as("word")))
+      .distinct().persistOnce()
+    val p0 = nodes.withColumn("pr", lit(1000000L))
+    (1 to iterations).foldLeft(p0) { (p, _) =>
+      val contrib = e.join(outdeg, Seq("__src"))
+        .join(p.select(col("word").as("__src"), col("pr").as("__p")),
+          Seq("__src"))
+        .select(col("__dst").as("word"), expr("__p div __od").as("__c"))
+        .groupBy("word").agg(sum(col("__c")).as("__s"))
+      nodes.join(contrib, Seq("word"), "left")
+        .select(col("word"),
+          expr("150000L + (85 * coalesce(__s, 0L)) div 100").as("pr"))
+    }
+  }
+
   /** ROBUST per-group outlier profile via median/MAD — the quality gate
     * that survives what mean/stddev cannot: a single corrupted batch of
     * extreme values drags a z-score gate's own yardstick toward the

@@ -61,6 +61,23 @@ object LlmPipeline {
     * 16-coordinate ranges of the 64-dim embedding — a miss in one table
     * is independent-ish of a miss in another, so candidate recall is
     * 1 − Πₜ(1 − rₜ) for per-table recall rₜ. */
+  /** Directed skip-gram pairs (w_i, w_{i+j}) for j = 1..window, emitted
+    * ROW-LOCALLY: each offset j is one zip_with of the word array with
+    * its own j-shifted slice — token adjacency lives inside the
+    * document, so pair generation never shuffles (the q94m in-blob
+    * adjacency argument applied to text; an explode + positional
+    * self-join would move every token once per window slot). Shared by
+    * q93o (pair counts) and q93p (the TextRank word graph). */
+  private def skipGramPairs(docs: org.apache.spark.sql.DataFrame,
+      window: Int): org.apache.spark.sql.DataFrame = {
+    def zipAt(j: Int) =
+      expr(s"zip_with(slice(__ws, 1, greatest(size(__ws) - $j, 0)), " +
+        s"slice(__ws, ${j + 1}, greatest(size(__ws) - $j, 0)), " +
+        "(a, b) -> struct(a AS w1, b AS w2))")
+    docs.select(explode(concat((1 to window).map(zipAt): _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
   private val annTables: Int = 4
 
   /** Q99 multi-probe family: the identity probe plus every single-bit
@@ -1119,6 +1136,65 @@ object LlmPipeline {
             .otherwise("tail").as("tier")))
     },
 
+    // Q95h (beyond-survey) — BOILERPLATE ratio: the fraction of a
+    // document's distinct bigrams whose corpus document-frequency
+    // exceeds a prevalence threshold (6% of docs — chosen where this
+    // fixture's DF distribution actually splits: bigram DF tops out
+    // at ~9%, so a web-scale 30–50% gate would pass vacuously here;
+    // production tunes θ against its own DF curve). This is the
+    // PREVALENCE signal, distinct from its two neighbors: q95c scores
+    // within-doc repetition, q90e/f find exactly-duplicated substrings
+    // — boilerplate grams (nav bars, cookie banners, license headers)
+    // are neither; they are *everywhere* without being exact dup spans.
+    // CCNet/RefinedWeb-style cleaners gate on exactly this ratio.
+    // Plan: one gram-explode pass feeds BOTH the df aggregate and the
+    // per-doc hit count (semi-join against the vocabulary-sized
+    // boilerplate gram set — unhinted, the q29 discipline; the 1-row
+    // corpus count is the only pinned broadcast). All counts integer;
+    // the ratio is one IEEE divide rounded to 6 dp.
+    Q("q95h_boilerplate",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |d AS (SELECT doc_id, sv, len(sv) AS n FROM sh WHERE len(sv) >= 1),
+         |ex AS (SELECT doc_id, unnest(sv) AS t FROM d),
+         |dfv AS (SELECT t, count(*) AS df FROM ex GROUP BY t),
+         |tot AS (SELECT count(*) AS N FROM d),
+         |b AS (SELECT t FROM dfv CROSS JOIN tot WHERE df * 100 >= N * 6),
+         |h AS (SELECT ex.doc_id, count(*) AS nb FROM ex
+         |  JOIN b USING (t) GROUP BY ex.doc_id),
+         |r AS (SELECT d.doc_id AS doc_id, CAST(d.n AS BIGINT) AS n_grams,
+         |    CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boiler,
+         |    round(CAST(coalesce(h.nb, 0) AS DOUBLE) / d.n, 6)
+         |      AS boiler_ratio
+         |  FROM d LEFT JOIN h ON d.doc_id = h.doc_id)
+         |SELECT doc_id, n_grams, n_boiler, boiler_ratio FROM r
+         |ORDER BY doc_id NULLS FIRST, n_grams NULLS FIRST,
+         |  n_boiler NULLS FIRST, boiler_ratio NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        import graft.Engine.PersistOnceOps
+        val docs = Tables.t(s, dir, "documents")
+          .withColumn("__words", split(col("text"), " "))
+          .select(col("doc_id"),
+            ngramsOf(col("__words"), 2).as("__sv"))
+          .filter(size(col("__sv")) >= 1)
+          .persistOnce()
+        val tok = docs.select(col("doc_id"), explode(col("__sv")).as("__t"))
+        val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+        val tot = docs.agg(count(lit(1)).as("__N"))
+        val boiler = dfreq.crossJoin(broadcast(tot))
+          .filter(col("__df") * 100 >= col("__N") * 6).select("__t")
+        val hits = tok.join(boiler, Seq("__t"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        orderAll(docs
+          .select(col("doc_id"), size(col("__sv")).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+          .withColumn("boiler_ratio",
+            round(col("n_boiler").cast("double") / col("n_grams"), 6)))
+    },
+
     // Q91d (beyond-survey) — FUZZY (edit-distance-1) join via DELETION
     // NEIGHBORHOODS (the FastSS blocking): the typo-variant detection
     // pass of vocabulary cleanup. Each term emits itself plus every
@@ -2069,16 +2145,38 @@ object LlmPipeline {
         |GROUP BY 1, 2
         |ORDER BY w1 NULLS FIRST, w2 NULLS FIRST,
         |  cnt NULLS FIRST""".stripMargin) { (s, dir) =>
-      val docs = Tables.t(s, dir, "documents")
-        .select(split(col("text"), " ").as("__ws"))
-      def zipAt(j: Int) =
-        expr(s"zip_with(slice(__ws, 1, greatest(size(__ws) - $j, 0)), " +
-          s"slice(__ws, ${j + 1}, greatest(size(__ws) - $j, 0)), " +
-          "(a, b) -> struct(a AS w1, b AS w2))")
-      orderAll(docs
-        .select(explode(concat(zipAt(1), zipAt(2))).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      orderAll(skipGramPairs(
+          Tables.t(s, dir, "documents")
+            .select(split(col("text"), " ").as("__ws")), window = 2)
         .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
+    },
+
+    // Q93p (beyond-survey) — TEXTRANK keyword scoring (Mihalcea &
+    // Tarau 2004): PageRank over the word co-occurrence graph — the
+    // graph-centrality complement of frequency-based term weighting
+    // (q93c TF-IDF ranks by counts; TextRank ranks by how central a
+    // word is in the co-occurrence structure). The arithmetic is
+    // FIXED-POINT INTEGER throughout: scores scaled by 10⁶, per-edge
+    // contribution pr DIV outdeg (integer division), damping applied
+    // as (85·Σ) DIV 100 — zero floating point, so three engines
+    // disagree in zero bits after any number of iterations (the q49c
+    // EWMA determinism argument, applied to an iterative fixpoint).
+    // Scale shape: ONE corpus-sized pass (the row-local q93o pair
+    // kernel) extracts the edge list; everything iterative then works
+    // on the VOCABULARY-sized graph — sublinear in corpus size, so the
+    // three unrolled iterations are joins over a bounded table, each
+    // one hash exchange on the word key (the iteration count is fixed
+    // and small; a convergence-driven loop would add the
+    // nearDupClusters lineage-truncation discipline). Self-loops
+    // dropped; dangling words keep the (1−d) floor, identically in
+    // both engines.
+    Q("q93p_textrank", textrankOracleSql) { (s, dir) =>
+      val edges = skipGramPairs(
+          Tables.t(s, dir, "documents")
+            .select(split(col("text"), " ").as("__ws")), window = 2)
+        .filter(col("w1") =!= col("w2"))
+      orderAll(graft.Engine.pageRankInt(edges, "w1", "w2",
+        iterations = 3))
     })
 
   /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending
@@ -2235,6 +2333,40 @@ object LlmPipeline {
     * first occurrence per normalized content hash → token-budget mix
     * (rates computed over the SURVIVORS, the same frame the Spark side
     * feeds [[graft.Engine.tokenBudgetMix]]) → shard manifest. */
+  /** Q93p oracle: the q93o positional-self-join pair CTE deduped to a
+    * directed edge list (self-loops dropped), then THREE UNROLLED
+    * PageRank iterations in the identical fixed-point integer
+    * arithmetic (score ×10⁶, contribution `pr // outdeg`, damping
+    * `(85·Σ) // 100`) — no floating point anywhere, so the two engines
+    * agree in every bit of every iteration. */
+  private def textrankOracleSql: String = {
+    def iter(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS word, sum(p${i - 1}.pr // od.od) AS s
+         |  FROM e JOIN od USING (src)
+         |  JOIN p${i - 1} ON p${i - 1}.word = e.src
+         |  GROUP BY e.dst),
+         |p$i AS (SELECT n.word,
+         |    CAST(150000 + (85 * coalesce(c$i.s, 0)) // 100 AS BIGINT)
+         |      AS pr
+         |  FROM n LEFT JOIN c$i ON n.word = c$i.word)""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(ws) AS w,
+       |    generate_subscripts(ws, 1) AS pos FROM w),
+       |e AS (SELECT DISTINCT a.w AS src, b.w AS dst
+       |  FROM t a JOIN t b
+       |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       |  WHERE a.w <> b.w),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |n AS (SELECT src AS word FROM e UNION SELECT dst FROM e),
+       |p0 AS (SELECT word, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT word, pr FROM p3
+       |ORDER BY word NULLS FIRST, pr NULLS FIRST""".stripMargin
+  }
+
   /** Q100c oracle: the q58b snapshot CTEs → delta selection → exact
     * content dedup of the delta against the unchanged history (LEFT
     * JOIN anti form, never NOT IN — a NULL hash must keep, not

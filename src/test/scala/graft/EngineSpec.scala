@@ -1216,6 +1216,26 @@ class EngineSpec extends AnyFunSuite {
     assert(kept(docs.repartition(7)) == base)
   }
 
+  test("pageRankInt: hand-computed integer iterations on a 3-node graph " +
+    "with a dangling node") {
+    import spark.implicits._
+    // a→b, b→a, a→c: outdeg(a)=2, outdeg(b)=1, c dangling.
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    def prAt(iters: Int): Map[String, Long] =
+      Engine.pageRankInt(edges, "src", "dst", iterations = iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // iter 1: a gets b's full 10^6 → 150000 + 850000; b and c each get
+    // a's 10^6 div 2 → 150000 + 425000
+    assert(prAt(1) == Map("a" -> 1000000L, "b" -> 575000L, "c" -> 575000L))
+    // iter 2: a gets 575000 → 150000 + 85·575000 div 100 = 638750;
+    // b and c each get 1000000 div 2 again
+    assert(prAt(2) == Map("a" -> 638750L, "b" -> 575000L, "c" -> 575000L))
+    // duplicate edges must not double-count (the edge list is a SET)
+    val dup = edges.unionAll(Seq(("a", "b")).toDF("src", "dst"))
+    assert(Engine.pageRankInt(dup, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == prAt(2))
+  }
+
   test("madOutliers: hand-computed medians, MAD=0 degenerate group, " +
     "null values ignored by the quantiles") {
     import spark.implicits._

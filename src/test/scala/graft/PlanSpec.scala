@@ -540,7 +540,9 @@ class PlanSpec extends AnyFunSuite {
       // 1-row √-sum scalar, the q09d class (q100b composes the mix)
       "q09f_token_budget_mix", "q100b_export_pipeline",
       // 1-row token-total + 1-row tertile-cuts scalar broadcasts
-      "q95g_quality_tiers")
+      "q95g_quality_tiers",
+      // 1-row corpus-count scalar broadcast, the q93f class
+      "q95h_boilerplate")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
