@@ -53,6 +53,37 @@ object Tables {
   }
 }
 
+/** The two deterministic corpus VERSIONS q58b (snapshot diff) and q100c
+  * (incremental capstone) derive from the documents fixture — a single
+  * definition, in both engines' renderings, so the diff operator and the
+  * capstone that claims to compose it can never drift apart: the old
+  * snapshot drops doc_id %11=3; the new drops %11=7 and re-tags lang for
+  * %5=0; row identity is the md5 digest of (text | lang). */
+object SnapshotFixture {
+  def oldSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 11 =!= 3)
+  def newSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 11 =!= 7)
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang")))
+  /** Content digest over the (text, lang) pair — computed AFTER the
+    * snapshot's lang re-tag, so a re-tag reads as a modification. */
+  def digest: Column = md5(concat_ws("|", col("text"), col("lang")))
+  /** DuckDB CTEs: `so(doc_id, h)` — the old snapshot's digests — and
+    * `snh(doc_id, text, lang, n_chars, h)` — the new snapshot with its
+    * digests. The identical arithmetic as the Spark builders above. */
+  val sqlCtes: String =
+    """so AS (
+      |  SELECT doc_id, md5(concat_ws('|', text, lang)) AS h
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |sn AS (
+      |  SELECT doc_id, text, n_chars,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang
+      |  FROM documents WHERE doc_id % 11 <> 7),
+      |snh AS (SELECT doc_id, text, lang, n_chars,
+      |    md5(concat_ws('|', text, lang)) AS h FROM sn)""".stripMargin
+}
+
 /** Canonicalization helpers (SURVEY.md §2, determinism rules).
   *
   * Floating-point sums are order-dependent, and Spark/DuckDB will not add

@@ -167,7 +167,11 @@ object Engine {
     require(iterations >= 1 && iterations <= 20)
     val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
       .distinct().persistOnce()
+    // outdeg is loop-invariant but its subtree appears once per
+    // iteration in the final plan — pinned so it computes once, like
+    // e and nodes
     val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__od"))
+      .persistOnce()
     val nodes = e.select(col("__src").as("word"))
       .unionByName(e.select(col("__dst").as("word")))
       .distinct().persistOnce()

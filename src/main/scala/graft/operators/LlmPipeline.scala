@@ -61,29 +61,32 @@ object LlmPipeline {
     * 16-coordinate ranges of the 64-dim embedding — a miss in one table
     * is independent-ish of a miss in another, so candidate recall is
     * 1 − Πₜ(1 − rₜ) for per-table recall rₜ. */
-  /** Directed skip-gram pairs (w_i, w_{i+j}) for j = 1..window, emitted
-    * ROW-LOCALLY: each offset j is one zip_with of the word array with
-    * its own j-shifted slice — token adjacency lives inside the
-    * document, so pair generation never shuffles (the q94m in-blob
-    * adjacency argument applied to text; an explode + positional
-    * self-join would move every token once per window slot). Shared by
-    * q93o (pair counts) and q93p (the TextRank word graph). */
-  private def skipGramPairs(docs: org.apache.spark.sql.DataFrame,
-      window: Int): org.apache.spark.sql.DataFrame = {
-    def zipAt(j: Int) =
-      expr(s"zip_with(slice(__ws, 1, greatest(size(__ws) - $j, 0)), " +
-        s"slice(__ws, ${j + 1}, greatest(size(__ws) - $j, 0)), " +
-        "(a, b) -> struct(a AS w1, b AS w2))")
-    docs.select(explode(concat((1 to window).map(zipAt): _*)).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-  }
-
   private val annTables: Int = 4
 
   /** Q99 multi-probe family: the identity probe plus every single-bit
     * flip of the 8-bit bucket code (Hamming radius 1) — 9 distinct XOR
     * masks per table, shared with the oracle. */
   private val probeXors: Seq[Int] = 0 +: (0 until 8).map(1 << _)
+
+  /** Directed skip-gram pairs (w_i, w_{i+j}) for j = 1..window over a
+    * WORDS-ARRAY column, emitted ROW-LOCALLY: each offset j is one
+    * zip_with of the word array with its own j-shifted slice — token
+    * adjacency lives inside the document, so pair generation never
+    * shuffles (the q94m in-blob adjacency argument applied to text; an
+    * explode + positional self-join would move every token once per
+    * window slot). Takes the words Column, not a fixed column name —
+    * the [[graft.Engine.wordNgrams]] calling convention. Shared by
+    * q93o (pair counts) and q93p (the TextRank word graph). */
+  private def skipGramPairs(docs: org.apache.spark.sql.DataFrame,
+      words: org.apache.spark.sql.Column,
+      window: Int): org.apache.spark.sql.DataFrame = {
+    def zipAt(j: Int) = zip_with(
+      slice(words, lit(1), greatest(size(words) - j, lit(0))),
+      slice(words, lit(j + 1), greatest(size(words) - j, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    docs.select(explode(concat((1 to window).map(zipAt): _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
 
   /** DuckDB distinct word-trigram list over a pre-split words column `w`
     * (matches [[graft.Engine.wordNgrams]] n=3 — the Q91c shingle size). */
@@ -2068,15 +2071,10 @@ object LlmPipeline {
       (s, dir) =>
         import graft.Engine.PersistOnceOps
         val docs = Tables.t(s, dir, "documents")
-        val sn = docs.filter(col("doc_id") % 11 =!= 7)
-          .select(col("doc_id"), col("text"),
-            when(col("doc_id") % 5 === 0, lit("xx"))
-              .otherwise(col("lang")).as("lang"), col("n_chars"))
-        val snh = sn.withColumn("__h",
-          md5(concat_ws("|", col("text"), col("lang"))))
-        val so = docs.filter(col("doc_id") % 11 =!= 3)
-          .select(col("doc_id"),
-            md5(concat_ws("|", col("text"), col("lang"))).as("__ho"))
+        val snh = graft.SnapshotFixture.newSnapshot(docs)
+          .withColumn("__h", graft.SnapshotFixture.digest)
+        val so = graft.SnapshotFixture.oldSnapshot(docs)
+          .select(col("doc_id"), graft.SnapshotFixture.digest.as("__ho"))
         val delta = snh.join(so, Seq("doc_id"), "left")
           .filter(col("__ho").isNull || col("__ho") =!= col("__h"))
           .select(col("doc_id"), col("text"), col("n_chars"))
@@ -2145,9 +2143,8 @@ object LlmPipeline {
         |GROUP BY 1, 2
         |ORDER BY w1 NULLS FIRST, w2 NULLS FIRST,
         |  cnt NULLS FIRST""".stripMargin) { (s, dir) =>
-      orderAll(skipGramPairs(
-          Tables.t(s, dir, "documents")
-            .select(split(col("text"), " ").as("__ws")), window = 2)
+      orderAll(skipGramPairs(Tables.t(s, dir, "documents"),
+          split(col("text"), " "), window = 2)
         .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
     },
 
@@ -2171,9 +2168,8 @@ object LlmPipeline {
     // dropped; dangling words keep the (1−d) floor, identically in
     // both engines.
     Q("q93p_textrank", textrankOracleSql) { (s, dir) =>
-      val edges = skipGramPairs(
-          Tables.t(s, dir, "documents")
-            .select(split(col("text"), " ").as("__ws")), window = 2)
+      val edges = skipGramPairs(Tables.t(s, dir, "documents"),
+          split(col("text"), " "), window = 2)
         .filter(col("w1") =!= col("w2"))
       orderAll(graft.Engine.pageRankInt(edges, "w1", "w2",
         iterations = 3))
@@ -2373,14 +2369,7 @@ object LlmPipeline {
     * annihilate) → length gate → the q93n manifest arithmetic with
     * this pipeline's own (seed, shards). */
   private def incrementalPipelineOracleSql: String =
-    """WITH sn AS (SELECT doc_id, text,
-      |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
-      |    n_chars
-      |  FROM documents WHERE doc_id % 11 <> 7),
-      |snh AS (SELECT doc_id, text, n_chars,
-      |    md5(concat_ws('|', text, lang)) AS h FROM sn),
-      |so AS (SELECT doc_id, md5(concat_ws('|', text, lang)) AS h
-      |  FROM documents WHERE doc_id % 11 <> 3),
+    s"""WITH ${graft.SnapshotFixture.sqlCtes},
       |delta AS (SELECT snh.doc_id, snh.text, snh.n_chars
       |  FROM snh LEFT JOIN so ON snh.doc_id = so.doc_id
       |  WHERE so.doc_id IS NULL OR so.h <> snh.h),

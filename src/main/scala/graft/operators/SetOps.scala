@@ -233,31 +233,21 @@ object SetOps {
     // the key; with both snapshots key-bucketed at rest the diff is
     // zero-exchange.
     Q("q58b_snapshot_diff",
-      """WITH so AS (
-        |  SELECT doc_id, md5(concat_ws('|', text, lang)) AS h
-        |  FROM documents WHERE doc_id % 11 <> 3),
-        |sn AS (
-        |  SELECT doc_id, md5(concat_ws('|', text,
-        |      CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END)) AS h
-        |  FROM documents WHERE doc_id % 11 <> 7),
-        |d AS (
-        |  SELECT coalesce(so.doc_id, sn.doc_id) AS doc_id,
-        |    CASE WHEN so.h IS NULL THEN 'added'
-        |      WHEN sn.h IS NULL THEN 'removed'
-        |      WHEN so.h <> sn.h THEN 'modified' END AS change
-        |  FROM so FULL OUTER JOIN sn ON so.doc_id = sn.doc_id)
-        |SELECT doc_id, change FROM d WHERE change IS NOT NULL
-        |ORDER BY doc_id NULLS FIRST, change NULLS FIRST""".stripMargin) {
+      s"""WITH ${graft.SnapshotFixture.sqlCtes},
+         |d AS (
+         |  SELECT coalesce(so.doc_id, snh.doc_id) AS doc_id,
+         |    CASE WHEN so.h IS NULL THEN 'added'
+         |      WHEN snh.h IS NULL THEN 'removed'
+         |      WHEN so.h <> snh.h THEN 'modified' END AS change
+         |  FROM so FULL OUTER JOIN snh ON so.doc_id = snh.doc_id)
+         |SELECT doc_id, change FROM d WHERE change IS NOT NULL
+         |ORDER BY doc_id NULLS FIRST, change NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
-        val old = docs.filter(col("doc_id") % 11 =!= 3)
-          .select(col("doc_id"),
-            md5(concat_ws("|", col("text"), col("lang"))).as("__ho"))
-        val neu = docs.filter(col("doc_id") % 11 =!= 7)
-          .select(col("doc_id"),
-            md5(concat_ws("|", col("text"),
-              when(col("doc_id") % 5 === 0, lit("xx"))
-                .otherwise(col("lang")))).as("__hn"))
+        val old = graft.SnapshotFixture.oldSnapshot(docs)
+          .select(col("doc_id"), graft.SnapshotFixture.digest.as("__ho"))
+        val neu = graft.SnapshotFixture.newSnapshot(docs)
+          .select(col("doc_id"), graft.SnapshotFixture.digest.as("__hn"))
         orderAll(old.join(neu, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             when(col("__ho").isNull, "added")
