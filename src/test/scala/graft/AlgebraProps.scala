@@ -433,4 +433,61 @@ object AlgebraProps extends Properties("algebra") {
         .toSet
       got == refSpans(withId, ng)
     }
+
+  /** Driver-side integer replay of [[Engine.pageRankInt]]'s contract:
+    * distinct edges, scores ×10⁶, contribution pr/outdeg (integer
+    * truncation ≡ Spark `div` for the non-negative values here),
+    * damping 85·Σ/100, dangling nodes keep the 150000 floor. */
+  private def refPageRank(edges: Set[(String, String)],
+      iters: Int): Map[String, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += pr(s) / outdeg(s)
+      pr = nodes.map(n => n -> (150000L + 85 * contrib(n) / 100)).toMap
+    }
+    pr
+  }
+
+  property("pageRankInt == driver-side integer reference at any " +
+    "partitioning") =
+    forAll(
+      Gen.listOfN(12, for {
+        s <- Gen.oneOf("a", "b", "c", "d", "e")
+        d <- Gen.oneOf("a", "b", "c", "d", "e")
+      } yield (s, d)).suchThat(_.nonEmpty),
+      Gen.choose(1, 4), parts) { (es, iters, p) =>
+      import spark.implicits._
+      val df = spark.createDataset(es).toDF("src", "dst").repartition(p)
+      val got = Engine.pageRankInt(df, "src", "dst", iterations = iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == refPageRank(es.toSet, iters)
+    }
+
+  property("madOutliers is partition-invariant and conserves group sizes") =
+    forAll(
+      Gen.listOfN(30, for {
+        k <- Gen.oneOf("x", "y")
+        v <- Gen.chooseNum(-100, 100)
+      } yield (k, v * 0.25)).suchThat(_.nonEmpty),
+      parts, parts) { (xs, p1, p2) =>
+      import spark.implicits._
+      def run(p: Int) = Engine.madOutliers(
+          spark.createDataset(xs).toDF("k", "v").repartition(p), "k", "v")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val a = run(p1)
+      // the exact medians must not depend on physical layout, and every
+      // input row lands in exactly one group profile
+      a == run(p2) && a.values.map(_._3).sum == xs.length &&
+        a.forall { case (k, (_, mad, n, nOut)) =>
+          mad >= 0 && nOut <= n &&
+            n == xs.count(_._1 == k)
+        }
+    }
 }
