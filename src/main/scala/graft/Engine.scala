@@ -146,6 +146,68 @@ object Engine {
         round(abs(sr - sc), 6).as("gap"))
   }
 
+  /** Unkeyed INTERVAL OVERLAP join via BIN BUCKETING — the primitive the
+    * q27 key-anchored range join cannot express: every (a, b) pair of
+    * intervals with a.start ≤ b.end AND b.start ≤ a.end, with NO shared
+    * equi-key to hash on. The naive plan is a cartesian product; this one
+    * never is: each interval explodes to the fixed-width bins it covers,
+    * the join runs as a plain EQUI-join on the bin id, and each
+    * overlapping pair is emitted EXACTLY ONCE without any dedup shuffle —
+    * a pair is kept only in the bin containing max(a.start, b.start),
+    * which both intervals provably cover (max(start) ≤ min(end) for an
+    * overlapping pair, and floor is monotone), so no distinct/groupBy
+    * pass re-shuffles the output. At 100 TB: bin width trades replication
+    * (intervals spanning many bins) against per-bin join fan-in (skew
+    * when everything lands in one bin) — size it near the median interval
+    * length; AQE's skew-join split covers hot bins.
+    *
+    * Contract: `aStart/aEnd/bStart/bEnd` are NON-NEGATIVE integral
+    * columns (e.g. days since epoch), intervals inclusive, column names
+    * across `a` and `b` disjoint. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binSize: Long): DataFrame = {
+    require(binSize >= 1)
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__bin", explode(expr(s"sequence($s div $binSize, $e div $binSize)")))
+    binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), Seq("__bin"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bin") ===
+        expr(s"greatest($aStart, $bStart) div $binSize"))
+      .drop("__bin")
+  }
+
+  /** CHI-SQUARE test of independence between two categorical columns —
+    * the global drift statistic complementing [[tvdDrift]]'s per-bucket
+    * gaps (TVD localizes WHERE two slices differ; χ² answers whether two
+    * attributes are associated at all, e.g. "did lang stay independent
+    * of source after this ingest?"). All observed/marginal counts are
+    * integers; each expected count is (row·col)/N through IEEE ops in
+    * one fixed order, each cell term (O−E)²/E likewise, and the
+    * cell-term SUM routes through [[Canon.sumDec]]'s decimal grid — the
+    * one place an FP sum's order-dependence could diverge engines.
+    * Plan: one count aggregate on the (a, b) pair, marginals re-derived
+    * from the CELL table (≤ |A|·|B| rows — never a second corpus scan),
+    * 1-row total broadcast. Returns one row (n_cells, dof, chi2). */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy("__a").agg(sum("__o").as("__r"))
+    val colT = cells.groupBy("__b").agg(sum("__o").as("__c"))
+    val tot = cells.agg(sum("__o").as("__n"))
+    val e = col("__r").cast(DoubleType) * col("__c") / col("__n")
+    val withE = cells.join(rowT, Seq("__a")).join(colT, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e", e)
+      .withColumn("__t",
+        (col("__o") - col("__e")) * (col("__o") - col("__e")) / col("__e"))
+    withE.agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("__a")) - 1) *
+          (countDistinct(col("__b")) - 1)).as("dof"),
+        round(graft.Canon.sumDec(col("__t")), 6).as("chi2"))
+  }
+
   /** Fixed-point integer PAGERANK over a directed edge list — the
     * TextRank/centrality kernel (q93p). Scores are scaled by 10⁶ and
     * every operation is integer: per-edge contribution `pr div outdeg`,

@@ -473,6 +473,38 @@ object Aggregates {
     // input is defined by the first) + the flagging pass; per-key
     // scalar tables join back unhinted (q29 discipline). At 100 TB the
     // exact percentile swaps for approx_percentile per the q39 note.
+    // Q46e (beyond-survey) — CHI-SQUARE independence between source and
+    // lang (Engine.chiSquareIndependence): the global drift statistic
+    // complementing q46c's per-bucket TVD gaps — TVD localizes WHERE two
+    // slices differ; χ² answers whether two attributes are ASSOCIATED at
+    // all ("did lang stay independent of source after this ingest?").
+    // All counts integer; expected counts and cell terms are IEEE ops in
+    // one pinned order; the cell-term sum routes through the sumDec
+    // decimal grid (the one place FP sum order could diverge engines).
+    // One corpus pass for the cell counts; marginals re-derive from the
+    // bounded cell table, never a second scan.
+    Q("q46e_chi2_independence",
+      """WITH c AS (SELECT source, lang, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, sum(o) AS r FROM c GROUP BY 1),
+        |ct AS (SELECT lang, sum(o) AS cc FROM c GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM c),
+        |t AS (SELECT c.source, c.lang, c.o,
+        |    CAST(rt.r AS DOUBLE) * ct.cc / n.n AS e
+        |  FROM c JOIN rt USING (source) JOIN ct USING (lang)
+        |  CROSS JOIN n)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+        |    AS BIGINT) AS dof,
+        |  round(CAST(sum(CAST(((o - e) * (o - e) / e) AS DECIMAL(38,6)))
+        |    AS DOUBLE), 6) AS chi2
+        |FROM t
+        |ORDER BY n_cells NULLS FIRST, dof NULLS FIRST,
+        |  chi2 NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.chiSquareIndependence(
+        Tables.t(s, dir, "documents"), "source", "lang"))
+    },
+
     Q("q46d_mad_outliers",
       """WITH med AS (SELECT event_type,
         |    round(quantile_cont(value, 0.5), 6) AS med

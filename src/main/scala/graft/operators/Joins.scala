@@ -489,5 +489,61 @@ object Joins {
           li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice")).as("revenue")))
+    },
+
+    // Q27b (beyond-survey) — UNKEYED interval OVERLAP join
+    // (Engine.intervalOverlapJoin): every (shipment window, order
+    // window) pair that overlaps in time, with NO shared key to hash on
+    // — the primitive q27's key-anchored range join cannot express and
+    // the naive plan for which is a cartesian product. Bin bucketing
+    // turns it into a plain equi-join on the bin id, and the
+    // max(start)-bin allocation emits each pair exactly once with ZERO
+    // dedup shuffle (both intervals provably cover that bin). The
+    // oracle is the direct theta join — affordable at sf0.01, exactly
+    // the plan the engine must never produce (PlanSpec asserts no
+    // CartesianProduct and an equi SortMergeJoin/BHJ on the bin).
+    // Slices keep the output pair count bounded; inclusive endpoints,
+    // overlap_days ≥ 1 by construction.
+    Q("q27b_interval_overlap",
+      """WITH a AS (SELECT l_orderkey * 10 + l_linenumber AS a_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS a_start,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + l_linenumber * 5 AS a_end
+        |  FROM lineitem WHERE l_orderkey % 199 = 0),
+        |b AS (SELECT o_orderkey AS b_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS b_start,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 14 AS b_end
+        |  FROM orders WHERE o_orderkey % 211 = 0)
+        |SELECT a_id, b_id,
+        |  CAST(least(a_end, b_end) - greatest(a_start, b_start) + 1
+        |    AS BIGINT) AS overlap_days
+        |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST,
+        |  overlap_days NULLS FIRST""".stripMargin) { (s, dir) =>
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      // the fixture carries no receipt date; the shipment window is
+      // synthesized deterministically from the line number (5-35 days)
+      val a = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 199 === 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("a_id"),
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+            .as("a_start"),
+          (datediff(col("l_shipdate").cast("date"), epoch) +
+            col("l_linenumber") * 5).cast("long").as("a_end"))
+      val b = Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 211 === 0)
+        .select(col("o_orderkey").as("b_id"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long")
+            .as("b_start"),
+          (datediff(col("o_orderdate").cast("date"), epoch) + 14)
+            .cast("long").as("b_end"))
+      val pairs = graft.Engine.intervalOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", binSize = 32)
+      orderAll(pairs.select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start")) + 1).as("overlap_days")))
     })
 }

@@ -1216,6 +1216,26 @@ class EngineSpec extends AnyFunSuite {
     assert(kept(docs.repartition(7)) == base)
   }
 
+  test("intervalOverlapJoin: exactly-once emission across bin spans, " +
+    "touching endpoints included, disjoint excluded") {
+    import spark.implicits._
+    // bin size 10. a1 [5,25] spans bins 0-2; b1 [8,40] spans 0-4: the
+    // pair shares THREE bins and must still appear exactly once (the
+    // max-start bin rule, no dedup shuffle). b2 [25,30] touches a1 at
+    // exactly 25 (inclusive endpoints -> a match); b3 [26,60] is
+    // disjoint from a1. a2 [55,57] overlaps only b3.
+    val a = Seq((1L, 5L, 25L), (2L, 55L, 57L)).toDF("a_id", "as", "ae")
+    val b = Seq((10L, 8L, 40L), (20L, 25L, 30L), (30L, 26L, 60L))
+      .toDF("b_id", "bs", "be")
+    val got = Engine.intervalOverlapJoin(a, b, "as", "ae", "bs", "be",
+        binSize = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
+    // exactly-once: the multi-bin pair (1,10) appears once, not thrice
+    assert(got.size == got.distinct.size)
+  }
+
   test("pageRankInt: hand-computed integer iterations on a 3-node graph " +
     "with a dangling node") {
     import spark.implicits._

@@ -463,6 +463,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q27b: the unkeyed overlap join is an equi-join on the bin, " +
+    "never a cartesian") {
+    val p = planOf("q27b_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") && p.contains("__bin"), p)
+  }
+
   test("q93h: BM25 dims broadcast; tf is the only data-sized exchange") {
     // df-per-term joins as a broadcast hash join; (N, avgdl) is a 1-row
     // BNLJ cross (allowlisted); the doc-keyed tf/score aggregates are
@@ -542,7 +550,9 @@ class PlanSpec extends AnyFunSuite {
       // 1-row token-total + 1-row tertile-cuts scalar broadcasts
       "q95g_quality_tiers",
       // 1-row corpus-count scalar broadcast, the q93f class
-      "q95h_boilerplate")
+      "q95h_boilerplate",
+      // 1-row grand-total scalar broadcast, the q46c class
+      "q46e_chi2_independence")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
