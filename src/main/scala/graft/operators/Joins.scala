@@ -540,8 +540,11 @@ object Joins {
             .as("b_start"),
           (datediff(col("o_orderdate").cast("date"), epoch) + 14)
             .cast("long").as("b_end"))
+      // auto bin width (the default): the approx-percentile pre-pass
+      // picks ~the median interval length (here ~15-20 days), exercising
+      // the auto path the 100 TB sizing rule now defaults to
       val pairs = graft.Engine.intervalOverlapJoin(a, b,
-        "a_start", "a_end", "b_start", "b_end", binSize = 32)
+        "a_start", "a_end", "b_start", "b_end")
       orderAll(pairs.select(col("a_id"), col("b_id"),
         (least(col("a_end"), col("b_end")) -
           greatest(col("a_start"), col("b_start")) + 1).as("overlap_days")))

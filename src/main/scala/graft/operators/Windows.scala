@@ -516,9 +516,16 @@ object Windows {
     // One shuffle on the key; per-key state is the user's event list —
     // bounded by per-entity history, the q93e-kernel contract (the
     // unbounded-history variant is the streaming q75b shape instead).
+    // TIE/NULL CONTRACT (r10 advice): the Spark side sorts by the FULL
+    // struct(ts, event_id, value) with Spark's nulls-first field order,
+    // so the oracle's list(… ORDER BY) pins the same three keys and
+    // NULLS FIRST explicitly — duplicate (ts, event_id) rows with
+    // different values, or a NULL ts, now order (and fold) identically
+    // in both engines instead of riding each engine's default.
     Q("q49c_ewma",
       """WITH l AS (SELECT user_id,
-        |    list(value ORDER BY ts, event_id) AS vs,
+        |    list(value ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+        |      value NULLS FIRST) AS vs,
         |    count(*) AS n
         |  FROM events GROUP BY user_id)
         |SELECT user_id, CAST(n AS INT) AS n_events,

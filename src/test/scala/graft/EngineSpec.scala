@@ -126,6 +126,22 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("constraintAudit: an EMPTY corpus reports 0 violations for every " +
+      "check family, never NULL") {
+    import spark.implicits._
+    // sum() over zero rows is NULL while count−countDistinct is 0 — the
+    // coalesce makes the two families agree and getLong safe (r10 advice)
+    val empty = Seq.empty[(Long, Int)].toDF("k", "ln")
+    val out = Engine.constraintAudit(empty,
+        Seq("k_neg" -> (col("k") < 0)), uniqueKey = Seq("k", "ln"))
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(!r.isNullAt(1), s"${r.getString(0)} n_violations was NULL")
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+    }
+  }
+
   test("tvdDrift: identical slices show zero gap; disjoint buckets sum " +
       "to total variation 1") {
     import spark.implicits._
@@ -384,6 +400,35 @@ class EngineSpec extends AnyFunSuite {
     val recall = banded.size.toDouble / exact.size
     info(f"banding recall=$recall%.3f over ${exact.size} exact pairs")
     assert(recall >= 0.9, f"banding recall $recall%.3f")
+  }
+
+  test("minHashJoinAcross: banded bipartite candidates + exact verify " +
+      "equal the exact prefix-filter join on this fixture, both " +
+      "broadcast arms, strictly bipartite") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val (batch, hist) = (docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val want = Engine.jaccardJoinAcross(batch, hist, "doc_id", "text",
+        thresholdPct = 60, ngramWords = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty, "test needs at least one qualifying pair")
+    def banded(bc: Boolean) = Engine.minHashJoinAcross(batch, hist,
+        "doc_id", "text", thresholdPct = 60, numHashes = 64, bands = 16,
+        ngramWords = 2, broadcastBounded = bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = banded(bc = true)
+    // this fixture's true pairs all sit at J >= 0.889, where the 16x4
+    // banding miss probability is (1-0.889^4)^16 ~ 1.5e-7 — and the
+    // xxhash64 family is deterministic, so equality here is a stable
+    // assertion, not a flaky probabilistic one. jaccard values must be
+    // BIT-identical (same merge kernel + integer arithmetic).
+    assert(got == want)
+    assert(banded(bc = false) == want) // unpinned arm plans differently
+    got.foreach { case (l, r, _) =>
+      assert(l % 5 == 0 && r % 5 != 0, s"non-bipartite pair ($l, $r)")
+    }
   }
 
   test("stableSample: partition-invariant and near the requested fraction") {
@@ -1234,6 +1279,59 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
     // exactly-once: the multi-bin pair (1,10) appears once, not thrice
     assert(got.size == got.distinct.size)
+  }
+
+  test("intervalOverlapJoin: the documented contract is enforced — " +
+    "negative start and reversed interval fail loud, shared column " +
+    "names are rejected") {
+    import spark.implicits._
+    val ok = Seq((1L, 5L, 25L)).toDF("a_id", "as", "ae")
+    // overlapping column sets would make the joined filters ambiguous
+    intercept[IllegalArgumentException] {
+      Engine.intervalOverlapJoin(ok,
+        Seq((2L, 1L, 2L)).toDF("a_id", "bs", "be"),
+        "as", "ae", "bs", "be", binSize = 10)
+    }
+    // negative start: `div` truncates toward zero (not floor), so bins
+    // below 0 would misalign and break exactly-once emission — raise
+    def run(a: (Long, Long, Long)): Unit =
+      Engine.intervalOverlapJoin(Seq(a).toDF("a_id", "as", "ae"),
+        Seq((9L, 0L, 100L)).toDF("b_id", "bs", "be"),
+        "as", "ae", "bs", "be", binSize = 10).collect()
+    val neg = intercept[Exception] { run((1L, -5L, 25L)) }
+    assert(neg.getMessage.contains("intervalOverlapJoin") ||
+      neg.getCause != null)
+    // reversed interval: sequence() would emit a DESCENDING bin range
+    val rev = intercept[Exception] { run((1L, 25L, 5L)) }
+    assert(rev.getMessage.contains("intervalOverlapJoin") ||
+      rev.getCause != null)
+    // the guard is transparent for valid rows
+    run((1L, 5L, 25L))
+  }
+
+  test("intervalOverlapJoin: auto bin width (median interval length) " +
+    "returns the exact pair set on a skewed-length fixture") {
+    import spark.implicits._
+    // lengths heavily skewed: many 1-2 day intervals plus one 1000-day
+    // monster — the median pre-pass must size bins near the SHORT mass
+    // (the monster replicates across bins; the short intervals don't
+    // fan into one giant bin), and results must equal brute force at
+    // ANY bin size.
+    val a = ((1L to 40L).map(i => (i, i * 3, i * 3 + 1)) :+
+      (99L, 0L, 1000L)).toDF("a_id", "as", "ae")
+    val b = ((1L to 40L).map(i => (100 + i, i * 3 + 1, i * 3 + 2)) :+
+      (199L, 500L, 600L)).toDF("b_id", "bs", "be")
+    def pairsOf(bin: Long) =
+      Engine.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", bin)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.crossJoin(b)
+      .filter(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(pairsOf(0L) == brute)   // auto path
+    assert(pairsOf(7L) == brute)   // explicit knob unchanged
   }
 
   test("pageRankInt: hand-computed integer iterations on a 3-node graph " +

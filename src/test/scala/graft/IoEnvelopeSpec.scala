@@ -33,7 +33,10 @@ class IoEnvelopeSpec extends AnyFunSuite {
     "q78_stream_stream_join" -> 40948L,
     "q90d_incremental_dedup" -> 608239L,
     "q90h_containment_join" -> 708767L,
-    "q91c_jaccard_join" -> 1020185L)
+    "q90l_banded_incremental_dedup" -> 320455L,
+    "q91c_jaccard_join" -> 1020185L,
+    "q92g_kmeans_refine" -> 315306L,
+    "q93j_bm25_search" -> 806833L)
 
   test("hotspot queries' cold shuffle volume stays inside the envelope") {
     val written = new java.util.concurrent.atomic.AtomicLong()

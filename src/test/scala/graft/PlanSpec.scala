@@ -542,6 +542,9 @@ class PlanSpec extends AnyFunSuite {
       // the recall eval's ground-truth side IS the q92 plan (bounded
       // query set crossed against the corpus); the LSH side is equi-join
       "q99i_ann_recall",
+      // same recall-eval shape over the hyperplane index (q99f's
+      // approximate side is equi-join on (table, bucket))
+      "q99i_b_hyper_recall",
       // 1-row (R, T) gram-total scalar broadcast, the q93f class
       "q93l_dsir_weights", "q93m_dsir_resample",
       "q92k_cluster_cap", // 8-centroid assignment cross, the q99b class
