@@ -159,12 +159,25 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         if (only.isEmpty) "bench_full.json" else "bench_only.json"))
     val ledger = readLedger(outPath, SparkEntry.queries.size)
-    val spark = SparkSession.builder()
+    // A/B experiment knobs (dev-only; the driver leaves both unset):
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples reduce-side fan-out from
+    // the core count (the q90h GC-band probe: more, smaller reduce
+    // partitions shrink the per-task candidate working set), and
+    // SPARK_GRAFT_OFFHEAP_MB moves Tungsten buffers off the Java heap
+    // (the allocator-pressure hypothesis for the same band).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val offHeapMb = sys.env.get("SPARK_GRAFT_OFFHEAP_MB").map(_.toLong)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    offHeapMb.foreach { mb =>
+      builder.config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", s"${mb}m")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SHUFFLE I/O capture: seconds proved environment-dependent (the r9
     // ledger shift moved every untouched query ~1.4× with no code

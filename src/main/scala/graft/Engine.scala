@@ -1337,40 +1337,14 @@ object Engine {
       bands: Int = 16, ngramWords: Int = 2,
       broadcastBounded: Boolean = false): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
-    require(numHashes % bands == 0, "numHashes must divide into bands")
     graft.plans.SortedIntersectCount.register(left.sparkSession)
-    val rowsPerBand = numHashes / bands
-    def docsOf(df: DataFrame) = spreadInput(df)
-      .withColumn("__words", split(col(text), " "))
-      .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
-      .filter(size(col("__sv")) >= 1)
-      .select(col(id).as("__id"), col("__sv"))
-      // read twice (banding + verify attach): persist, not
-      // localCheckpoint — same recoverability rationale as minHashNearDups
-      .persistOnce()
+    // read twice (banding + verify attach): persist, not localCheckpoint
+    // — same recoverability rationale as minHashNearDups
+    def docsOf(df: DataFrame) =
+      minHashDocTable(df, id, text, ngramWords).persistOnce()
     val (dl, dr) = (docsOf(left), docsOf(right))
-    def bandsOf(d: DataFrame, outId: String) = {
-      val hashed = d.select(col("__id"), explode(col("__sv")).as("__sh"))
-        .select(col("__id"), xxhash64(col("__sh")).as("__h"))
-      // one hash-aggregate per side computes all numHashes min-hashes in
-      // a single pass over the shingle rows (map-side partials bound the
-      // shuffle at numHashes longs per doc)
-      val sig = hashed.groupBy("__id").agg(
-        min(xxhash64(lit(0), col("__h"))).as("m0"),
-        (1 until numHashes).map(j =>
-          min(xxhash64(lit(j), col("__h"))).as(s"m$j")): _*)
-      val bandCols = (0 until bands).map { j =>
-        xxhash64((0 until rowsPerBand)
-          .map(r => col(s"m${rowsPerBand * j + r}")): _*)
-      }
-      sig.select(col("__id").as(outId),
-        posexplode(array(bandCols: _*)).as(Seq("__band", "__bh")))
-    }
-    def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
-    val cands = bounded(bandsOf(dl, "left_id"))
-      .join(bandsOf(dr, "right_id"), Seq("__band", "__bh"))
-      .select("left_id", "right_id")
-      .dropDuplicates("left_id", "right_id")
+    val cands = minHashCandidatesAcross(dl, dr, numHashes, bands,
+      broadcastBounded)
     val sl = dl.select(col("__id").as("left_id"), col("__sv").as("__sa"))
     val sr = dr.select(col("__id").as("right_id"), col("__sv").as("__sb"))
     val verified =
@@ -1390,6 +1364,148 @@ object Engine {
       .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
       .filter(inter.cast("long") * 100 >= uni.cast("long") * thresholdPct)
       .select("left_id", "right_id", "jaccard")
+  }
+
+  /** Candidate stage of [[minHashJoinAcross]] — the banded bipartite
+    * equi-join, exposed at package scope so the DedupRecall probe can
+    * COUNT candidate volume with the production hash family instead of
+    * a drift-prone copy. Inputs are the (__id, __sv) doc tables; output
+    * is the distinct (left_id, right_id) candidate set. */
+  private[graft] def minHashCandidatesAcross(dl: DataFrame, dr: DataFrame,
+      numHashes: Int, bands: Int, broadcastBounded: Boolean): DataFrame = {
+    def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
+    // one hash-aggregate per side computes all numHashes min-hashes in a
+    // single pass over the shingle rows (map-side partials bound the
+    // shuffle at numHashes longs per doc)
+    bounded(minHashBandTable(dl, "left_id", numHashes, bands))
+      .join(minHashBandTable(dr, "right_id", numHashes, bands),
+        Seq("__band", "__bh"))
+      .select("left_id", "right_id")
+      .dropDuplicates("left_id", "right_id")
+  }
+
+  /** Internal: (__id, __sv) doc table for the MinHash family — shared by
+    * [[minHashJoinAcross]] and the persisted-index builders so an index
+    * probe and an in-memory join never disagree on shingling. */
+  private def minHashDocTable(df: DataFrame, id: String, text: String,
+      ngramWords: Int): DataFrame = spreadInput(df)
+    .withColumn("__words", split(col(text), " "))
+    .withColumn("__sv", sort_array(wordNgrams(col("__words"), ngramWords)))
+    .filter(size(col("__sv")) >= 1)
+    .select(col(id).as("__id"), col("__sv"))
+
+  /** PERSISTED banded-MinHash dedup index — the incremental-maintenance
+    * contract [[minHashJoinAcross]]'s Scaladoc promises, made a real
+    * artifact (the q99g/q99h IVF-index discipline applied to dedup):
+    * the standing corpus's banded signature table and its shingle
+    * arrays land once as parquet under `path` (`bands/` for the
+    * (band, bandhash, doc) probe table, `docs/` for exact-verify
+    * arrays), [[appendMinHashIndex]] adds each day's accepted docs
+    * WITHOUT touching existing rows, and [[searchMinHashIndex]] probes
+    * with a new batch and returns exactly what a fresh
+    * [[minHashJoinAcross]] over (batch, full history) would — same hash
+    * family, same verification kernel.
+    *
+    * Scale notes: the bands table is `bands` 16-byte rows per doc —
+    * ~1 KB/doc at 64×16 — so a 10-billion-doc history is a ~10 TB
+    * probe table read ONCE per batch via an equi-join on
+    * (band, bandhash); sorting within files by that key (done here)
+    * gives parquet min/max row-group skipping on the probe join's
+    * build side, and a production deployment would bucket the table on
+    * the join key (saveAsTable + bucketBy) to make the history side
+    * shuffle-free — path-based parquet cannot carry bucket metadata,
+    * which is a catalog property, not an engine limit. Appends are new
+    * files only (A15/A16 layout discipline: never rewrite history). */
+  def buildMinHashIndex(corpus: DataFrame, id: String, text: String,
+      path: String, numHashes: Int = 64, bands: Int = 16,
+      ngramWords: Int = 2): Unit =
+    writeMinHashIndex(corpus, id, text, path, numHashes, bands,
+      ngramWords, overwrite = true)
+
+  /** Append a delta corpus to an existing [[buildMinHashIndex]] index:
+    * new parquet files under the same layout, existing rows untouched —
+    * appending 0.1% of the history must not rewrite the other 99.9%.
+    * Caller contract: delta ids are NEW (an id already indexed would
+    * produce duplicate candidate rows; dedup upstream, or route
+    * re-crawls through the exact [[exactDedup]] pass first). */
+  def appendMinHashIndex(delta: DataFrame, id: String, text: String,
+      path: String, numHashes: Int = 64, bands: Int = 16,
+      ngramWords: Int = 2): Unit =
+    writeMinHashIndex(delta, id, text, path, numHashes, bands,
+      ngramWords, overwrite = false)
+
+  private def writeMinHashIndex(df: DataFrame, id: String, text: String,
+      path: String, numHashes: Int, bands: Int, ngramWords: Int,
+      overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val docs = minHashDocTable(df, id, text, ngramWords).persistOnce()
+    minHashBandTable(docs, "doc_id", numHashes, bands)
+      // file-local sort on the probe key: row-group min/max skipping
+      .sortWithinPartitions("__band", "__bh")
+      .write.mode(mode).parquet(s"$path/bands")
+    docs.select(col("__id").as("doc_id"), col("__sv").as("grams"))
+      .write.mode(mode).parquet(s"$path/docs")
+  }
+
+  /** Probe a persisted [[buildMinHashIndex]] index with a new batch:
+    * (left_id = batch doc, right_id = indexed doc, jaccard ≥ pct/100) —
+    * result-identical to [[minHashJoinAcross]](batch, history) by
+    * construction (same seeded-xxhash64 family, same banding, same
+    * exact sorted-merge verification), with history-side hashing
+    * amortized to ZERO: only the batch is shingled and hashed here. */
+  def searchMinHashIndex(batch: DataFrame, id: String, text: String,
+      path: String, thresholdPct: Int = 60, numHashes: Int = 64,
+      bands: Int = 16, ngramWords: Int = 2): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    val spark = batch.sparkSession
+    graft.plans.SortedIntersectCount.register(spark)
+    val dl = minHashDocTable(batch, id, text, ngramWords).persistOnce()
+    // the batch-side band table is bands × |batch| rows — the bounded
+    // side by the incremental contract, so pin the broadcast (the q90d
+    // rationale: AQE size estimates flap on freshly-derived tables)
+    val cands = broadcast(minHashBandTable(dl, "left_id", numHashes, bands))
+      .join(spark.read.parquet(s"$path/bands")
+        .select(col("doc_id").as("right_id"), col("__band"), col("__bh")),
+        Seq("__band", "__bh"))
+      .select("left_id", "right_id")
+      .dropDuplicates("left_id", "right_id")
+    val sl = dl.select(col("__id").as("left_id"), col("__sv").as("__sa"))
+    val verified = cands
+      .join(broadcast(sl), Seq("left_id"))
+      // the index-side array attach joins on the index's own docs table
+      // — history arrays stream through a shuffle join (unbounded side)
+      .join(spark.read.parquet(s"$path/docs")
+        .select(col("doc_id").as("right_id"), col("grams").as("__sb")),
+        Seq("right_id"))
+    val inter = expr("sorted_intersect_count(__sa, __sb, " +
+      s"(CAST($thresholdPct AS BIGINT) * (size(__sa) + size(__sb)) + " +
+      s"${100 + thresholdPct - 1}) div ${100 + thresholdPct})")
+    val uni = size(col("__sa")) + size(col("__sb")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
+      .filter(inter.cast("long") * 100 >= uni.cast("long") * thresholdPct)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /** Internal: banded signature table (outId, __band, __bh) of a
+    * (__id, __sv) doc table — the hash family shared verbatim by the
+    * in-memory join and the persisted index. */
+  private def minHashBandTable(d: DataFrame, outId: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val hashed = d.select(col("__id"), explode(col("__sv")).as("__sh"))
+      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
+    val sig = hashed.groupBy("__id").agg(
+      min(xxhash64(lit(0), col("__h"))).as("m0"),
+      (1 until numHashes).map(j =>
+        min(xxhash64(lit(j), col("__h"))).as(s"m$j")): _*)
+    val bandCols = (0 until bands).map { j =>
+      xxhash64((0 until rowsPerBand)
+        .map(r => col(s"m${rowsPerBand * j + r}")): _*)
+    }
+    sig.select(col("__id").as(outId),
+      posexplode(array(bandCols: _*)).as(Seq("__band", "__bh")))
   }
 
   /** Edge-count gate for [[nearDupClusters]]' driver fast path: pair

@@ -1033,6 +1033,60 @@ object LlmPipeline {
           col("right_id").as("dup_of"), col("jaccard")))
     },
 
+    // Q90m (beyond-survey) — PERSISTED dedup-index lifecycle: the q99h
+    // build/append/search discipline applied to the q90l banded-MinHash
+    // index. History's banded signatures are built from 90% of the
+    // standing corpus (doc_id % 10 ≠ 4 within history), the remaining
+    // tenth arrives as a delta APPENDED into the same parquet layout
+    // (new files only — appending 0.1% of a 10-billion-doc index must
+    // not rewrite the other 99.9%), and probing with the day's batch
+    // must return EXACTLY what the in-memory q90l join returns over the
+    // full history — same oracle. This is the operational form of the
+    // 100 TB claim: the history side is hashed ONCE at ingest, and each
+    // day's dedup pass hashes only the batch.
+    Q("q90m_dedup_index",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS nid, b.doc_id AS hid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT nid, hid,
+         |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = nid
+         |  JOIN sz sb ON sb.doc_id = hid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+         |best AS (SELECT nid, hid, jaccard, row_number() OVER (
+         |    PARTITION BY nid ORDER BY jaccard DESC, hid ASC) AS rn
+         |  FROM pairs)
+         |SELECT nid AS doc_id, hid AS dup_of, jaccard
+         |FROM best WHERE rn = 1
+         |ORDER BY doc_id NULLS FIRST, dup_of NULLS FIRST,
+         |  jaccard NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val path = IO.scratch("q90m_dedup_index", dir)
+      graft.Engine.buildMinHashIndex(
+        hist.filter(col("doc_id") % 10 =!= 4), "doc_id", "text", path)
+      graft.Engine.appendMinHashIndex(
+        hist.filter(col("doc_id") % 10 === 4), "doc_id", "text", path)
+      val pairs = graft.Engine.searchMinHashIndex(
+        batch, "doc_id", "text", path, thresholdPct = 60)
+      val w = Window.partitionBy(col("left_id"))
+        .orderBy(col("jaccard").desc, col("right_id").asc)
+      orderAll(pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("left_id").as("doc_id"),
+          col("right_id").as("dup_of"), col("jaccard")))
+    },
+
     // Q90e (beyond-survey) — duplicated-SUBSTRING spans (the exact
     // substring-dedup pass of Lee et al. 2022: report every maximal
     // token span whose 8-gram windows all occur elsewhere in the

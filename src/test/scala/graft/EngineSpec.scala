@@ -431,6 +431,44 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("minHash dedup index: build + append + search == the in-memory " +
+      "bipartite join; append adds files without rewriting history") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val (batch, hist) = (docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val path = java.nio.file.Files
+      .createTempDirectory("mh_index").toString
+    try {
+      Engine.buildMinHashIndex(
+        hist.filter(col("doc_id") % 10 =!= 4), "doc_id", "text", path)
+      def partFiles(sub: String): Map[String, Long] = {
+        val d = new java.io.File(s"$path/$sub")
+        d.listFiles().filter(_.getName.startsWith("part-"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val (bandsBefore, docsBefore) = (partFiles("bands"), partFiles("docs"))
+      assert(bandsBefore.nonEmpty && docsBefore.nonEmpty)
+      Engine.appendMinHashIndex(
+        hist.filter(col("doc_id") % 10 === 4), "doc_id", "text", path)
+      // append = NEW files only; every pre-append file survives unmodified
+      val (bandsAfter, docsAfter) = (partFiles("bands"), partFiles("docs"))
+      assert(bandsAfter.size > bandsBefore.size)
+      bandsBefore.foreach { case (n, m) => assert(bandsAfter(n) == m) }
+      docsBefore.foreach { case (n, m) => assert(docsAfter(n) == m) }
+      val got = Engine.searchMinHashIndex(batch, "doc_id", "text", path,
+          thresholdPct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = Engine.minHashJoinAcross(batch, hist, "doc_id", "text",
+          thresholdPct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(want.nonEmpty && got == want)
+    } finally {
+      graft.sources.IO.deleteRec(new java.io.File(path))
+    }
+  }
+
   test("stableSample: partition-invariant and near the requested fraction") {
     val orders = Tables.t(spark, TestSpark.sfDir, "orders")
     def sampled(parts: Int) = orders.repartition(parts)

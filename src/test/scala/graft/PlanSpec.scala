@@ -509,7 +509,9 @@ class PlanSpec extends AnyFunSuite {
       "q20c_bloom_join", "q20d_bucketed_join",
       "q91b_neardup_clusters", "q91e_apply_dedup",
       // write their index on build; targeted partition-pruning test
-      "q99g_persisted_ivf", "q99h_index_append")
+      "q99g_persisted_ivf", "q99h_index_append",
+      // writes the banded-MinHash dedup index on build (q99h class)
+      "q90m_dedup_index")
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
