@@ -1487,6 +1487,75 @@ object Engine {
       .select("left_id", "right_id", "jaccard")
   }
 
+  /** ONLINE corpus construction with an ACCUMULATING dedup index — the
+    * production ingest loop the persisted index exists for: batches
+    * arrive in order, each batch is probed against the index of every
+    * EARLIER SURVIVOR, non-duplicates are kept and appended into the
+    * same index, duplicates never enter it. The greedy earliest-wins
+    * rule this implements (a doc is dropped iff it near-matches a doc
+    * that itself SURVIVED an earlier batch) is the semantics a crawl
+    * ingest actually wants: if A~B and B~C but A≁C, B drops against A
+    * and C is KEPT — dropping C too would over-delete through a
+    * non-surviving middleman.
+    *
+    * The driver loop is bounded by the number of ingest slots (the
+    * reference's own trigger model — `main.py`'s interval loop), and
+    * every per-batch step is fully distributed: probe =
+    * [[searchMinHashIndex]] (batch-side hashing only), accept = one
+    * anti-join, index growth = [[appendMinHashIndex]] (new files only).
+    * History is NEVER re-hashed or re-scanned beyond the banded probe —
+    * per-slot cost is O(batch) + O(collisions), which is what lets the
+    * loop run forever at 100 TB accumulated history.
+    *
+    * Within-batch duplicates are deliberately OUT OF SCOPE (a batch
+    * only probes earlier survivors): route same-slot dedup through
+    * [[minHashNearDups]]/[[exactDedup]] first. `batchOf` must be a
+    * deterministic integral expression; batches run in ascending order.
+    * Returns the surviving (id, batch) pairs. */
+  def dedupIngest(docs: DataFrame, id: String, text: String,
+      batchOf: Column, indexPath: String, thresholdPct: Int = 60,
+      numHashes: Int = 64, bands: Int = 16,
+      ngramWords: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // bounded by the ingest-slot count — the one driver-side list the
+    // loop needs (the reference's catalog paging discipline, A4)
+    val batchIds = docs.select(batchOf.cast("long").as("__b"))
+      .distinct().orderBy(col("__b")).as[Long].collect()
+    batchIds.zipWithIndex.foreach { case (b, i) =>
+      val batch = docs.filter(batchOf.cast("long") === b)
+      val kept0 =
+        if (i == 0) batch
+        else {
+          val dups = searchMinHashIndex(batch, id, text, indexPath,
+              thresholdPct, numHashes, bands, ngramWords)
+            .select(col("left_id").as(id)).distinct()
+          batch.join(dups, Seq(id), "left_anti")
+        }
+      // MATERIALIZE the accepted set BEFORE the index grows: the probe
+      // above reads the index lazily, so a lineage recompute after the
+      // append (cache eviction, lost partition) would re-probe an index
+      // that now contains LATER survivors — or this batch's own bands —
+      // and silently change the answer. Writing the survivors under the
+      // index layout (Hive-partitioned by batch — also the provenance
+      // record an ingest pipeline wants) freezes each probe at its
+      // point-in-time index state; the index append then reads the
+      // frozen file, never the live lineage.
+      kept0.select(col(id), col(text))
+        .write.mode("overwrite").parquet(s"$indexPath/accepted/batch=$b")
+      val kept = spark.read.parquet(s"$indexPath/accepted/batch=$b")
+      if (i == 0)
+        buildMinHashIndex(kept, id, text, indexPath, numHashes, bands,
+          ngramWords)
+      else
+        appendMinHashIndex(kept, id, text, indexPath, numHashes, bands,
+          ngramWords)
+    }
+    // partition discovery rehydrates the batch column from the layout
+    spark.read.parquet(s"$indexPath/accepted")
+      .select(col(id), col("batch").cast("long").as("batch"))
+  }
+
   /** Internal: banded signature table (outId, __band, __bh) of a
     * (__id, __sv) doc table — the hash family shared verbatim by the
     * in-memory join and the persisted index. */

@@ -1087,6 +1087,61 @@ object LlmPipeline {
           col("right_id").as("dup_of"), col("jaccard")))
     },
 
+    // Q90n (beyond-survey) — ONLINE dedup INGEST (Engine.dedupIngest):
+    // the loop the persisted index exists for — batches arrive in order
+    // (here doc_id % 4 as the slot), each batch probes the accumulated
+    // index of every EARLIER SURVIVOR, non-duplicates are kept and
+    // appended into the index, duplicates never enter it. Greedy
+    // earliest-wins semantics (A~B, B~C, A≁C ⇒ B drops, C survives —
+    // dropping C would over-delete through a non-surviving middleman);
+    // the oracle unrolls the four slots as CTEs: sₖ = batch-k docs with
+    // no τ≥0.6 pair into s₀∪…∪sₖ₋₁. Per-slot cost is O(batch) +
+    // O(collisions) — history is never re-hashed — which is what lets
+    // the loop run forever at 100 TB accumulated history. Same banding
+    // triage note as q90l. Within-batch dups are out of scope by
+    // contract (route same-slot dedup through q90/q91 first).
+    Q("q90n_dedup_ingest",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS xid, b.doc_id AS yid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |  WHERE (a.doc_id % 4) < (b.doc_id % 4)
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT xid, yid FROM inter
+         |  JOIN sz sa ON sa.doc_id = xid
+         |  JOIN sz sb ON sb.doc_id = yid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+         |s0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+         |s1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 1
+         |  AND NOT EXISTS (SELECT 1 FROM pr, s0
+         |    WHERE pr.xid = s0.doc_id AND pr.yid = d.doc_id)),
+         |s2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 2
+         |  AND NOT EXISTS (SELECT 1 FROM pr
+         |    WHERE pr.xid IN (SELECT doc_id FROM s0
+         |      UNION ALL SELECT doc_id FROM s1)
+         |      AND pr.yid = d.doc_id)),
+         |s3 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 3
+         |  AND NOT EXISTS (SELECT 1 FROM pr
+         |    WHERE pr.xid IN (SELECT doc_id FROM s0
+         |      UNION ALL SELECT doc_id FROM s1
+         |      UNION ALL SELECT doc_id FROM s2)
+         |      AND pr.yid = d.doc_id))
+         |SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch FROM (
+         |  SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+         |  UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
+         |ORDER BY doc_id NULLS FIRST, batch NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val path = IO.scratch("q90n_dedup_ingest", dir)
+        orderAll(graft.Engine.dedupIngest(docs, "doc_id", "text",
+          col("doc_id") % 4, path, thresholdPct = 60))
+    },
+
     // Q90e (beyond-survey) — duplicated-SUBSTRING spans (the exact
     // substring-dedup pass of Lee et al. 2022: report every maximal
     // token span whose 8-gram windows all occur elsewhere in the

@@ -211,6 +211,40 @@ object AlgebraProps extends Properties("algebra") {
       bag(naive) == bag(fast)
     }
 
+  property("q90l rewrite: banded join admits NO false pair and never " +
+      "misses an exact duplicate") =
+    forAll(
+      Gen.listOfN(12, for {
+        len <- Gen.choose(2, 8)
+        w <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield w.mkString(" ")),
+      Gen.oneOf(40, 60, 75)) { (texts, pct) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (newB, hist) = (docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0))
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val banded = pairs(Engine.minHashJoinAcross(newB, hist,
+        "doc_id", "text", thresholdPct = pct, ngramWords = 2))
+      val exact = pairs(Engine.jaccardJoinAcross(newB, hist,
+        "doc_id", "text", thresholdPct = pct, ngramWords = 2))
+      // (1) NO FALSE POSITIVES is a THEOREM (verification is exact), so
+      // it must hold on EVERY corpus — unlike recall, which is
+      // probabilistic for near-dups and only deterministic at J = 1
+      val noFalse = banded.subsetOf(exact)
+      // (2) an exact duplicate has an identical shingle set, hence an
+      // identical signature, hence collides in EVERY band — recall of
+      // J=1 cross-seam pairs is 1.0 deterministically
+      val dupPairs = (for {
+        (tl, l) <- texts.zipWithIndex if l % 3 == 0
+        (tr, r) <- texts.zipWithIndex if r % 3 != 0 && tl == tr
+      } yield (l.toLong, r.toLong)).toSet
+      val dupsFound = dupPairs.subsetOf(banded.map(p => (p._1, p._2)))
+      noFalse && dupsFound
+    }
+
   property("packSequences conserves docs and tokens at any partitioning") =
     forAll(
       Gen.listOfN(30, for {

@@ -469,6 +469,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupIngest: greedy earliest-wins on a real chain — B drops " +
+      "against A, C survives because its only match B did not survive") {
+    import spark.implicits._
+    // A chain at tau=0.6 MUST live near the threshold: Jaccard distance
+    // is a metric, so J(A,B), J(B,C) >= 0.85 would force J(A,C) >= 0.7
+    // by the triangle inequality — no chain exists there. This fixture
+    // sits at J(A,B) = J(B,C) = 11/17 ~ 0.647 and J(A,C) = 8/20 = 0.4;
+    // the test passes bands=32 (r=2), where the banding miss at J=0.647
+    // is (1-0.647^2)^32 ~ 3e-8 — safe, unlike the default 16x4's 4%
+    // at this J (exactly q90l's documented borderline honesty bound).
+    val a = (1 to 15).map(i => s"a$i")
+    val bTx = (a.take(12) ++ (1 to 3).map(i => s"b$i")).mkString(" ")
+    val cTx = ((1 to 3).map(i => s"c$i") ++ a.slice(3, 12) ++
+      (1 to 3).map(i => s"b$i")).mkString(" ")
+    val docs = Seq((1L, a.mkString(" "), 0L), (2L, bTx, 1L),
+      (3L, cTx, 2L)).toDF("doc_id", "text", "slot")
+    // the chain shape holds on the EXACT side: (A,B) and (B,C) qualify
+    // at tau=0.6, (A,C) does not
+    val pairs = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = 60, ngramWords = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+    val path = java.nio.file.Files
+      .createTempDirectory("ingest_chain").toString
+    try {
+      val got = Engine.dedupIngest(docs, "doc_id", "text", col("slot"),
+          path, thresholdPct = 60, numHashes = 64, bands = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 0L), (3L, 2L)),
+        s"greedy chain broken: $got")
+    } finally {
+      graft.sources.IO.deleteRec(new java.io.File(path))
+    }
+  }
+
   test("stableSample: partition-invariant and near the requested fraction") {
     val orders = Tables.t(spark, TestSpark.sfDir, "orders")
     def sampled(parts: Int) = orders.repartition(parts)

@@ -511,7 +511,9 @@ class PlanSpec extends AnyFunSuite {
       // write their index on build; targeted partition-pruning test
       "q99g_persisted_ivf", "q99h_index_append",
       // writes the banded-MinHash dedup index on build (q99h class)
-      "q90m_dedup_index")
+      "q90m_dedup_index",
+      // driver ingest loop: builds + appends the index per batch
+      "q90n_dedup_ingest")
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
