@@ -1025,7 +1025,40 @@ object Engine {
     * and the string-cell-key rationale. */
   def searchIvfIndex(queries: DataFrame, qid: String, qvec: String,
       centroids: DataFrame, cid: String, cvec: String,
-      indexPath: String, nprobe: Int, k: Int): DataFrame = {
+      indexPath: String, nprobe: Int, k: Int): DataFrame =
+    ivfServe(queries, qid, qvec, centroids, cid, cvec, indexPath,
+      nprobe, k, honorTombstones = false)
+
+  /** [[searchIvfIndex]] with TOMBSTONE deletes honored: rows whose ids
+    * were handed to [[deleteFromIvfIndex]] are dropped from the probed
+    * candidates BEFORE ranking (so replacements rise into the top-k),
+    * giving results identical to a fresh build over the corpus minus
+    * the deleted ids — without rewriting a single index file. Deleting
+    * 0.1% of a billion-vector index must not rewrite the other 99.9%
+    * any more than appending it should (the [[appendIvfIndex]]
+    * argument, applied to the other half of maintenance). */
+  def searchIvfIndexLive(queries: DataFrame, qid: String, qvec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      indexPath: String, nprobe: Int, k: Int): DataFrame =
+    ivfServe(queries, qid, qvec, centroids, cid, cvec, indexPath,
+      nprobe, k, honorTombstones = true)
+
+  /** DELETE from the persisted IVF index, tombstone-style: the ids are
+    * appended under `<indexPath>/_tombstones` — an underscore-prefixed
+    * directory, which Spark's file listing treats as hidden, so the
+    * index's own partitioned scan NEVER sees tombstone files — and the
+    * serve path ([[searchIvfIndexLive]]) anti-joins them out of the
+    * probed candidates. Append-mode, so successive deletes accumulate;
+    * a compaction (rebuild minus tombstones) reclaims space offline. */
+  def deleteFromIvfIndex(deleted: DataFrame, id: String,
+      indexPath: String): Unit =
+    deleted.select(col(id).cast(LongType).as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$indexPath/_tombstones")
+
+  private def ivfServe(queries: DataFrame, qid: String, qvec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      indexPath: String, nprobe: Int, k: Int,
+      honorTombstones: Boolean): DataFrame = {
     require(nprobe >= 1 && k >= 1)
     val spark = queries.sparkSession
     graft.plans.CosineSimilarity.register(spark)
@@ -1034,8 +1067,22 @@ object Engine {
       probe = nprobe)
     val probed = probes.select("cell").distinct()
       .collect().map(_.getString(0)).sorted // bounded: ≤ |Q|·nprobe
-    val index = spark.read.parquet(indexPath)
+    val scan = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probed.toSeq: _*))
+    val index =
+      if (!honorTombstones) scan
+      else {
+        val tomb = new org.apache.hadoop.fs.Path(indexPath, "_tombstones")
+        val fs = tomb.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // no tombstones yet → nothing to drop; the anti-join key is the
+        // index's own vec_id, so the plan stays an equi left-anti that
+        // Spark sizes (broadcast when small) — tombstones are usually a
+        // sliver of the index but are NOT bounded by construction
+        if (!fs.exists(tomb)) scan
+        else scan.join(spark.read.parquet(tomb.toString),
+          Seq("vec_id"), "left_anti")
+      }
     val scored = index.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         round(expr("cosine_sim(__qe, embedding)"), 6).as("cos_sim"))
@@ -3253,5 +3300,203 @@ object Engine {
       .filter(conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
         .cast("int") < floor(col("__r") * 65536).cast("int"))
       .drop("__r")
+  }
+
+  /** CHANGELOG COMPACTION (CDC apply): replay an insert/update/delete
+    * change stream into its final table state — the `MERGE`-free core of
+    * what every lakehouse table format does on read. Per key, the LAST
+    * event in `(seqCols)` order wins; a final 'D' removes the key. One
+    * hash aggregate: the lexicographic `max(struct(seq…, op, payload…))`
+    * IS the last event, so the plan gets map-side partial aggregation
+    * and a single shuffle on the key — deliberately NOT a per-key sort
+    * window, which would shuffle every change row into a sort just to
+    * read one of them. At 100 TB of changelog the partial-agg shape is
+    * the difference between shuffling keys and shuffling history.
+    * CONTRACT: `seqCols` must totally order events within a key (a log
+    * sequence number, or (ts, event_id)); ties would make "last" an
+    * engine coin-flip. Returns one row per surviving key:
+    * the key columns, `n_ops` (changelog entries replayed), and each
+    * seq/payload column of the winning event as `last_<name>`. */
+  def applyChangelog(log: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty)
+    val payload = log.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || seqCols.contains(c) ||
+        c == opCol)
+    val carried = seqCols ++ Seq(opCol) ++ payload
+    val packed = struct(carried.map(col): _*)
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("__last"), count(lit(1)).as("n_ops"))
+      .filter(col(s"__last.$opCol") =!= "D")
+      .select(keyCols.map(col) ++ Seq(col("n_ops")) ++
+        (seqCols ++ payload).map(c =>
+          col(s"__last.$c").as(s"last_$c")): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test: D = sup over the pooled sample
+    * points of |F_a(x) − F_b(x)| — the distribution-free "did this
+    * slice drift" statistic complementing [[tvdDrift]] (bucketed gaps)
+    * and [[chiSquareIndependence]] (categorical association) with a
+    * CONTINUOUS-measure test that needs no binning choice.
+    *
+    * The ECDFs need a global prefix sum, and a naive global window is a
+    * single-partition sort — the classic scale-killer. Instead: (1) one
+    * hash aggregate collapses the samples to per-distinct-value counts;
+    * (2) `repartitionByRange` on the value + a FROZEN partition id; (3)
+    * per-partition totals — a driver list bounded by the shuffle
+    * partition count, never data — become broadcast offsets; (4) the
+    * running sum then runs INSIDE each range partition. Every stage is
+    * partitioned; nothing data-sized ever serializes through one task.
+    * Determinism: cumulative counts are exact integers, each ECDF gap
+    * is one IEEE divide+subtract of integers, and the 1.358·√((n1+n2)/
+    * (n1·n2)) α=0.05 critical value is computed with the identical op
+    * sequence in both engines; only the REPORTED d is rounded. */
+  def ksTwoSample(df: DataFrame, group: Column, value: Column,
+      a: String, b: String): DataFrame = {
+    val perV = df.filter(group.isin(a, b) && value.isNotNull)
+      .select(group.as("__g"), value.as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(when(col("__g") === a, 1)).as("__c1"),
+        count(when(col("__g") === b, 1)).as("__c2"))
+    val ranged = perV.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id()).persistOnce()
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__c1")).as("t1"), sum(col("__c2")).as("t2"))
+      .collect().sortBy(_.getInt(0)) // bounded: ≤ shuffle partitions
+    var o1 = 0L; var o2 = 0L
+    val offsets = totals.map { r =>
+      val row = (r.getInt(0), o1, o2)
+      o1 += r.getLong(1); o2 += r.getLong(2); row
+    }.toIndexedSeq
+    val (n1, n2) = (o1, o2)
+    require(n1 > 0 && n2 > 0,
+      s"ksTwoSample: both groups must be non-empty (|$a|=$n1, |$b|=$n2)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = broadcast(offsets.toDF("__pid", "__o1", "__o2"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = ranged.join(offs, Seq("__pid"))
+      .select(abs(
+        (sum(col("__c1")).over(w) + col("__o1")).cast(DoubleType) /
+          lit(n1).cast(DoubleType) -
+        (sum(col("__c2")).over(w) + col("__o2")).cast(DoubleType) /
+          lit(n2).cast(DoubleType)).as("__gap"))
+    val crit = lit(1.358) * sqrt(
+      lit(n1 + n2).cast(DoubleType) /
+        (lit(n1).cast(DoubleType) * lit(n2).cast(DoubleType)))
+    gaps.agg(max(col("__gap")).as("__d"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        round(col("__d"), 6).as("d_stat"),
+        (col("__d") > crit).as("reject"))
+  }
+
+  /** FIRST/LAST-TOUCH conversion attribution: for every `conversion`
+    * event, credit the first and the most recent PRECEDING
+    * non-conversion event type the same key emitted ("which channel
+    * opened the journey, which one closed it"), then roll both credit
+    * assignments up per channel with conversion counts and
+    * decimal-exact value sums. One per-key window (running
+    * first/last with ignoreNulls over the event order — partitioned,
+    * so it scales with keys) plus two bounded per-channel aggregates
+    * joined full-outer on the channel (null channel = conversions with
+    * no prior touch, kept honestly rather than dropped).
+    * CONTRACT: `ord` must totally order events within a key. */
+  def touchAttribution(df: DataFrame, key: Column, ord: Seq[Column],
+      typ: Column, conversion: String, value: Column): DataFrame = {
+    val chan = when(typ =!= conversion, typ)
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conv = df
+      .withColumn("__ft", first(chan, ignoreNulls = true).over(w))
+      .withColumn("__lt", last(chan, ignoreNulls = true).over(w))
+      .filter(typ === conversion)
+      .persistOnce()
+    def credit(c: String, n: String, rev: String) =
+      conv.groupBy(col(c).as("channel"))
+        .agg(count(lit(1)).as(n), Canon.sumDec(value).as(rev))
+    val fst = credit("__ft", "n_first", "__rf")
+    val lst = credit("__lt", "n_last", "__rl")
+    fst.join(lst, fst("channel") <=> lst("channel"), "full_outer")
+      .select(coalesce(fst("channel"), lst("channel")).as("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        round(coalesce(col("__rf"), lit(0.0)), 6).as("rev_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        round(coalesce(col("__rl"), lit(0.0)), 6).as("rev_last"))
+  }
+
+  /** VOCABULARY-GROWTH (Heaps' law) curve: cumulative distinct n-gram
+    * vocabulary vs cumulative token count over the corpus in `id`
+    * order, reported per id-bucket of `bucketWidth` docs — the corpus
+    * statistic that says whether more data is still buying new
+    * language ("is the curve still rising, or are we re-crawling the
+    * same text"). One gram explode feeds BOTH aggregates: tokens per
+    * bucket (count), and new-vocab per bucket (each gram counts once,
+    * in the bucket of its FIRST occurrence — a min(id) per gram, one
+    * shuffle on the gram). The running sums then run over the BUCKET
+    * table, whose size is corpus/|bucket| — pick bucketWidth so that
+    * table is config-sized (it is the curve's plot resolution, not a
+    * data structure). */
+  def vocabGrowth(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, bucketWidth: Long = 50): DataFrame = {
+    require(n >= 1 && bucketWidth >= 1)
+    val ws = filter(split(text, " "), w => w =!= "")
+    val ex = df.select(id.as("__id"),
+      explode(positionalNgrams(ws, n)).as("__gram"))
+    def bucket(c: Column) = (c / lit(bucketWidth)).cast(LongType)
+    val toks = ex.groupBy(bucket(col("__id")).as("bucket"))
+      .agg(count(lit(1)).as("__toks"))
+    val vocab = ex.groupBy(col("__gram"))
+      .agg(min(col("__id")).as("__fd"))
+      .groupBy(bucket(col("__fd")).as("bucket"))
+      .agg(count(lit(1)).as("__nv"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(vocab, Seq("bucket"), "left")
+      .select(col("bucket"), col("__toks"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+      .select(col("bucket"),
+        sum(col("__toks")).over(w).as("cum_tokens"),
+        sum(col("__nv")).over(w).as("cum_vocab"))
+  }
+
+  /** CONTENT-DEFINED chunk dedup (the FastCDC/rsync idea, as a query):
+    * chunk boundaries are placed where the rolling fingerprint of the
+    * LAST `window` characters hits a fixed pattern — so an insertion
+    * near the start of a document shifts only the chunks it touches,
+    * where fixed-offset chunking ([[dedupChunks]]) would re-key every
+    * chunk after it. The fingerprint is md5 of the `window`-char gram
+    * (md5 being the one hash both engines share bit-for-bit), boundary
+    * = last hex nibble '0' (p = 1/16 → expected chunk ≈ window chars).
+    * Per doc: O(len) grams, a bounded starts array, one partitioned
+    * lead() window to close chunks; then one hash aggregate on the
+    * chunk digest. Returns the cross-document duplicated chunks:
+    * (chunk_hash, n_docs, n_occ, chunk_len) with n_docs ≥ 2 — output
+    * bounded by distinct shared chunks, never pairs. */
+  def cdcChunkDedup(df: DataFrame, id: Column, text: Column,
+      window: Int = 16): DataFrame = {
+    require(window >= 2)
+    val L = length(text)
+    // boundary candidates start at 2 (position 1 always opens a chunk)
+    // and end at L-window+1 (the last full gram); the guard keeps
+    // sequence() ascending-only on short docs
+    val cands = when(L >= lit(window + 1),
+      filter(sequence(lit(2), L - lit(window - 1)),
+        i => substring(md5(text.substr(i, lit(window))), 32, 1) === "0"))
+      .otherwise(array().cast("array<int>"))
+    val ex = df.select(id.as("__id"), text.as("__t"),
+      explode(concat(array(lit(1)), cands)).as("__s"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__s"))
+    val chunks = ex
+      .withColumn("__e",
+        coalesce(lead(col("__s"), 1).over(w), length(col("__t")) + 1))
+      .select(col("__id"),
+        col("__t").substr(col("__s"), col("__e") - col("__s"))
+          .as("__chunk"))
+    chunks.groupBy(md5(col("__chunk")).as("chunk_hash"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(length(col("__chunk"))).as("chunk_len"))
+      .filter(col("n_docs") >= 2)
   }
 }

@@ -524,5 +524,44 @@ object Aggregates {
       (s, dir) =>
         orderAll(graft.Engine.madOutliers(
           Tables.t(s, dir, "events"), "event_type", "value", k = 3))
+    },
+
+    // Q46f (beyond-survey) — two-sample Kolmogorov–Smirnov drift test
+    // ([[graft.Engine.ksTwoSample]]): the CONTINUOUS-measure member of
+    // the drift family — q46c's TVD needs a binning choice and χ² (q46e)
+    // is categorical; KS compares the two slices' full empirical CDFs
+    // with no parameter at all. The ECDF prefix sums are computed by a
+    // range-partition + broadcast-offset two-pass (per-partition totals
+    // are a driver list bounded by the shuffle-partition COUNT, never
+    // data) — no single-partition global window anywhere in the plan.
+    // All gaps are integer-ratio IEEE arithmetic; the α=0.05 rejection
+    // threshold 1.358·√((n1+n2)/(n1·n2)) is evaluated with the same op
+    // sequence in both engines, so even the boolean must agree.
+    Q("q46f_ks_test",
+      """WITH f AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(CASE WHEN g = 'click' THEN 1 END) AS c1,
+        |    count(CASE WHEN g = 'view' THEN 1 END) AS c2
+        |  FROM f GROUP BY v),
+        |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv),
+        |cum AS (SELECT v,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS s1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS s2
+        |  FROM pv),
+        |g AS (SELECT abs(CAST(s1 AS DOUBLE) / n.n1
+        |    - CAST(s2 AS DOUBLE) / n.n2) AS gap
+        |  FROM cum CROSS JOIN n)
+        |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+        |  round(max(g.gap), 6) AS d_stat,
+        |  (max(g.gap) > 1.358 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE)
+        |    / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)))) AS reject
+        |FROM g CROSS JOIN n GROUP BY n.n1, n.n2
+        |ORDER BY n1 NULLS FIRST, n2 NULLS FIRST, d_stat NULLS FIRST,
+        |  reject NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.ksTwoSample(
+        Tables.t(s, dir, "events"), col("event_type"), col("value"),
+        "click", "view"))
     })
 }

@@ -778,6 +778,33 @@ object LlmPipeline {
           round(col("n_hit").cast("double") / col("n_true"), 6)))
     },
 
+    // Q99j (beyond-survey) — TOMBSTONE DELETES on the persisted IVF
+    // index ([[graft.Engine.deleteFromIvfIndex]] +
+    // [[graft.Engine.searchIvfIndexLive]]): the other half of index
+    // maintenance q99h's append started. Deleted ids land in an
+    // underscore-prefixed `_tombstones` directory Spark's file listing
+    // hides from the index's own scan, and the serve path anti-joins
+    // them out of the probed candidates BEFORE ranking — so
+    // replacements rise into the top-k and the result is IDENTICAL to
+    // a fresh build over the corpus minus the deleted tenth (the
+    // oracle applies exactly that filter to its cells CTE; a rebuild —
+    // which also clears tombstones — is the offline compaction, not
+    // the delete path). Deleting 0.1% of a billion-vector index must
+    // not rewrite the other 99.9%.
+    Q("q99j_index_delete", ivfAnnOracleSqlWhere("vec_id % 10 <> 3")) {
+      (s, dir) =>
+        val e = Tables.t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        val path = IO.scratch("q99j_ivf_index", dir)
+        graft.Engine.buildIvfIndex(e, "vec_id", "embedding",
+          cents, "vec_id", "embedding", path)
+        graft.Engine.deleteFromIvfIndex(
+          e.filter(col("vec_id") % 10 === 3), "vec_id", path)
+        orderAll(graft.Engine.searchIvfIndexLive(
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          cents, "vec_id", "embedding", path, nprobe = 2, k = 3))
+    },
+
     // Q92i (beyond-survey) — PRODUCT-QUANTIZATION encode: each 64-dim
     // embedding becomes 8 sub-vector codes (nearest codebook entry per
     // block, squared L2, decimal-exact, id tiebreak) — the library
@@ -1140,6 +1167,46 @@ object LlmPipeline {
         val path = IO.scratch("q90n_dedup_ingest", dir)
         orderAll(graft.Engine.dedupIngest(docs, "doc_id", "text",
           col("doc_id") % 4, path, thresholdPct = 60))
+    },
+
+    // Q90o (beyond-survey) — CONTENT-DEFINED chunk dedup
+    // ([[graft.Engine.cdcChunkDedup]], the FastCDC/rsync idea as a
+    // query): q90c keys chunks by fixed offsets, so one insertion
+    // re-keys every chunk after it; here a boundary opens wherever the
+    // md5 fingerprint of the trailing 16-char gram ends in nibble '0'
+    // (p=1/16 → ~16-char expected chunks) — boundaries depend only on
+    // LOCAL content, so edits shift only the chunks they touch. md5 is
+    // the one fingerprint both engines share bit-for-bit; per doc the
+    // work is O(len) gram hashes + one doc-partitioned lead() window,
+    // and the output is the cross-document duplicated-chunk table
+    // (bounded by distinct shared chunks, never pairs). At 100 TB this
+    // is the storage-dedup half of the q90e substring family: same
+    // corpus-sized gram pass, chunk-grain instead of span-grain.
+    Q("q90o_cdc_chunks",
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    [1] || [i FOR i IN generate_series(2, len(text) - 15)
+        |      IF substr(md5(substr(text, i, 16)), 32, 1) = '0'] AS starts
+        |  FROM documents),
+        |ex AS (SELECT doc_id, text, unnest(starts) AS s FROM st),
+        |ch AS (SELECT doc_id,
+        |    substr(text, s, coalesce(lead(s) OVER (
+        |      PARTITION BY doc_id ORDER BY s), len(text) + 1) - s)
+        |      AS chunk
+        |  FROM ex)
+        |SELECT md5(chunk) AS chunk_hash,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(min(len(chunk)) AS INT) AS chunk_len
+        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash NULLS FIRST, n_docs NULLS FIRST,
+        |  n_occ NULLS FIRST, chunk_len NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.cdcChunkDedup(
+            Tables.t(s, dir, "documents"), col("doc_id"), col("text"),
+            window = 16)
+          .select(col("chunk_hash"), col("n_docs"), col("n_occ"),
+            col("chunk_len").cast("int").as("chunk_len")))
     },
 
     // Q90e (beyond-survey) — duplicated-SUBSTRING spans (the exact
@@ -2365,6 +2432,45 @@ object LlmPipeline {
         .filter(col("w1") =!= col("w2"))
       orderAll(graft.Engine.pageRankInt(edges, "w1", "w2",
         iterations = 3))
+    },
+
+    // Q93q (beyond-survey) — VOCABULARY-GROWTH (Heaps' law) curve
+    // ([[graft.Engine.vocabGrowth]]): cumulative distinct-bigram
+    // vocabulary vs cumulative tokens in doc_id order, per 50-doc
+    // bucket — the "is more data still buying new language, or are we
+    // re-crawling the same text" corpus statistic every scaling-law
+    // data ablation starts from (bigrams because this fixture's
+    // unigram vocabulary saturates in bucket 0 — the statistic needs a
+    // growing vocabulary to be non-vacuous). One gram explode feeds
+    // both aggregates (tokens per bucket; each gram counted once in
+    // its FIRST bucket via min(doc_id) per gram — one gram-keyed
+    // shuffle), and the running sums run over the bucket table, whose
+    // row count is the plot resolution, not data.
+    Q("q93q_vocab_growth",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+        |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+        |fo AS (SELECT gram, min(doc_id) AS first_doc FROM w
+        |  GROUP BY gram),
+        |tb AS (SELECT doc_id // 50 AS bucket, count(*) AS toks FROM w
+        |  GROUP BY 1),
+        |vb AS (SELECT first_doc // 50 AS bucket, count(*) AS nv FROM fo
+        |  GROUP BY 1),
+        |j AS (SELECT tb.bucket, toks, coalesce(nv, 0) AS nv
+        |  FROM tb LEFT JOIN vb ON tb.bucket = vb.bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(sum(toks) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(nv) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM j
+        |ORDER BY bucket NULLS FIRST, cum_tokens NULLS FIRST,
+        |  cum_vocab NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.vocabGrowth(
+        Tables.t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 2, bucketWidth = 50))
     })
 
   /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending
@@ -2939,8 +3045,14 @@ object LlmPipeline {
        |  vec_id NULLS FIRST, adist NULLS FIRST""".stripMargin
 
   /** DuckDB oracle for Q99b: identical centroid set, assignment argmax,
-    * nprobe=2 probing and in-cell top-3 — over the same rounded cosines. */
-  private def ivfAnnOracleSql: String = {
+    * nprobe=2 probing and in-cell top-3 — over the same rounded cosines.
+    * `corpusFilter` (an AND-able predicate on the indexed side, e.g.
+    * q99j's tombstone exclusion) narrows the CELLS the way a fresh
+    * build over the filtered corpus would — which is exactly the
+    * equivalence the tombstoned serve path must satisfy. */
+  private def ivfAnnOracleSql: String = ivfAnnOracleSqlWhere("TRUE")
+
+  private def ivfAnnOracleSqlWhere(corpusFilter: String): String = {
     val ids = ivfCentroidIds.mkString(", ")
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
        |  FROM embeddings WHERE vec_id IN ($ids)),
@@ -2951,7 +3063,7 @@ object LlmPipeline {
        |      c.cid ASC) AS rn
        |  FROM embeddings e CROSS JOIN cent c),
        |cells AS (SELECT vec_id, embedding, cid AS cell FROM assign
-       |  WHERE rn = 1),
+       |  WHERE rn = 1 AND ($corpusFilter)),
        |qassign AS (
        |  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY

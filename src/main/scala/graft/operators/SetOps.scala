@@ -256,6 +256,46 @@ object SetOps {
           .filter(col("change").isNotNull))
     },
 
+    // Q58c (beyond-survey) — CHANGELOG COMPACTION (CDC apply,
+    // [[graft.Engine.applyChangelog]]): q58's MERGE applies one delta
+    // batch against a base table; this replays a full insert/update/
+    // delete change STREAM into its final state — what a lakehouse
+    // format's read path does with its log. The events fixture maps to
+    // a changelog (signup→I, error→D, else U; (ts, event_id) is the
+    // per-key sequence). Deliberately a single max(struct)-aggregate,
+    // NOT a row_number window: partial aggregation combines map-side,
+    // so 100 TB of history shuffles one packed row per key per map
+    // task instead of every change row into a per-key sort. The
+    // oracle's window form is the same function by a different plan.
+    Q("q58c_cdc_apply",
+      """WITH cl AS (SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'signup' THEN 'I'
+        |      WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value FROM events),
+        |r AS (SELECT user_id, op, value, ts,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM cl)
+        |SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, ts AS last_ts,
+        |  round(value, 6) AS last_value
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id NULLS FIRST, n_ops NULLS FIRST,
+        |  last_ts NULLS FIRST, last_value NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val log = Tables.t(s, dir, "events").select(col("user_id"),
+          col("ts"), col("event_id"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          col("value"))
+        orderAll(graft.Engine.applyChangelog(log,
+            keyCols = Seq("user_id"), seqCols = Seq("ts", "event_id"),
+            opCol = "op")
+          .select(col("user_id"), col("n_ops"),
+            col("last_ts"), round(col("last_value"), 6).as("last_value")))
+    },
+
     // Q59 (beyond-survey) — SCD TYPE-2 history build: collapse an event
     // log into attribute-validity intervals. Per customer, each PRIORITY
     // CHANGE (detected with lag) opens an interval; lead() closes it at

@@ -548,5 +548,52 @@ object Windows {
             element_at(vs, 1),
             (acc, x) => lit(0.5) * x + lit(0.5) * acc), 6)
           .as("ewma")))
+    },
+
+    // Q47e (beyond-survey) — first/last-touch conversion ATTRIBUTION
+    // ([[graft.Engine.touchAttribution]]), the q47b funnel's question
+    // inverted: the funnel asks "how far do journeys get", attribution
+    // asks "which step deserves the credit for the ones that converted".
+    // Per user, a running first()/last() ignoreNulls window over the
+    // (ts, event_id) order carries the opening and the most recent
+    // preceding non-purchase touch onto every purchase row (one
+    // partitioned window — scales with keys); the per-channel rollup is
+    // then two bounded aggregates full-outer-joined on the channel.
+    // Purchases with NO prior touch keep a NULL channel row — dropped
+    // conversions would silently inflate every real channel's share.
+    Q("q47e_attribution",
+      """WITH ch AS (SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      AS channel
+        |  FROM events),
+        |w AS (SELECT user_id, event_type, value,
+        |    first_value(channel IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS first_touch,
+        |    last_value(channel IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS last_touch
+        |  FROM ch),
+        |p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+        |f AS (SELECT first_touch AS channel, count(*) AS n_first,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS rf
+        |  FROM p GROUP BY 1),
+        |l AS (SELECT last_touch AS channel, count(*) AS n_last,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS rl
+        |  FROM p GROUP BY 1)
+        |SELECT coalesce(f.channel, l.channel) AS channel,
+        |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+        |  round(coalesce(rf, 0), 6) AS rev_first,
+        |  CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+        |  round(coalesce(rl, 0), 6) AS rev_last
+        |FROM f FULL OUTER JOIN l
+        |  ON f.channel IS NOT DISTINCT FROM l.channel
+        |ORDER BY channel NULLS FIRST, n_first NULLS FIRST,
+        |  rev_first NULLS FIRST, n_last NULLS FIRST,
+        |  rev_last NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.touchAttribution(
+        Tables.t(s, dir, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"),
+        "purchase", col("value")))
     })
 }

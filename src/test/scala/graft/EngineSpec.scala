@@ -1446,4 +1446,187 @@ class EngineSpec extends AnyFunSuite {
     // the outlier count
     assert(got("b") == ((5.0, 0.0, 5L, 1L)))
   }
+
+  test("searchIvfIndexLive: tombstoned serve equals a fresh build over " +
+      "the corpus minus the deleted ids; plain serve still sees them") {
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val cents = e.filter(col("vec_id") % 61 === 2)
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val live = graft.sources.IO.scratch("enginespec-ivf-live",
+      TestSpark.sfDir)
+    Engine.buildIvfIndex(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding", live)
+    Engine.deleteFromIvfIndex(e.filter(col("vec_id") % 10 === 3),
+      "vec_id", live)
+    val fresh = graft.sources.IO.scratch("enginespec-ivf-fresh",
+      TestSpark.sfDir)
+    Engine.buildIvfIndex(e.filter(col("vec_id") % 10 =!= 3),
+      "vec_id", "embedding", cents, "vec_id", "embedding", fresh)
+    val tombstoned = rows(Engine.searchIvfIndexLive(
+      q, "vec_id", "embedding", cents, "vec_id", "embedding",
+      live, nprobe = 2, k = 3))
+    assert(tombstoned == rows(Engine.searchIvfIndex(
+      q, "vec_id", "embedding", cents, "vec_id", "embedding",
+      fresh, nprobe = 2, k = 3)))
+    assert(tombstoned.nonEmpty)
+    // the same index WITHOUT honoring tombstones still serves deleted
+    // ids (they're in the files — the delete was metadata-only)…
+    val plain = rows(Engine.searchIvfIndex(
+      q, "vec_id", "embedding", cents, "vec_id", "embedding",
+      live, nprobe = 2, k = 3))
+    assert(plain != tombstoned)
+    assert(plain.exists { case (_, _, vid, _) => vid % 10 == 3 })
+    // …and the live serve never returns one
+    tombstoned.foreach { case (_, _, vid, _) => assert(vid % 10 != 3) }
+    // a live serve against an index with NO tombstone dir is the plain
+    // serve (the fs-exists fast path)
+    assert(rows(Engine.searchIvfIndexLive(
+      q, "vec_id", "embedding", cents, "vec_id", "embedding",
+      fresh, nprobe = 2, k = 3)) == rows(Engine.searchIvfIndex(
+      q, "vec_id", "embedding", cents, "vec_id", "embedding",
+      fresh, nprobe = 2, k = 3)))
+  }
+
+  test("applyChangelog: last-op-wins per key, a final D removes the key, " +
+      "a D overridden by a later U does not") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: I then U → survives with the U payload
+      (1L, 10L, 1L, "I", 1.0), (1L, 20L, 2L, "U", 2.5),
+      // key 2: I then D → removed
+      (2L, 10L, 3L, "I", 9.0), (2L, 20L, 4L, "D", 0.0),
+      // key 3: I, D, then U — the delete is NOT final → survives
+      (3L, 10L, 5L, "I", 1.0), (3L, 20L, 6L, "D", 0.0),
+      (3L, 30L, 7L, "U", 7.5),
+      // key 4: same-seq tiebreak falls to the second seq column
+      (4L, 10L, 8L, "I", 1.0), (4L, 10L, 9L, "U", 4.0)
+    ).toDF("k", "seq", "sub", "op", "v")
+    val got = Engine.applyChangelog(log, keyCols = Seq("k"),
+        seqCols = Seq("seq", "sub"), opCol = "op")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 3L, 4L))
+    assert(got(1L) == ((2L, 20L, 2L, 2.5)))
+    assert(got(3L) == ((3L, 30L, 7L, 7.5)))
+    assert(got(4L) == ((2L, 10L, 9L, 4.0)))
+  }
+
+  test("ksTwoSample: matches a driver-side ECDF reference on the events " +
+      "fixture (the distributed prefix sum is exact across partitions)") {
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+    val got = Engine.ksTwoSample(ev, col("event_type"), col("value"),
+      "click", "view").collect().head
+    val sample = ev
+      .filter(col("event_type").isin("click", "view") &&
+        col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = sample.filter(_._1 == "click").map(_._2)
+    val b = sample.filter(_._1 == "view").map(_._2)
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val d = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toDouble / n1 -
+        b.count(_ <= v).toDouble / n2)
+    }.max
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    // the engine reports d rounded to 6 decimals; the rejection test
+    // runs on the UNROUNDED statistic
+    assert(math.abs(got.getDouble(2) - d) <= 5.000001e-7)
+    assert(got.getBoolean(3) ==
+      (d > 1.358 * math.sqrt((n1 + n2).toDouble /
+        (n1.toDouble * n2.toDouble))))
+  }
+
+  test("ksTwoSample: an empty group fails loudly") {
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+    val e = intercept[IllegalArgumentException] {
+      Engine.ksTwoSample(ev, col("event_type"), col("value"),
+        "click", "no_such_type")
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("cdcChunkDedup: matches a driver-side reference chunker, and an " +
+      "inserted prefix leaves most of the original's chunks shared") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val edited = "INSERTED PREFIX " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(t: String): Seq[String] = {
+      val w = 16
+      val starts = 1 +: (2 to t.length - w + 1)
+        .filter(i => md5hex(t.substring(i - 1, i - 1 + w))(31) == '0')
+      (starts :+ (t.length + 1)).sliding(2).collect {
+        case Seq(s, e) => t.substring(s - 1, e - 1)
+      }.toSeq
+    }
+    val byDoc = Map(1L -> chunksOf(base), 2L -> chunksOf(edited))
+    val expected = byDoc.toSeq
+      .flatMap { case (id, cs) => cs.map(c => (md5hex(c), id, c.length)) }
+      .groupBy(_._1)
+      .collect { case (h, occ) if occ.map(_._2).distinct.size >= 2 =>
+        h -> ((occ.map(_._2).distinct.size.toLong, occ.size.toLong,
+          occ.map(_._3).min))
+      }.toMap
+    val got = Engine.cdcChunkDedup(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got == expected)
+    // content-defined robustness: the shared chunks cover most of the
+    // ORIGINAL text — a fixed-offset chunker re-keys everything after
+    // the 16-char insertion and shares ~nothing
+    val sharedChars = byDoc(1L)
+      .filter(c => byDoc(2L).contains(c)).map(_.length).sum
+    assert(sharedChars > base.length / 2,
+      s"shared $sharedChars of ${base.length} chars")
+  }
+
+  test("touchAttribution: first/last credit on a hand fixture; a " +
+      "conversion with no prior touch keeps a NULL channel row") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click → purchase(10): click opens AND closes
+      (1L, 10L, 1L, "click", 0.0), (1L, 20L, 2L, "purchase", 10.0),
+      // u2: purchase(5) with no prior touch → NULL channel
+      (2L, 10L, 3L, "purchase", 5.0),
+      // u3: view … error → purchase(20): first=view, last=error; a
+      // LATER touch (ignored) must not leak into the attribution
+      (3L, 10L, 4L, "view", 0.0), (3L, 20L, 5L, "error", 0.0),
+      (3L, 30L, 6L, "purchase", 20.0), (3L, 40L, 7L, "click", 0.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Engine.touchAttribution(ev, col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"),
+        "purchase", col("value"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      Some("click") -> ((1L, 10.0, 1L, 10.0)),
+      Some("view") -> ((1L, 20.0, 0L, 0.0)),
+      Some("error") -> ((0L, 0.0, 1L, 20.0)),
+      None -> ((1L, 5.0, 1L, 5.0))))
+  }
+
+  test("vocabGrowth: hand fixture — buckets accumulate tokens, each gram " +
+      "counts once in its first bucket, empty tokens drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"), (1L, "b  c"), // double space: empty token filtered
+      (2L, "a b"), (3L, "c d")
+    ).toDF("doc_id", "text")
+    val got = Engine.vocabGrowth(docs, col("doc_id"), col("text"),
+        n = 2, bucketWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // bucket 0 (docs 0-1): grams "a b", "b c" — 2 tokens, 2 new
+    // bucket 1 (docs 2-3): "a b" (seen), "c d" (new) — 2 tokens, 1 new
+    assert(got == Seq((0L, 2L, 2L), (1L, 4L, 3L)))
+  }
 }

@@ -510,6 +510,8 @@ class PlanSpec extends AnyFunSuite {
       "q91b_neardup_clusters", "q91e_apply_dedup",
       // write their index on build; targeted partition-pruning test
       "q99g_persisted_ivf", "q99h_index_append",
+      // writes index + tombstones on build (q99g class)
+      "q99j_index_delete",
       // writes the banded-MinHash dedup index on build (q99h class)
       "q90m_dedup_index",
       // driver ingest loop: builds + appends the index per batch
