@@ -972,7 +972,9 @@ object Engine {
 
   /** The shared cell-assignment map: nearest `probe` centroids per row
     * by rounded cosine with centroid-id tiebreak (the q99b
-    * discipline); centroids broadcast, assignment is a map pass. */
+    * discipline); centroids broadcast, assignment is a map pass. Every
+    * OTHER column of `src` rides through unchanged, so index builds
+    * can carry filterable metadata beside the vector. */
   private def ivfCells(src: DataFrame, idAs: String, vecAs: String,
       centroids: DataFrame, cid: String, cvec: String,
       probe: Int): DataFrame = {
@@ -982,20 +984,24 @@ object Engine {
     val w = Window.partitionBy(col(idAs))
       .orderBy(col("__cos").desc, col("__ccid").asc)
     src.crossJoin(cent)
-      .select(col(idAs), col(vecAs), col("__ccid"),
-        round(expr(s"cosine_sim($vecAs, __ce)"), 6).as("__cos"))
+      .select(src.columns.toIndexedSeq.map(col) :+ col("__ccid") :+
+        round(expr(s"cosine_sim($vecAs, __ce)"), 6).as("__cos"): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= probe)
-      .select(col(idAs), col(vecAs),
-        concat(lit("c"), col("__ccid")).as("cell"))
+      .select(src.columns.toIndexedSeq.map(col) :+
+        concat(lit("c"), col("__ccid")).as("cell"): _*)
   }
 
   /** Build the persisted inverted file: one cell per vector, written
-    * partitioned by cell (overwriting any previous index). */
+    * partitioned by cell (overwriting any previous index — which also
+    * clears any tombstones: a rebuild IS the compaction). `meta` names
+    * extra corpus columns to store beside the vector so serves can
+    * filter on them in-scan ([[searchIvfIndexWhere]]). */
   def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
       centroids: DataFrame, cid: String, cvec: String,
-      indexPath: String): Unit =
-    ivfCells(corpus.select(col(id).as("vec_id"), col(vec).as("embedding")),
+      indexPath: String, meta: Seq[String] = Nil): Unit =
+    ivfCells(corpus.select(col(id).as("vec_id") +:
+          col(vec).as("embedding") +: meta.map(col): _*),
         "vec_id", "embedding", centroids, cid, cvec, probe = 1)
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
 
@@ -1043,6 +1049,24 @@ object Engine {
     ivfServe(queries, qid, qvec, centroids, cid, cvec, indexPath,
       nprobe, k, honorTombstones = true)
 
+  /** METADATA-FILTERED vector search over the persisted index: top-k
+    * among only the indexed rows satisfying `predicate` — the "nearest
+    * docs WHERE lang='en' AND license='ok'" query every retrieval
+    * system needs. The predicate lands directly on the pruned index
+    * scan (the filtered columns were stored by `buildIvfIndex(meta=…)`),
+    * so it pushes into parquet row-group pruning UNDER the partition
+    * pruning — filtering happens before a single candidate is scored,
+    * not on the ranked output (post-filtering top-k silently returns
+    * fewer than k). Honors tombstones like [[searchIvfIndexLive]].
+    * At high selectivity raise nprobe — filtered ANN's recall is
+    * bounded by survivors per probed cell. */
+  def searchIvfIndexWhere(queries: DataFrame, qid: String, qvec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      indexPath: String, nprobe: Int, k: Int,
+      predicate: Column): DataFrame =
+    ivfServe(queries, qid, qvec, centroids, cid, cvec, indexPath,
+      nprobe, k, honorTombstones = true, candidateFilter = Some(predicate))
+
   /** DELETE from the persisted IVF index, tombstone-style: the ids are
     * appended under `<indexPath>/_tombstones` — an underscore-prefixed
     * directory, which Spark's file listing treats as hidden, so the
@@ -1058,7 +1082,8 @@ object Engine {
   private def ivfServe(queries: DataFrame, qid: String, qvec: String,
       centroids: DataFrame, cid: String, cvec: String,
       indexPath: String, nprobe: Int, k: Int,
-      honorTombstones: Boolean): DataFrame = {
+      honorTombstones: Boolean,
+      candidateFilter: Option[Column] = None): DataFrame = {
     require(nprobe >= 1 && k >= 1)
     val spark = queries.sparkSession
     graft.plans.CosineSimilarity.register(spark)
@@ -1067,8 +1092,9 @@ object Engine {
       probe = nprobe)
     val probed = probes.select("cell").distinct()
       .collect().map(_.getString(0)).sorted // bounded: ≤ |Q|·nprobe
-    val scan = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probed.toSeq: _*))
+    val scan = candidateFilter.foldLeft(
+      spark.read.parquet(indexPath)
+        .filter(col("cell").isin(probed.toSeq: _*)))(_.filter(_))
     val index =
       if (!honorTombstones) scan
       else {
@@ -3358,30 +3384,14 @@ object Engine {
       .groupBy(col("__v"))
       .agg(count(when(col("__g") === a, 1)).as("__c1"),
         count(when(col("__g") === b, 1)).as("__c2"))
-    val ranged = perV.repartitionByRange(col("__v"))
-      .withColumn("__pid", spark_partition_id()).persistOnce()
-    val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col("__c1")).as("t1"), sum(col("__c2")).as("t2"))
-      .collect().sortBy(_.getInt(0)) // bounded: ≤ shuffle partitions
-    var o1 = 0L; var o2 = 0L
-    val offsets = totals.map { r =>
-      val row = (r.getInt(0), o1, o2)
-      o1 += r.getLong(1); o2 += r.getLong(2); row
-    }.toIndexedSeq
-    val (n1, n2) = (o1, o2)
+    val (pref, tot) = rangedPrefix(perV, "__v", Seq("__c1", "__c2"))
+    val (n1, n2) = (tot("__c1"), tot("__c2"))
     require(n1 > 0 && n2 > 0,
       s"ksTwoSample: both groups must be non-empty (|$a|=$n1, |$b|=$n2)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offs = broadcast(offsets.toDF("__pid", "__o1", "__o2"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gaps = ranged.join(offs, Seq("__pid"))
-      .select(abs(
-        (sum(col("__c1")).over(w) + col("__o1")).cast(DoubleType) /
-          lit(n1).cast(DoubleType) -
-        (sum(col("__c2")).over(w) + col("__o2")).cast(DoubleType) /
-          lit(n2).cast(DoubleType)).as("__gap"))
+    val gaps = pref.select(abs(
+      col("__cum___c1").cast(DoubleType) / lit(n1).cast(DoubleType) -
+        col("__cum___c2").cast(DoubleType) / lit(n2).cast(DoubleType))
+      .as("__gap"))
     val crit = lit(1.358) * sqrt(
       lit(n1 + n2).cast(DoubleType) /
         (lit(n1).cast(DoubleType) * lit(n2).cast(DoubleType)))
@@ -3389,6 +3399,97 @@ object Engine {
       .select(lit(n1).as("n1"), lit(n2).as("n2"),
         round(col("__d"), 6).as("d_stat"),
         (col("__d") > crit).as("reject"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test with midranks
+    * and tie correction — the rank-based drift companion to
+    * [[ksTwoSample]]: KS is sensitive to the largest CDF gap, the
+    * rank-sum to a consistent stochastic shift. Shares the same
+    * scale skeleton: per-distinct-value counts, then [[rangedPrefix]]
+    * for the exact rank positions — never a single-partition sort.
+    * Determinism: midranks are exact halves (k or k+.5), so the
+    * rank-sum routes through the decimal grid ([[Canon.sumDec]]); the
+    * tie term Σ(t³−t) is integer; the z denominator is one pinned
+    * IEEE expression evaluated identically in both engines. */
+  def mannWhitneyU(df: DataFrame, group: Column, value: Column,
+      a: String, b: String): DataFrame = {
+    val perV = df.filter(group.isin(a, b) && value.isNotNull)
+      .select(group.as("__g"), value.as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(when(col("__g") === a, 1)).as("__c1"),
+        count(when(col("__g") === b, 1)).as("__c2"))
+      .withColumn("__t", col("__c1") + col("__c2"))
+    val (pref, _) = rangedPrefix(perV, "__v", Seq("__t"))
+    val counts = perV
+      .agg(coalesce(sum(col("__c1")), lit(0L)),
+        coalesce(sum(col("__c2")), lit(0L))).collect().head
+    val (m1, m2) = (counts.getLong(0), counts.getLong(1))
+    require(m1 > 0 && m2 > 0,
+      s"mannWhitneyU: both groups must be non-empty (|$a|=$m1, |$b|=$m2)")
+    val nn = m1 + m2
+    // midrank of a distinct value = ranks it spans averaged =
+    // (count before it) + (ties + 1)/2 — an exact half-integer
+    val midrank = (col("__cum___t") - col("__t")).cast(DoubleType) +
+      (col("__t") + 1).cast(DoubleType) / lit(2.0)
+    val terms = pref.select(
+      (col("__c1").cast(DoubleType) * midrank).as("__r1t"),
+      (col("__t") * col("__t") * col("__t") - col("__t")).as("__tt"))
+    val agg = terms.agg(Canon.sumDec(col("__r1t")).as("__r1"),
+      sum(col("__tt")).as("__ties"))
+    val u = col("__r1") - lit(m1).cast(DoubleType) *
+      lit(m1 + 1).cast(DoubleType) / lit(2.0)
+    val z = (u - lit(m1).cast(DoubleType) * lit(m2).cast(DoubleType) /
+        lit(2.0)) /
+      sqrt(lit(m1).cast(DoubleType) * lit(m2).cast(DoubleType) /
+        lit(12.0) *
+        (lit(nn + 1).cast(DoubleType) - col("__ties").cast(DoubleType) /
+          (lit(nn).cast(DoubleType) * lit(nn - 1).cast(DoubleType))))
+    agg.select(lit(m1).as("n1"), lit(m2).as("n2"),
+      round(u, 6).as("u_stat"), round(z, 6).as("z"),
+      (abs(z) > lit(1.959964)).as("reject"))
+  }
+
+  /** Range-partitioned EXACT running sums — the distributed prefix-sum
+    * skeleton [[ksTwoSample]]/[[mannWhitneyU]] share: range-partition
+    * on the order column with a FROZEN partition id, per-partition
+    * totals (a driver list bounded by the shuffle-partition COUNT,
+    * never data) become broadcast offsets, and the running sum then
+    * runs INSIDE each range partition. Returns the frame with an
+    * inclusive `__cum_<c>` per requested column, plus each column's
+    * grand total. */
+  private def rangedPrefix(perV: DataFrame, ord: String,
+      cols: Seq[String]): (DataFrame, Map[String, Long]) = {
+    val spark = perV.sparkSession
+    val ranged = perV.repartitionByRange(col(ord))
+      .withColumn("__pid", spark_partition_id()).persistOnce()
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(cols.head)).as(cols.head),
+        cols.tail.map(c => sum(col(c)).as(c)): _*)
+      .collect().sortBy(_.getInt(0)) // bounded: ≤ shuffle partitions
+    val running = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)
+    val offRows = totals.map { r =>
+      val row = org.apache.spark.sql.Row.fromSeq(
+        r.getInt(0) +: cols.map(running(_)))
+      cols.zipWithIndex.foreach { case (c, i) =>
+        running(c) += r.getLong(i + 1)
+      }
+      row
+    }.toIndexedSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      cols.map(c => org.apache.spark.sql.types.StructField(
+        s"__off_$c", LongType, nullable = false)))
+    val offs = broadcast(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
+      schema))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged.join(offs, Seq("__pid"))
+      .select(ranged.columns.toIndexedSeq.map(col) ++ cols.map(c =>
+        (sum(col(c)).over(w) + col(s"__off_$c")).as(s"__cum_$c")): _*)
+    (out, cols.map(c => c -> running(c)).toMap)
   }
 
   /** FIRST/LAST-TOUCH conversion attribution: for every `conversion`
@@ -3498,5 +3599,111 @@ object Engine {
         count(lit(1)).as("n_occ"),
         min(length(col("__chunk"))).as("chunk_len"))
       .filter(col("n_docs") >= 2)
+  }
+
+  /** Cross-source near-duplication MATRIX: for every unordered source
+    * pair, how many J ≥ τ near-dup document pairs span it — the
+    * "which feeds are re-publishing which" corpus diagnostic that
+    * turns a dedup pass's pair list into an actionable per-source
+    * report (mirror sites, syndication, self-duplication on the
+    * diagonal). Rides entirely on [[jaccardJoin]]'s prefix-filtered
+    * pair plan; the rollup is two id-keyed equi-joins to attach
+    * sources and one bounded (|sources|²) aggregate. */
+  def dupSourceMatrix(df: DataFrame, id: String, text: String,
+      src: String, thresholdPct: Int = 60,
+      ngramWords: Int = 2): DataFrame = {
+    val pairs = jaccardJoin(df, id, text, thresholdPct, ngramWords)
+    val s = df.select(col(id), col(src))
+    pairs
+      .join(s.select(col(id).as("doc_a"), col(src).as("__sa")),
+        Seq("doc_a"))
+      .join(s.select(col(id).as("doc_b"), col(src).as("__sb")),
+        Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** SCD TYPE-2 history build as a library operator (the q59 shape):
+    * collapse a per-key event stream into attribute-validity intervals
+    * — each attribute CHANGE opens an interval, the next change closes
+    * it (NULL eff_to = still current), version numbers are
+    * change-ordinals. One shuffle on the key. `(ord1, ord2)` must
+    * totally order events within a key. */
+  def scd2Build(ev: DataFrame, key: String, attr: String,
+      ord1: String, ord2: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ord1).asc, col(ord2).asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col(key), col(attr), col(ord1), col(ord2))
+      .withColumn("__ischg",
+        when(lag(col(attr), 1).over(w).isNull ||
+          lag(col(attr), 1).over(w) =!= col(attr), 1).otherwise(0))
+      .withColumn("version", sum(col("__ischg")).over(wRun).cast("int"))
+      .filter(col("__ischg") === 1)
+      .withColumn("eff_to", lead(col(ord1), 1).over(
+        Window.partitionBy(col(key))
+          .orderBy(col(ord1).asc, col(ord2).asc)))
+      .select(col(key), col(attr), col(ord1).as("eff_from"),
+        col("eff_to"), col("eff_to").isNull.as("is_current"),
+        col("version"))
+  }
+
+  /** INCREMENTAL SCD2 merge: apply an APPEND-ONLY delta event batch to
+    * an existing [[scd2Build]] history WITHOUT recomputing untouched
+    * keys — the nightly dimension-maintenance shape (a full rebuild
+    * re-windows every key's whole event history; at 100 TB the delta
+    * touches a sliver of the keys and this touches only them).
+    *
+    *  - keys absent from the delta: history rows pass through
+    *    UNCHANGED (one anti-join — broadcastable when the delta's key
+    *    set is small);
+    *  - touched keys: closed intervals are immutable and pass through;
+    *    only the CURRENT row can change — it is replayed as a
+    *    pseudo-event ahead of the key's delta events (the append-only
+    *    contract: every delta `(ord1)` is ≥ the key's history — makes
+    *    "ahead" well-defined), change detection reruns over that
+    *    per-key sliver, versions continue from the current row's.
+    *
+    * Result is row-identical to `scd2Build(history events ∪ delta)` —
+    * EngineSpec proves the equivalence; the q59c oracle replays the
+    * full rebuild. */
+  def scd2Merge(history: DataFrame, delta: DataFrame, key: String,
+      attr: String, ord1: String, ord2: String): DataFrame = {
+    val ordT = delta.schema(ord2).dataType
+    val touched = delta.select(col(key)).distinct()
+    val hUntouched = history.join(touched, Seq(key), "left_anti")
+    val hTouched = history.join(touched, Seq(key), "left_semi")
+    val closed = hTouched.filter(!col("is_current"))
+    val cur = hTouched.filter(col("is_current"))
+    val ev = cur.select(col(key), col(attr),
+        col("eff_from").as("__o1"), lit(null).cast(ordT).as("__o2"),
+        lit(0).as("__flag"))
+      .unionByName(delta.select(col(key), col(attr),
+        col(ord1).as("__o1"), col(ord2).as("__o2"), lit(1).as("__flag")))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__o1").asc, col("__flag").asc, col("__o2").asc)
+    val replayed = ev
+      .withColumn("__lag", lag(col(attr), 1).over(w))
+      .withColumn("__ischg", when(col("__lag").isNull ||
+        col("__lag") =!= col(attr), 1).otherwise(0))
+      .withColumn("__isnew",
+        when(col("__flag") === 1 && col("__ischg") === 1, 1)
+          .otherwise(0))
+      .withColumn("__cum", sum(col("__isnew")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__flag") === 0 || col("__isnew") === 1)
+      .withColumn("__eff_to", lead(col("__o1"), 1).over(
+        Window.partitionBy(col(key))
+          .orderBy(col("__o1").asc, col("__flag").asc, col("__o2").asc)))
+      .join(cur.select(col(key), col("version").as("__basev")),
+        Seq(key), "left")
+      .select(col(key), col(attr), col("__o1").as("eff_from"),
+        col("__eff_to").as("eff_to"),
+        col("__eff_to").isNull.as("is_current"),
+        (coalesce(col("__basev"), lit(0)) + col("__cum")).cast("int")
+          .as("version"))
+    hUntouched.unionByName(closed).unionByName(replayed)
   }
 }

@@ -563,5 +563,53 @@ object Aggregates {
       orderAll(graft.Engine.ksTwoSample(
         Tables.t(s, dir, "events"), col("event_type"), col("value"),
         "click", "view"))
+    },
+
+    // Q46g (beyond-survey) — Mann–Whitney U (Wilcoxon rank-sum) with
+    // midranks + tie correction ([[graft.Engine.mannWhitneyU]]): the
+    // rank-based member of the drift family — KS (q46f) keys on the
+    // single largest CDF gap, the rank-sum on a consistent stochastic
+    // shift, so the pair disagrees exactly when drift is local vs
+    // global. Same scale skeleton as q46f (per-distinct-value counts +
+    // the range-partitioned prefix sum); midranks are exact
+    // half-integers so the rank-sum routes through the decimal grid,
+    // the tie term is pure integer, and the z expression is one pinned
+    // IEEE op sequence in both engines — even the reject boolean must
+    // hash-match.
+    Q("q46g_mann_whitney",
+      """WITH f AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(CASE WHEN g = 'click' THEN 1 END) AS c1,
+        |    count(CASE WHEN g = 'view' THEN 1 END) AS c2 FROM f
+        |  GROUP BY v),
+        |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv),
+        |cum AS (SELECT v, c1, c2, c1 + c2 AS t,
+        |    coalesce(sum(c1 + c2) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM pv),
+        |r AS (SELECT CAST(sum(CAST(CAST(c1 AS DOUBLE) *
+        |      (CAST(before AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS r1,
+        |    sum(t * t * t - t) AS ties FROM cum),
+        |z AS (SELECT n.n1, n.n2, r.r1,
+        |    r.r1 - CAST(n.n1 AS DOUBLE) * CAST(n.n1 + 1 AS DOUBLE) / 2.0
+        |      AS u,
+        |    (r.r1 - CAST(n.n1 AS DOUBLE) * CAST(n.n1 + 1 AS DOUBLE) / 2.0
+        |      - CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE) / 12.0
+        |      * (CAST(n.n1 + n.n2 + 1 AS DOUBLE)
+        |        - CAST(r.ties AS DOUBLE)
+        |          / (CAST(n.n1 + n.n2 AS DOUBLE)
+        |            * CAST(n.n1 + n.n2 - 1 AS DOUBLE)))) AS zs
+        |  FROM r CROSS JOIN n)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(u, 6) AS u_stat, round(zs, 6) AS z,
+        |  (abs(zs) > 1.959964) AS reject
+        |FROM z
+        |ORDER BY n1 NULLS FIRST, n2 NULLS FIRST, u_stat NULLS FIRST,
+        |  z NULLS FIRST, reject NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.mannWhitneyU(
+        Tables.t(s, dir, "events"), col("event_type"), col("value"),
+        "click", "view"))
     })
 }

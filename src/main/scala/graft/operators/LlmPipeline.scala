@@ -805,6 +805,32 @@ object LlmPipeline {
           cents, "vec_id", "embedding", path, nprobe = 2, k = 3))
     },
 
+    // Q99k (beyond-survey) — METADATA-FILTERED vector search
+    // ([[graft.Engine.searchIvfIndexWhere]]): top-k among only the
+    // indexed vectors with label=1 — the "nearest docs WHERE lang='en'
+    // AND license='ok'" query every retrieval deployment needs. The
+    // index is built carrying the label beside the vector
+    // (buildIvfIndex meta=…), so the predicate lands on the PRUNED
+    // index scan (parquet row-group pruning under the partition
+    // pruning) and filtering happens before a single candidate is
+    // scored — post-filtering a ranked top-k silently under-fills k
+    // instead. The oracle applies the identical label filter to its
+    // cells CTE: filtered serve ≡ fresh build over the filtered
+    // corpus' cell contents, with the SAME cell assignment as the
+    // unfiltered index (cells depend only on centroids).
+    Q("q99k_filtered_ann", ivfAnnOracleSqlWhere("label = 1")) {
+      (s, dir) =>
+        val e = Tables.t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+        val path = IO.scratch("q99k_ivf_index", dir)
+        graft.Engine.buildIvfIndex(e, "vec_id", "embedding",
+          cents, "vec_id", "embedding", path, meta = Seq("label"))
+        orderAll(graft.Engine.searchIvfIndexWhere(
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          cents, "vec_id", "embedding", path, nprobe = 2, k = 3,
+          predicate = col("label") === 1))
+    },
+
     // Q92i (beyond-survey) — PRODUCT-QUANTIZATION encode: each 64-dim
     // embedding becomes 8 sub-vector codes (nearest codebook entry per
     // block, squared L2, decimal-exact, id tiebreak) — the library
@@ -1207,6 +1233,41 @@ object LlmPipeline {
             window = 16)
           .select(col("chunk_hash"), col("n_docs"), col("n_occ"),
             col("chunk_len").cast("int").as("chunk_len")))
+    },
+
+    // Q90p (beyond-survey) — cross-source near-DUPLICATION MATRIX
+    // ([[graft.Engine.dupSourceMatrix]]): the dedup pass's pair list
+    // rolled up per unordered source pair — "which feeds are
+    // re-publishing which" (mirror sites, syndication, self-dup on
+    // the diagonal), the report that turns a near-dup run into a
+    // crawl-policy decision. Rides entirely on
+    // [[graft.Engine.jaccardJoin]]'s prefix-filtered pair plan (J ≥
+    // 0.6 on word bigrams); the rollup is two id-keyed equi-joins to
+    // attach sources plus one aggregate bounded by |sources|².
+    Q("q90p_dup_matrix",
+      s"""WITH sh AS (SELECT doc_id, source, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n, source FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS xid, b.doc_id AS yid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT sa.source AS s_a, sb.source AS s_b
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = xid
+         |  JOIN sz sb ON sb.doc_id = yid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60)
+         |SELECT least(s_a, s_b) AS source_a,
+         |  greatest(s_a, s_b) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr GROUP BY 1, 2
+         |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST,
+         |  n_pairs NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.dupSourceMatrix(
+        Tables.t(s, dir, "documents"), "doc_id", "text", "source",
+        thresholdPct = 60, ngramWords = 2))
     },
 
     // Q90e (beyond-survey) — duplicated-SUBSTRING spans (the exact
@@ -3057,7 +3118,7 @@ object LlmPipeline {
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
        |  FROM embeddings WHERE vec_id IN ($ids)),
        |assign AS (
-       |  SELECT e.vec_id, e.embedding, c.cid,
+       |  SELECT e.vec_id, e.embedding, e.label, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6) DESC,
        |      c.cid ASC) AS rn

@@ -305,28 +305,7 @@ object SetOps {
     // detection, interval close, and versioning share the partitioning.
     // First-event-per-key rows (lag IS NULL) always open an interval, so
     // every key appears; version numbers are change-ordinals.
-    Q("q59_scd2",
-      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderpriority,
-        |    o_orderkey FROM orders),
-        |chg AS (SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
-        |      OR lag(o_orderpriority) OVER w <> o_orderpriority
-        |      THEN 1 ELSE 0 END AS is_chg
-        |  FROM o WINDOW w AS (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey)),
-        |iv AS (SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from,
-        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS eff_to,
-        |    CAST(sum(is_chg) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey
-        |      ROWS UNBOUNDED PRECEDING) AS INT) AS version
-        |  FROM chg WHERE is_chg = 1)
-        |SELECT o_custkey, o_orderpriority, eff_from, eff_to,
-        |  (eff_to IS NULL) AS is_current, version
-        |FROM iv
-        |ORDER BY o_custkey NULLS FIRST, o_orderpriority NULLS FIRST,
-        |  eff_from NULLS FIRST, eff_to NULLS FIRST,
-        |  is_current NULLS FIRST, version NULLS FIRST
-        |LIMIT 5000""".stripMargin) { (s, dir) =>
+    Q("q59_scd2", scd2OracleSql) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -411,5 +390,56 @@ object SetOps {
         .groupBy(col("prio").as("ship_time_priority"))
         .agg(count(lit(1)).cast("int").as("n"),
           sumDec(col("l_extendedprice")).as("revenue")))
+    },
+
+    // Q59c (beyond-survey) — INCREMENTAL SCD2 merge
+    // ([[graft.Engine.scd2Merge]]): q59 rebuilds the whole dimension
+    // from scratch; the nightly shape applies an append-only delta
+    // (orders ≥ the cutoff) to yesterday's history and must produce a
+    // ROW-IDENTICAL table while recomputing only the touched keys —
+    // untouched keys pass through an anti-join unread, closed
+    // intervals are immutable, and only each touched key's CURRENT
+    // row is replayed against its delta sliver (versions continue).
+    // The oracle IS q59's full-rebuild SQL: the equivalence q99h
+    // establishes for index appends, applied to dimension history.
+    Q("q59c_scd2_merge", scd2OracleSql) { (s, dir) =>
+      val o = Tables.t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"), col("o_orderkey"))
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val hist = graft.Engine.scd2Build(
+        o.filter(col("o_orderdate") < cutoff),
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+      orderAll(graft.Engine.scd2Merge(hist,
+          o.filter(col("o_orderdate") >= cutoff),
+          "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("eff_from"), col("eff_to"), col("is_current"),
+          col("version")))
+        .limit(5000)
     })
+
+  /** The full-rebuild SCD2 oracle — shared by q59 (which builds it in
+    * one pass) and q59c (whose incremental merge must equal it). */
+  private def scd2OracleSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderdate, o_orderpriority,
+      |    o_orderkey FROM orders),
+      |chg AS (SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |      OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |      THEN 1 ELSE 0 END AS is_chg
+      |  FROM o WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey)),
+      |iv AS (SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS eff_to,
+      |    CAST(sum(is_chg) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey
+      |      ROWS UNBOUNDED PRECEDING) AS INT) AS version
+      |  FROM chg WHERE is_chg = 1)
+      |SELECT o_custkey, o_orderpriority, eff_from, eff_to,
+      |  (eff_to IS NULL) AS is_current, version
+      |FROM iv
+      |ORDER BY o_custkey NULLS FIRST, o_orderpriority NULLS FIRST,
+      |  eff_from NULLS FIRST, eff_to NULLS FIRST,
+      |  is_current NULLS FIRST, version NULLS FIRST
+      |LIMIT 5000""".stripMargin
 }

@@ -1614,6 +1614,116 @@ class EngineSpec extends AnyFunSuite {
       None -> ((1L, 5.0, 1L, 5.0))))
   }
 
+  test("scd2Merge: append-only delta merge is row-identical to a full " +
+      "rebuild; untouched keys, absorbed deltas, new keys all covered") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "d", "o", "attr")
+    val history = ev(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), // untouched key
+      (2L, 10L, 3L, "A"),                     // touched, delta absorbs
+      (3L, 10L, 4L, "A"), (3L, 20L, 5L, "B")) // touched, delta changes
+    val delta = ev(
+      (2L, 30L, 6L, "A"),                     // same attr → absorbed
+      (3L, 30L, 7L, "C"), (3L, 40L, 8L, "B"), // two real changes
+      (4L, 30L, 9L, "X"))                     // brand-new key
+    val built = Engine.scd2Build(history, "k", "attr", "d", "o")
+    val merged = Engine.scd2Merge(built, delta, "k", "attr", "d", "o")
+    val full = Engine.scd2Build(history.unionByName(delta),
+      "k", "attr", "d", "o")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4), r.getInt(5))).toSet
+    assert(rows(merged) == rows(full))
+    // the incremental claims, spot-checked: key 1 untouched (2 rows,
+    // same versions), key 2's current row still open (absorbed), key 3
+    // grew to 4 versions, key 4 opened at version 1
+    val m = merged.collect().map(r => (r.getLong(0), r.getInt(5),
+      r.getBoolean(4))).groupBy(_._1)
+    assert(m(1L).length == 2 && m(2L).length == 1)
+    assert(m(2L).head._3) // still current
+    assert(m(3L).map(_._2).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(m(4L).toSeq == Seq((4L, 1, true)))
+  }
+
+  test("mannWhitneyU: matches a driver-side midrank reference on the " +
+      "events fixture") {
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+    val got = Engine.mannWhitneyU(ev, col("event_type"), col("value"),
+      "click", "view").collect().head
+    val sample = ev
+      .filter(col("event_type").isin("click", "view") &&
+        col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = sample.filter(_._1 == "click").map(_._2)
+    val b = sample.filter(_._1 == "view").map(_._2)
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val all = (a ++ b).sorted
+    val rank = all.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) =>
+        v -> (xs.map(_._2 + 1).sum.toDouble / xs.length)
+      }
+    val r1 = BigDecimal(a.map(rank).sum).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val u = r1 - n1 * (n1 + 1) / 2.0
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    assert(math.abs(got.getDouble(2) - u) <= 5.000001e-7)
+    val nn = n1 + n2
+    val ties = all.groupBy(identity).values
+      .map(g => g.length.toLong).map(t => t * t * t - t).sum
+    val z = (u - n1.toDouble * n2 / 2.0) /
+      math.sqrt(n1.toDouble * n2 / 12.0 *
+        ((nn + 1).toDouble - ties.toDouble / (nn.toDouble * (nn - 1))))
+    assert(math.abs(got.getDouble(3) - z) <= 5.000001e-7)
+    assert(got.getBoolean(4) == (math.abs(z) > 1.959964))
+  }
+
+  test("dupSourceMatrix: equals the jaccardJoin pair list rolled up by " +
+      "unordered source pair") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = 60, ngramWords = 2)
+      .select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (sa, sb) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Engine.dupSourceMatrix(docs, "doc_id", "text", "source",
+        thresholdPct = 60, ngramWords = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("searchIvfIndexWhere: filtered serve equals a fresh build over " +
+      "the filtered corpus (cells depend only on centroids)") {
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val cents = e.filter(col("vec_id") % 61 === 2)
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val withMeta = graft.sources.IO.scratch("enginespec-ivf-meta",
+      TestSpark.sfDir)
+    Engine.buildIvfIndex(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding", withMeta, meta = Seq("label"))
+    val filteredOnly = graft.sources.IO.scratch("enginespec-ivf-flt",
+      TestSpark.sfDir)
+    Engine.buildIvfIndex(e.filter(col("label") === 1),
+      "vec_id", "embedding", cents, "vec_id", "embedding", filteredOnly)
+    val got = rows(Engine.searchIvfIndexWhere(q, "vec_id", "embedding",
+      cents, "vec_id", "embedding", withMeta, nprobe = 2, k = 3,
+      predicate = col("label") === 1))
+    assert(got == rows(Engine.searchIvfIndex(q, "vec_id", "embedding",
+      cents, "vec_id", "embedding", filteredOnly, nprobe = 2, k = 3)))
+    assert(got.nonEmpty)
+  }
+
   test("vocabGrowth: hand fixture — buckets accumulate tokens, each gram " +
       "counts once in its first bucket, empty tokens drop") {
     import spark.implicits._

@@ -512,6 +512,8 @@ class PlanSpec extends AnyFunSuite {
       "q99g_persisted_ivf", "q99h_index_append",
       // writes index + tombstones on build (q99g class)
       "q99j_index_delete",
+      // writes the meta-carrying index on build (q99g class)
+      "q99k_filtered_ann",
       // writes the banded-MinHash dedup index on build (q99h class)
       "q90m_dedup_index",
       // driver ingest loop: builds + appends the index per batch
