@@ -3706,4 +3706,343 @@ object Engine {
           .as("version"))
     hUntouched.unionByName(closed).unionByName(replayed)
   }
+
+  /** POPULATION STABILITY INDEX between a baseline group `a` and a
+    * current group `b` over `value` — the binned member of the drift
+    * family (TVD q46c sees categorical mass moves, KS q46f the largest
+    * CDF gap, rank-sum q46g a stochastic shift; PSI is what model
+    * monitoring dashboards actually alarm on, with the industry 0.2
+    * threshold). Bins are `bins` equal-width cells over the BASELINE's
+    * [min, max] (outliers clamp into the edge cells — the baseline
+    * defines the reference frame, exactly why PSI detects range drift);
+    * empty-side proportions take the standard 1e-4 floor so the log
+    * stays finite.
+    *
+    * Scale shape: one projection scan → a 1-ROW bounds aggregate rides
+    * a broadcast cross join (never a driver collect), binning is a
+    * map-side expression, the per-bin count is ONE hash aggregate over
+    * ≤ `bins` groups, and the final fold is over ≤ `bins` rows.
+    * Determinism: each bin's term is rounded to 9 dp and summed on the
+    * exact decimal grid; bin ids come from one pinned IEEE
+    * floor-of-division evaluated identically in both engines. */
+  def psiDrift(df: DataFrame, group: Column, value: Column,
+      a: String, b: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psiDrift: need at least 2 bins, got $bins")
+    val f = df.filter(group.isin(a, b) && value.isNotNull)
+      .select(group.as("__g"), value.as("__v"))
+    val bounds = f.filter(col("__g") === a)
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(bins).cast(DoubleType)
+    val binned = f.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0)).otherwise(
+          least(greatest(floor((col("__v") - col("__mn")) / width),
+            lit(0)), lit(bins - 1))).cast("int"))
+    val perBin = binned.groupBy(col("__bin"))
+      .agg(count(when(col("__g") === a, 1)).as("__ca"),
+        count(when(col("__g") === b, 1)).as("__cb"))
+    val totals = perBin.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val terms = perBin.crossJoin(broadcast(totals))
+      .withColumn("__pa", when(col("__ca") === 0, lit(1e-4)).otherwise(
+        col("__ca").cast(DoubleType) / col("__na").cast(DoubleType)))
+      .withColumn("__pb", when(col("__cb") === 0, lit(1e-4)).otherwise(
+        col("__cb").cast(DoubleType) / col("__nb").cast(DoubleType)))
+      .withColumn("__term",
+        (col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")))
+    val psi = round(sum(round(col("__term"), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+      .cast(DoubleType), 6)
+    val out = terms.agg(max(col("__na")).as("n_base"),
+      max(col("__nb")).as("n_cur"), psi.as("psi"))
+    val (nbc, ncc) = (out.select("n_base", "n_cur").collect() match {
+      case Array(r) => (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+      case _ => (0L, 0L)
+    }) // bounded: one 2-long row — the non-empty contract check
+    require(nbc > 0 && ncc > 0,
+      s"psiDrift: both groups must be non-empty (|$a|=$nbc, |$b|=$ncc)")
+    out.select(col("n_base"), col("n_cur"), col("psi"),
+      (col("psi") > lit(0.2)).as("drift"))
+  }
+
+  /** KEY-SKEW AUDIT: the one-row diagnostic a 100 TB join/aggregation
+    * plan review starts from — per-key cardinality shape for a proposed
+    * shuffle key. Reports row/key counts, the heaviest key and its
+    * share, the skew factor (max/avg per-key count; 1.0 = perfectly
+    * uniform), normalized Shannon entropy of the key distribution
+    * (1.0 = uniform, → 0 = one key dominates), and `salt_hint` —
+    * ceil(skew factor), the salt fan-out that levels the heaviest
+    * key's partition to the average ([[saltedJoin]]'s knob, measured
+    * instead of guessed).
+    *
+    * Scale shape: ONE hash aggregate builds the per-key counts (the
+    * same exchange the audited shuffle would do), then two bounded
+    * aggregates over the counts frame; the totals row rides a
+    * broadcast cross join. Ties on the max count report the SMALLEST
+    * key; entropy terms round to 9 dp onto the exact decimal grid. */
+  def skewAudit(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.filter(key.isNotNull).groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("__cnt")).persistOnce()
+    val totals = counts.agg(sum(col("__cnt")).as("__n"),
+      count(lit(1)).as("__keys"), max(col("__cnt")).as("__maxc"))
+    val withT = counts.crossJoin(broadcast(totals))
+    val p = col("__cnt").cast(DoubleType) / col("__n").cast(DoubleType)
+    val entSum = sum(round(-p * log(p), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+      .cast(DoubleType)
+    val skew = col("max_cnt").cast(DoubleType) * col("n_keys")
+      .cast(DoubleType) / col("n_rows").cast(DoubleType)
+    withT.agg(
+      max(col("__n")).as("n_rows"), max(col("__keys")).as("n_keys"),
+      max(col("__maxc")).as("max_cnt"),
+      min(when(col("__cnt") === col("__maxc"), col("__k")))
+        .as("top_key"),
+      entSum.as("__ent"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("top_key"),
+        round(col("max_cnt").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("max_share"),
+        round(skew, 6).as("skew_factor"),
+        when(col("n_keys") === 1, lit(1.0)).otherwise(
+          round(col("__ent") / log(col("n_keys").cast(DoubleType)), 6))
+          .as("entropy_norm"),
+        ceil(skew).cast("int").as("salt_hint"))
+  }
+
+  /** RECIPROCAL-RANK FUSION of two per-query top-k lists — the hybrid
+    * retrieval combiner (Cormack et al. 2009): fused score =
+    * Σ 1/(kRrf + rank) over the lists that ranked the item, so items
+    * high on EITHER list surface without any score calibration between
+    * a BM25 scale and a cosine scale (the reason RRF, not score
+    * averaging, is the production default for text+vector search).
+    * Inputs are two (qid, item, rnk) frames — e.g. [[bm25Search]] and
+    * [[cosineTopK]] outputs over a shared id space; `k` bounds the
+    * fused output per query.
+    *
+    * Scale shape: both inputs are top-k lists (≤ |Q|·k lean id rows —
+    * the text/vector payloads never reach this operator), the
+    * full-outer join is on (qid, item), and the final per-query
+    * row_number window partitions on qid. Rank ties break on item id;
+    * the two reciprocal terms add in one pinned IEEE order. */
+  def rrfFuse(a: DataFrame, b: DataFrame, qid: String, item: String,
+      rnk: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && kRrf >= 1)
+    val la = a.select(col(qid).as("__q"), col(item).as("__i"),
+      col(rnk).as("__ra"))
+    val lb = b.select(col(qid).as("__q"), col(item).as("__i"),
+      col(rnk).as("__rb"))
+    val fused = la.join(lb, Seq("__q", "__i"), "full_outer")
+      .withColumn("__score", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("__ra")).cast(DoubleType),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf) + col("__rb")).cast(DoubleType),
+          lit(0.0)), 6))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__score").desc, col("__i").asc)
+    fused.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__q").as("query_id"),
+        col("__rn").cast("int").as("rnk"), col("__i").as("item"),
+        col("__score").as("score"))
+  }
+
+  /** PER-KEY time-series RESAMPLE with LINEAR INTERPOLATION: project
+    * each key's irregular (ts, value) observations onto a fixed
+    * `stepDays`-day grid strictly inside the key's observed [min, max]
+    * span — the feature-pipeline regularizer (training windows want
+    * aligned timestamps, sensors/prices arrive when they arrive).
+    * Complements q48's dense-spine LOCF gap fill: this one
+    * interpolates BETWEEN bracketing observations, per key, and emits
+    * only grid points (every one of which has both a previous and a
+    * next observation by construction, so no edge NULLs exist).
+    *
+    * Scale shape: per-key bounds are one hash aggregate; the grid
+    * explodes from a bounded sequence() (span/step rows per key); the
+    * observation∪grid spine shuffles ONCE on the key and both
+    * bracketing lookups are running last/first-ignoreNulls windows
+    * inside that partition — the q26 as-of discipline, never a range
+    * self-join. Determinism: ties at one timestamp order observations
+    * before grid points then by `tieBreak`; a grid point landing
+    * exactly on an observation returns that value; the interpolation
+    * is one pinned IEEE expression over exact microsecond deltas,
+    * rounded to 6 dp. */
+  def resampleInterpolate(df: DataFrame, key: Column, ts: Column,
+      tieBreak: Column, value: Column, stepDays: Int = 1): DataFrame = {
+    require(stepDays >= 1, s"resampleInterpolate: stepDays $stepDays")
+    val obs = df.filter(key.isNotNull && ts.isNotNull && value.isNotNull)
+      .select(key.as("__k"), ts.as("__ts"), tieBreak.as("__tb"),
+        value.as("__v"))
+    val grid = obs.groupBy(col("__k"))
+      .agg(min(col("__ts")).as("__mn"), max(col("__ts")).as("__mx"))
+      .select(col("__k"),
+        date_trunc("DAY", col("__mn")).as("__d0"),
+        date_trunc("DAY", col("__mx")).as("__d1"))
+      .filter(col("__d1") >= col("__d0") + expr(
+        s"INTERVAL $stepDays DAYS"))
+      .select(col("__k"), explode(expr(
+        s"sequence(__d0 + INTERVAL $stepDays DAYS, __d1," +
+          s" INTERVAL $stepDays DAYS)")).as("__ts"))
+      .select(col("__k"), col("__ts"), lit(null).cast("long").as("__tb"),
+        lit(null).cast(DoubleType).as("__v"), lit(1).as("__isg"))
+    val spine = obs.withColumn("__isg", lit(0))
+      .select("__k", "__ts", "__tb", "__v", "__isg")
+      .unionByName(grid)
+    val ord = Seq(col("__ts").asc, col("__isg").asc,
+      col("__tb").asc_nulls_first)
+    val wp = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val vts = when(col("__v").isNotNull, col("__ts"))
+    val withBrackets = spine
+      .withColumn("__vp", last(col("__v"), ignoreNulls = true).over(wp))
+      .withColumn("__tp", last(vts, ignoreNulls = true).over(wp))
+      .withColumn("__vn", first(col("__v"), ignoreNulls = true).over(wn))
+      .withColumn("__tn", first(vts, ignoreNulls = true).over(wn))
+    val ratio = (unix_micros(col("__ts")) - unix_micros(col("__tp")))
+      .cast(DoubleType) /
+      (unix_micros(col("__tn")) - unix_micros(col("__tp")))
+        .cast(DoubleType)
+    withBrackets.filter(col("__isg") === 1)
+      .select(col("__k").as("key"), col("__ts").as("ts"),
+        round(when(col("__ts") === col("__tp"), col("__vp"))
+          .otherwise(col("__vp") + (col("__vn") - col("__vp")) * ratio),
+          6).as("value_interp"))
+  }
+
+  /** Distributed CUSUM change-point trace per key — SEQUENTIAL drift
+    * detection (Page 1954), the family member q46c/f/g/h can't cover:
+    * those compare two static samples; CUSUM watches a metric stream
+    * and accumulates evidence until a persistent shift crosses the
+    * decision threshold. Per key: the daily mean series x_d, a
+    * reference mean μ from the pre-`refCutoff` days, slack
+    * k = slackPct% of μ and threshold h = threshPct% of μ, then the
+    * one-sided statistic S_d = max(0, S_{d-1} + x_d − μ − k).
+    *
+    * THE SCALE TRICK: the recurrence is NOT computed sequentially.
+    * S_d = P_d − min(0, min_{j≤d} P_j) where P is the running prefix
+    * sum of (x − μ − k) — so the whole trace is two ordinary
+    * partitioned window aggregates (running sum + running min), one
+    * shuffle on the key, no iterative loop, no per-key fold UDF. And
+    * because x, μ, k are all 6-dp-rounded, the prefix arithmetic runs
+    * on DECIMAL(38,6) — EXACT and order-free, so the trace (and the
+    * detected boolean) is bit-identical across engines, partitionings
+    * and reruns; a floating CUSUM would drift in the last ulp per
+    * step. Keys with no reference days are dropped (no μ to test
+    * against). */
+  def cusumChangePoints(df: DataFrame, key: Column, ts: Column,
+      value: Column, refCutoff: Column, slackPct: Int = 10,
+      threshPct: Int = 50): DataFrame = {
+    require(slackPct >= 0 && threshPct > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val daily = df.filter(key.isNotNull && ts.isNotNull &&
+        value.isNotNull)
+      .groupBy(key.as("__k"), date_trunc("DAY", ts).as("day"))
+      .agg(round(Canon.avgDec(value), 6).as("daily_mean"))
+    val ref = daily.filter(col("day") < refCutoff)
+      .groupBy(col("__k"))
+      .agg(round(Canon.avgDec(col("daily_mean")), 6).as("mu_ref"))
+      .withColumn("__kk",
+        round(col("mu_ref") * lit(slackPct / 100.0), 6))
+      .withColumn("__h",
+        round(col("mu_ref") * lit(threshPct / 100.0), 6))
+    val w = Window.partitionBy(col("__k")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (col("daily_mean").cast(dec) - col("mu_ref").cast(dec) -
+      col("__kk").cast(dec))
+    val joined = daily.join(ref, Seq("__k"))
+      .withColumn("__p", sum(d).over(w))
+      .withColumn("__minp",
+        least(lit(0).cast(dec), min(col("__p")).over(w)))
+      .withColumn("__s", col("__p") - col("__minp"))
+    joined.select(col("__k").as("key"), col("day"), col("daily_mean"),
+      col("mu_ref"),
+      col("__s").cast(DoubleType).as("cusum"),
+      (col("__s") > col("__h").cast(dec)).as("detected"))
+  }
+
+  /** Sliding-window TOKEN CHUNKING with overlap — the RAG-ingestion
+    * pass (split every document into `window`-token chunks every
+    * `stride` tokens, so consecutive chunks share `window − stride`
+    * tokens of context and no sentence straddling a boundary is lost
+    * to retrieval). Emits (id, chunk_index, chunk_text, n_tokens);
+    * the final chunk may be short — dropping it would lose the
+    * document tail.
+    *
+    * Plan: a PURE per-row explode of a bounded sequence() — tokens
+    * never leave their row, no shuffle, no state; at 100 TB this is
+    * embarrassingly parallel map work and the output lands already
+    * collocated with its source document. */
+  def ragChunks(df: DataFrame, id: Column, text: Column,
+      window: Int = 30, stride: Int = 20): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"ragChunks: window $window / stride $stride must be >= 1")
+    df.select(id.as("doc_id"), split(text, " ").as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        posexplode(expr(s"sequence(1, size(__ws), $stride)"))
+          .as(Seq("chunk_index", "__st")))
+      .select(col("doc_id"), col("chunk_index").cast("int"),
+        concat_ws(" ", slice(col("__ws"), col("__st"), lit(window)))
+          .as("chunk_text"),
+        size(slice(col("__ws"), col("__st"), lit(window))).cast("int")
+          .as("n_tokens"))
+  }
+
+  /** Exact TRIANGLE COUNT + global clustering coefficient over an
+    * undirected edge list — graph-shape diagnostics (how clubby is
+    * the co-occurrence/similarity graph a dedup or embedding pass
+    * produced). Input pairs are canonicalized and deduped; self-loops
+    * drop.
+    *
+    * Scale shape: the classic DEGREE-ORDERED ORIENTATION (each edge
+    * points from its lower-(degree, id) endpoint), which bounds every
+    * vertex's out-degree by O(√E) on any graph — the wedge self-join
+    * then generates O(E^1.5) candidates worst-case instead of the
+    * Σdeg² of a naive neighbor join (a hub with degree 10⁶ would
+    * otherwise emit 10¹² wedges from one key). Each triangle is
+    * counted exactly once, at its unique minimum-(degree, id) vertex;
+    * candidates verify with one semi-join against the canonical edge
+    * set. Three shuffles total (degree agg, wedge join, closure join)
+    * — never a driver-side adjacency structure. */
+  def triangleStats(pairs: DataFrame, u: Column, v: Column)
+      : DataFrame = {
+    val e = pairs.filter(u.isNotNull && v.isNotNull && u =!= v)
+      .select(least(u, v).as("__u"), greatest(u, v).as("__v"))
+      .distinct().persistOnce()
+    val deg = e.select(col("__u").as("__n"))
+      .unionByName(e.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d")).persistOnce()
+    val totals = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("(__d * (__d - 1)) DIV 2")), lit(0L))
+        .cast(LongType).as("n_wedges"))
+    // orient: from the lower-(degree, id) endpoint to the higher
+    val withDeg = e
+      .join(deg.select(col("__n").as("__u"), col("__d").as("__du")),
+        Seq("__u"))
+      .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")),
+        Seq("__v"))
+    val oriented = withDeg.select(
+      when(struct(col("__du"), col("__u")) <
+          struct(col("__dv"), col("__v")), col("__u"))
+        .otherwise(col("__v")).as("__a"),
+      when(struct(col("__du"), col("__u")) <
+          struct(col("__dv"), col("__v")), col("__v"))
+        .otherwise(col("__u")).as("__b"))
+    val o1 = oriented.select(col("__a"), col("__b").as("__x"))
+    val o2 = oriented.select(col("__a"), col("__b").as("__y"))
+    val wedges = o1.join(o2, Seq("__a")).filter(col("__x") < col("__y"))
+      .select(least(col("__x"), col("__y")).as("__u"),
+        greatest(col("__x"), col("__y")).as("__v"))
+    val tri = wedges.join(e, Seq("__u", "__v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
+    totals.crossJoin(broadcast(edgeCount)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0, round(
+            lit(3.0) * col("n_triangles").cast(DoubleType) /
+              col("n_wedges").cast(DoubleType), 6))
+          .as("clustering_coeff"))
+  }
 }

@@ -611,5 +611,49 @@ object Aggregates {
       orderAll(graft.Engine.mannWhitneyU(
         Tables.t(s, dir, "events"), col("event_type"), col("value"),
         "click", "view"))
+    },
+
+    // Q46h (beyond-survey) — POPULATION STABILITY INDEX
+    // ([[graft.Engine.psiDrift]]): the binned member of the drift
+    // family (TVD q46c categorical, KS q46f largest CDF gap, rank-sum
+    // q46g stochastic shift) and what model-monitoring dashboards
+    // actually alarm on, with the industry 0.2 threshold. 10
+    // equal-width bins over the BASELINE group's [min, max] (outliers
+    // clamp into edge cells — the baseline defines the reference
+    // frame), 1e-4 floor keeps empty-side logs finite. The 1-row
+    // bounds/totals aggregates ride broadcast cross joins (no driver
+    // collect in the data path); per-bin terms round to 9 dp onto the
+    // exact decimal grid, so even the drift boolean hash-matches.
+    Q("q46h_psi_drift",
+      """WITH f AS (SELECT event_type AS g, value AS v FROM events
+        |    WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |bounds AS (SELECT min(v) AS mn, max(v) AS mx FROM f
+        |  WHERE g = 'click'),
+        |binned AS (SELECT CASE WHEN mx = mn THEN 0 ELSE
+        |      CAST(least(greatest(
+        |        floor((v - mn) / ((mx - mn) / 10.0)), 0), 9) AS INT)
+        |    END AS bin, g FROM f CROSS JOIN bounds),
+        |c AS (SELECT bin,
+        |    count(CASE WHEN g = 'click' THEN 1 END) AS ca,
+        |    count(CASE WHEN g = 'view' THEN 1 END) AS cb
+        |  FROM binned GROUP BY 1),
+        |n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |terms AS (SELECT
+        |    CASE WHEN ca = 0 THEN 0.0001
+        |      ELSE CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) END AS pa,
+        |    CASE WHEN cb = 0 THEN 0.0001
+        |      ELSE CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) END AS pb,
+        |    na, nb FROM c CROSS JOIN n),
+        |s AS (SELECT CAST(max(na) AS BIGINT) AS n_base,
+        |    CAST(max(nb) AS BIGINT) AS n_cur,
+        |    round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
+        |  FROM terms)
+        |SELECT n_base, n_cur, psi, (psi > 0.2) AS drift FROM s
+        |ORDER BY n_base NULLS FIRST, n_cur NULLS FIRST,
+        |  psi NULLS FIRST, drift NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.psiDrift(
+        Tables.t(s, dir, "events"), col("event_type"), col("value"),
+        "click", "view"))
     })
 }

@@ -2170,6 +2170,36 @@ object LlmPipeline {
         col("doc_id"), col("text"), col("doc_id") < 5, k = 5))
     },
 
+    // Q93r (beyond-survey) — HYBRID text+vector retrieval via
+    // RECIPROCAL-RANK FUSION ([[graft.Engine.rrfFuse]], Cormack et al.
+    // 2009): each query's q93j BM25 top-20 and q92 cosine top-20
+    // (self excluded on both sides — doc and vector ids share the
+    // fixture's id space) fuse as Σ 1/(60+rank), surfacing items high
+    // on EITHER list with NO score calibration between the BM25 scale
+    // and the cosine scale — the reason RRF, not score averaging, is
+    // the production hybrid-search default. The fusion join touches
+    // only lean (query, item, rank) rows — text and vectors never
+    // reach it; rank ties break on item id and the two reciprocal
+    // terms add in one pinned IEEE order, so the fused ranking
+    // hash-matches.
+    Q("q93r_hybrid_rrf", hybridRrfOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val text = graft.Engine.bm25Search(Tables.t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("doc_id") < 5, k = 20)
+        .select(col("query_id"), col("doc_id").as("item"), col("rnk"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("rnk").asc)
+      val vec = graft.Engine.cosineTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 21)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__rr", row_number().over(wv))
+        .filter(col("__rr") <= 20)
+        .select(col("query_id"), col("vec_id").as("item"),
+          col("__rr").cast("int").as("rnk"))
+      orderAll(graft.Engine.rrfFuse(text, vec, "query_id", "item",
+        "rnk", k = 5))
+    },
+
     // Q93k (beyond-survey) — deterministic training-export SHUFFLE +
     // SHARDING ([[graft.Engine.shardShuffle]]): shard = md5(seed:id)
     // mod 8, position = hash rank within the shard — the
@@ -3425,6 +3455,58 @@ object LlmPipeline {
       |FROM r WHERE rn <= 5
       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
       |  doc_id NULLS FIRST, score NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q93r: q93j's BM25 CTEs at k=20 and q92's cosine
+    * ranking at k=20 (self excluded), fused per (query, item) with
+    * Σ 1/(60+rank) and re-ranked top-5 — both reciprocal terms added
+    * in the operator's exact IEEE order. */
+  private def hybridRrfOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
+       |st AS (SELECT count(*) AS n,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |tok AS (SELECT doc_id, dl, unnest(w) AS t FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS qid, t FROM tok WHERE doc_id < 5),
+       |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+       |  WHERE t IN (SELECT t FROM qt) GROUP BY t),
+       |ft AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+       |  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, dl, t),
+       |s AS (SELECT q.qid, f.doc_id,
+       |    (CAST(n + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 0.5e0))
+       |      * (CAST(tf AS DOUBLE) * 2.2e0)
+       |      / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 *
+       |          (CAST(dl AS DOUBLE) / avgdl))) AS sc
+       |  FROM ft f JOIN qt q ON f.t = q.t AND f.doc_id != q.qid
+       |  JOIN dfq ON dfq.t = f.t CROSS JOIN st),
+       |sc2 AS (SELECT qid AS query_id, doc_id,
+       |    CAST(sum(CAST(sc AS DECIMAL(38,6))) AS DOUBLE) AS score
+       |  FROM s GROUP BY qid, doc_id),
+       |ta AS (SELECT query_id, doc_id AS item, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc2 QUALIFY rnk <= 20),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < 5),
+       |cs AS (SELECT query_id, e.vec_id AS item,
+       |    round(${Similarity.cosineSql("qe", "e.embedding")}, 6)
+       |      AS cos_sim
+       |  FROM qv CROSS JOIN embeddings e WHERE e.vec_id != query_id),
+       |tb AS (SELECT query_id, item, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, item ASC) AS rnk
+       |  FROM cs QUALIFY rnk <= 20),
+       |f2 AS (SELECT query_id, item,
+       |    round(COALESCE(1.0e0 / CAST(60 + ta.rnk AS DOUBLE), 0.0e0)
+       |      + COALESCE(1.0e0 / CAST(60 + tb.rnk AS DOUBLE), 0.0e0), 6)
+       |      AS score
+       |  FROM ta FULL OUTER JOIN tb USING (query_id, item)),
+       |r AS (SELECT query_id, item, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, item ASC) AS rn
+       |  FROM f2)
+       |SELECT query_id, CAST(rn AS INT) AS rnk, item, score
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, item NULLS FIRST,
+       |  score NULLS FIRST""".stripMargin
 
   /** DuckDB oracle for Q93k: identical md5('42:'||id) hash, mod-8 shard,
     * (hash, id)-ranked position within the shard. */

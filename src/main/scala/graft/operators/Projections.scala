@@ -109,6 +109,49 @@ object Projections {
         uniqueKey = Seq("l_orderkey", "l_linenumber")))
     },
 
+    // Q11c (beyond-survey) — KEY-SKEW AUDIT ([[graft.Engine.skewAudit]]):
+    // the one-row per-key cardinality diagnostic a 100 TB shuffle-key
+    // review starts from — heaviest key + share, skew factor (max/avg;
+    // 1.0 = uniform), normalized Shannon entropy, and salt_hint =
+    // ceil(skew factor), the fan-out that levels the heaviest key's
+    // partition to the average (q20b saltedJoin's knob, measured
+    // instead of guessed). One hash aggregate builds the per-key
+    // counts — the very exchange the audited shuffle would do — then
+    // two bounded folds; entropy terms round onto the 9-dp decimal
+    // grid, max-count ties report the smallest key.
+    Q("q11c_skew_audit",
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem
+        |    WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
+        |    max(cnt) AS max_cnt FROM c),
+        |top AS (SELECT min(k) AS top_key FROM c, t WHERE cnt = max_cnt),
+        |e AS (SELECT CAST(sum(CAST(round(
+        |      -(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |        * ln(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE) AS ent,
+        |    max(n_keys) AS nk FROM c, t)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(max_cnt AS BIGINT) AS max_cnt, top_key,
+        |  round(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS max_share,
+        |  round(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 6) AS skew_factor,
+        |  CASE WHEN n_keys = 1 THEN 1.0
+        |    ELSE round(ent / ln(CAST(n_keys AS DOUBLE)), 6) END
+        |    AS entropy_norm,
+        |  CAST(ceil(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE)) AS INT) AS salt_hint
+        |FROM t, top, e
+        |ORDER BY n_rows NULLS FIRST, n_keys NULLS FIRST,
+        |  max_cnt NULLS FIRST, top_key NULLS FIRST,
+        |  max_share NULLS FIRST, skew_factor NULLS FIRST,
+        |  entropy_norm NULLS FIRST, salt_hint NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.skewAudit(
+          Tables.t(s, dir, "lineitem"), col("l_partkey")))
+    },
+
     // Q12 — BETWEEN range predicate (the bbox-clip analog, meteosat.py:36).
     Q("q12_between",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate

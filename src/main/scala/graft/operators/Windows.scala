@@ -432,6 +432,62 @@ object Windows {
           .withColumnRenamed("key", "event_type"))
     },
 
+    // Q48c (beyond-survey) — PER-KEY time-series RESAMPLE with LINEAR
+    // INTERPOLATION ([[graft.Engine.resampleInterpolate]]): each
+    // user's irregular click series projected onto a daily grid
+    // strictly inside its observed span — the feature-pipeline
+    // regularizer (training windows want aligned timestamps; events
+    // arrive when they arrive). Complements q48's dense-spine LOCF
+    // fill: this interpolates BETWEEN bracketing observations, per
+    // key, and every emitted grid point has both brackets by
+    // construction (no edge NULLs). Plan: one hash aggregate for
+    // bounds, a bounded sequence() explode for the grid, then the
+    // obs∪grid spine shuffles ONCE on the key with running
+    // last/first-ignoreNulls windows inside the partition — the q26
+    // as-of discipline, never a range self-join. The interpolation is
+    // one pinned IEEE expression over exact microsecond deltas.
+    Q("q48c_interpolate",
+      """WITH obs AS (SELECT user_id, ts, event_id, value FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |      AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM obs
+        |  GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(
+        |      date_trunc('day', mn) + INTERVAL 1 DAY,
+        |      date_trunc('day', mx), INTERVAL 1 DAY)) AS ts
+        |  FROM b WHERE date_trunc('day', mx) >=
+        |    date_trunc('day', mn) + INTERVAL 1 DAY),
+        |u AS (SELECT user_id, ts, 0 AS is_grid, event_id, value FROM obs
+        |  UNION ALL SELECT user_id, ts, 1, NULL, NULL FROM grid),
+        |w AS (SELECT *,
+        |  last_value(value IGNORE NULLS) OVER pw AS vp,
+        |  last_value(CASE WHEN value IS NOT NULL THEN ts END
+        |    IGNORE NULLS) OVER pw AS tp,
+        |  first_value(value IGNORE NULLS) OVER nw AS vn,
+        |  first_value(CASE WHEN value IS NOT NULL THEN ts END
+        |    IGNORE NULLS) OVER nw AS tn
+        |  FROM u
+        |  WINDOW pw AS (PARTITION BY user_id
+        |      ORDER BY ts, is_grid, event_id NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    nw AS (PARTITION BY user_id
+        |      ORDER BY ts, is_grid, event_id NULLS FIRST
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id AS key, ts, round(CASE WHEN ts = tp THEN vp
+        |    ELSE vp + (vn - vp) *
+        |      (CAST(epoch_us(ts) - epoch_us(tp) AS DOUBLE)
+        |        / CAST(epoch_us(tn) - epoch_us(tp) AS DOUBLE)) END, 6)
+        |    AS value_interp
+        |FROM w WHERE is_grid = 1
+        |ORDER BY key NULLS FIRST, ts NULLS FIRST,
+        |  value_interp NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.resampleInterpolate(
+          Tables.t(s, dir, "events").filter(col("event_type") === "click"),
+          col("user_id"), col("ts"), col("event_id"), col("value"))
+        ).limit(5000)
+    },
+
     // Q49b (beyond-survey) — z-normalized SUBSEQUENCE similarity search
     // (the distributed time-series motif query of the EDBT'19/REPOSE
     // line, PAPERS.md): every length-4 per-user window of the value

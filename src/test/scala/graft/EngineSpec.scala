@@ -1739,4 +1739,97 @@ class EngineSpec extends AnyFunSuite {
     // bucket 1 (docs 2-3): "a b" (seen), "c d" (new) — 2 tokens, 1 new
     assert(got == Seq((0L, 2L, 2L), (1L, 4L, 3L)))
   }
+
+  test("psiDrift: hand fixture — uniform baseline vs point mass alarms, " +
+      "outliers clamp into edge bins, an empty group fails loudly") {
+    import spark.implicits._
+    // baseline: one value per bin (mn=0.5, mx=9.5, width=0.9);
+    // current: a point mass in bin 0 plus one outlier above the
+    // baseline range, which must CLAMP into bin 9 (not drop).
+    val base = (0 until 10).map(i => ("a", i + 0.5))
+    val cur = Seq.fill(9)(("b", 0.6)) :+ ("b", 100.0)
+    val df = (base ++ cur).toDF("g", "v")
+    val r = Engine.psiDrift(df, col("g"), col("v"), "a", "b").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 10L && r(0).getLong(1) == 10L)
+    // driver-side reference with the operator's exact formula:
+    // pa=0.1 everywhere; pb: bin0 0.9, bin9 0.1, bins 1-8 -> 1e-4
+    def t(pa: Double, pb: Double) =
+      BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expect = (t(0.1, 0.9) + t(0.1, 0.1) + t(0.1, 1e-4) * 8)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getDouble(2) == expect)
+    assert(r(0).getBoolean(3)) // drift: psi >> 0.2
+    val e = intercept[IllegalArgumentException] {
+      Engine.psiDrift(df, col("g"), col("v"), "a", "absent").collect()
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("skewAudit: hand fixture — max-count tie reports the smallest " +
+      "key, entropy/salt math matches a driver reference, single key " +
+      "is defined") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b", "b", "b", "c", "c").toDF("k")
+    val r = Engine.skewAudit(df, col("k")).collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getString(3) == "a") // tie a/b at 3 -> smallest key
+    assert(r.getDouble(4) == 0.375)
+    assert(r.getDouble(5) == 1.125) // 3 * 3 / 8
+    def h(p: Double) = BigDecimal(-p * math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val ent = ((h(0.375) * 2 + h(0.25)).toDouble / math.log(3.0))
+    assert(r.getDouble(6) ==
+      BigDecimal(ent).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(r.getInt(7) == 2) // ceil(1.125)
+    val one = Engine.skewAudit(Seq("x", "x").toDF("k"), col("k"))
+      .collect()(0)
+    assert(one.getDouble(6) == 1.0 && one.getInt(7) == 1)
+  }
+
+  test("rrfFuse: both-list items sum reciprocals, single-list items " +
+      "keep one term, equal scores break ties on item id") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 3))
+      .toDF("q", "i", "r")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 21L, 3))
+      .toDF("q", "i", "r")
+    val got = Engine.rrfFuse(a, b, "q", "i", "r", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    def rr(r: Int) = 1.0 / (60 + r).toDouble
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: item 11 in both lists (1/61 + 1/62) beats 10 (1/61) beats
+    // 12 (1/62); q2: 20 and 21 tie at 1/63 -> item order
+    assert(got == Seq(
+      (1L, 1, 11L, rnd(rr(1) + rr(2))),
+      (1L, 2, 10L, rnd(rr(1))),
+      (1L, 3, 12L, rnd(rr(2))),
+      (2L, 1, 20L, rnd(rr(3))),
+      (2L, 2, 21L, rnd(rr(3)))))
+  }
+
+  test("resampleInterpolate: linear values on a hand fixture, a grid " +
+      "point landing on an observation returns it, a one-day key " +
+      "emits no grid") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, "2024-01-01 00:00:00", 100L, 0.0),
+      (1L, "2024-01-03 00:00:00", 101L, 4.0),
+      (2L, "2024-02-05 06:00:00", 200L, 7.0),
+      (2L, "2024-02-05 18:00:00", 201L, 9.0) // same-day span: no grid
+    ).toDF("k", "ts", "eid", "v")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Engine.resampleInterpolate(obs, col("k"), col("ts"),
+        col("eid"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2))).sortBy(x => (x._1, x._2)).toSeq
+    // key 1: grid Jan 2 (midpoint -> 2.0) and Jan 3 (== obs -> 4.0)
+    assert(got == Seq(
+      (1L, "2024-01-02 00:00:00.0", 2.0),
+      (1L, "2024-01-03 00:00:00.0", 4.0)))
+  }
 }

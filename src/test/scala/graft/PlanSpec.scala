@@ -563,7 +563,13 @@ class PlanSpec extends AnyFunSuite {
       // 1-row corpus-count scalar broadcast, the q93f class
       "q95h_boilerplate",
       // 1-row grand-total scalar broadcast, the q46c class
-      "q46e_chi2_independence")
+      "q46e_chi2_independence",
+      // 1-row baseline-bounds + 1-row totals scalar broadcasts
+      "q46h_psi_drift",
+      // 1-row (n_rows, n_keys, max_cnt) totals scalar broadcast
+      "q11c_skew_audit",
+      // composes q93j's 1-row stats scalar and q92's bounded query cross
+      "q93r_hybrid_rrf")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
