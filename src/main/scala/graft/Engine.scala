@@ -3956,9 +3956,12 @@ object Engine {
       .withColumn("__minp",
         least(lit(0).cast(dec), min(col("__p")).over(w)))
       .withColumn("__s", col("__p") - col("__minp"))
+    // the trailing round is lossless (the decimal is exact at 6 dp) but
+    // necessary: decimal→double conversion takes different paths across
+    // engines (hugeint scaling vs long scaling) and can differ by ~1e-15
     joined.select(col("__k").as("key"), col("day"), col("daily_mean"),
       col("mu_ref"),
-      col("__s").cast(DoubleType).as("cusum"),
+      round(col("__s").cast(DoubleType), 6).as("cusum"),
       (col("__s") > col("__h").cast(dec)).as("detected"))
   }
 
@@ -3987,6 +3990,131 @@ object Engine {
           .as("chunk_text"),
         size(slice(col("__ws"), col("__st"), lit(window))).cast("int")
           .as("n_tokens"))
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998): from each query's top-`n` relevance candidates, greedily
+    * select `k` diversified results — pick = argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — so near-duplicate
+    * hits don't crowd the result list (the diversification pass after
+    * [[cosineTopK]]/[[rrfFuse]] retrieval).
+    *
+    * THE PLAN SHAPE: the greedy loop is UNROLLED at plan-build time
+    * into `k` chained (anti-join → max-sim aggregate → argmax window)
+    * stages over the bounded candidate set — no driver loop over data,
+    * no UDF, no recursion; every stage is keyed by query id, and the
+    * only quadratic object is the n×n per-query candidate-pair matrix
+    * (n is a knob, never the corpus). Embeddings are read once to
+    * build that matrix; the iteration itself moves only lean
+    * (query, item, score) rows. Ties break on item id; all score
+    * arithmetic runs ×100 on DECIMAL(38,6) — exact and engine-stable
+    * (see the inline note) — so the pick sequence hash-matches. λ is
+    * `lambdaPct`/100 (default 0.7 — the paper's relevance-leaning
+    * setting). */
+  def mmrRerank(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String,
+      n: Int, k: Int, lambdaPct: Int = 70): DataFrame = {
+    require(n >= k && k >= 1, s"mmrRerank: need n >= k >= 1 ($n, $k)")
+    require(lambdaPct >= 0 && lambdaPct <= 100)
+    // score arithmetic runs ×100 on DECIMAL(38,6): λ·rel − (1−λ)·msim
+    // over 6-dp-rounded sims lands on 7th-decimal HALFWAY points ~10%
+    // of the time, where Spark (shortest-string HALF_UP) and other
+    // engines (exact-binary) round apart — integer-scaled decimals
+    // make every comparison and the emitted score exact instead
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    // q92's scored-cross shape, but self-matches drop BEFORE ranking so
+    // every query gets a full n candidates
+    val scored = corpus
+      .select(col(id).as("__i"), col(vec).as("__e"))
+      .crossJoin(broadcast(queries.select(col(qid).as("__q"),
+        col(qvec).as("__qe"))))
+      .filter(col("__i") =!= col("__q"))
+      .select(col("__q"), col("__i"),
+        round(expr("cosine_sim(__qe, __e)"), 6).as("__rel"))
+    val wRel = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__i").asc)
+    val cand = scored.withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") <= n).drop("__rn")
+    val withVec = cand.join(
+      corpus.select(col(id).as("__i"), col(vec).as("__e")), Seq("__i"))
+      .persistOnce()
+    val pairSim = withVec.select(col("__q"), col("__i"), col("__e"))
+      .join(withVec.select(col("__q"), col("__i").as("__j"),
+        col("__e").as("__e2")), Seq("__q"))
+      .filter(col("__i") =!= col("__j"))
+      .select(col("__q"), col("__i"), col("__j"),
+        round(expr("cosine_sim(__e, __e2)"), 6).as("__sim"))
+      .persistOnce()
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__s100").desc, col("__i").asc)
+    val firstPick = cand
+      .withColumn("__s100", lit(lambdaPct) * col("__rel").cast(dec))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__q"), col("__i"), col("__s100"),
+        lit(1).as("step"))
+    var selected = firstPick
+    for (t <- 2 to k) {
+      val rem = cand.join(
+        selected.select(col("__q"), col("__i")), Seq("__q", "__i"),
+        "left_anti")
+      val ms = rem
+        .join(pairSim, Seq("__q", "__i"))
+        .join(selected.select(col("__q"), col("__i").as("__j")),
+          Seq("__q", "__j"), "left_semi")
+        .groupBy(col("__q"), col("__i"))
+        .agg(max(col("__rel")).as("__rel"), // constant within group
+          max(col("__sim")).as("__msim"))
+      val pick = ms
+        .withColumn("__s100",
+          lit(lambdaPct) * col("__rel").cast(dec) -
+            lit(100 - lambdaPct) * col("__msim").cast(dec))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__q"), col("__i"), col("__s100"),
+          lit(t).as("step"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("__q").as("query_id"),
+      col("step").cast("int").as("step"), col("__i").as("item"),
+      (round(col("__s100").cast(DoubleType), 6) / lit(100.0))
+        .as("score"))
+  }
+
+  /** JOIN-SIZE AUDIT: the exact output cardinality an equi-join WOULD
+    * produce, computed without running it — Σ over matching keys of
+    * |a(k)|·|b(k)| — plus the worst key's contribution. The pre-flight
+    * check before a 100 TB join: an accidental many-to-many (duplicate
+    * keys on both sides) multiplies instead of matching, and this
+    * audit prices it from two per-key count aggregates joined on the
+    * key — data that is orders of magnitude smaller than the join it
+    * predicts. `skew_share` (worst key's fraction of the estimate)
+    * is the AQE-skew/salting decision input; ties on the worst
+    * product report the smallest key. All arithmetic is exact
+    * integer. */
+  def joinSizeAudit(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column): DataFrame = {
+    val ca = a.filter(aKey.isNotNull).groupBy(aKey.as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(bKey.isNotNull).groupBy(bKey.as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val prod = ca.join(cb, Seq("__k"))
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__p"))
+      .persistOnce()
+    val totals = prod.agg(
+      coalesce(sum(col("__p")), lit(0L)).as("est_join_rows"),
+      count(lit(1)).as("n_matching_keys"),
+      max(col("__p")).as("max_key_rows"))
+    val worst = prod.crossJoin(broadcast(totals))
+      .filter(col("__p") === col("max_key_rows"))
+      .agg(min(col("__k")).as("worst_key"))
+    totals.crossJoin(broadcast(worst))
+      .select(col("est_join_rows"), col("n_matching_keys"),
+        col("max_key_rows"), col("worst_key"),
+        when(col("est_join_rows") > 0, round(
+            col("max_key_rows").cast(DoubleType) /
+              col("est_join_rows").cast(DoubleType), 6))
+          .as("skew_share"))
   }
 
   /** Exact TRIANGLE COUNT + global clustering coefficient over an

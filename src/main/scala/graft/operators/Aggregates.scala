@@ -655,5 +655,57 @@ object Aggregates {
       orderAll(graft.Engine.psiDrift(
         Tables.t(s, dir, "events"), col("event_type"), col("value"),
         "click", "view"))
+    },
+
+    // Q46i (beyond-survey) — distributed CUSUM change-point trace
+    // ([[graft.Engine.cusumChangePoints]], Page 1954): sequential
+    // drift detection per event type over the daily-mean series —
+    // the family member the static two-sample tests (q46c/f/g/h)
+    // can't cover. THE SCALE TRICK: the recurrence
+    // S_d = max(0, S_{d-1} + x_d − μ − k) is computed as
+    // P_d − min(0, min_{j≤d} P_j) over the prefix sums — two ordinary
+    // partitioned window aggregates, no sequential loop — and because
+    // every input is 6-dp-rounded the whole trace runs on
+    // DECIMAL(38,6): exact, order-free, bit-identical across engines
+    // (a floating CUSUM drifts an ulp per step). μ from the pre-Jan-15
+    // reference days; slack 10% and threshold 50% of μ.
+    Q("q46i_cusum",
+      """WITH daily AS (SELECT event_type AS k,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(count(value) AS DOUBLE), 6) AS daily_mean
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ref AS (SELECT k,
+        |    round(CAST(sum(CAST(daily_mean AS DECIMAL(38,6)))
+        |      AS DOUBLE) / CAST(count(daily_mean) AS DOUBLE), 6)
+        |      AS mu_ref
+        |  FROM daily WHERE day < TIMESTAMP '2024-01-15' GROUP BY 1),
+        |r2 AS (SELECT k, mu_ref, round(mu_ref * 0.1e0, 6) AS kk,
+        |    round(mu_ref * 0.5e0, 6) AS h FROM ref),
+        |j AS (SELECT d.k, d.day, d.daily_mean, mu_ref, kk, h,
+        |    CAST(d.daily_mean AS DECIMAL(38,6))
+        |      - CAST(mu_ref AS DECIMAL(38,6))
+        |      - CAST(kk AS DECIMAL(38,6)) AS dd
+        |  FROM daily d JOIN r2 USING (k)),
+        |p AS (SELECT *, sum(dd) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM j),
+        |m AS (SELECT *, least(CAST(0 AS DECIMAL(38,6)), min(pp) OVER (
+        |    PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS minp
+        |  FROM p)
+        |SELECT k AS key, day, daily_mean, mu_ref,
+        |  round(CAST(pp - minp AS DOUBLE), 6) AS cusum,
+        |  ((pp - minp) > CAST(h AS DECIMAL(38,6))) AS detected
+        |FROM m
+        |ORDER BY key NULLS FIRST, day NULLS FIRST,
+        |  daily_mean NULLS FIRST, mu_ref NULLS FIRST,
+        |  cusum NULLS FIRST, detected NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.cusumChangePoints(
+          Tables.t(s, dir, "events"), col("event_type"), col("ts"),
+          col("value"), lit("2024-01-15").cast("timestamp")))
     })
 }

@@ -119,6 +119,38 @@ object Joins {
       finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     },
 
+    // Q20e (beyond-survey) — JOIN-SIZE AUDIT
+    // ([[graft.Engine.joinSizeAudit]]): the exact row count the
+    // lineitem×lineitem self-join on l_partkey WOULD produce
+    // (Σ c_k² = 1.86M from 60k rows at sf0.01 — the accidental
+    // many-to-many priced before it runs), plus the worst key's
+    // contribution and its share, the AQE-skew/salting decision
+    // input. Two per-key count aggregates joined on the key — data
+    // orders of magnitude smaller than the join it predicts; exact
+    // integer arithmetic; worst-key ties report the smallest key.
+    Q("q20e_join_audit",
+      """WITH ca AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+        |    WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |prod AS (SELECT a.k, a.c * b.c AS p FROM ca a JOIN ca b
+        |  USING (k)),
+        |t AS (SELECT coalesce(sum(p), 0) AS est, count(*) AS nk,
+        |    max(p) AS mx FROM prod),
+        |w AS (SELECT min(k) AS wk FROM prod, t WHERE p = mx)
+        |SELECT CAST(est AS BIGINT) AS est_join_rows,
+        |  CAST(nk AS BIGINT) AS n_matching_keys,
+        |  CAST(mx AS BIGINT) AS max_key_rows, wk AS worst_key,
+        |  CASE WHEN est > 0 THEN
+        |    round(CAST(mx AS DOUBLE) / CAST(est AS DOUBLE), 6)
+        |  END AS skew_share
+        |FROM t, w
+        |ORDER BY est_join_rows NULLS FIRST, n_matching_keys NULLS FIRST,
+        |  max_key_rows NULLS FIRST, worst_key NULLS FIRST,
+        |  skew_share NULLS FIRST""".stripMargin) { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      orderAll(graft.Engine.joinSizeAudit(
+        li, col("l_partkey"), li, col("l_partkey")))
+    },
+
     // Q20c (beyond-survey) — runtime BLOOM-FILTER join: the semi-join
     // reduction Catalyst injects at runtime for selective-dim ⋈ huge-fact
     // plans. The builder materializes eagerly (localCheckpoint) so the

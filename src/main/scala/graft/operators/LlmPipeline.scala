@@ -2115,6 +2115,25 @@ object LlmPipeline {
         dTrunc = 16, shortlist = 20, k = 5))
     },
 
+    // Q92n (beyond-survey) — MAXIMAL MARGINAL RELEVANCE re-ranking
+    // ([[graft.Engine.mmrRerank]], Carbonell & Goldstein 1998): each
+    // query's top-10 cosine candidates greedily diversified to 5 picks
+    // by argmax 0.7·rel − 0.3·max-sim-to-selected — the
+    // diversification pass after retrieval (q92/q93r), so
+    // near-duplicate hits don't crowd the result list. The greedy loop
+    // is UNROLLED INTO THE PLAN: five chained anti-join → max-sim
+    // aggregate → argmax-window stages over the bounded candidate set
+    // — no driver loop over data, no UDF, no recursion; the only
+    // quadratic object is the 10×10 per-query pair matrix. The oracle
+    // unrolls the same five steps as chained CTEs; scores round to
+    // 6 dp before every comparison so the pick sequence hash-matches.
+    Q("q92n_mmr_rerank", mmrOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.mmrRerank(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        n = 10, k = 5))
+    },
+
     // Q99e (beyond-survey) — IVF-PQ combined search, the two ANN halves
     // composed the way a billion-vector index runs: IVF cells prune the
     // corpus to each query's nprobe=2 nearest cells, PQ asymmetric
@@ -2198,6 +2217,86 @@ object LlmPipeline {
           col("__rr").cast("int").as("rnk"))
       orderAll(graft.Engine.rrfFuse(text, vec, "query_id", "item",
         "rnk", k = 5))
+    },
+
+    // Q93s (beyond-survey) — TRIANGLE COUNT + clustering coefficient
+    // ([[graft.Engine.triangleStats]]) over the q93o co-occurrence
+    // graph (edges = word pairs co-occurring ≥ 3 times): graph-shape
+    // diagnostics for the similarity/co-occurrence graphs curation
+    // passes produce. The operator uses the classic DEGREE-ORDERED
+    // ORIENTATION — every edge points from its lower-(degree, id)
+    // endpoint, bounding each vertex's out-degree by O(√E) so the
+    // wedge self-join is O(E^1.5) worst-case instead of Σdeg² (one
+    // 10⁶-degree hub would otherwise emit 10¹² wedges); each triangle
+    // counts once at its minimum-(degree, id) vertex. The oracle
+    // counts via the id-ordered closure join — an algebraically
+    // different route to the same exact totals, so the equality is
+    // itself evidence both plans are right.
+    Q("q93s_graph_triangles",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS w,
+        |    generate_subscripts(ws, 1) AS pos FROM w),
+        |pairs AS (SELECT least(a.w, b.w) AS u, greatest(a.w, b.w) AS v,
+        |    count(*) AS cnt
+        |  FROM t a JOIN t b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        |  WHERE a.w <> b.w GROUP BY 1, 2),
+        |edges AS (SELECT u, v FROM pairs WHERE cnt >= 3),
+        |deg AS (SELECT x, count(*) AS d FROM
+        |  (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+        |  GROUP BY 1),
+        |tr AS (SELECT count(*) AS n_triangles FROM edges e1
+        |  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |tot AS (SELECT count(*) AS n_nodes,
+        |  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ec AS (SELECT count(*) AS n_edges FROM edges)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_edges AS BIGINT) AS n_edges, n_wedges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN
+        |    round(3.0e0 * CAST(n_triangles AS DOUBLE)
+        |      / CAST(n_wedges AS DOUBLE), 6) END AS clustering_coeff
+        |FROM tot, ec, tr
+        |ORDER BY n_nodes NULLS FIRST, n_edges NULLS FIRST,
+        |  n_wedges NULLS FIRST, n_triangles NULLS FIRST,
+        |  clustering_coeff NULLS FIRST""".stripMargin) { (s, dir) =>
+      val pairs = skipGramPairs(Tables.t(s, dir, "documents"),
+          split(col("text"), " "), window = 2)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .select(least(col("w1"), col("w2")).as("u"),
+          greatest(col("w1"), col("w2")).as("v"), col("cnt"))
+        .groupBy("u", "v").agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") >= 3)
+      orderAll(graft.Engine.triangleStats(pairs, col("u"), col("v")))
+    },
+
+    // Q93t (beyond-survey) — sliding-window TOKEN CHUNKING with
+    // overlap ([[graft.Engine.ragChunks]]): every document split into
+    // 30-token chunks every 20 tokens (10 tokens of shared context),
+    // the RAG-ingestion pass that feeds an embedding index — kept
+    // PURELY per-row (a bounded sequence() explode; tokens never
+    // leave their row, no shuffle, no state), so at 100 TB it is
+    // embarrassingly parallel map work landing collocated with its
+    // source. The short final chunk is kept — dropping it would lose
+    // every document's tail from retrieval.
+    Q("q93t_rag_chunks",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(ws), 20)) AS st, ws FROM t)
+        |SELECT doc_id, CAST((st - 1) // 20 AS INT) AS chunk_index,
+        |  array_to_string(list_slice(ws, st, st + 29), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(ws, st, st + 29)) AS INT) AS n_tokens
+        |FROM c
+        |ORDER BY doc_id NULLS FIRST, chunk_index NULLS FIRST,
+        |  chunk_text NULLS FIRST, n_tokens NULLS FIRST
+        |LIMIT 5000""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.ragChunks(Tables.t(s, dir, "documents"),
+        col("doc_id"), col("text"), window = 30, stride = 20))
+        .limit(5000)
     },
 
     // Q93k (beyond-survey) — deterministic training-export SHUFFLE +
@@ -3507,6 +3606,61 @@ object LlmPipeline {
        |FROM r WHERE rn <= 5
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, item NULLS FIRST,
        |  score NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q92n: the MMR greedy unrolled as chained CTEs —
+    * step 1 is the argmax of 70·rel; each later step t anti-joins the
+    * selected set, takes max pair-sim to it, and picks the argmax of
+    * s100 = 70·rel − 30·msim with id tiebreak. All score arithmetic
+    * is ×100 on DECIMAL(38,6) (λ of a 6-dp sim lands on 7th-decimal
+    * halfway points where engines round apart); the emitted score is
+    * round(CAST(s100 AS DOUBLE), 6) / 100 — the operator's exact
+    * value path. */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 5).map { t =>
+      s""",
+         |rem$t AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM sel${t - 1} s WHERE s.q = c.q AND s.i = c.i)),
+         |ms$t AS (SELECT r.q, r.i, any_value(r.rel) AS rel,
+         |    max(p.sim) AS msim
+         |  FROM rem$t r JOIN ps p ON p.q = r.q AND p.i = r.i
+         |  WHERE EXISTS (SELECT 1 FROM sel${t - 1} s
+         |    WHERE s.q = p.q AND s.i = p.j)
+         |  GROUP BY r.q, r.i),
+         |pick$t AS (SELECT q, i, s100, $t AS step FROM (
+         |    SELECT q, i, 70 * CAST(rel AS DECIMAL(38,6))
+         |        - 30 * CAST(msim AS DECIMAL(38,6)) AS s100,
+         |      row_number() OVER (PARTITION BY q ORDER BY
+         |        70 * CAST(rel AS DECIMAL(38,6))
+         |          - 30 * CAST(msim AS DECIMAL(38,6)) DESC, i ASC) AS rn
+         |    FROM ms$t) WHERE rn = 1),
+         |sel$t AS (SELECT q, i, s100, step FROM sel${t - 1}
+         |  UNION ALL SELECT q, i, s100, step FROM pick$t)""".stripMargin
+    }.mkString
+    s"""WITH qv AS (SELECT vec_id AS q, embedding AS qe FROM embeddings
+       |  WHERE vec_id < 5),
+       |sc AS (SELECT qv.q, e.vec_id AS i,
+       |    round(${Similarity.cosineSql("qe", "e.embedding")}, 6) AS rel
+       |  FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.q),
+       |cand AS (SELECT q, i, rel FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY q ORDER BY rel DESC, i ASC) AS rn FROM sc)
+       |  WHERE rn <= 10),
+       |cv AS (SELECT c.q, c.i, e.embedding AS ce FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.i),
+       |ps AS (SELECT a.q, a.i, b.i AS j,
+       |    round(${Similarity.cosineSql("a.ce", "b.ce")}, 6) AS sim
+       |  FROM cv a JOIN cv b ON a.q = b.q AND a.i <> b.i),
+       |sel1 AS (SELECT q, i, CAST(70 * CAST(rel AS DECIMAL(38,6))
+       |      AS DECIMAL(38,6)) AS s100, 1 AS step
+       |  FROM (SELECT q, i, rel, row_number() OVER (PARTITION BY q
+       |      ORDER BY 70 * CAST(rel AS DECIMAL(38,6)) DESC, i ASC) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1)$steps
+       |SELECT q AS query_id, CAST(step AS INT) AS step, i AS item,
+       |  round(CAST(s100 AS DOUBLE), 6) / 100.0e0 AS score
+       |FROM sel5
+       |ORDER BY query_id NULLS FIRST, step NULLS FIRST, item NULLS FIRST,
+       |  score NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB oracle for Q93k: identical md5('42:'||id) hash, mod-8 shard,
     * (hash, id)-ranked position within the shard. */

@@ -1832,4 +1832,101 @@ class EngineSpec extends AnyFunSuite {
       (1L, "2024-01-02 00:00:00.0", 2.0),
       (1L, "2024-01-03 00:00:00.0", 4.0)))
   }
+
+  test("cusumChangePoints: hand fixture — a persistent shift crosses " +
+      "the threshold, the pre-shift trace clamps at zero, keys " +
+      "without a reference period drop") {
+    import spark.implicits._
+    // ref days (mean 10) -> mu=10, k=1, h=5; then a +6 shift:
+    // Jan5 S=5 (not yet > 5), Jan6 S=10 -> detected
+    val rows = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 10.0),
+      ("a", "2024-01-03", 10.0), ("a", "2024-01-04", 10.0),
+      ("a", "2024-01-05", 16.0), ("a", "2024-01-06", 16.0),
+      ("late", "2024-01-20", 99.0) // no pre-cutoff day -> dropped
+    ).toDF("k", "d", "v").withColumn("d", to_timestamp(col("d")))
+    val got = Engine.cusumChangePoints(rows, col("k"), col("d"),
+        col("v"), lit("2024-01-05").cast("timestamp"))
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toString.take(10), r.getDouble(4),
+        r.getBoolean(5))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01", 0.0, false), ("a", "2024-01-02", 0.0, false),
+      ("a", "2024-01-03", 0.0, false), ("a", "2024-01-04", 0.0, false),
+      ("a", "2024-01-05", 5.0, false), ("a", "2024-01-06", 10.0, true)))
+  }
+
+  test("ragChunks: window/stride arithmetic on a hand fixture — " +
+      "overlap shares tokens, the short tail chunk survives") {
+    import spark.implicits._
+    val df = Seq((7L, "t1 t2 t3 t4 t5")).toDF("id", "txt")
+    val got = Engine.ragChunks(df, col("id"), col("txt"),
+        window = 3, stride = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0, "t1 t2 t3", 3), (1, "t3 t4 t5", 3),
+      (2, "t5", 1)))
+  }
+
+  test("triangleStats: hand graph — canonicalizes duplicates and " +
+      "reversed edges, drops self-loops, matches hand-counted " +
+      "wedges/triangles") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4, fed messy: dup + reversed +
+    // self-loop. deg = (1:2, 2:2, 3:3, 4:1) -> wedges 1+1+3+0 = 5
+    val edges = Seq((2L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 3L), (2L, 2L)).toDF("x", "y")
+    val r = Engine.triangleStats(edges, col("x"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 5L, 1L)))
+    assert(r.getDouble(4) == 0.6) // 3 * 1 / 5
+  }
+
+  test("mmrRerank: lambda sweeps the relevance-diversity dial — " +
+      "pure-relevance order at 100, the near-dup demoted at 60, " +
+      "maximal diversity at 50") {
+    import spark.implicits._
+    // query [1, .2, 0]; D ~ the query direction (top rel 0.986), A a
+    // near-duplicate of D (sim 0.9995, rel 0.981), C diverse at decent
+    // rel (0.832, sim-to-D 0.728), B orthogonal-ish low-rel (0.196,
+    // sim-to-D 0.031). Relevance order: D, A, C, B.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // A
+      (2L, Seq(0.0, 1.0, 0.0)),   // B
+      (3L, Seq(0.707, 0.707, 0.0)), // C
+      (4L, Seq(0.98, 0.03, 0.0))  // D
+    ).toDF("vid", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val q = Seq((0L, Seq(1.0, 0.2, 0.0))).toDF("vid", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    def picks(lp: Int) = Engine.mmrRerank(corpus, "vid", "emb",
+        q, "vid", "emb", n = 4, k = 3, lambdaPct = lp)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(picks(100) == Seq(4L, 1L, 3L)) // relevance-only
+    // hand trace at lambda=60 (s100 units): step 2 scores A 18.85,
+    // C 20.79, B 10.54 -> C jumps the near-dup; step 3 A 18.85 vs
+    // B -16.52 -> A returns
+    assert(picks(60) == Seq(4L, 3L, 1L))
+    // lambda=50: step 2 B 8.28 > C 5.18 > A -0.95 -> the orthogonal
+    // item wins outright; step 3 C 5.18 > A -> A never places
+    assert(picks(50) == Seq(4L, 2L, 3L))
+  }
+
+  test("joinSizeAudit: hand fixture — est rows multiply per key, " +
+      "max-product ties report the smallest key, disjoint keys " +
+      "audit to zero") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 9L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val r = Engine.joinSizeAudit(a, col("k"), b, col("k")).collect()(0)
+    // key 1: 2*1=2, key 2: 1*2=2 (tie -> worst key 1); est 4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.5)
+    val none = Engine.joinSizeAudit(a, col("k"),
+      Seq(7L).toDF("k"), col("k")).collect()(0)
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
+    assert(none.isNullAt(2) && none.isNullAt(3) && none.isNullAt(4))
+  }
 }

@@ -569,7 +569,13 @@ class PlanSpec extends AnyFunSuite {
       // 1-row (n_rows, n_keys, max_cnt) totals scalar broadcast
       "q11c_skew_audit",
       // composes q93j's 1-row stats scalar and q92's bounded query cross
-      "q93r_hybrid_rrf")
+      "q93r_hybrid_rrf",
+      // two 1-row scalar broadcasts (edge count + triangle count)
+      "q93s_graph_triangles",
+      // bounded query set crossed against the corpus, the q92 class
+      "q92n_mmr_rerank",
+      // two 1-row scalar broadcasts (totals + worst key)
+      "q20e_join_audit")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
