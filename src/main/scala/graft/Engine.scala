@@ -4117,6 +4117,140 @@ object Engine {
           .as("skew_share"))
   }
 
+  /** RETRIEVAL RANKING METRICS — per-query NDCG and MRR of a predicted
+    * ranking against a ground-truth ranking, the graded companion to
+    * the recall gates (q99i/q99i_b): recall asks "how many of the true
+    * top-k came back at all", NDCG asks "and in how good an order",
+    * MRR "how soon does the first true hit appear". Inputs are two
+    * lean (query, item, rank) tables; graded relevance is derived from
+    * the truth rank (rel = depth − rank + 1, the standard linear gain),
+    * so callers never hand-label. A predicted item absent from the
+    * truth contributes gain 0; a query absent from the truth is
+    * dropped (no ideal ranking exists to normalize against).
+    *
+    * Scale shape: one broadcast-or-shuffle equi-join of two
+    * top-k-sized tables (rows = |Q|·k, never corpus-sized) and two
+    * keyed aggregates — the metric pass costs nothing next to the
+    * retrieval that produced its inputs. Determinism: each DCG term
+    * rounds to 6 dp and sums on DECIMAL(38,6) (order-free, exact);
+    * log2 runs on the tiny integer grid pos+1 ≤ k+1 where both
+    * engines' libm agree; MRR is one IEEE divide of identical
+    * inputs. */
+  def rankingMetrics(pred: DataFrame, truth: DataFrame,
+      q: String, item: String, rnk: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val t = truth.select(col(q).as("__q"), col(item).as("__i"),
+      col(rnk).as("__tr"))
+    // per-query truth depth: rel = depth − rank + 1 normalizes short
+    // truth lists instead of assuming a global k
+    val depth = t.groupBy(col("__q")).agg(max(col("__tr")).as("__k"))
+    val rel = t.join(depth, Seq("__q"))
+      .select(col("__q"), col("__i"), col("__tr"),
+        (col("__k") - col("__tr") + 1).as("__rel"))
+      .persistOnce()
+    val p = pred.select(col(q).as("__q"), col(item).as("__i"),
+      col(rnk).as("__pr"))
+    val joined = p.join(rel.select(col("__q"), col("__i"), col("__rel")),
+        Seq("__q", "__i"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+    val dcg = joined.groupBy(col("__q")).agg(
+      sum(round(col("__rel").cast(DoubleType) /
+        log2(col("__pr").cast(DoubleType) + lit(1.0)), 6).cast(dec))
+        .as("__dcg"),
+      min(when(col("__rel") > 0, col("__pr"))).as("__fp"),
+      sum(when(col("__rel") > 0, 1).otherwise(0)).cast("int")
+        .as("n_hits"))
+    val idcg = rel.groupBy(col("__q")).agg(
+      sum(round(col("__rel").cast(DoubleType) /
+        log2(col("__tr").cast(DoubleType) + lit(1.0)), 6).cast(dec))
+        .as("__idcg"))
+    dcg.join(idcg, Seq("__q"))
+      .select(col("__q").as("query_id"),
+        round(col("__dcg").cast(DoubleType) /
+          col("__idcg").cast(DoubleType), 6).as("ndcg"),
+        coalesce(round(lit(1.0) / col("__fp"), 6), lit(0.0)).as("mrr"),
+        col("n_hits"))
+  }
+
+  /** COLUMN PROFILER — per-column (rows, nulls, exact distincts,
+    * min, max) over any frame, the data-quality first look before a
+    * corpus enters the pipeline (and the freshness check after).
+    * Returns long format (one row per column) with min/max rendered
+    * as strings so heterogeneous column types share one schema; the
+    * cast happens AFTER the typed min/max (string-casting first would
+    * corrupt numeric order: "9" > "10").
+    *
+    * Scale shape: one single-pass aggregate PER COLUMN, unioned — not
+    * one pass with N count-distincts, which Catalyst plans as an
+    * Expand that multiplies every input row ×N before the shuffle.
+    * Under parquet column pruning the per-column jobs each read
+    * exactly one column, so total IO equals the one-pass plan's scan
+    * while the shuffle stays expand-free; the jobs are independent
+    * (a scheduler can run them concurrently). Exact distinct is the
+    * point of a profiler; the sketch alternative is [[q33]]'s HLL. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: need at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast(StringType).as("min_value"),
+        max(col(c)).cast(StringType).as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** LAG-k AUTOCORRELATION of each key's daily-mean series, lags
+    * 1..`maxLag` — the seasonality/persistence diagnostic completing
+    * the drift family: CUSUM ([[cusumChangePoints]]) asks "did the
+    * level shift", ACF asks "does the series remember itself" (a
+    * strong lag-7 says weekly cycle; all-lags-near-zero says the
+    * daily means are noise and drift alarms need wider windows).
+    *
+    * Plan shape: the daily aggregate is one keyed exchange; ALL lag
+    * columns come from a single window pass over it (one sort per
+    * key, not one per lag), stacked row-locally to (key, lag, x, y)
+    * pairs and reduced to per-(key, lag) moment aggregates — the
+    * [[q46b]] OLS discipline: exact DECIMAL(38,6) moment sums on
+    * 6-dp-rounded inputs, one IEEE-deterministic double expression at
+    * the end, round 6. Degenerate series (constant ⇒ zero variance)
+    * yield NULL acf identically in both engines via the nullif
+    * guard. */
+  def autocorrDaily(events: DataFrame, key: Column, ts: Column,
+      value: Column, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    def sumDec6(c: Column) = sum(c.cast(dec)).cast(DoubleType)
+    val daily = events
+      .filter(key.isNotNull && ts.isNotNull && value.isNotNull)
+      .groupBy(key.as("__k"), date_trunc("day", ts).as("__day"))
+      .agg(round(sum(value.cast(dec)).cast(DoubleType) /
+        count(value).cast(DoubleType), 6).as("__x"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__day"))
+    val lagged = (1 to maxLag).foldLeft(daily) { (d, l) =>
+      d.withColumn(s"__y$l", lag(col("__x"), l).over(w))
+    }
+    val stackExpr = (1 to maxLag)
+      .map(l => s"$l, __y$l").mkString(s"stack($maxLag, ", ", ",
+        ") AS (__lag, __y)")
+    val pairs = lagged.select(col("__k"), col("__x"), expr(stackExpr))
+      .filter(col("__y").isNotNull)
+    val mo = pairs.groupBy(col("__k"), col("__lag")).agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      sumDec6(col("__x")).as("__sx"), sumDec6(col("__y")).as("__sy"),
+      sumDec6(col("__x") * col("__y")).as("__sxy"),
+      sumDec6(col("__x") * col("__x")).as("__sxx"),
+      sumDec6(col("__y") * col("__y")).as("__syy"))
+    val den = sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+      (col("__n") * col("__syy") - col("__sy") * col("__sy")))
+    mo.select(col("__k").as("key"), col("__lag").cast("int").as("lag"),
+      col("__n").cast("int").as("n_pairs"),
+      round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        when(den === 0, lit(null)).otherwise(den), 6).as("acf"))
+  }
+
   /** Exact TRIANGLE COUNT + global clustering coefficient over an
     * undirected edge list — graph-shape diagnostics (how clubby is
     * the co-occurrence/similarity graph a dedup or embedding pass

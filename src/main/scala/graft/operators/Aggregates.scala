@@ -707,5 +707,48 @@ object Aggregates {
         orderAll(graft.Engine.cusumChangePoints(
           Tables.t(s, dir, "events"), col("event_type"), col("ts"),
           col("value"), lit("2024-01-15").cast("timestamp")))
+    },
+
+    // Q46j (beyond-survey) — lag-k AUTOCORRELATION of the daily-mean
+    // series ([[graft.Engine.autocorrDaily]]): the seasonality /
+    // persistence diagnostic completing the drift family — CUSUM (q46i)
+    // asks "did the level shift", ACF asks "does the series remember
+    // itself". ALL lag columns come from ONE window pass per key (one
+    // sort, not one per lag), stacked row-locally into (key, lag, x, y)
+    // pairs and reduced with the q46b OLS moment discipline: exact
+    // DECIMAL(38,6) sums over 6-dp inputs, one IEEE-deterministic
+    // double expression at the end, round 6; constant series yield
+    // NULL acf identically in both engines via the nullif guard.
+    Q("q46j_autocorr",
+      s"""WITH daily AS (SELECT event_type AS k,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    round(${sumDecSql("value")}
+         |      / CAST(count(value) AS DOUBLE), 6) AS daily_mean
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |lg AS (SELECT k, daily_mean AS x,
+         |    lag(daily_mean, 1) OVER (PARTITION BY k ORDER BY day) AS y1,
+         |    lag(daily_mean, 2) OVER (PARTITION BY k ORDER BY day) AS y2,
+         |    lag(daily_mean, 3) OVER (PARTITION BY k ORDER BY day) AS y3
+         |  FROM daily),
+         |p AS (SELECT k, 1 AS lg_n, x, y1 AS y FROM lg WHERE y1 IS NOT NULL
+         |  UNION ALL SELECT k, 2, x, y2 FROM lg WHERE y2 IS NOT NULL
+         |  UNION ALL SELECT k, 3, x, y3 FROM lg WHERE y3 IS NOT NULL),
+         |mo AS (SELECT k, lg_n, CAST(count(*) AS DOUBLE) AS n,
+         |    ${sumDecSql("x")} AS sx, ${sumDecSql("y")} AS sy,
+         |    ${sumDecSql("x * y")} AS sxy, ${sumDecSql("x * x")} AS sxx,
+         |    ${sumDecSql("y * y")} AS syy
+         |  FROM p GROUP BY k, lg_n)
+         |SELECT k AS key, CAST(lg_n AS INT) AS lag,
+         |  CAST(n AS INT) AS n_pairs,
+         |  round((n * sxy - sx * sy)
+         |    / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+         |      0), 6) AS acf
+         |FROM mo
+         |ORDER BY key NULLS FIRST, lag NULLS FIRST, n_pairs NULLS FIRST,
+         |  acf NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.autocorrDaily(Tables.t(s, dir, "events"),
+        col("event_type"), col("ts"), col("value"), maxLag = 3))
     })
 }

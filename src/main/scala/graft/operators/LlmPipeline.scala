@@ -778,6 +778,44 @@ object LlmPipeline {
           round(col("n_hit").cast("double") / col("n_true"), 6)))
     },
 
+    // Q99l (beyond-survey) — graded RANKING METRICS
+    // ([[graft.Engine.rankingMetrics]]): per-query NDCG and MRR of a
+    // degraded retrieval against the exact ranking — the recall gates
+    // (q99i/q99i_b) ask "how many of the true top-k came back", NDCG
+    // asks "and in how good an order", MRR "how soon is the first true
+    // hit". The measured pair here is Matryoshka-style dimension
+    // truncation: cosine top-10 over the FIRST 16 of 32 dims scored
+    // against the full-dim exact top-10 (graded rel = 11 − true rank).
+    // The metric pass is two top-k-sized joins + keyed aggregates —
+    // nothing next to the retrieval that feeds it; DCG terms round to
+    // 6 dp and sum on DECIMAL(38,6) (order-free), log2 runs on the
+    // integer grid pos+1 ≤ 11 where engines agree, MRR is one IEEE
+    // divide.
+    Q("q99l_ranking_metrics", rankingMetricsOracleSql) { (s, dir) =>
+      graft.plans.CosineSimilarity.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 8)
+      def ranked(dims: Option[Int]) = {
+        val ec = dims.map(d => slice(col("embedding"), 1, d))
+          .getOrElse(col("embedding"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__q"))
+          .orderBy(col("__s").desc, col("__i").asc)
+        e.select(col("vec_id").as("__i"), ec.as("__e"))
+          .crossJoin(broadcast(
+            qs.select(col("vec_id").as("__q"), ec.as("__qe"))))
+          .filter(col("__i") =!= col("__q"))
+          .select(col("__q"), col("__i"),
+            round(expr("cosine_sim(__qe, __e)"), 6).as("__s"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("__q").as("qid"), col("__i").as("item"),
+            col("rnk"))
+      }
+      orderAll(graft.Engine.rankingMetrics(
+        ranked(Some(16)), ranked(None), "qid", "item", "rnk"))
+    },
+
     // Q99j (beyond-survey) — TOMBSTONE DELETES on the persisted IVF
     // index ([[graft.Engine.deleteFromIvfIndex]] +
     // [[graft.Engine.searchIvfIndexLive]]): the other half of index
@@ -3606,6 +3644,47 @@ object LlmPipeline {
        |FROM r WHERE rn <= 5
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, item NULLS FIRST,
        |  score NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q99l: both rankings (full-dim truth, 16-dim
+    * truncated pred) replayed as CTEs, graded rel = 11 − true rank,
+    * DCG terms 6-dp-rounded onto DECIMAL(38,6) before the order-free
+    * sum — the operator's exact value path. */
+  private def rankingMetricsOracleSql: String =
+    s"""WITH qv AS (SELECT vec_id AS q, embedding AS qe FROM embeddings
+       |  WHERE vec_id < 8),
+       |truth AS (SELECT q, i, tr FROM (SELECT qv.q, e.vec_id AS i,
+       |    row_number() OVER (PARTITION BY qv.q
+       |      ORDER BY round(${Similarity.cosineSql("qe", "e.embedding")},
+       |        6) DESC, e.vec_id ASC) AS tr
+       |  FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.q)
+       |  WHERE tr <= 10),
+       |pred AS (SELECT q, i, pr FROM (SELECT qv.q, e.vec_id AS i,
+       |    row_number() OVER (PARTITION BY qv.q
+       |      ORDER BY round(${Similarity.cosineSql("list_slice(qe, 1, 16)",
+                "list_slice(e.embedding, 1, 16)")}, 6) DESC,
+       |        e.vec_id ASC) AS pr
+       |  FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.q)
+       |  WHERE pr <= 10),
+       |rel AS (SELECT q, i, tr, 10 - tr + 1 AS rel FROM truth),
+       |j AS (SELECT p.q, p.pr, coalesce(r.rel, 0) AS rel FROM pred p
+       |  LEFT JOIN rel r ON r.q = p.q AND r.i = p.i),
+       |dcg AS (SELECT q,
+       |    sum(CAST(round(CAST(rel AS DOUBLE)
+       |      / log2(CAST(pr + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS dcg,
+       |    min(CASE WHEN rel > 0 THEN pr END) AS fp,
+       |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
+       |  FROM j GROUP BY q),
+       |idcg AS (SELECT q,
+       |    sum(CAST(round(CAST(rel AS DOUBLE)
+       |      / log2(CAST(tr + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS idcg
+       |  FROM rel GROUP BY q)
+       |SELECT d.q AS query_id,
+       |  round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg,
+       |  coalesce(round(1.0e0 / fp, 6), 0.0e0) AS mrr,
+       |  CAST(hits AS INT) AS n_hits
+       |FROM dcg d JOIN idcg i USING (q)
+       |ORDER BY query_id NULLS FIRST, ndcg NULLS FIRST, mrr NULLS FIRST,
+       |  n_hits NULLS FIRST""".stripMargin
 
   /** DuckDB oracle for Q92n: the MMR greedy unrolled as chained CTEs —
     * step 1 is the argmax of 70·rel; each later step t anti-joins the

@@ -80,6 +80,49 @@ object Projections {
     // 100 TB). The fixture makes three checks non-trivial: ~24k
     // quantities over 30, ~27k discounts over 0.05, and ~14k duplicate
     // (l_orderkey, l_linenumber) pairs.
+    // Q11d (beyond-survey) — COLUMN PROFILER
+    // ([[graft.Engine.profileColumns]]): per-column rows / nulls /
+    // exact distincts / min / max in long format — the data-quality
+    // first look before a corpus enters the pipeline. One single-pass
+    // aggregate PER COLUMN, unioned: under parquet column pruning each
+    // job reads exactly its one column (same total IO as a one-pass
+    // plan) while avoiding the Expand that N count-distincts in one
+    // aggregate would plan (×N row multiplication before the shuffle).
+    // min/max are computed typed and cast to string AFTER — casting
+    // first would corrupt numeric order ("9" > "10").
+    Q("q11d_column_profile",
+      """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |  count(*) - count(o_custkey) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |  count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR),
+        |  CAST(max(o_orderkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), CAST(min(o_orderstatus) AS VARCHAR),
+        |  CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |ORDER BY "column" NULLS FIRST, n_rows NULLS FIRST,
+        |  n_nulls NULLS FIRST, n_distinct NULLS FIRST,
+        |  min_value NULLS FIRST, max_value NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.profileColumns(Tables.t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderkey", "o_orderpriority",
+            "o_orderstatus")))
+    },
+
     Q("q11b_constraint_audit",
       """WITH a AS (SELECT count(*) AS n,
         |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,

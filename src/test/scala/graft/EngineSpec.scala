@@ -1913,6 +1913,79 @@ class EngineSpec extends AnyFunSuite {
     assert(picks(50) == Seq(4L, 2L, 3L))
   }
 
+  test("rankingMetrics: hand fixture — graded DCG order, rel-0 for " +
+      "items outside the truth, MRR 0 with no hits, truth-less " +
+      "queries dropped") {
+    import spark.implicits._
+    // truth q=1: a(1), b(2), c(3) -> rel a=3, b=2, c=1
+    val truth = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3))
+      .toDF("qid", "item", "rnk")
+    // pred q=1: b, a, x (x outside truth -> gain 0); q=2 has no truth
+    val pred = Seq((1L, "b", 1), (1L, "a", 2), (1L, "x", 3),
+      (2L, "a", 1)).toDF("qid", "item", "rnk")
+    val got = Engine.rankingMetrics(pred, truth, "qid", "item", "rnk")
+      .collect()
+    assert(got.length == 1) // q=2 dropped: no ideal ranking exists
+    val r = got(0)
+    def t(rel: Int, pos: Int) =
+      BigDecimal(rel / (math.log(pos + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = BigDecimal(t(2, 1)) + BigDecimal(t(3, 2)) // b then a; x=0
+    val idcg = BigDecimal(t(3, 1)) + BigDecimal(t(2, 2)) +
+      BigDecimal(t(1, 3))
+    val ndcg = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 1L && r.getDouble(1) == ndcg)
+    assert(r.getDouble(2) == 1.0 && r.getInt(3) == 2) // first hit pos 1
+    // all-miss predictions: ndcg 0, mrr 0, hits 0
+    val miss = Engine.rankingMetrics(
+      Seq((1L, "x", 1)).toDF("qid", "item", "rnk"), truth,
+      "qid", "item", "rnk").collect()(0)
+    assert(miss.getDouble(1) == 0.0 && miss.getDouble(2) == 0.0 &&
+      miss.getInt(3) == 0)
+  }
+
+  test("profileColumns: typed min/max before the string cast, exact " +
+      "null and distinct counts per column") {
+    import spark.implicits._
+    val df = Seq((Some(10L), Some("b")), (Some(9L), None),
+      (Some(10L), Some("a")), (None, Some("a")))
+      .toDF("k", "s")
+    val got = Engine.profileColumns(df, Seq("k", "s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).sortBy(_._1)
+    // typed min of (10, 9, 10) is 9 — a string-cast-first profiler
+    // would report "10" as the min
+    assert(got.toSeq == Seq(("k", 4L, 1L, 2L, "9", "10"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("autocorrDaily: an alternating daily series has acf -1/+1/-1 " +
+      "at lags 1/2/3, intra-day events average first, constant " +
+      "series yield NULL") {
+    import spark.implicits._
+    val days = (1 to 6).map(d => f"2024-01-0$d")
+    val alt = days.zipWithIndex.flatMap { case (d, i) =>
+      // day value 2 on even index, 1 on odd — split across two events
+      // so the daily mean (not the raw rows) drives the series
+      val v = if (i % 2 == 0) 2.0 else 1.0
+      Seq(("alt", d, v - 0.5), ("alt", d, v + 0.5))
+    }
+    val const = days.map(d => ("const", d, 5.0))
+    val df = (alt ++ const).toDF("k", "d", "v")
+      .withColumn("d", to_timestamp(col("d")))
+    val got = Engine.autocorrDaily(df, col("k"), col("d"), col("v"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getInt(2), if (r.isNullAt(3)) null else r.getDouble(3))))
+      .toMap
+    assert(got(("alt", 1)) == ((5, -1.0)))
+    assert(got(("alt", 2)) == ((4, 1.0)))
+    assert(got(("alt", 3)) == ((3, -1.0)))
+    assert(got(("const", 1)) == ((5, null)))
+    assert(got(("const", 2)) == ((4, null)))
+    assert(got(("const", 3)) == ((3, null)))
+  }
+
   test("joinSizeAudit: hand fixture — est rows multiply per key, " +
       "max-product ties report the smallest key, disjoint keys " +
       "audit to zero") {

@@ -574,6 +574,8 @@ class PlanSpec extends AnyFunSuite {
       "q93s_graph_triangles",
       // bounded query set crossed against the corpus, the q92 class
       "q92n_mmr_rerank",
+      // two bounded query crosses (truth + truncated-pred rankings)
+      "q99l_ranking_metrics",
       // two 1-row scalar broadcasts (totals + worst key)
       "q20e_join_audit")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
