@@ -4251,6 +4251,136 @@ object Engine {
         when(den === 0, lit(null)).otherwise(den), 6).as("acf"))
   }
 
+  /** KAPLAN-MEIER SURVIVAL curves per signup-week cohort — the
+    * time-to-churn view of retention that [[q47c]]'s fixed-window grid
+    * can't express: censoring. A user still active at the observation
+    * end hasn't churned, they're CENSORED — counting them as churned
+    * biases survival down, dropping them biases it up; KM handles both
+    * by keeping censored users in the at-risk denominator up to their
+    * observed lifetime and never counting them as a death. Churn =
+    * last activity more than `churnGapDays` before the corpus's end.
+    *
+    * Plan shape: one groupBy(user) pass builds lifetimes, one
+    * groupBy(cohort, day) builds the risk table, and the curve itself
+    * is two PARTITIONED window aggregates over that already-tiny
+    * table — the survival product Π(1 − d/n) is computed as
+    * exp(Σ ln(1 − d/n)) with each ln term rounded onto the 9-dp
+    * decimal grid before the order-free cumulative sum (the [[q11c]]
+    * entropy discipline), so the curve is engine-stable. A step that
+    * kills the whole risk set (d = n) would be ln(0): a window-max
+    * flag pins survival to exactly 0.0 from that step on. */
+  def kaplanMeier(events: DataFrame, user: Column, ts: Column,
+      churnGapDays: Int = 7): DataFrame = {
+    require(churnGapDays >= 0)
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val lives = events.filter(user.isNotNull && ts.isNotNull)
+      .groupBy(user.as("__u"))
+      .agg(min(ts).as("__birth"), max(ts).as("__last"))
+    val end = lives.agg(max(col("__last")).as("__end"))
+    val risk = lives.crossJoin(broadcast(end))
+      .select(date_trunc("week", col("__birth")).as("cohort"),
+        datediff(to_date(col("__last")), to_date(col("__birth")))
+          .as("t_day"),
+        (col("__last") < col("__end") -
+          expr(s"INTERVAL $churnGapDays DAYS")).cast("int").as("__churn"))
+      .groupBy(col("cohort"), col("t_day"))
+      .agg(count(lit(1)).as("__at"),
+        sum(col("__churn")).as("n_churn"),
+        sum(lit(1) - col("__churn")).as("n_censored"))
+    val wRisk = Window.partitionBy(col("cohort")).orderBy(col("t_day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk.withColumn("n_risk", sum(col("__at")).over(wRisk))
+      // the d = n step is excluded from the log fold (ln(0) = −∞ would
+      // poison the decimal cast differently per engine); the __dead
+      // flag pins that step and everything after it to exactly 0.0
+      .withColumn("__term",
+        when(col("n_churn") > 0 && col("n_churn") < col("n_risk"),
+          round(log(lit(1.0) - col("n_churn").cast(DoubleType) /
+            col("n_risk").cast(DoubleType)), 9))
+        .otherwise(lit(0.0)).cast(dec9))
+      .withColumn("__dead",
+        max((col("n_churn") === col("n_risk")).cast("int")).over(wCum))
+      .withColumn("survival", when(col("__dead") === 1, lit(0.0))
+        .otherwise(round(exp(
+          sum(col("__term")).over(wCum).cast(DoubleType)), 6)))
+      .select(col("cohort"), col("t_day"), col("n_risk"),
+        col("n_churn"), col("n_censored"), col("survival"))
+  }
+
+  /** BENFORD first-significant-digit audit of a positive measure —
+    * the cheap pipeline-corruption tripwire: organically-generated
+    * magnitudes follow P(d) = log10(1 + 1/d), while duplicated
+    * batches, fill-in defaults, or unit mix-ups bend the digit
+    * histogram long before a mean/quantile drifts. Emits one row per
+    * digit with observed vs expected share and the χ² statistic.
+    *
+    * Determinism: the first digit is taken from the INTEGER-cents
+    * rendering (round(v·100) as BIGINT → first character of its
+    * base-10 string — integer formatting agrees across engines,
+    * double formatting does not); expected shares round log10 onto
+    * the 9-dp grid; the χ² fold sums 6-dp-rounded decimal terms. The
+    * scan aggregates to ≤9 rows in one exchange; the window totals
+    * run on that 9-row frame, not on data. */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val digits = df.filter(value > 0)
+      .select(substring(round(value * 100).cast(LongType)
+        .cast(StringType), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1) // round(v*100) = 0 has no first digit
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val wAll = Window.partitionBy()
+    digits.withColumn("__n", sum(col("n_obs")).over(wAll))
+      .withColumn("benford_share",
+        round(log10((col("digit") + 1).cast(DoubleType) /
+          col("digit").cast(DoubleType)), 9))
+      .withColumn("__exp", col("__n").cast(DoubleType) * col("benford_share"))
+      .withColumn("__t", round(
+        (col("n_obs").cast(DoubleType) - col("__exp")) *
+          (col("n_obs").cast(DoubleType) - col("__exp")) / col("__exp"), 6)
+        .cast(dec))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast(DoubleType) /
+          col("__n").cast(DoubleType), 6).as("share"),
+        col("benford_share"),
+        sum(col("__t")).over(wAll).cast(DoubleType).as("chi2"))
+  }
+
+  /** WINSORIZED per-group statistics — the outlier-robust aggregate a
+    * quality gate wants when a handful of corrupt magnitudes would
+    * otherwise own the mean: clip every value into its group's exact
+    * [pLo, pHi] percentile band, report the band, how many rows hit
+    * each wall, and the clipped mean. Two passes by necessity (the
+    * band must exist before clipping): one exact-percentile aggregate
+    * per key, then one keyed join + moment aggregate — both shuffle on
+    * the same group key. The band edges round to 6 dp BEFORE clipping
+    * so every comparison and the clipped sum run on engine-identical
+    * values ([[q38]]'s percentile discipline, [[Canon.sumDec]] for the
+    * mean). */
+  def winsorizedStats(df: DataFrame, key: Column, value: Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val src = df.filter(key.isNotNull && value.isNotNull)
+      .select(key.as("__k"), value.as("__v"))
+    val bands = src.groupBy(col("__k"))
+      .agg(expr(s"percentile(__v, array(${pLo}D, ${pHi}D))").as("__ps"))
+      .select(col("__k"), round(element_at(col("__ps"), 1), 6).as("p_lo"),
+        round(element_at(col("__ps"), 2), 6).as("p_hi"))
+    src.join(bands, Seq("__k"))
+      .withColumn("__c",
+        least(greatest(col("__v"), col("p_lo")), col("p_hi")))
+      .groupBy(col("__k"), col("p_lo"), col("p_hi"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__v") < col("p_lo")).cast("long")).as("n_clipped_lo"),
+        sum((col("__v") > col("p_hi")).cast("long")).as("n_clipped_hi"),
+        round(sum(col("__c").cast(dec)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("winsorized_mean"))
+      .select(col("__k").as("key"), col("p_lo"), col("p_hi"), col("n"),
+        col("n_clipped_lo"), col("n_clipped_hi"), col("winsorized_mean"))
+  }
+
   /** Exact TRIANGLE COUNT + global clustering coefficient over an
     * undirected edge list — graph-shape diagnostics (how clubby is
     * the co-occurrence/similarity graph a dedup or embedding pass

@@ -750,5 +750,40 @@ object Aggregates {
          |  acf NULLS FIRST""".stripMargin) { (s, dir) =>
       orderAll(graft.Engine.autocorrDaily(Tables.t(s, dir, "events"),
         col("event_type"), col("ts"), col("value"), maxLag = 3))
+    },
+
+    // Q46k (beyond-survey) — WINSORIZED per-group statistics
+    // ([[graft.Engine.winsorizedStats]]): clip every value into its
+    // group's exact [p05, p95] percentile band and report the band,
+    // the wall counts, and the clipped mean — the outlier-robust
+    // aggregate a quality gate wants when a handful of corrupt
+    // magnitudes would otherwise own the mean. Two passes by
+    // necessity (the band must exist before clipping), both shuffling
+    // on the same group key; band edges round to 6 dp BEFORE clipping
+    // so every comparison and the clipped decimal sum run on
+    // engine-identical values (q38's percentile discipline).
+    Q("q46k_winsorize",
+      s"""WITH b AS (SELECT event_type AS k,
+         |    round(quantile_cont(value, 0.05), 6) AS p_lo,
+         |    round(quantile_cont(value, 0.95), 6) AS p_hi
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND value IS NOT NULL GROUP BY 1),
+         |j AS (SELECT e.event_type AS k, e.value AS v, p_lo, p_hi
+         |  FROM events e JOIN b ON b.k = e.event_type
+         |  WHERE e.value IS NOT NULL)
+         |SELECT k AS key, p_lo, p_hi, count(*) AS n,
+         |  CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clipped_lo,
+         |  CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clipped_hi,
+         |  round(${sumDecSql("least(greatest(v, p_lo), p_hi)")}
+         |    / CAST(count(*) AS DOUBLE), 6) AS winsorized_mean
+         |FROM j GROUP BY k, p_lo, p_hi
+         |ORDER BY key NULLS FIRST, p_lo NULLS FIRST, p_hi NULLS FIRST,
+         |  n NULLS FIRST, n_clipped_lo NULLS FIRST,
+         |  n_clipped_hi NULLS FIRST,
+         |  winsorized_mean NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.winsorizedStats(Tables.t(s, dir, "events"),
+        col("event_type"), col("value"), pLo = 0.05, pHi = 0.95))
     })
 }

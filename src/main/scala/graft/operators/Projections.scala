@@ -123,6 +123,41 @@ object Projections {
             "o_orderstatus")))
     },
 
+    // Q11e (beyond-survey) — BENFORD first-digit audit
+    // ([[graft.Engine.benfordAudit]]): the cheap pipeline-corruption
+    // tripwire — organic magnitudes follow P(d) = log10(1 + 1/d);
+    // duplicated batches, fill-in defaults, or unit mix-ups bend the
+    // digit histogram long before a mean drifts. The first digit comes
+    // from the INTEGER-cents rendering (integer formatting agrees
+    // across engines where double formatting does not); the synthetic
+    // uniform prices rightly FAIL Benford — the χ² of 5876 is the
+    // audit working, not the fixture passing. One scan aggregates to
+    // ≤9 rows; the totals windows run on that 9-row frame.
+    Q("q11e_benford",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice
+        |      * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, count(*) AS n_obs FROM d WHERE digit >= 1
+        |  GROUP BY 1),
+        |w AS (SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM g),
+        |b AS (SELECT digit, n_obs, n,
+        |    round(log10(CAST(digit + 1 AS DOUBLE)
+        |      / CAST(digit AS DOUBLE)), 9) AS benford_share FROM w),
+        |c AS (SELECT *, CAST(n AS DOUBLE) * benford_share AS ex FROM b),
+        |t AS (SELECT *, CAST(round((CAST(n_obs AS DOUBLE) - ex)
+        |      * (CAST(n_obs AS DOUBLE) - ex) / ex, 6)
+        |    AS DECIMAL(38,6)) AS term FROM c)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        |  benford_share, CAST(sum(term) OVER () AS DOUBLE) AS chi2
+        |FROM t
+        |ORDER BY digit NULLS FIRST, n_obs NULLS FIRST, share NULLS FIRST,
+        |  benford_share NULLS FIRST, chi2 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.benfordAudit(Tables.t(s, dir, "orders"),
+          col("o_totalprice")))
+    },
+
     Q("q11b_constraint_audit",
       """WITH a AS (SELECT count(*) AS n,
         |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,

@@ -651,5 +651,66 @@ object Windows {
         Tables.t(s, dir, "events"), col("user_id"),
         Seq(col("ts"), col("event_id")), col("event_type"),
         "purchase", col("value")))
+    },
+
+    // Q47f (beyond-survey) — KAPLAN-MEIER SURVIVAL per signup-week
+    // cohort ([[graft.Engine.kaplanMeier]]) over purchase activity:
+    // the time-to-churn view q47c's fixed retention grid can't
+    // express, because it handles CENSORING — a user still purchasing
+    // at the observation end hasn't churned and must stay in the
+    // at-risk denominator without ever counting as a death. Churn =
+    // last purchase > 7 days before the corpus end. The survival
+    // product Π(1 − d/n) runs as exp(Σ ln(1 − d/n)) with ln terms on
+    // the 9-dp decimal grid (the q11c entropy discipline); a
+    // whole-risk-set death step is pinned to exactly 0.0 by a
+    // window-max flag instead of folding ln(0). Two keyed aggregates
+    // + two partitioned windows over the already-tiny risk table.
+    Q("q47f_survival",
+      """WITH lives AS (SELECT user_id AS u, min(ts) AS birth,
+        |    max(ts) AS lastt
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type = 'purchase'
+        |  GROUP BY 1),
+        |e AS (SELECT max(lastt) AS endt FROM lives),
+        |risk AS (SELECT
+        |    CAST(date_trunc('week', birth) AS TIMESTAMP) AS cohort,
+        |    CAST(date_diff('day', CAST(birth AS DATE),
+        |      CAST(lastt AS DATE)) AS INT) AS t_day,
+        |    CASE WHEN lastt < endt - INTERVAL 7 DAY THEN 1 ELSE 0 END
+        |      AS churn
+        |  FROM lives, e),
+        |rt AS (SELECT cohort, t_day, count(*) AS at_t,
+        |    CAST(sum(churn) AS BIGINT) AS n_churn,
+        |    CAST(sum(1 - churn) AS BIGINT) AS n_censored
+        |  FROM risk GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(at_t) OVER (PARTITION BY cohort
+        |      ORDER BY t_day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS BIGINT) AS n_risk FROM rt),
+        |t AS (SELECT *,
+        |    CAST(CASE WHEN n_churn > 0 AND n_churn < n_risk THEN
+        |      round(ln(1.0e0 - CAST(n_churn AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 9)
+        |      ELSE 0.0e0 END AS DECIMAL(38,9)) AS term,
+        |    max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY cohort ORDER BY t_day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dead
+        |  FROM w)
+        |SELECT cohort, t_day, n_risk, n_churn, n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0e0 ELSE
+        |    round(exp(CAST(sum(term) OVER (PARTITION BY cohort
+        |      ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE)), 6) END AS survival
+        |FROM t
+        |ORDER BY cohort NULLS FIRST, t_day NULLS FIRST,
+        |  n_risk NULLS FIRST, n_churn NULLS FIRST,
+        |  n_censored NULLS FIRST, survival NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.kaplanMeier(
+          Tables.t(s, dir, "events")
+            .filter(col("event_type") === "purchase"),
+          col("user_id"), col("ts"), churnGapDays = 7))
     })
 }

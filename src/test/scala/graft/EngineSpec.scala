@@ -1986,6 +1986,64 @@ class EngineSpec extends AnyFunSuite {
     assert(got(("const", 3)) == ((3, null)))
   }
 
+  test("kaplanMeier: hand fixture — censored users stay at risk " +
+      "without counting as deaths, the curve steps only at churn " +
+      "times, a whole-risk-set death pins survival to exactly 0") {
+    import spark.implicits._
+    // cohort week Jan 1: u1 churns at t=0, u2 at t=4, u3/u4 censored
+    // (still active within 7 days of the Jan 20 corpus end);
+    // cohort week Jan 8: its only user churns -> survival 0.0
+    val rows = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (2L, "2024-01-05"),
+      (3L, "2024-01-01"), (3L, "2024-01-20"),
+      (4L, "2024-01-01"), (4L, "2024-01-18"),
+      (5L, "2024-01-08"), (5L, "2024-01-09"))
+      .toDF("u", "d").withColumn("d", to_timestamp(col("d")))
+    val got = Engine.kaplanMeier(rows, col("u"), col("d"), 7)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 4L, 1L, 0L, 0.75),  // 1 - 1/4
+      ("2024-01-01", 4, 3L, 1L, 0L, 0.5),   // 0.75 * (1 - 1/3)
+      ("2024-01-01", 17, 2L, 0L, 1L, 0.5),  // censoring: no step
+      ("2024-01-01", 19, 1L, 0L, 1L, 0.5),
+      ("2024-01-08", 1, 1L, 1L, 0L, 0.0)))  // d = n: pinned, not ln(0)
+  }
+
+  test("benfordAudit: hand fixture — first digit from the integer-" +
+      "cents rendering, non-positives excluded, chi-square matches " +
+      "the fold") {
+    import spark.implicits._
+    val df = Seq(1.00, 19.99, 0.02, 2.50, -5.0, 0.0)
+      .toDF("v") // digits: 1, 1, 2, 2; -5 and 0 excluded
+    val got = Engine.benfordAudit(df, col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b1 = r9(math.log10(2.0)); val b2 = r9(math.log10(3.0 / 2.0))
+    val chi2 = (BigDecimal(r6(math.pow(2 - 4 * b1, 2) / (4 * b1))) +
+      BigDecimal(r6(math.pow(2 - 4 * b2, 2) / (4 * b2)))).toDouble
+    assert(got == Seq((1, 2L, 0.5, b1, chi2), (2, 2L, 0.5, b2, chi2)))
+  }
+
+  test("winsorizedStats: hand fixture — exact interpolated band, " +
+      "wall counts, and the clipped decimal mean") {
+    import spark.implicits._
+    val df = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("a", _))
+      .toDF("k", "v")
+    val r = Engine.winsorizedStats(df, col("k"), col("v"), 0.05, 0.95)
+      .collect()(0)
+    // p05 = 1.5 (between 1 and 2), p95 = 505 (between 10 and 1000);
+    // clipped mean = (1.5 + (2+..+10) + 505) / 11 = 560.5 / 11
+    assert((r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      (("a", 1.5, 505.0, 11L, 1L, 1L, 50.954545)))
+  }
+
   test("joinSizeAudit: hand fixture — est rows multiply per key, " +
       "max-product ties report the smallest key, disjoint keys " +
       "audit to zero") {

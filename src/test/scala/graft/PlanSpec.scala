@@ -577,7 +577,9 @@ class PlanSpec extends AnyFunSuite {
       // two bounded query crosses (truth + truncated-pred rankings)
       "q99l_ranking_metrics",
       // two 1-row scalar broadcasts (totals + worst key)
-      "q20e_join_audit")
+      "q20e_join_audit",
+      // 1-row observation-end scalar broadcast cross
+      "q47f_survival")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
