@@ -4381,6 +4381,106 @@ object Engine {
         col("n_clipped_lo"), col("n_clipped_hi"), col("winsorized_mean"))
   }
 
+  /** K-CORE DECOMPOSITION by bounded synchronous peeling — the graph
+    * community extractor completing [[triangleStats]]'s diagnostics:
+    * the k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors, the standard way to separate a similarity/
+    * co-occurrence graph's dense heart from its pendant fuzz before
+    * clustering. Each round recomputes degrees over surviving edges
+    * and drops every node below k SIMULTANEOUSLY (synchronous peel:
+    * the result is the same fixed point sequential peeling reaches,
+    * but each round is two keyed aggregates + two semi-joins — pure
+    * bulk-synchronous Spark, no driver data). `rounds` bounds the
+    * plan depth; the fixed point is reached when a round removes
+    * nothing, and extra rounds past it are idempotent no-ops, so a
+    * generous bound is safe and DETERMINISTIC even if unconverged
+    * (every engine replaying N rounds gets the identical frontier).
+    * Edges are canonicalized first ([[triangleStats]]' rule: dedupe,
+    * drop self-loops). Returns the surviving (node, degree) rows. */
+  def kCore(edges: DataFrame, u: Column, v: Column, k: Int,
+      rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 32)
+    // each round MATERIALIZES its surviving edges (localCheckpoint):
+    // deg feeds two semi-joins plus the next round, so a lazy plan
+    // would re-reference the whole history ~3× per round — exponential
+    // lineage that stalls planning long before data moves. Truncating
+    // per round keeps every round two aggregates + two hash joins over
+    // a concrete frame — the shape an iterative graph pass needs at
+    // any scale (and what a cluster job would checkpoint anyway).
+    var live = edges.filter(u.isNotNull && v.isNotNull && u =!= v)
+      .select(least(u, v).as("__u"), greatest(u, v).as("__v"))
+      .distinct().localCheckpoint()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = live.select(col("__u").as("__x"))
+        .union(live.select(col("__v").as("__x")))
+        .groupBy(col("__x")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+      live = live
+        .join(deg.select(col("__x").as("__u")), Seq("__u"), "left_semi")
+        .join(deg.select(col("__x").as("__v")), Seq("__v"), "left_semi")
+        .localCheckpoint()
+    }
+    deg.select(col("__x").as("node"), col("__d").as("degree"))
+  }
+
+  /** DAY-OF-WEEK SEASONAL INDEX per key — mean(value | ISO weekday) /
+    * mean(value), the multiplicative seasonality profile that turns
+    * "traffic looks low today" into "traffic is low FOR A SATURDAY":
+    * the normalization step before any daily drift gate
+    * ([[cusumChangePoints]], [[psiDrift]]) runs on day-of-week-shaped
+    * data. One keyed aggregate to (key, weekday) cells — the exchange
+    * carries ≤ 7 rows per key — then the per-key overall mean comes
+    * from a window-sum of the cells' EXACT decimal sums (never
+    * re-reading the data, never summing doubles); both means divide
+    * out in one IEEE expression, round 6. ISO weekday (Mon=1..Sun=7)
+    * is the cross-engine-stable numbering. */
+  def seasonalIndexDow(events: DataFrame, key: Column, ts: Column,
+      value: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val cells = events
+      .filter(key.isNotNull && ts.isNotNull && value.isNotNull)
+      .groupBy(key.as("__k"), (weekday(ts) + lit(1)).as("isodow"))
+      .agg(sum(value.cast(dec)).as("__s"), count(lit(1)).as("__n"))
+    val wKey = Window.partitionBy(col("__k"))
+    cells
+      .withColumn("__st", sum(col("__s")).over(wKey))
+      .withColumn("__nt", sum(col("__n")).over(wKey))
+      .select(col("__k").as("key"), col("isodow").cast("int").as("isodow"),
+        col("__n").as("n_events"),
+        round((col("__s").cast(DoubleType) / col("__n").cast(DoubleType)) /
+          (col("__st").cast(DoubleType) / col("__nt").cast(DoubleType)),
+          6).as("seasonal_index"))
+  }
+
+  /** WILSON SCORE INTERVAL per group — the proportion estimate that
+    * stays honest at small n and extreme p̂ (the normal approximation
+    * interval goes negative or past 1 exactly where a data gate's
+    * pass-rates live). For each group: successes, trials, p̂, and the
+    * 95% Wilson bounds (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) /
+    * (1 + z²/n), z = 1.96. One keyed aggregate; the bound expression
+    * is divisions, multiplications and one IEEE sqrt of identical
+    * inputs — deterministic across engines without any decimal
+    * staging; round 6 on emit. */
+  def wilsonInterval(df: DataFrame, key: Column, success: Column,
+      z: Double = 1.96): DataFrame = {
+    val agg = df.filter(key.isNotNull)
+      .groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(success.cast("int")).as("n_success"))
+    val n = col("n").cast(DoubleType)
+    val p = col("n_success").cast(DoubleType) / n
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0) * n)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2 / n
+    agg.select(col("__k").as("key"), col("n"), col("n_success"),
+      round(p, 6).as("p_hat"),
+      round((center - half) / denom, 6).as("wilson_low"),
+      round((center + half) / denom, 6).as("wilson_high"))
+  }
+
   /** Exact TRIANGLE COUNT + global clustering coefficient over an
     * undirected edge list — graph-shape diagnostics (how clubby is
     * the co-occurrence/similarity graph a dedup or embedding pass

@@ -785,5 +785,36 @@ object Aggregates {
          |  winsorized_mean NULLS FIRST""".stripMargin) { (s, dir) =>
       orderAll(graft.Engine.winsorizedStats(Tables.t(s, dir, "events"),
         col("event_type"), col("value"), pLo = 0.05, pHi = 0.95))
+    },
+
+    // Q46l (beyond-survey) — DAY-OF-WEEK SEASONAL INDEX
+    // ([[graft.Engine.seasonalIndexDow]]): mean(value | ISO weekday) /
+    // mean(value) per key — the multiplicative profile that turns
+    // "traffic looks low today" into "traffic is low FOR A SATURDAY",
+    // the normalization step before the daily drift gates (q46i
+    // CUSUM, q46h PSI) run on weekday-shaped data. One keyed
+    // aggregate to ≤7 cells per key; the per-key overall mean comes
+    // from window sums of the cells' EXACT decimal sums (the data is
+    // never re-read and doubles are never summed); ISO weekday
+    // (Mon=1) is the cross-engine-stable numbering.
+    Q("q46l_seasonal",
+      """WITH cells AS (SELECT event_type AS k, isodow(ts) AS isodow,
+        |    sum(CAST(value AS DECIMAL(38,6))) AS s, count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, sum(s) OVER (PARTITION BY k) AS st,
+        |    sum(n) OVER (PARTITION BY k) AS nt FROM cells)
+        |SELECT k AS key, CAST(isodow AS INT) AS isodow,
+        |  CAST(n AS BIGINT) AS n_events,
+        |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+        |    AS seasonal_index
+        |FROM w
+        |ORDER BY key NULLS FIRST, isodow NULLS FIRST,
+        |  n_events NULLS FIRST, seasonal_index NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.seasonalIndexDow(Tables.t(s, dir, "events"),
+          col("event_type"), col("ts"), col("value")))
     })
 }

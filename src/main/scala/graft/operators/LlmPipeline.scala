@@ -2337,6 +2337,31 @@ object LlmPipeline {
         .limit(5000)
     },
 
+    // Q93u (beyond-survey) — K-CORE DECOMPOSITION
+    // ([[graft.Engine.kCore]]) of the q93s co-occurrence graph: the
+    // maximal subgraph where every word keeps ≥ 10 co-occurrence
+    // neighbors — the dense-heart extractor that separates a
+    // similarity graph's core from its pendant fuzz before
+    // clustering. Synchronous peeling, 4 bounded rounds (two keyed
+    // aggregates + two semi-joins per round, no driver data); on
+    // this gram-saturated fixture the peel converges in ROUND 1 and
+    // the remaining rounds are idempotent no-ops — the oracle
+    // replays all 4 rounds as unrolled CTEs, so the idempotence
+    // itself is hash-verified (the multi-round peel dynamics are
+    // pinned by the EngineSpec chain fixture, where each round
+    // strips one layer). Emits the surviving (node, degree) rows.
+    Q("q93u_kcore", kCoreOracleSql(k = 10, rounds = 4)) { (s, dir) =>
+      val pairs = skipGramPairs(Tables.t(s, dir, "documents"),
+          split(col("text"), " "), window = 2)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .select(least(col("w1"), col("w2")).as("u"),
+          greatest(col("w1"), col("w2")).as("v"), col("cnt"))
+        .groupBy("u", "v").agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") >= 3)
+      orderAll(graft.Engine.kCore(pairs, col("u"), col("v"), k = 10,
+        rounds = 4))
+    },
+
     // Q93k (beyond-survey) — deterministic training-export SHUFFLE +
     // SHARDING ([[graft.Engine.shardShuffle]]): shard = md5(seed:id)
     // mod 8, position = hash rank within the shard — the
@@ -3644,6 +3669,35 @@ object LlmPipeline {
        |FROM r WHERE rn <= 5
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, item NULLS FIRST,
        |  score NULLS FIRST""".stripMargin
+
+  /** DuckDB oracle for Q93u: the synchronous k-core peel unrolled as
+    * `rounds` (degree-filter, edge-filter) CTE pairs over the q93s
+    * co-occurrence edges — identical round count to the operator, so
+    * converged-early rounds are hash-verified as idempotent. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s""",
+         |d$i AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM $prev
+         |    UNION ALL SELECT v AS x FROM $prev) GROUP BY 1
+         |  HAVING count(*) >= $k),
+         |e$i AS (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT x FROM d$i)
+         |    AND v IN (SELECT x FROM d$i))""".stripMargin
+    }.mkString
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(ws) AS w,
+       |    generate_subscripts(ws, 1) AS pos FROM w),
+       |pairs AS (SELECT least(a.w, b.w) AS u, greatest(a.w, b.w) AS v,
+       |    count(*) AS cnt
+       |  FROM t a JOIN t b
+       |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       |  WHERE a.w <> b.w GROUP BY 1, 2),
+       |e0 AS (SELECT DISTINCT u, v FROM pairs WHERE cnt >= 3)$steps
+       |SELECT x AS node, CAST(d AS BIGINT) AS degree FROM d$rounds
+       |ORDER BY node NULLS FIRST, degree NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB oracle for Q99l: both rankings (full-dim truth, 16-dim
     * truncated pred) replayed as CTEs, graded rel = 11 − true rank,

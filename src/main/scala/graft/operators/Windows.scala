@@ -712,5 +712,39 @@ object Windows {
           Tables.t(s, dir, "events")
             .filter(col("event_type") === "purchase"),
           col("user_id"), col("ts"), churnGapDays = 7))
+    },
+
+    // Q47g (beyond-survey) — WILSON SCORE INTERVALS
+    // ([[graft.Engine.wilsonInterval]]): per-event-type share of
+    // high-value events (value > 50) with the 95% Wilson bounds — the
+    // proportion estimate that stays honest at small n and extreme p̂,
+    // where the normal-approximation interval goes negative or past 1
+    // (exactly where a data gate's pass-rates live). One keyed
+    // aggregate; the bound is divisions and one IEEE sqrt of identical
+    // inputs — deterministic with no decimal staging; the oracle
+    // spells z² as 1.96·1.96 so both engines compute the identical
+    // IEEE product rather than parsing a decimal literal.
+    Q("q47g_wilson",
+      """WITH a AS (SELECT event_type AS key, count(*) AS n,
+        |    CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_success
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |p AS (SELECT key, n, n_success,
+        |    CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+        |    1.96e0 * 1.96e0 AS z2, CAST(n AS DOUBLE) AS nd
+        |  FROM a)
+        |SELECT key, n, n_success, round(ph, 6) AS p_hat,
+        |  round((ph + z2 / (2.0e0 * nd) - 1.96e0
+        |    * sqrt(ph * (1.0e0 - ph) / nd + z2 / (4.0e0 * nd * nd)))
+        |    / (1.0e0 + z2 / nd), 6) AS wilson_low,
+        |  round((ph + z2 / (2.0e0 * nd) + 1.96e0
+        |    * sqrt(ph * (1.0e0 - ph) / nd + z2 / (4.0e0 * nd * nd)))
+        |    / (1.0e0 + z2 / nd), 6) AS wilson_high
+        |FROM p
+        |ORDER BY key NULLS FIRST, n NULLS FIRST, n_success NULLS FIRST,
+        |  p_hat NULLS FIRST, wilson_low NULLS FIRST,
+        |  wilson_high NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.wilsonInterval(Tables.t(s, dir, "events"),
+        col("event_type"), col("value") > 50))
     })
 }

@@ -2044,6 +2044,60 @@ class EngineSpec extends AnyFunSuite {
       (("a", 1.5, 505.0, 11L, 1L, 1L, 50.954545)))
   }
 
+  test("kCore: chain peels one layer per round until only the " +
+      "triangle core survives; extra rounds are idempotent; messy " +
+      "edges canonicalize") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (no 2-core) + triangle 10-11-12 (the 2-core),
+    // fed with a duplicate, a reversal, and a self-loop
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (11L, 10L), (5L, 5L))
+      .toDF("a", "b")
+    def core(r: Int) = Engine.kCore(edges, col("a"), col("b"), 2, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    val tri = Seq((10L, 2L), (11L, 2L), (12L, 2L))
+    assert(core(3) == tri)
+    assert(core(6) == tri) // idempotent past the fixed point
+    // a too-small bound keeps chain remnants (documented semantics:
+    // N rounds of peel, not the fixed point)
+    assert(core(1).map(_._1).contains(3L))
+  }
+
+  test("seasonalIndexDow: per-weekday mean over the per-key mean, " +
+      "exact through the decimal window sums") {
+    import spark.implicits._
+    // Mon 2024-01-01: values 1.5+2.5 (mean 2), Tue: 4 -> overall 8/3
+    val df = Seq(("a", "2024-01-01", 1.5), ("a", "2024-01-01", 2.5),
+      ("a", "2024-01-02", 4.0)).toDF("k", "d", "v")
+      .withColumn("d", to_timestamp(col("d")))
+    val got = Engine.seasonalIndexDow(df, col("k"), col("d"), col("v"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, 2L, 0.75), (2, 1L, 1.5)))
+  }
+
+  test("wilsonInterval: bounds match the closed form and stay inside " +
+      "[0, 1] at extreme p-hat where the normal interval would not") {
+    import spark.implicits._
+    val df = (Seq.fill(39)(("a", false)) :+ (("a", true)))
+      .toDF("k", "s")
+    val r = Engine.wilsonInterval(df, col("k"), col("s"))
+      .collect()(0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (n, p, z) = (40.0, 1.0 / 40.0, 1.96)
+    val c = p + z * z / (2 * n)
+    val h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    val d = 1 + z * z / n
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((40L, 1L, 0.025)))
+    assert(r.getDouble(4) == r6((c - h) / d) && r.getDouble(4) > 0.0)
+    assert(r.getDouble(5) == r6((c + h) / d) && r.getDouble(5) < 1.0)
+    // the normal interval at this p-hat dips below zero — the reason
+    // Wilson is the gate-grade interval
+    assert(p - z * math.sqrt(p * (1 - p) / n) < 0.0)
+  }
+
   test("joinSizeAudit: hand fixture — est rows multiply per key, " +
       "max-product ties report the smallest key, disjoint keys " +
       "audit to zero") {
