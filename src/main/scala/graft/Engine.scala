@@ -4034,8 +4034,13 @@ object Engine {
         round(expr("cosine_sim(__qe, __e)"), 6).as("__rel"))
     val wRel = Window.partitionBy(col("__q"))
       .orderBy(col("__rel").desc, col("__i").asc)
+    // cand is |Q|·n rows but its SUBTREE is the corpus-wide cosine
+    // scan + top-n window: every unrolled step anti-joins against it,
+    // so without the persist the greedy loop re-scores the corpus
+    // k+1 times (measured 11.4 s -> the persisted plan's ~2 s at
+    // sf0.1)
     val cand = scored.withColumn("__rn", row_number().over(wRel))
-      .filter(col("__rn") <= n).drop("__rn")
+      .filter(col("__rn") <= n).drop("__rn").persistOnce()
     val withVec = cand.join(
       corpus.select(col(id).as("__i"), col(vec).as("__e")), Seq("__i"))
       .persistOnce()
@@ -4048,11 +4053,16 @@ object Engine {
       .persistOnce()
     val w = Window.partitionBy(col("__q"))
       .orderBy(col("__s100").desc, col("__i").asc)
+    // every pick is |Q| rows but is REFERENCED three times by the next
+    // step (anti-join, semi-join, union): uncached, the unrolled plan
+    // re-derives the whole history ~3^k times (the kCore lineage
+    // lesson; measured 11–14 s -> ~2 s at sf0.1 once cached)
     val firstPick = cand
       .withColumn("__s100", lit(lambdaPct) * col("__rel").cast(dec))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("__q"), col("__i"), col("__s100"),
         lit(1).as("step"))
+      .persistOnce()
     var selected = firstPick
     for (t <- 2 to k) {
       val rem = cand.join(
@@ -4073,6 +4083,7 @@ object Engine {
         .filter(col("__rn") === 1)
         .select(col("__q"), col("__i"), col("__s100"),
           lit(t).as("step"))
+        .persistOnce()
       selected = selected.unionByName(pick)
     }
     selected.select(col("__q").as("query_id"),
@@ -4422,6 +4433,99 @@ object Engine {
         .localCheckpoint()
     }
     deg.select(col("__x").as("node"), col("__d").as("degree"))
+  }
+
+  /** LABEL-PROPAGATION COMMUNITIES by bounded synchronous rounds —
+    * the community detector complementing [[kCore]] (which finds ONE
+    * dense heart) and [[nearDupClusters]] (which merges anything
+    * CONNECTED): LPA partitions a graph into locally-dense groups, the
+    * right granularity for "which topical clumps does this
+    * co-occurrence graph have". Every node starts as its own label;
+    * each round it adopts the most frequent label among its neighbors
+    * (ties break on the smallest label — with synchronous updates this
+    * makes every round a deterministic function of the last, so N
+    * rounds replay identically in any engine; classic async LPA is
+    * order-dependent and would never hash-match). Rounds are two keyed
+    * exchanges (neighbor-label join, per-node argmax) over
+    * localCheckpoint-truncated frames — the [[kCore]] lineage
+    * discipline. Returns (node, label) after `rounds`. */
+  def labelPropagation(edges: DataFrame, u: Column, v: Column,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 32)
+    val canon = edges.filter(u.isNotNull && v.isNotNull && u =!= v)
+      .select(least(u, v).as("__u"), greatest(u, v).as("__v"))
+      .distinct().localCheckpoint()
+    val nbrs = canon.select(col("__u").as("__n"), col("__v").as("__m"))
+      .union(canon.select(col("__v").as("__n"), col("__u").as("__m")))
+      .localCheckpoint()
+    var labels = nbrs.select(col("__n")).distinct()
+      .select(col("__n"), col("__n").as("__l"))
+      .localCheckpoint()
+    val wTop = Window.partitionBy(col("__n"))
+      .orderBy(col("__c").desc, col("__nl").asc)
+    for (_ <- 1 to rounds) {
+      labels = nbrs
+        .join(labels.select(col("__n").as("__m"), col("__l").as("__nl")),
+          Seq("__m"))
+        .groupBy(col("__n"), col("__nl")).agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(wTop))
+        .filter(col("__rn") === 1)
+        .select(col("__n"), col("__nl").as("__l"))
+        .localCheckpoint()
+    }
+    labels.select(col("__n").as("node"), col("__l").as("label"))
+  }
+
+  /** ASSOCIATION RULES over (basket, item) pairs — support,
+    * confidence and lift for every co-occurring item pair, the
+    * market-basket diagnostic that ranks "A and B travel together"
+    * beyond what raw pair counts say (lift divides out each item's
+    * base rate, so a pair of two ubiquitous items stops looking
+    * interesting). Items are DISTINCT within a basket (presence, not
+    * multiplicity); pairs are canonical (a < b) and both rule
+    * directions are emitted since confidence is asymmetric.
+    *
+    * Plan shape: one distinct-pass, one per-item count, and ONE
+    * within-basket self-join keyed on the basket id — candidate pairs
+    * are Σ|basket|²/2, never corpus², the [[semanticDedup]] cell
+    * argument; the item-count lookups broadcast-join onto the
+    * pair counts (dimension-sized). Ratios are single IEEE divides of
+    * exact counts, round 6. `minSupport` prunes the pair tail BEFORE
+    * the rule expansion. */
+  def associationRules(df: DataFrame, basket: Column, item: Column,
+      minSupport: Int = 2): DataFrame = {
+    require(minSupport >= 1)
+    val bi = df.filter(basket.isNotNull && item.isNotNull)
+      .select(basket.as("__b"), item.as("__i")).distinct().persistOnce()
+    val nBaskets = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val pairs = bi.join(bi.select(col("__b"), col("__i").as("__j")),
+        Seq("__b"))
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__cab"))
+      .filter(col("__cab") >= minSupport)
+    val rules = pairs.select(col("__i").as("__a"), col("__j").as("__b2"),
+        col("__cab"))
+      .union(pairs.select(col("__j").as("__a"), col("__i").as("__b2"),
+        col("__cab")))
+    rules
+      .join(broadcast(itemCnt.select(col("__i").as("__a"),
+        col("__ci").as("__ca"))), Seq("__a"))
+      .join(broadcast(itemCnt.select(col("__i").as("__b2"),
+        col("__ci").as("__cb"))), Seq("__b2"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("__a").as("antecedent"), col("__b2").as("consequent"),
+        col("__cab").as("n_both"), col("__ca").as("n_ante"),
+        col("__cb").as("n_cons"),
+        round(col("__cab").cast(DoubleType) /
+          col("__nb").cast(DoubleType), 6).as("support"),
+        round(col("__cab").cast(DoubleType) /
+          col("__ca").cast(DoubleType), 6).as("confidence"),
+        round((col("__cab").cast(DoubleType) /
+          col("__ca").cast(DoubleType)) /
+          (col("__cb").cast(DoubleType) /
+            col("__nb").cast(DoubleType)), 6).as("lift"))
   }
 
   /** DAY-OF-WEEK SEASONAL INDEX per key — mean(value | ISO weekday) /

@@ -816,5 +816,44 @@ object Aggregates {
       (s, dir) =>
         orderAll(graft.Engine.seasonalIndexDow(Tables.t(s, dir, "events"),
           col("event_type"), col("ts"), col("value")))
+    },
+
+    // Q30c (beyond-survey) — ASSOCIATION RULES
+    // ([[graft.Engine.associationRules]]): support / confidence / lift
+    // for every part-bucket pair co-present in an order (min support
+    // 30 baskets — prunes 4950 candidate pairs to 435 on this
+    // fixture). Lift divides out each item's base rate so ubiquitous
+    // pairs stop looking interesting; both rule directions emit since
+    // confidence is asymmetric. One within-basket self-join keyed on
+    // the order id (candidates are Σ|basket|²/2, never corpus²), then
+    // dimension-sized broadcast lookups of the item counts.
+    Q("q30c_assoc_rules",
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 100
+        |    AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |ic AS (SELECT i, count(*) AS ci FROM bi GROUP BY 1),
+        |p AS (SELECT a.i, b.i AS j, count(*) AS cab FROM bi a
+        |  JOIN bi b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2
+        |  HAVING count(*) >= 30),
+        |r AS (SELECT i AS a, j AS b2, cab FROM p
+        |  UNION ALL SELECT j, i, cab FROM p)
+        |SELECT r.a AS antecedent, r.b2 AS consequent,
+        |  CAST(cab AS BIGINT) AS n_both, CAST(ca.ci AS BIGINT) AS n_ante,
+        |  CAST(cb.ci AS BIGINT) AS n_cons,
+        |  round(CAST(cab AS DOUBLE) / CAST(nb.n AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(cab AS DOUBLE) / CAST(ca.ci AS DOUBLE), 6)
+        |    AS confidence,
+        |  round((CAST(cab AS DOUBLE) / CAST(ca.ci AS DOUBLE))
+        |    / (CAST(cb.ci AS DOUBLE) / CAST(nb.n AS DOUBLE)), 6) AS lift
+        |FROM r JOIN ic ca ON ca.i = r.a JOIN ic cb ON cb.i = r.b2, nb
+        |ORDER BY antecedent NULLS FIRST, consequent NULLS FIRST,
+        |  n_both NULLS FIRST, n_ante NULLS FIRST, n_cons NULLS FIRST,
+        |  support NULLS FIRST, confidence NULLS FIRST,
+        |  lift NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.associationRules(
+        Tables.t(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_partkey") % 100, minSupport = 30))
     })
 }

@@ -2362,6 +2362,30 @@ object LlmPipeline {
         rounds = 4))
     },
 
+    // Q93v (beyond-survey) — LABEL-PROPAGATION COMMUNITIES
+    // ([[graft.Engine.labelPropagation]]) on the q93s co-occurrence
+    // graph: the partitioner complementing q93u's single dense core —
+    // every node adopts its neighbors' most frequent label each round
+    // (ties to the smallest label; SYNCHRONOUS updates make each round
+    // a deterministic function of the last, so the oracle replays the
+    // same 4 rounds as unrolled CTEs — classic async LPA is
+    // order-dependent and could never hash-match). On this saturated
+    // fixture the graph is one dense clump and LPA rightly converges
+    // to a single label — the modular two-clique dynamics are pinned
+    // by the EngineSpec fixture. Two keyed exchanges per round over
+    // localCheckpoint-truncated frames (the q93u lineage discipline).
+    Q("q93v_communities", lpaOracleSql(rounds = 4)) { (s, dir) =>
+      val pairs = skipGramPairs(Tables.t(s, dir, "documents"),
+          split(col("text"), " "), window = 2)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .select(least(col("w1"), col("w2")).as("u"),
+          greatest(col("w1"), col("w2")).as("v"), col("cnt"))
+        .groupBy("u", "v").agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") >= 3)
+      orderAll(graft.Engine.labelPropagation(pairs, col("u"), col("v"),
+        rounds = 4))
+    },
+
     // Q93k (beyond-survey) — deterministic training-export SHUFFLE +
     // SHARDING ([[graft.Engine.shardShuffle]]): shard = md5(seed:id)
     // mod 8, position = hash rank within the shard — the
@@ -3697,6 +3721,37 @@ object LlmPipeline {
        |e0 AS (SELECT DISTINCT u, v FROM pairs WHERE cnt >= 3)$steps
        |SELECT x AS node, CAST(d AS BIGINT) AS degree FROM d$rounds
        |ORDER BY node NULLS FIRST, degree NULLS FIRST""".stripMargin
+  }
+
+  /** DuckDB oracle for Q93v: synchronous LPA unrolled as `rounds`
+    * argmax CTEs over the q93s co-occurrence edges — identical round
+    * count and tie rule (count desc, label asc) to the operator. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s""",
+         |l$r AS (SELECT n, nl AS l FROM (
+         |  SELECT e.n, p.l AS nl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY e.n
+         |      ORDER BY count(*) DESC, p.l ASC) AS rn
+         |  FROM nbrs e JOIN $prev p ON p.n = e.m
+         |  GROUP BY e.n, p.l) WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(ws) AS w,
+       |    generate_subscripts(ws, 1) AS pos FROM w),
+       |pairs AS (SELECT least(a.w, b.w) AS u, greatest(a.w, b.w) AS v,
+       |    count(*) AS cnt
+       |  FROM t a JOIN t b
+       |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       |  WHERE a.w <> b.w GROUP BY 1, 2),
+       |edges AS (SELECT DISTINCT u, v FROM pairs WHERE cnt >= 3),
+       |nbrs AS (SELECT u AS n, v AS m FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |l0 AS (SELECT DISTINCT n, n AS l FROM nbrs)$steps
+       |SELECT n AS node, l AS label FROM l$rounds
+       |ORDER BY node NULLS FIRST, label NULLS FIRST""".stripMargin
   }
 
   /** DuckDB oracle for Q99l: both rankings (full-dim truth, 16-dim

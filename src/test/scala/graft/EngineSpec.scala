@@ -2098,6 +2098,35 @@ class EngineSpec extends AnyFunSuite {
     assert(p - z * math.sqrt(p * (1 - p) / n) < 0.0)
   }
 
+  test("labelPropagation: two bridged cliques converge to one label " +
+      "per clique under the deterministic count-desc/label-asc tie " +
+      "rule") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L),
+      (5L, 6L), (6L, 7L), (5L, 7L)).toDF("a", "b")
+    val got = Engine.labelPropagation(edges, col("a"), col("b"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 3L), (6L, 3L), (7L, 3L)))
+  }
+
+  test("associationRules: presence not multiplicity, min-support " +
+      "pruning, asymmetric confidence with symmetric lift") {
+    import spark.implicits._
+    // b1={x,y} (x twice), b2={x,y}, b3={x,z}, b4={y}: pair (x,z) dies
+    // at minSupport=2; x->y conf 2/3, lift (2/3)/(3/4)
+    val df = Seq(("b1", "x"), ("b1", "x"), ("b1", "y"), ("b2", "x"),
+      ("b2", "y"), ("b3", "x"), ("b3", "z"), ("b4", "y"))
+      .toDF("b", "i")
+    val got = Engine.associationRules(df, col("b"), col("i"), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("x", "y", 2L, 3L, 3L, 0.5, 0.666667, 0.888889),
+      ("y", "x", 2L, 3L, 3L, 0.5, 0.666667, 0.888889)))
+  }
+
   test("joinSizeAudit: hand fixture — est rows multiply per key, " +
       "max-product ties report the smallest key, disjoint keys " +
       "audit to zero") {

@@ -579,7 +579,9 @@ class PlanSpec extends AnyFunSuite {
       // two 1-row scalar broadcasts (totals + worst key)
       "q20e_join_audit",
       // 1-row observation-end scalar broadcast cross
-      "q47f_survival")
+      "q47f_survival",
+      // 1-row basket-total scalar broadcast cross
+      "q30c_assoc_rules")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
