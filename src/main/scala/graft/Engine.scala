@@ -4528,6 +4528,49 @@ object Engine {
             col("__nb").cast(DoubleType)), 6).as("lift"))
   }
 
+  /** THEIL-SEN ROBUST SLOPE per key over the daily-mean series — the
+    * median of all pairwise slopes, the trend estimate that shrugs off
+    * the corrupt days that drag [[q46b]]'s least-squares line around
+    * (breakdown point 29% vs 0%). Slopes are exact IEEE divides of
+    * 6-dp daily means over integer day gaps; the median is the exact
+    * interpolated percentile ([[q38]]'s discipline); the intercept is
+    * the median of y − m̂·x WITH THE ROUNDED slope, so both engines
+    * multiply identical doubles.
+    *
+    * Scale shape: the pair join is per-key quadratic BY DESIGN —
+    * O(days²) per key on the daily AGGREGATE, never on raw rows (a
+    * year of dailies is 66k pairs; the raw events never pair). The
+    * daily rollup is one keyed exchange; the pair join shuffles the
+    * tiny daily table on the same key. */
+  def theilSen(events: DataFrame, key: Column, ts: Column,
+      value: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val daily = events
+      .filter(key.isNotNull && ts.isNotNull && value.isNotNull)
+      .groupBy(key.as("__k"),
+        datediff(to_date(date_trunc("day", ts)), lit("1970-01-01"))
+          .as("__x"))
+      .agg(round(sum(value.cast(dec)).cast(DoubleType) /
+        count(value).cast(DoubleType), 6).as("__y"))
+      .persistOnce()
+    val pairs = daily.join(
+        daily.select(col("__k"), col("__x").as("__x2"),
+          col("__y").as("__y2")), Seq("__k"))
+      .filter(col("__x") < col("__x2"))
+      .select(col("__k"), (col("__x2") - col("__x")).as("__dx"),
+        (col("__y2") - col("__y")).as("__dy"))
+    val slope = pairs.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__dy / __dx, 0.5D)"), 6).as("slope"))
+    daily.join(slope, Seq("__k"))
+      .groupBy(col("__k"), col("n_pairs"), col("slope"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(__y - slope * __x, 0.5D)"), 6)
+          .as("intercept"))
+      .select(col("__k").as("key"), col("n_days"), col("n_pairs"),
+        col("slope"), col("intercept"))
+  }
+
   /** DAY-OF-WEEK SEASONAL INDEX per key — mean(value | ISO weekday) /
     * mean(value), the multiplicative seasonality profile that turns
     * "traffic looks low today" into "traffic is low FOR A SATURDAY":

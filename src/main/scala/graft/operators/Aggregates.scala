@@ -855,5 +855,41 @@ object Aggregates {
       orderAll(graft.Engine.associationRules(
         Tables.t(s, dir, "lineitem"), col("l_orderkey"),
         col("l_partkey") % 100, minSupport = 30))
+    },
+
+    // Q46m (beyond-survey) — THEIL-SEN ROBUST SLOPE
+    // ([[graft.Engine.theilSen]]): the median of all pairwise slopes
+    // of the daily-mean series — the trend line that shrugs off the
+    // corrupt days that drag q46b's least-squares fit around
+    // (breakdown point 29% vs 0%). The pair join is per-key quadratic
+    // ON THE DAILY AGGREGATE only (a year of dailies = 66k pairs; raw
+    // events never pair); slopes are exact IEEE divides, medians are
+    // q38's exact interpolated percentile, and the intercept median
+    // uses the ROUNDED slope so both engines multiply identical
+    // doubles.
+    Q("q46m_theil_sen",
+      """WITH daily AS (SELECT event_type AS k,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS x,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(count(value) AS DOUBLE), 6) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.k, b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM daily a JOIN daily b ON a.k = b.k AND a.x < b.x),
+        |s AS (SELECT k, count(*) AS n_pairs,
+        |    round(quantile_cont(dy / dx, 0.5), 6) AS slope
+        |  FROM p GROUP BY 1)
+        |SELECT k AS key, count(*) AS n_days,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs, slope,
+        |  round(quantile_cont(y - slope * x, 0.5), 6) AS intercept
+        |FROM daily JOIN s USING (k)
+        |GROUP BY k, n_pairs, slope
+        |ORDER BY key NULLS FIRST, n_days NULLS FIRST,
+        |  n_pairs NULLS FIRST, slope NULLS FIRST,
+        |  intercept NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.theilSen(Tables.t(s, dir, "events"),
+        col("event_type"), col("ts"), col("value")))
     })
 }

@@ -2127,6 +2127,23 @@ class EngineSpec extends AnyFunSuite {
       ("y", "x", 2L, 3L, 3L, 0.5, 0.666667, 0.888889)))
   }
 
+  test("theilSen: one corrupt day cannot move the median slope or " +
+      "intercept; intra-day events average first") {
+    import spark.implicits._
+    // days 0..4 with means 1,2,3,4,100 — a perfect slope-1 line plus
+    // one corrupt day; 6 of 10 pairwise slopes are exactly 1, so the
+    // median slope is 1 and the intercept median is 1 (OLS would fit
+    // slope ~19)
+    val rows = Seq(("a", "1970-01-01", 0.5), ("a", "1970-01-01", 1.5),
+      ("a", "1970-01-02", 2.0), ("a", "1970-01-03", 3.0),
+      ("a", "1970-01-04", 4.0), ("a", "1970-01-05", 100.0))
+      .toDF("k", "d", "v").withColumn("d", to_timestamp(col("d")))
+    val r = Engine.theilSen(rows, col("k"), col("d"), col("v"))
+      .collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4)) == (("a", 5L, 10L, 1.0, 1.0)))
+  }
+
   test("joinSizeAudit: hand fixture — est rows multiply per key, " +
       "max-product ties report the smallest key, disjoint keys " +
       "audit to zero") {
