@@ -3933,25 +3933,43 @@ object Engine {
     * against). */
   def cusumChangePoints(df: DataFrame, key: Column, ts: Column,
       value: Column, refCutoff: Column, slackPct: Int = 10,
-      threshPct: Int = 50): DataFrame = {
+      threshPct: Int = 50): DataFrame =
+    cusumSeries(dailyMeans(df, key, ts, value), refCutoff, slackPct,
+      threshPct)
+
+  /** Per-key daily-mean rollup — the shared first stage of the drift
+    * family ([[cusumChangePoints]], [[q100d]]'s monitoring capstone):
+    * (key, day, daily_mean) with the mean 6-dp-rounded through the
+    * exact decimal sum. One keyed exchange. */
+  def dailyMeans(df: DataFrame, key: Column, ts: Column,
+      value: Column): DataFrame =
+    df.filter(key.isNotNull && ts.isNotNull && value.isNotNull)
+      .groupBy(key.as("key"), date_trunc("DAY", ts).as("day"))
+      .agg(round(Canon.avgDec(value), 6).as("daily_mean"))
+
+  /** The CUSUM recurrence over an already-built (key, day, daily_mean)
+    * series — split from [[cusumChangePoints]] so normalized series
+    * (e.g. deseasonalized by [[seasonalIndexDow]]) can feed the same
+    * detector. S_d = max(0, S_{d-1} + x_d − μ − k) computed as
+    * P_d − min(0, min_{j≤d} P_j) over prefix sums — two partitioned
+    * window aggregates on DECIMAL(38,6), no sequential loop, exact and
+    * order-free. */
+  def cusumSeries(daily: DataFrame, refCutoff: Column,
+      slackPct: Int = 10, threshPct: Int = 50): DataFrame = {
     require(slackPct >= 0 && threshPct > 0)
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-    val daily = df.filter(key.isNotNull && ts.isNotNull &&
-        value.isNotNull)
-      .groupBy(key.as("__k"), date_trunc("DAY", ts).as("day"))
-      .agg(round(Canon.avgDec(value), 6).as("daily_mean"))
     val ref = daily.filter(col("day") < refCutoff)
-      .groupBy(col("__k"))
+      .groupBy(col("key"))
       .agg(round(Canon.avgDec(col("daily_mean")), 6).as("mu_ref"))
       .withColumn("__kk",
         round(col("mu_ref") * lit(slackPct / 100.0), 6))
       .withColumn("__h",
         round(col("mu_ref") * lit(threshPct / 100.0), 6))
-    val w = Window.partitionBy(col("__k")).orderBy(col("day").asc)
+    val w = Window.partitionBy(col("key")).orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = (col("daily_mean").cast(dec) - col("mu_ref").cast(dec) -
       col("__kk").cast(dec))
-    val joined = daily.join(ref, Seq("__k"))
+    val joined = daily.join(ref, Seq("key"))
       .withColumn("__p", sum(d).over(w))
       .withColumn("__minp",
         least(lit(0).cast(dec), min(col("__p")).over(w)))
@@ -3959,7 +3977,7 @@ object Engine {
     // the trailing round is lossless (the decimal is exact at 6 dp) but
     // necessary: decimal→double conversion takes different paths across
     // engines (hugeint scaling vs long scaling) and can differ by ~1e-15
-    joined.select(col("__k").as("key"), col("day"), col("daily_mean"),
+    joined.select(col("key"), col("day"), col("daily_mean"),
       col("mu_ref"),
       round(col("__s").cast(DoubleType), 6).as("cusum"),
       (col("__s") > col("__h").cast(dec)).as("detected"))
@@ -4590,14 +4608,19 @@ object Engine {
       .groupBy(key.as("__k"), (weekday(ts) + lit(1)).as("isodow"))
       .agg(sum(value.cast(dec)).as("__s"), count(lit(1)).as("__n"))
     val wKey = Window.partitionBy(col("__k"))
+    // a key whose values sum to exactly 0 has no meaningful
+    // multiplicative profile: 0/0 would be NaN, whose rounding and
+    // hashing are NOT part of the cross-engine contract — emit NULL
+    // identically in both engines instead (the q46b nullif discipline)
+    val overall = when(col("__st") === 0, lit(null))
+      .otherwise(col("__st").cast(DoubleType) / col("__nt").cast(DoubleType))
     cells
       .withColumn("__st", sum(col("__s")).over(wKey))
       .withColumn("__nt", sum(col("__n")).over(wKey))
       .select(col("__k").as("key"), col("isodow").cast("int").as("isodow"),
         col("__n").as("n_events"),
         round((col("__s").cast(DoubleType) / col("__n").cast(DoubleType)) /
-          (col("__st").cast(DoubleType) / col("__nt").cast(DoubleType)),
-          6).as("seasonal_index"))
+          overall, 6).as("seasonal_index"))
   }
 
   /** WILSON SCORE INTERVAL per group — the proportion estimate that

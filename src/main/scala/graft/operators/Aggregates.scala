@@ -808,7 +808,7 @@ object Aggregates {
         |SELECT k AS key, CAST(isodow AS INT) AS isodow,
         |  CAST(n AS BIGINT) AS n_events,
         |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+        |    / (CAST(nullif(st, 0) AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
         |    AS seasonal_index
         |FROM w
         |ORDER BY key NULLS FIRST, isodow NULLS FIRST,

@@ -2603,6 +2603,81 @@ object LlmPipeline {
     // data-sized that moves is delta-sized. Delta is pinned
     // (persistOnce): it feeds both the history anti-join and the
     // export, and re-deriving it would re-run the diff join twice.
+    // Q100d (beyond-survey) — OPS-MONITORING capstone: the drift
+    // pipeline a 100 TB ingest runs nightly, composed from the REAL
+    // registry operators — [[graft.Engine.dailyMeans]] →
+    // [[graft.Engine.seasonalIndexDow]] (fed the daily series itself)
+    // → deseasonalize (divide out each weekday's index, so Saturdays
+    // stop tripping the Monday-calibrated alarm) →
+    // [[graft.Engine.cusumSeries]] (the q46i detector on the
+    // normalized series). Every stage is a keyed aggregate/window on
+    // the already-tiny daily table; the one raw-data pass is the
+    // dailyMeans rollup. Zero-or-null seasonal cells are excluded
+    // before the divide (no NaN/Inf enters the hash contract).
+    Q("q100d_monitor_pipeline",
+      """WITH daily AS (SELECT event_type AS k,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(count(value) AS DOUBLE), 6) AS dm
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cells AS (SELECT k, isodow(day) AS dow,
+        |    sum(CAST(dm AS DECIMAL(38,6))) AS s, count(*) AS n
+        |  FROM daily GROUP BY 1, 2),
+        |wc AS (SELECT *, sum(s) OVER (PARTITION BY k) AS st,
+        |    sum(n) OVER (PARTITION BY k) AS nt FROM cells),
+        |seas AS (SELECT k, dow,
+        |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(nullif(st, 0) AS DOUBLE) / CAST(nt AS DOUBLE)),
+        |      6) AS si FROM wc),
+        |desea AS (SELECT d.k, d.day, round(dm / si, 6) AS dm
+        |  FROM daily d JOIN seas
+        |    ON seas.k = d.k AND seas.dow = isodow(d.day)
+        |  WHERE si IS NOT NULL AND si <> 0),
+        |ref AS (SELECT k,
+        |    round(CAST(sum(CAST(dm AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(count(dm) AS DOUBLE), 6) AS mu_ref
+        |  FROM desea WHERE day < TIMESTAMP '2024-01-15' GROUP BY 1),
+        |r2 AS (SELECT k, mu_ref, round(mu_ref * 0.1e0, 6) AS kk,
+        |    round(mu_ref * 0.5e0, 6) AS h FROM ref),
+        |j AS (SELECT d.k, d.day, d.dm, mu_ref, kk, h,
+        |    CAST(d.dm AS DECIMAL(38,6))
+        |      - CAST(mu_ref AS DECIMAL(38,6))
+        |      - CAST(kk AS DECIMAL(38,6)) AS dd
+        |  FROM desea d JOIN r2 USING (k)),
+        |p AS (SELECT *, sum(dd) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM j),
+        |m AS (SELECT *, least(CAST(0 AS DECIMAL(38,6)), min(pp) OVER (
+        |    PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS minp
+        |  FROM p)
+        |SELECT k AS key, day, dm AS daily_mean, mu_ref,
+        |  round(CAST(pp - minp AS DOUBLE), 6) AS cusum,
+        |  ((pp - minp) > CAST(h AS DECIMAL(38,6))) AS detected
+        |FROM m
+        |ORDER BY key NULLS FIRST, day NULLS FIRST,
+        |  daily_mean NULLS FIRST, mu_ref NULLS FIRST,
+        |  cusum NULLS FIRST, detected NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val daily = graft.Engine.dailyMeans(Tables.t(s, dir, "events"),
+          col("event_type"), col("ts"), col("value"))
+        val seas = graft.Engine.seasonalIndexDow(daily, col("key"),
+          col("day"), col("daily_mean"))
+        val desea = daily
+          .withColumn("isodow", (weekday(col("day")) + lit(1)).cast("int"))
+          .join(seas.select(col("key"), col("isodow"),
+            col("seasonal_index")), Seq("key", "isodow"))
+          .filter(col("seasonal_index").isNotNull &&
+            col("seasonal_index") =!= 0.0)
+          .select(col("key"), col("day"),
+            round(col("daily_mean") / col("seasonal_index"), 6)
+              .as("daily_mean"))
+        orderAll(graft.Engine.cusumSeries(desea,
+          lit("2024-01-15").cast("timestamp")))
+    },
+
     Q("q100c_incremental_pipeline", incrementalPipelineOracleSql) {
       (s, dir) =>
         import graft.Engine.PersistOnceOps

@@ -2074,6 +2074,11 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1).toSeq
     assert(got == Seq((1, 2L, 0.75), (2, 1L, 1.5)))
+    // an all-zero key has no multiplicative profile: NULL, never NaN
+    val zero = Seq(("z", "2024-01-01", 0.0), ("z", "2024-01-02", 0.0))
+      .toDF("k", "d", "v").withColumn("d", to_timestamp(col("d")))
+    assert(Engine.seasonalIndexDow(zero, col("k"), col("d"), col("v"))
+      .collect().forall(_.isNullAt(3)))
   }
 
   test("wilsonInterval: bounds match the closed form and stay inside " +
