@@ -524,4 +524,114 @@ object AlgebraProps extends Properties("algebra") {
             n == xs.count(_._1 == k)
         }
     }
+
+  /** Driver-side reference k-core: sequentially peel until fixed point. */
+  private def refKCore(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+    var live = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    var done = false
+    var deg = Map.empty[Long, Int]
+    while (!done) {
+      deg = live.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+        .filter(_._2 >= k)
+      val next = live.filter { case (a, b) =>
+        deg.contains(a) && deg.contains(b) }
+      done = next == live
+      live = next
+    }
+    deg
+  }
+
+  property("kCore at a generous round bound equals the sequential " +
+      "fixed point and is partition-invariant") =
+    forAll(
+      Gen.listOfN(18, for {
+        a <- Gen.chooseNum(1L, 10L); b <- Gen.chooseNum(1L, 10L)
+      } yield (a, b)),
+      Gen.choose(1, 3), parts) { (es, k, p) =>
+      import spark.implicits._
+      val df = spark.createDataset(es).toDF("a", "b").repartition(p)
+      val got = Engine.kCore(df, col("a"), col("b"), k, rounds = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      got == refKCore(es.toSet, k)
+    }
+
+  property("winsorizedStats: the clipped mean lies inside the band, " +
+      "wall counts bound n, and the result is partition-invariant") =
+    forAll(
+      Gen.listOfN(25, Gen.chooseNum(-200, 200).map(_ * 0.25))
+        .suchThat(_.size >= 3), parts, parts) { (vs, p1, p2) =>
+      import spark.implicits._
+      def run(p: Int) = Engine.winsorizedStats(
+          spark.createDataset(vs.map(("g", _))).toDF("k", "v")
+            .repartition(p), col("k"), col("v"), 0.1, 0.9)
+        .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).head
+      val a = run(p1)
+      val (lo, hi, n, nLo, nHi, m) = a
+      a == run(p2) && lo <= hi && m >= lo && m <= hi &&
+        n == vs.size && nLo + nHi <= n
+    }
+
+  property("rankingMetrics: a perfect prediction scores ndcg 1 and " +
+      "mrr 1 with every truth item hit") =
+    forAll(Gen.choose(1, 8), parts) { (depth, p) =>
+      import spark.implicits._
+      val t = (1 to depth).map(i => (7L, s"i$i", i)).toList
+      val df = spark.createDataset(t).toDF("q", "item", "rnk")
+        .repartition(p)
+      val r = Engine.rankingMetrics(df, df, "q", "item", "rnk")
+        .collect().head
+      r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
+        r.getInt(3) == depth
+    }
+
+  property("kaplanMeier: survival starts at most 1, never increases " +
+      "within a cohort, and n_risk strictly exhausts") =
+    forAll(
+      Gen.listOfN(12, for {
+        u <- Gen.chooseNum(1L, 8L)
+        d <- Gen.choose(1, 25)
+      } yield (u, f"2024-01-$d%02d")).suchThat(_.nonEmpty), parts) {
+      (xs, p) =>
+      import spark.implicits._
+      val df = spark.createDataset(xs).toDF("u", "d")
+        .withColumn("d", to_timestamp(col("d"))).repartition(p)
+      val rows = Engine.kaplanMeier(df, col("u"), col("d"), 5)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2),
+          r.getDouble(5)))
+        .groupBy(_._1).values
+      rows.forall { cohort =>
+        val s = cohort.sortBy(_._2)
+        s.head._4 <= 1.0 + 1e-9 &&
+          s.sliding(2).forall {
+            case Array((_, _, n1, s1), (_, _, n2, s2)) =>
+              s2 <= s1 + 1e-9 && n2 < n1
+            case _ => true
+          }
+      }
+    }
+
+  property("theilSen: translating every value shifts the intercept " +
+      "and leaves the slope bit-identical") =
+    forAll(
+      Gen.listOfN(8, for {
+        d <- Gen.choose(1, 9)
+        v <- Gen.chooseNum(-100, 100).map(_ * 0.25)
+      } yield (d, v)).suchThat(_.map(_._1).distinct.size >= 2), parts) {
+      (xs, p) =>
+      import spark.implicits._
+      def run(shift: Double) = {
+        val df = spark.createDataset(xs.map { case (d, v) =>
+            ("g", f"2024-01-0$d", v + shift) }).toDF("k", "d", "v")
+          .withColumn("d", to_timestamp(col("d"))).repartition(p)
+        Engine.theilSen(df, col("k"), col("d"), col("v"))
+          .collect().map(r => (r.getDouble(3), r.getDouble(4))).head
+      }
+      val (m0, b0) = run(0.0)
+      val (m5, b5) = run(5.0)
+      m5 == m0 && math.abs(b5 - (b0 + 5.0)) <= 2e-6
+    }
 }
