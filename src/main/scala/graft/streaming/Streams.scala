@@ -476,6 +476,71 @@ object Streams {
       orderAll(toParquet(s, "q78b_stream_stream_outer", dir, joined))
     },
 
+    // Q79 (beyond-survey) — STREAMING CUSUM drift alert: the q46i
+    // detector fed by a STREAMING daily rollup — the heavy per-event
+    // aggregation runs incrementally in the stream (1-day tumbling
+    // windows, complete-mode snapshot: exactly the state a production
+    // monitor keeps), and the tiny per-day curve is computed over the
+    // materialized snapshot by the SAME [[graft.Engine.cusumSeries]]
+    // the batch query uses. The oracle is q46i's VERBATIM — the
+    // hash match IS the batch≡streaming equivalence proof for the
+    // drift family (and the reason the daily mean rounds through the
+    // identical decimal path on both sides).
+    Q("q79_stream_cusum",
+      """WITH daily AS (SELECT event_type AS k,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(count(value) AS DOUBLE), 6) AS daily_mean
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ref AS (SELECT k,
+        |    round(CAST(sum(CAST(daily_mean AS DECIMAL(38,6)))
+        |      AS DOUBLE) / CAST(count(daily_mean) AS DOUBLE), 6)
+        |      AS mu_ref
+        |  FROM daily WHERE day < TIMESTAMP '2024-01-15' GROUP BY 1),
+        |r2 AS (SELECT k, mu_ref, round(mu_ref * 0.1e0, 6) AS kk,
+        |    round(mu_ref * 0.5e0, 6) AS h FROM ref),
+        |j AS (SELECT d.k, d.day, d.daily_mean, mu_ref, kk, h,
+        |    CAST(d.daily_mean AS DECIMAL(38,6))
+        |      - CAST(mu_ref AS DECIMAL(38,6))
+        |      - CAST(kk AS DECIMAL(38,6)) AS dd
+        |  FROM daily d JOIN r2 USING (k)),
+        |p AS (SELECT *, sum(dd) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM j),
+        |m AS (SELECT *, least(CAST(0 AS DECIMAL(38,6)), min(pp) OVER (
+        |    PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS minp
+        |  FROM p)
+        |SELECT k AS key, day, daily_mean, mu_ref,
+        |  round(CAST(pp - minp AS DOUBLE), 6) AS cusum,
+        |  ((pp - minp) > CAST(h AS DECIMAL(38,6))) AS detected
+        |FROM m
+        |ORDER BY key NULLS FIRST, day NULLS FIRST,
+        |  daily_mean NULLS FIRST, mu_ref NULLS FIRST,
+        |  cusum NULLS FIRST, detected NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val agg = Sources.eventsStream(s, dir, 2, Some(1))
+          .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(sumDec(col("value")).as("sum_val"),
+            count(col("value")).as("n"))
+          .select(col("event_type").as("key"),
+            col("window.start").as("day"), col("sum_val"), col("n"))
+        val out = viaForeachBatch("q79_stream_cusum", dir, agg,
+          "complete") { (b, _) =>
+          b.write.mode("overwrite").parquet(
+            IO.scratchPath("q79_stream_cusum", dir) + "/snap")
+        }
+        val daily = s.read.parquet(s"$out/snap")
+          .select(col("key"), col("day"),
+            round(col("sum_val") / col("n"), 6).as("daily_mean"))
+        orderAll(graft.Engine.cusumSeries(daily,
+          lit("2024-01-15").cast("timestamp")))
+    },
+
     // Q77 — foreachBatch sink with exactly-once semantics: each batch
     // lands in its own batch_id partition via idempotent dynamic-partition
     // overwrite — a replayed batch rewrites the same partition to the

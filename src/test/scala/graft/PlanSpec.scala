@@ -505,7 +505,7 @@ class PlanSpec extends AnyFunSuite {
       "q74_dedup", "q75_stateful_cursor", "q75b_transform_with_state",
       "q76_stream_static_join", "q76b_stream_anti_join",
       "q77_foreach_batch", "q77b_stream_upsert", "q78_stream_stream_join",
-      "q78b_stream_stream_outer",
+      "q78b_stream_stream_outer", "q79_stream_cusum",
       "q20c_bloom_join", "q20d_bucketed_join",
       "q91b_neardup_clusters", "q91e_apply_dedup",
       // write their index on build; targeted partition-pruning test
