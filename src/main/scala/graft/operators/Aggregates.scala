@@ -312,6 +312,43 @@ object Aggregates {
               .as("within_tol")))
     },
 
+    // Q33c (beyond-survey) — HLL SET-OVERLAP estimate: |A∩B| via
+    // inclusion-exclusion over three sketches (est(A) + est(B) −
+    // est(A∪B)) — the audience-overlap / cross-contamination question
+    // ("how many high-value clickers also purchase big") answered
+    // without ever shuffling the raw id sets together; at 100 TB each
+    // side reduces to a kilobyte sketch and the union is sketch
+    // algebra. Like q33/q33b the sketch internals are engine-specific,
+    // so the oracle hash-gates tolerance BOOLEANS against the exact
+    // answer (±5% each side, ±15% for the subtracted intersection —
+    // inclusion-exclusion compounds the component errors).
+    Q("q33c_overlap_estimate",
+      """SELECT true AS a_ok, true AS b_ok, true AS inter_ok
+        |ORDER BY a_ok NULLS FIRST, b_ok NULLS FIRST,
+        |  inter_ok NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      def side(t: String) = ev
+        .filter(col("event_type") === t && col("value") > 80)
+        .select(col("user_id"))
+      val sk = side("click").agg(hll_sketch_agg(col("user_id")).as("ska"))
+        .crossJoin(side("purchase")
+          .agg(hll_sketch_agg(col("user_id")).as("skb")))
+        .select(hll_sketch_estimate(col("ska")).as("ea"),
+          hll_sketch_estimate(col("skb")).as("eb"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("eu"))
+      val exact = side("click").distinct()
+        .agg(count(lit(1)).as("xa"))
+        .crossJoin(side("purchase").distinct().agg(count(lit(1)).as("xb")))
+        .crossJoin(side("click").intersect(side("purchase"))
+          .agg(count(lit(1)).as("xi")))
+      orderAll(sk.crossJoin(exact).select(
+        col("ea").between(col("xa") * 0.95, col("xa") * 1.05).as("a_ok"),
+        col("eb").between(col("xb") * 0.95, col("xb") * 1.05).as("b_ok"),
+        (col("ea") + col("eb") - col("eu"))
+          .between(col("xi") * 0.85, col("xi") * 1.15).as("inter_ok")))
+    },
+
     // Q46 (beyond-survey) — statistical aggregates (correlation, sample
     // covariance, sample stddev) made CROSS-ENGINE DETERMINISTIC: the
     // five moments (Σx, Σy, Σxy, Σx², Σy²) are computed as exact

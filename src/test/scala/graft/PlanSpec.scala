@@ -581,7 +581,9 @@ class PlanSpec extends AnyFunSuite {
       // 1-row observation-end scalar broadcast cross
       "q47f_survival",
       // 1-row basket-total scalar broadcast cross
-      "q30c_assoc_rules")
+      "q30c_assoc_rules",
+      // five 1-row sketch/exact scalars crossed into one row
+      "q33c_overlap_estimate")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
