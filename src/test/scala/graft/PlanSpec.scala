@@ -390,6 +390,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected a partial_min below the exchange:\n$p")
   }
 
+  test("q93t: RAG chunking moves ZERO data — a pure per-row explode") {
+    // tokens never leave their row: the sequence() explode and both
+    // slice()s are row-local, so the only exchange in the registered
+    // plan is the oracle-canonicalization orderBy's range partitioning.
+    // A hash exchange here means chunking started shuffling documents —
+    // the 100 TB regression this guards (chunk output should land
+    // collocated with its source).
+    val p = planOf("q93t_rag_chunks")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 0, s"expected zero hash exchanges, got $n:\n$p")
+  }
+
+  test("q46i: the CUSUM trace reuses the daily rollup's key exchange " +
+      "for both window passes") {
+    // daily groupBy(key, day) shuffles on (key, day); the reference
+    // aggregate re-keys to (key); the two cumulative windows must then
+    // share ONE hashpartitioning(key) sort — a per-window exchange
+    // would re-shuffle the tiny daily table twice more at scale.
+    val p = planOf("q46i_cusum")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n <= 3, s"expected <= 3 hash exchanges, got $n:\n$p")
+  }
+
   test("q47: sessionization is a single data shuffle on user_id") {
     // lag window, running session index, and per-session aggregate must
     // all reuse one hashpartitioning(user_id) exchange — partitioning by
