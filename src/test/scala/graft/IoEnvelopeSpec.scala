@@ -36,7 +36,10 @@ class IoEnvelopeSpec extends AnyFunSuite {
     "q90l_banded_incremental_dedup" -> 320455L,
     "q91c_jaccard_join" -> 1020185L,
     "q92g_kmeans_refine" -> 315306L,
-    "q93j_bm25_search" -> 806833L)
+    "q92n_mmr_rerank" -> 5959L,
+    "q93j_bm25_search" -> 806833L,
+    "q93u_kcore" -> 41454L,
+    "q93v_communities" -> 55782L)
 
   test("hotspot queries' cold shuffle volume stays inside the envelope") {
     val written = new java.util.concurrent.atomic.AtomicLong()
