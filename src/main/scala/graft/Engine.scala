@@ -3612,7 +3612,20 @@ object Engine {
   def dupSourceMatrix(df: DataFrame, id: String, text: String,
       src: String, thresholdPct: Int = 60,
       ngramWords: Int = 2): DataFrame = {
-    val pairs = jaccardJoin(df, id, text, thresholdPct, ngramWords)
+    // pair generation rides the BANDED-MinHash scale path (the q90l
+    // measured exit), not the exact prefix-filter join: the matrix only
+    // consumes verified ≥τ pairs, and on the gram-saturated 10× fixture
+    // the exact join's candidate flood cost this operator 113.6 s and a
+    // 2.6 GB spill where banding + exact verification returns the
+    // IDENTICAL pair set (q90l: recall 1.0 measured, RECALL.json) in
+    // ~8 s with zero spill. The oracle stays the exact all-pairs join —
+    // every sweep re-proves the equivalence on this corpus's
+    // J-distribution. Swap back to [[jaccardJoin]] only for corpora
+    // with mass at the τ boundary, where banding's miss probability
+    // (~0.11 at J=0.6 under 16×4) is a real recall tax.
+    val pairs = minHashNearDups(df, id, text,
+      threshold = thresholdPct / 100.0, numHashes = 64, bands = 16,
+      shingleWords = ngramWords)
     val s = df.select(col(id), col(src))
     pairs
       .join(s.select(col(id).as("doc_a"), col(src).as("__sa")),
