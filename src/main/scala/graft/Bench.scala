@@ -167,7 +167,26 @@ object Bench {
     // (the allocator-pressure hypothesis for the same band).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // SPARK_GRAFT_PROFILE=cluster: the DEPLOYMENT config block the
+    // Scaladocs recommend, runnable instead of archaeological —
+    // (a) Tungsten buffers off-heap 4 GB: the MEASURED fix for the
+    //     containment-join family's GC band (q90h A/B: ±16% → ±8%,
+    //     median 12.0 → 10.6 s at sf1 — SURVEY §8);
+    // (b) RocksDB state store: the documented cutover for production
+    //     streaming state (10⁷+ live keys per partition, state ≫ heap,
+    //     changelog checkpointing) — at replay scale it measured 27%
+    //     SLOWER, which is why it is a profile, not the default;
+    // (c) AQE skew-join + coalesce pinned ON explicitly (Spark defaults
+    //     today, pinned so a cluster's site config can't silently lose
+    //     the skew armor the plans assume).
+    // The committed ledger (QIO_BASELINE, bench history) is recorded
+    // with the profile OFF — byte/seconds comparability across rounds
+    // outranks running the deployment shape in CI.
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE")
+    require(profile.forall(_ == "cluster"),
+      s"unknown SPARK_GRAFT_PROFILE=${profile.get} (supported: cluster)")
     val offHeapMb = sys.env.get("SPARK_GRAFT_OFFHEAP_MB").map(_.toLong)
+      .orElse(if (profile.contains("cluster")) Some(4096L) else None)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -176,6 +195,16 @@ object Bench {
     offHeapMb.foreach { mb =>
       builder.config("spark.memory.offHeap.enabled", "true")
         .config("spark.memory.offHeap.size", s"${mb}m")
+    }
+    if (profile.contains("cluster")) {
+      builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the streaming family reads the provider via its dev knob; the
+      // profile routes through the same seam (system property — env
+      // vars are immutable in-JVM)
+      if (!sys.props.contains("graft.stateProvider"))
+        sys.props("graft.stateProvider") = "rocksdb"
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

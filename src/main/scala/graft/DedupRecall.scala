@@ -73,6 +73,63 @@ object DedupRecall {
       s""","recall":$recall,"banded_false_positives":$falsePos""" +
       s""","banded_candidates":$nCands""" +
       f""","sec_exact":$tExact%.1f,"sec_banded":$tBanded%.1f}""")
+
+    // ---- τ-BOUNDARY recall vs band shape (r11 verdict item 4) ----
+    // The corpus fixtures only carry mass at J ≥ 0.889 and J ≤ 0.08, so
+    // the "~0.11 miss at J = 0.6 under 16×4" honesty bound was THEORY.
+    // This fixture puts controlled mass exactly at the boundary:
+    // per pair, a shared word block of s+1 words (s shared bigrams) and
+    // per-doc unique tails (ta/tb extra bigrams each, junction bigrams
+    // distinct by construction) → J = s/(s+ta+tb) exactly, with a
+    // pair-unique vocabulary so cross-pair similarity is 0. Shapes span
+    // J ∈ [0.579, 0.692]; the ≥ τ shapes are the measured population.
+    val shapes = Seq( // (s, ta, tb) → J = s/(s+ta+tb)
+      (11, 4, 4),  // 0.579 — sub-τ control
+      (14, 5, 5),  // 0.583 — sub-τ control
+      (15, 5, 5),  // 0.600 — the boundary itself
+      (13, 4, 4),  // 0.619
+      (16, 4, 4),  // 0.667
+      (18, 4, 4))  // 0.692
+    val nRep = 50
+    import spark.implicits._
+    val rows = for {
+      (shape, si) <- shapes.zipWithIndex
+      r <- 0 until nRep
+      pid = si * nRep + r
+      (s, ta, tb) = shape
+      shared = (0 to s).map(j => s"p${pid}w$j")
+      (docId, tail) <- Seq(
+        (2L * pid, (1 to ta).map(j => s"p${pid}a$j")),
+        (2L * pid + 1, (1 to tb).map(j => s"p${pid}b$j")))
+    } yield (docId, (shared ++ tail).mkString(" "))
+    val bDocs = rows.toDF("doc_id", "text")
+    val bl = bDocs.filter(col("doc_id") % 2 === 0)
+    val br = bDocs.filter(col("doc_id") % 2 === 1)
+    val exactB = pairsOf(Engine.jaccardJoinAcross(bl, br, "doc_id",
+      "text", thresholdPct = 60, ngramWords = 2, broadcastBounded = true))
+    def shapeOf(p: (Long, Long)): Int = (p._1 / 2 / nRep).toInt
+    def recallRow(bands: Int): String = {
+      val got = pairsOf(Engine.minHashJoinAcross(bl, br, "doc_id",
+        "text", thresholdPct = 60, numHashes = 64, bands = bands,
+        ngramWords = 2, broadcastBounded = true))
+      val fp = (got diff exactB).size // exact verification: must be 0
+      val byShape = shapes.indices.map { si =>
+        val t = exactB.count(shapeOf(_) == si)
+        val h = (got intersect exactB).count(shapeOf(_) == si)
+        if (t == 0) "null" else f"${h.toDouble / t}%.3f"
+      }
+      val r = if (exactB.isEmpty) 1.0
+        else (got intersect exactB).size.toDouble / exactB.size
+      f""""bands_${bands}x${64 / bands}":{"recall":$r%.4f""" +
+        s""","false_positives":$fp""" +
+        s""","recall_by_J":[${byShape.mkString(",")}]}"""
+    }
+    val jList = shapes.map { case (s, ta, tb) =>
+      f"${s.toDouble / (s + ta + tb)}%.3f" }.mkString(",")
+    println(s"""{"metric":"dedup_recall_boundary","tau":0.6""" +
+      s""","pairs_per_shape":$nRep,"J_shapes":[$jList]""" +
+      s""","exact_pairs":${exactB.size},${recallRow(16)}""" +
+      s""",${recallRow(32)}}""")
     spark.stop()
   }
 }

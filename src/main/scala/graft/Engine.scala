@@ -1073,11 +1073,29 @@ object Engine {
     * index's own partitioned scan NEVER sees tombstone files — and the
     * serve path ([[searchIvfIndexLive]]) anti-joins them out of the
     * probed candidates. Append-mode, so successive deletes accumulate;
-    * a compaction (rebuild minus tombstones) reclaims space offline. */
+    * a compaction (rebuild minus tombstones) reclaims space offline.
+    * The index keys vec_id as BIGINT, so the ids must cast to BIGINT —
+    * enforced per row via try_cast + a codegen'd raise_error carrying
+    * the operator contract: a non-numeric id would otherwise become a
+    * tombstone that matches nothing in the anti-join, silently
+    * no-op'ing the delete while deleted vectors kept being served (the
+    * r11 advice item; under ANSI the plain cast throws a generic cast
+    * error — this names the failing contract instead). NULL input ids
+    * fail the same check (a NULL tombstone can address no indexed
+    * row). */
   def deleteFromIvfIndex(deleted: DataFrame, id: String,
-      indexPath: String): Unit =
-    deleted.select(col(id).cast(LongType).as("vec_id")).distinct()
+      indexPath: String): Unit = {
+    val asLong = expr(s"try_cast(`$id` AS BIGINT)")
+    deleted.select(
+      when(asLong.isNotNull, asLong)
+      .otherwise(raise_error(concat(
+        lit(s"deleteFromIvfIndex: id '$id' value '"),
+        coalesce(expr(s"try_cast(`$id` AS STRING)"), lit("NULL")),
+        lit("' does not cast to BIGINT (the index's vec_id type) — " +
+          "refusing a tombstone that would silently match nothing"))))
+      .as("vec_id")).distinct()
       .write.mode("append").parquet(s"$indexPath/_tombstones")
+  }
 
   private def ivfServe(queries: DataFrame, qid: String, qvec: String,
       centroids: DataFrame, cid: String, cvec: String,
@@ -1529,6 +1547,21 @@ object Engine {
   def searchMinHashIndex(batch: DataFrame, id: String, text: String,
       path: String, thresholdPct: Int = 60, numHashes: Int = 64,
       bands: Int = 16, ngramWords: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    probeMinHashIndex(batch, id, text,
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/docs"),
+      thresholdPct, numHashes, bands, ngramWords)
+  }
+
+  /** Shared probe body of [[searchMinHashIndex]] /
+    * [[searchMinHashIndexBucketed]] — the two differ ONLY in where the
+    * history tables come from (path parquet vs bucketed catalog), so
+    * the probe semantics cannot drift between them. */
+  private def probeMinHashIndex(batch: DataFrame, id: String,
+      text: String, bandsTbl: DataFrame, docsTbl: DataFrame,
+      thresholdPct: Int, numHashes: Int, bands: Int,
+      ngramWords: Int): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     val spark = batch.sparkSession
     graft.plans.SortedIntersectCount.register(spark)
@@ -1537,7 +1570,7 @@ object Engine {
     // side by the incremental contract, so pin the broadcast (the q90d
     // rationale: AQE size estimates flap on freshly-derived tables)
     val cands = broadcast(minHashBandTable(dl, "left_id", numHashes, bands))
-      .join(spark.read.parquet(s"$path/bands")
+      .join(bandsTbl
         .select(col("doc_id").as("right_id"), col("__band"), col("__bh")),
         Seq("__band", "__bh"))
       .select("left_id", "right_id")
@@ -1547,7 +1580,9 @@ object Engine {
       .join(broadcast(sl), Seq("left_id"))
       // the index-side array attach joins on the index's own docs table
       // — history arrays stream through a shuffle join (unbounded side)
-      .join(spark.read.parquet(s"$path/docs")
+      // unless the docs table is BUCKETED on doc_id, in which case this
+      // join needs no exchange on the history side at all
+      .join(docsTbl
         .select(col("doc_id").as("right_id"), col("grams").as("__sb")),
         Seq("right_id"))
     val inter = expr("sorted_intersect_count(__sa, __sb, " +
@@ -1558,6 +1593,66 @@ object Engine {
       .withColumn("jaccard", round(inter.cast(DoubleType) / uni, 6))
       .filter(inter.cast("long") * 100 >= uni.cast("long") * thresholdPct)
       .select("left_id", "right_id", "jaccard")
+  }
+
+  /** BUCKETED-CATALOG form of the persisted dedup index — the
+    * zero-exchange-history promise of [[buildMinHashIndex]]'s Scaladoc
+    * made a PLAN property instead of prose (the q99g promotion, applied
+    * here): both history tables land via `bucketBy(...).saveAsTable`
+    * (bucket metadata is a CATALOG property — path parquet cannot carry
+    * it, which is why [[buildMinHashIndex]] can only sort within
+    * files), `<table>_bands` bucketed+sorted on the probe key
+    * (__band, __bh) and `<table>_docs` bucketed+sorted on doc_id. A
+    * [[searchMinHashIndexBucketed]] probe then exchanges NOTHING on the
+    * history side: the bands probe streams history through the
+    * broadcast-batch join, and the verify attach reads doc buckets
+    * already clustered on the join key — only the (bounded) candidate
+    * set shuffles, sized to match the bucket count. At a 10-billion-doc
+    * history that is the difference between re-shuffling ~10 TB of
+    * signatures per daily batch and reading them in place
+    * (PlanSpec-asserted: no ShuffleExchange anywhere above a history
+    * scan). `numBuckets` is the standing parallelism of the history
+    * side — size it to history volume / healthy-scan-partition at
+    * deployment, not to the batch. */
+  def buildMinHashIndexBucketed(corpus: DataFrame, id: String,
+      text: String, table: String, numBuckets: Int = 8,
+      numHashes: Int = 64, bands: Int = 16, ngramWords: Int = 2): Unit = {
+    require(numBuckets >= 1)
+    val spark = corpus.sparkSession
+    // rebuild is a true overwrite even across JVMs: an in-memory
+    // catalog forgets the table between runs but its managed LOCATION
+    // survives in the warehouse dir, and CREATE then fails with
+    // LOCATION_ALREADY_EXISTS — drop both the entry and the directory
+    Seq(s"${table}_bands", s"${table}_docs").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val docs = minHashDocTable(corpus, id, text, ngramWords).persistOnce()
+    minHashBandTable(docs, "doc_id", numHashes, bands)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "__band", "__bh").sortBy("__band", "__bh")
+      .format("parquet").saveAsTable(s"${table}_bands")
+    docs.select(col("__id").as("doc_id"), col("__sv").as("grams"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_docs")
+  }
+
+  /** Probe a [[buildMinHashIndexBucketed]] index: result-identical to
+    * [[searchMinHashIndex]] over the same corpus (same shared probe
+    * body), with the history side exchange-free by bucket clustering. */
+  def searchMinHashIndexBucketed(batch: DataFrame, id: String,
+      text: String, table: String, thresholdPct: Int = 60,
+      numHashes: Int = 64, bands: Int = 16,
+      ngramWords: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    probeMinHashIndex(batch, id, text,
+      spark.table(s"${table}_bands"), spark.table(s"${table}_docs"),
+      thresholdPct, numHashes, bands, ngramWords)
   }
 
   /** ONLINE corpus construction with an ACCUMULATING dedup index — the
@@ -1595,6 +1690,17 @@ object Engine {
     // loop needs (the reference's catalog paging discipline, A4)
     val batchIds = docs.select(batchOf.cast("long").as("__b"))
       .distinct().orderBy(col("__b")).as[Long].collect()
+    // a RERUN at the same indexPath with a different batch set would
+    // otherwise leave the prior run's accepted/batch=<b> dirs behind
+    // (each loop iteration only overwrites its OWN partition), and
+    // partition discovery below would surface them as phantom
+    // survivors — clear the whole accepted tree alongside the i==0
+    // index rebuild (the r11 advice item)
+    locally { // scoped: one FS round-trip before the loop
+      val acc = new org.apache.hadoop.fs.Path(indexPath, "accepted")
+      val fs = acc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(acc)) fs.delete(acc, true)
+    }
     batchIds.zipWithIndex.foreach { case (b, i) =>
       val batch = docs.filter(batchOf.cast("long") === b)
       val kept0 =
@@ -3409,8 +3515,12 @@ object Engine {
     * for the exact rank positions — never a single-partition sort.
     * Determinism: midranks are exact halves (k or k+.5), so the
     * rank-sum routes through the decimal grid ([[Canon.sumDec]]); the
-    * tie term Σ(t³−t) is integer; the z denominator is one pinned
-    * IEEE expression evaluated identically in both engines. */
+    * tie term Σ(t³−t) is integer, computed on DECIMAL(38,0) — a value
+    * tied across >2.1M rows cubes past Long.MaxValue, and Spark wraps
+    * Long silently where DuckDB errors, so the Long form corrupts z at
+    * exactly the 100 TB scale this operator targets; the z denominator
+    * is one pinned IEEE expression evaluated identically in both
+    * engines. */
   def mannWhitneyU(df: DataFrame, group: Column, value: Column,
       a: String, b: String): DataFrame = {
     val perV = df.filter(group.isin(a, b) && value.isNotNull)
@@ -3431,9 +3541,11 @@ object Engine {
     // (count before it) + (ties + 1)/2 — an exact half-integer
     val midrank = (col("__cum___t") - col("__t")).cast(DoubleType) +
       (col("__t") + 1).cast(DoubleType) / lit(2.0)
+    val tDec = col("__t")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val terms = pref.select(
       (col("__c1").cast(DoubleType) * midrank).as("__r1t"),
-      (col("__t") * col("__t") * col("__t") - col("__t")).as("__tt"))
+      (tDec * tDec * tDec - tDec).as("__tt"))
     val agg = terms.agg(Canon.sumDec(col("__r1t")).as("__r1"),
       sum(col("__tt")).as("__ties"))
     val u = col("__r1") - lit(m1).cast(DoubleType) *
@@ -3563,41 +3675,52 @@ object Engine {
 
   /** CONTENT-DEFINED chunk dedup (the FastCDC/rsync idea, as a query):
     * chunk boundaries are placed where the rolling fingerprint of the
-    * LAST `window` characters hits a fixed pattern — so an insertion
-    * near the start of a document shifts only the chunks it touches,
-    * where fixed-offset chunking ([[dedupChunks]]) would re-key every
-    * chunk after it. The fingerprint is md5 of the `window`-char gram
-    * (md5 being the one hash both engines share bit-for-bit), boundary
-    * = last hex nibble '0' (p = 1/16 → expected chunk ≈ window chars).
-    * Per doc: O(len) grams, a bounded starts array, one partitioned
-    * lead() window to close chunks; then one hash aggregate on the
-    * chunk digest. Returns the cross-document duplicated chunks:
-    * (chunk_hash, n_docs, n_occ, chunk_len) with n_docs ≥ 2 — output
-    * bounded by distinct shared chunks, never pairs. */
+    * `window` characters starting at a position hits a fixed pattern —
+    * so an insertion near the start of a document shifts only the
+    * chunks it touches, where fixed-offset chunking ([[dedupChunks]])
+    * would re-key every chunk after it. The fingerprint is a base-257
+    * polynomial rolling hash mod 1e9+7 ([[graft.plans.CdcBoundaries]],
+    * a codegen expression: ONE multiply-add per character for ALL
+    * boundaries, vs the md5-per-position rule this replaces at ~50×
+    * the CPU); boundary = H % 16 == 0 (p = 1/16 → expected chunk ≈
+    * window chars, same statistics as the old md5-nibble rule).
+    *
+    * The whole chunk list is built IN-ROW — the boundaries array zipped
+    * with its own shifted self (the q93o co-occurrence pattern) closes
+    * every chunk with its successor boundary, so no window over rows
+    * carrying document text and NO text-replicating exchange (the old
+    * plan shipped every doc ~len/16 times through the lead() shuffle).
+    * The one exchange in the plan is `repartition(chunk_hash)`, whose
+    * hash clustering serves BOTH aggregate levels ((hash, doc) then
+    * hash) — and it moves (32-hex digest, id, len) rows, never text.
+    * Returns the cross-document duplicated chunks: (chunk_hash, n_docs,
+    * n_occ, chunk_len) with n_docs ≥ 2 — output bounded by distinct
+    * shared chunks, never pairs. */
   def cdcChunkDedup(df: DataFrame, id: Column, text: Column,
       window: Int = 16): DataFrame = {
     require(window >= 2)
-    val L = length(text)
-    // boundary candidates start at 2 (position 1 always opens a chunk)
-    // and end at L-window+1 (the last full gram); the guard keeps
-    // sequence() ascending-only on short docs
-    val cands = when(L >= lit(window + 1),
-      filter(sequence(lit(2), L - lit(window - 1)),
-        i => substring(md5(text.substr(i, lit(window))), 32, 1) === "0"))
-      .otherwise(array().cast("array<int>"))
-    val ex = df.select(id.as("__id"), text.as("__t"),
-      explode(concat(array(lit(1)), cands)).as("__s"))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__s"))
-    val chunks = ex
-      .withColumn("__e",
-        coalesce(lead(col("__s"), 1).over(w), length(col("__t")) + 1))
-      .select(col("__id"),
-        col("__t").substr(col("__s"), col("__e") - col("__s"))
-          .as("__chunk"))
-    chunks.groupBy(md5(col("__chunk")).as("chunk_hash"))
-      .agg(countDistinct(col("__id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(length(col("__chunk"))).as("chunk_len"))
+    graft.plans.CdcBoundaries.register(df.sparkSession)
+    val base = df.select(id.as("__id"), text.as("__t"))
+    val t = col("__t")
+    // starts (always led by 1) ++ the L+1 sentinel that closes the last
+    // chunk; zip starts with their successors → (start, end) per chunk
+    val b = concat(
+      call_function(graft.plans.CdcBoundaries.name, t, lit(window)),
+      array(length(t) + 1))
+    val chunks = zip_with(
+      slice(b, lit(1), size(b) - 1), slice(b, lit(2), size(b) - 1),
+      (s, e) => t.substr(s, e - s))
+    val occ = base
+      .select(col("__id"), explode(chunks).as("__chunk"))
+      .select(col("__id"), md5(col("__chunk")).as("chunk_hash"),
+        length(col("__chunk")).as("__len"))
+    occ.repartition(col("chunk_hash"))
+      .groupBy(col("chunk_hash"), col("__id"))
+      .agg(count(lit(1)).as("__occ"), min(col("__len")).as("__len"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__occ")).as("n_occ"),
+        min(col("__len")).as("chunk_len"))
       .filter(col("n_docs") >= 2)
   }
 
@@ -3606,9 +3729,15 @@ object Engine {
     * "which feeds are re-publishing which" corpus diagnostic that
     * turns a dedup pass's pair list into an actionable per-source
     * report (mirror sites, syndication, self-duplication on the
-    * diagonal). Rides entirely on [[jaccardJoin]]'s prefix-filtered
-    * pair plan; the rollup is two id-keyed equi-joins to attach
-    * sources and one bounded (|sources|²) aggregate. */
+    * diagonal). Pair generation rides the BANDED-MinHash scale path
+    * ([[minHashNearDups]], 64 hashes × 16 bands, exact verification of
+    * candidates) — NOT the exact prefix-filter join; the rollup is two
+    * id-keyed equi-joins to attach sources and one bounded (|sources|²)
+    * aggregate. BANDING-MISS TRIAGE (same note as q90l): the oracle is
+    * the exact all-pairs join, so a hash mismatch on fresh data most
+    * likely means a true pair near the τ boundary was missed by banding
+    * (~0.11 miss probability per pair at J = 0.6 under 16×4) — check
+    * the missing pair's Jaccard before suspecting the rollup. */
   def dupSourceMatrix(df: DataFrame, id: String, text: String,
       src: String, thresholdPct: Int = 60,
       ngramWords: Int = 2): DataFrame = {
@@ -4358,22 +4487,40 @@ object Engine {
     * histogram long before a mean/quantile drifts. Emits one row per
     * digit with observed vs expected share and the χ² statistic.
     *
-    * Determinism: the first digit is taken from the INTEGER-cents
-    * rendering (round(v·100) as BIGINT → first character of its
-    * base-10 string — integer formatting agrees across engines,
-    * double formatting does not); expected shares round log10 onto
-    * the 9-dp grid; the χ² fold sums 6-dp-rounded decimal terms. The
-    * scan aggregates to ≤9 rows in one exchange; the window totals
-    * run on that 9-row frame, not on data. */
+    * Determinism: the first SIGNIFICANT digit is the first [1-9]
+    * character of the DECIMAL(38,9) rendering of the value — decimal
+    * formatting emits digits in magnitude order in both engines (plain
+    * or scientific), so the first nonzero digit is the significand's
+    * leading digit for ANY magnitude ≥ 5e-10 (sub-unit values like
+    * 0.095 audit as 9, where an integer-cents rendering would carry
+    * the round into a spurious 1; values that round to 0 on the 9-dp
+    * grid have no significant digit there and are excluded); expected
+    * shares round log10 onto the 9-dp grid; the χ² fold sums
+    * 6-dp-rounded decimal terms over the FULL 1..9 digit domain — a
+    * digit with zero observations contributes its whole expected count
+    * ((0−e)²/e = e), so a histogram missing a digit raises the
+    * statistic instead of silently shrinking the sum. The scan
+    * aggregates to ≤9 rows in one exchange; the domain join and window
+    * totals run on that 9-row frame, not on data. */
   def benfordAudit(df: DataFrame, value: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-    val digits = df.filter(value > 0)
-      .select(substring(round(value * 100).cast(LongType)
-        .cast(StringType), 1, 1).cast("int").as("digit"))
-      .filter(col("digit") >= 1) // round(v*100) = 0 has no first digit
+    // positivity is tested on the DECIMAL — a positive value that rounds
+    // to 0 on the 9-dp grid has no significant digit there, and Spark
+    // renders zero decimals in E-notation ("0E-9"), whose exponent would
+    // otherwise false-match [1-9]
+    val vdec = value.cast(org.apache.spark.sql.types.DecimalType(38, 9))
+    val observed = df.filter(vdec > 0)
+      .select(regexp_extract(vdec.cast(StringType), "[1-9]", 0)
+        .cast("int").as("digit"))
+      .filter(col("digit").isNotNull)
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(observed, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
     val wAll = Window.partitionBy()
     digits.withColumn("__n", sum(col("n_obs")).over(wAll))
+      .filter(col("__n") > 0) // empty input stays an empty audit
       .withColumn("benford_share",
         round(log10((col("digit") + 1).cast(DoubleType) /
           col("digit").cast(DoubleType)), 9))

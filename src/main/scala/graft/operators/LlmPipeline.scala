@@ -1178,6 +1178,60 @@ object LlmPipeline {
           col("right_id").as("dup_of"), col("jaccard")))
     },
 
+    // Q90q (beyond-survey) — BUCKETED-CATALOG dedup index probe
+    // ([[graft.Engine.buildMinHashIndexBucketed]] /
+    // [[searchMinHashIndexBucketed]]): q90m's zero-exchange-history
+    // story, promoted from a Scaladoc note to a plan property. Both
+    // history tables are bucketBy().saveAsTable catalog tables (bands
+    // on the probe key, docs on doc_id), so a batch probe exchanges
+    // NOTHING on the history side — the bands probe streams history
+    // through the broadcast-batch join and the verify attach reads doc
+    // buckets already clustered on the join key (PlanSpec asserts no
+    // ShuffleExchange above a history scan, broadcasts disabled). At a
+    // 10-billion-doc history this is reading ~10 TB of signatures in
+    // place per daily batch instead of re-shuffling them. Same oracle
+    // as q90l/q90m: the probe must return exactly what the in-memory
+    // join over (batch, full history) returns.
+    Q("q90q_bucketed_index",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS nid, b.doc_id AS hid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT nid, hid,
+         |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = nid
+         |  JOIN sz sb ON sb.doc_id = hid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+         |best AS (SELECT nid, hid, jaccard, row_number() OVER (
+         |    PARTITION BY nid ORDER BY jaccard DESC, hid ASC) AS rn
+         |  FROM pairs)
+         |SELECT nid AS doc_id, hid AS dup_of, jaccard
+         |FROM best WHERE rn = 1
+         |ORDER BY doc_id NULLS FIRST, dup_of NULLS FIRST,
+         |  jaccard NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      graft.Engine.buildMinHashIndexBucketed(hist, "doc_id", "text",
+        "q90q_idx")
+      val pairs = graft.Engine.searchMinHashIndexBucketed(
+        batch, "doc_id", "text", "q90q_idx", thresholdPct = 60)
+      val w = Window.partitionBy(col("left_id"))
+        .orderBy(col("jaccard").desc, col("right_id").asc)
+      orderAll(pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("left_id").as("doc_id"),
+          col("right_id").as("dup_of"), col("jaccard")))
+    },
+
     // Q90n (beyond-survey) — ONLINE dedup INGEST (Engine.dedupIngest):
     // the loop the persisted index exists for — batches arrive in order
     // (here doc_id % 4 as the slot), each batch probes the accumulated
@@ -1237,20 +1291,27 @@ object LlmPipeline {
     // ([[graft.Engine.cdcChunkDedup]], the FastCDC/rsync idea as a
     // query): q90c keys chunks by fixed offsets, so one insertion
     // re-keys every chunk after it; here a boundary opens wherever the
-    // md5 fingerprint of the trailing 16-char gram ends in nibble '0'
-    // (p=1/16 → ~16-char expected chunks) — boundaries depend only on
-    // LOCAL content, so edits shift only the chunks they touch. md5 is
-    // the one fingerprint both engines share bit-for-bit; per doc the
-    // work is O(len) gram hashes + one doc-partitioned lead() window,
-    // and the output is the cross-document duplicated-chunk table
-    // (bounded by distinct shared chunks, never pairs). At 100 TB this
-    // is the storage-dedup half of the q90e substring family: same
-    // corpus-sized gram pass, chunk-grain instead of span-grain.
+    // base-257 polynomial rolling hash (mod 1e9+7) of the 16-char gram
+    // is ≡ 0 mod 16 (p=1/16 → ~16-char expected chunks) — boundaries
+    // depend only on LOCAL content, so edits shift only the chunks they
+    // touch. The hash is a [[graft.plans.CdcBoundaries]] codegen
+    // expression (one multiply-add per char for ALL boundaries); the
+    // oracle folds the identical recurrence per position via
+    // list_reduce, bit-equal on ASCII/BMP text. Chunks are built
+    // IN-ROW (boundaries zipped with their own shifted slice — the
+    // q93o pattern), so the ONLY exchange is the chunk-hash aggregate
+    // and no document text is ever shuffled. Output is the
+    // cross-document duplicated-chunk table (bounded by distinct
+    // shared chunks, never pairs). At 100 TB this is the storage-dedup
+    // half of the q90e substring family: same corpus-sized gram pass,
+    // chunk-grain instead of span-grain.
     Q("q90o_cdc_chunks",
       """WITH st AS (
         |  SELECT doc_id, text,
         |    [1] || [i FOR i IN generate_series(2, len(text) - 15)
-        |      IF substr(md5(substr(text, i, 16)), 32, 1) = '0'] AS starts
+        |      IF list_reduce(list_transform(range(0,16),
+        |             k -> CAST(ascii(text[i+k]) AS BIGINT)),
+        |           (a,b) -> (a*257+b) % 1000000007) % 16 = 0] AS starts
         |  FROM documents),
         |ex AS (SELECT doc_id, text, unnest(starts) AS s FROM st),
         |ch AS (SELECT doc_id,
@@ -1278,10 +1339,16 @@ object LlmPipeline {
     // rolled up per unordered source pair — "which feeds are
     // re-publishing which" (mirror sites, syndication, self-dup on
     // the diagonal), the report that turns a near-dup run into a
-    // crawl-policy decision. Rides entirely on
-    // [[graft.Engine.jaccardJoin]]'s prefix-filtered pair plan (J ≥
-    // 0.6 on word bigrams); the rollup is two id-keyed equi-joins to
-    // attach sources plus one aggregate bounded by |sources|².
+    // crawl-policy decision. Pair generation rides the BANDED-MinHash
+    // scale path ([[graft.Engine.minHashNearDups]], 64×16 banding +
+    // exact verification, J ≥ 0.6 on word bigrams) — the measured q90l
+    // exit, after the exact prefix-filter join flooded at sf1; the
+    // rollup is two id-keyed equi-joins to attach sources plus one
+    // aggregate bounded by |sources|². The oracle stays the exact
+    // all-pairs join, so a hash mismatch on fresh data most likely
+    // means banding missed a true pair near the τ boundary (~0.11
+    // per-pair miss at J=0.6 under 16×4) — check that pair's Jaccard
+    // before suspecting the rollup (q90l's triage note applies).
     Q("q90p_dup_matrix",
       s"""WITH sh AS (SELECT doc_id, source, $bigramsSql AS sv
          |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w

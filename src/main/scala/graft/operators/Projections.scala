@@ -127,18 +127,25 @@ object Projections {
     // ([[graft.Engine.benfordAudit]]): the cheap pipeline-corruption
     // tripwire — organic magnitudes follow P(d) = log10(1 + 1/d);
     // duplicated batches, fill-in defaults, or unit mix-ups bend the
-    // digit histogram long before a mean drifts. The first digit comes
-    // from the INTEGER-cents rendering (integer formatting agrees
-    // across engines where double formatting does not); the synthetic
-    // uniform prices rightly FAIL Benford — the χ² of 5876 is the
-    // audit working, not the fixture passing. One scan aggregates to
-    // ≤9 rows; the totals windows run on that 9-row frame.
+    // digit histogram long before a mean drifts. The first SIGNIFICANT
+    // digit is the first [1-9] character of the DECIMAL(38,9) rendering
+    // (digit order agrees across engines for any magnitude ≥ 5e-10,
+    // where an integer-cents rendering mis-digits sub-unit values); the
+    // χ² folds over the FULL 1..9 domain, so an absent digit contributes
+    // its whole expected count. The synthetic uniform prices rightly
+    // FAIL Benford — the χ² of 5876 is the audit working, not the
+    // fixture passing. One scan aggregates to ≤9 rows; the domain join
+    // and totals windows run on that 9-row frame.
     Q("q11e_benford",
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice
-        |      * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      """WITH d AS (SELECT CAST(NULLIF(regexp_extract(CAST(
+        |      CAST(o_totalprice AS DECIMAL(38,9)) AS VARCHAR),
+        |      '[1-9]'), '') AS INT) AS digit
         |  FROM orders WHERE o_totalprice > 0),
-        |g AS (SELECT digit, count(*) AS n_obs FROM d WHERE digit >= 1
-        |  GROUP BY 1),
+        |g0 AS (SELECT digit, count(*) AS n_obs FROM d
+        |  WHERE digit IS NOT NULL GROUP BY 1),
+        |g AS (SELECT dd.digit, coalesce(g0.n_obs, 0) AS n_obs
+        |  FROM (SELECT unnest(generate_series(1, 9)) AS digit) dd
+        |  LEFT JOIN g0 ON g0.digit = dd.digit),
         |w AS (SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM g),
         |b AS (SELECT digit, n_obs, n,
         |    round(log10(CAST(digit + 1 AS DOUBLE)

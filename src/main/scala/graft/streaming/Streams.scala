@@ -76,8 +76,12 @@ object Streams {
     * executor heap, changelog checkpointing) the tradeoff inverts and
     * this knob is the cutover — the provider is a config, not a plan
     * change, so the choice stays a deployment decision. */
-  private val stateProviderConf: Option[String] =
-    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").collect {
+  private def stateProviderConf: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+      // the cluster deployment profile (Bench SPARK_GRAFT_PROFILE=
+      // cluster) injects the same choice via a system property — env
+      // vars are immutable in-JVM
+      .orElse(sys.props.get("graft.stateProvider")).collect {
       case "rocksdb" =>
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     }

@@ -504,6 +504,83 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("searchMinHashIndexBucketed: bit-identical to the path-based " +
+      "probe over the same corpus (shared probe body, catalog layout)") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("mh_bucketed_eq").toString
+    try {
+      Engine.buildMinHashIndex(hist, "doc_id", "text", path)
+      Engine.buildMinHashIndexBucketed(hist, "doc_id", "text",
+        "mh_bucketed_eq_idx")
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaPath = set(Engine.searchMinHashIndex(
+        batch, "doc_id", "text", path, thresholdPct = 60))
+      val viaTable = set(Engine.searchMinHashIndexBucketed(
+        batch, "doc_id", "text", "mh_bucketed_eq_idx", thresholdPct = 60))
+      assert(viaTable == viaPath && viaPath.nonEmpty,
+        s"bucketed ${viaTable.size} vs path ${viaPath.size}")
+    } finally {
+      graft.sources.IO.deleteRec(new java.io.File(path))
+      spark.sql("DROP TABLE IF EXISTS mh_bucketed_eq_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_bucketed_eq_idx_docs")
+    }
+  }
+
+  test("dedupIngest: a rerun at the same indexPath with a CHANGED batch " +
+      "set leaves no phantom survivors from the prior run") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta", 0L),
+      (2L, "epsilon zeta eta theta", 1L),
+      (3L, "iota kappa lambda mu", 2L))
+      .toDF("doc_id", "text", "slot")
+    val path = java.nio.file.Files
+      .createTempDirectory("ingest_rerun").toString
+    try {
+      // first run ingests slots {0, 1, 2}; all distinct texts survive
+      val first = Engine.dedupIngest(docs, "doc_id", "text", col("slot"),
+        path).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(first == Set((1L, 0L), (2L, 1L), (3L, 2L)))
+      // rerun with only slots {0, 1}: slot 2's accepted/batch=2 dir from
+      // the first run must NOT resurface via partition discovery
+      val second = Engine.dedupIngest(docs.filter(col("slot") < 2),
+          "doc_id", "text", col("slot"), path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(second == Set((1L, 0L), (2L, 1L)),
+        s"stale accepted partitions leaked into: $second")
+    } finally {
+      graft.sources.IO.deleteRec(new java.io.File(path))
+    }
+  }
+
+  test("deleteFromIvfIndex: a non-numeric id fails loudly instead of " +
+      "writing a tombstone that silently matches nothing") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_tomb").toString
+    try {
+      val e = intercept[Exception] {
+        Engine.deleteFromIvfIndex(
+          Seq("doc-a", "doc-b").toDF("id"), "id", path)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("does not cast to BIGINT")),
+        s"unexpected failure: $e")
+      // numeric ids (any castable type) still write fine
+      Engine.deleteFromIvfIndex(Seq("7", "9").toDF("id"), "id", path)
+      val tomb = spark.read.parquet(s"$path/_tombstones")
+        .collect().map(_.getLong(0)).toSet
+      assert(tomb == Set(7L, 9L))
+    } finally {
+      graft.sources.IO.deleteRec(new java.io.File(path))
+    }
+  }
+
   test("stableSample: partition-invariant and near the requested fraction") {
     val orders = Tables.t(spark, TestSpark.sfDir, "orders")
     def sampled(parts: Int) = orders.repartition(parts)
@@ -1561,8 +1638,12 @@ class EngineSpec extends AnyFunSuite {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def chunksOf(t: String): Seq[String] = {
       val w = 16
+      // per-position fold (NOT the rolling recurrence the engine uses) —
+      // an independent derivation of the same boundary rule
+      def h(sub: String): Long =
+        sub.foldLeft(0L)((a, c) => (a * 257L + c) % 1000000007L)
       val starts = 1 +: (2 to t.length - w + 1)
-        .filter(i => md5hex(t.substring(i - 1, i - 1 + w))(31) == '0')
+        .filter(i => h(t.substring(i - 1, i - 1 + w)) % 16 == 0)
       (starts :+ (t.length + 1)).sliding(2).collect {
         case Seq(s, e) => t.substring(s - 1, e - 1)
       }.toSeq
@@ -2011,12 +2092,15 @@ class EngineSpec extends AnyFunSuite {
       ("2024-01-08", 1, 1L, 1L, 0L, 0.0)))  // d = n: pinned, not ln(0)
   }
 
-  test("benfordAudit: hand fixture — first digit from the integer-" +
-      "cents rendering, non-positives excluded, chi-square matches " +
-      "the fold") {
+  test("benfordAudit: hand fixture — first SIGNIFICANT digit (sub-unit " +
+      "0.095 audits as 9, not the carried 1), non-positives and " +
+      "sub-grid magnitudes excluded, empty digits still feed chi2") {
     import spark.implicits._
-    val df = Seq(1.00, 19.99, 0.02, 2.50, -5.0, 0.0)
-      .toDF("v") // digits: 1, 1, 2, 2; -5 and 0 excluded
+    // digits: 1, 1, 2, 2, 9; -5, 0 (non-positive) and 1e-12 (rounds to
+    // 0 on the 9-dp grid) excluded; digits 3..8 observed zero times but
+    // contribute their full expected counts to the statistic
+    val df = Seq(1.00, 19.99, 0.02, 2.50, 0.095, -5.0, 0.0, 1e-12)
+      .toDF("v")
     val got = Engine.benfordAudit(df, col("v")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
@@ -2024,10 +2108,14 @@ class EngineSpec extends AnyFunSuite {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val b1 = r9(math.log10(2.0)); val b2 = r9(math.log10(3.0 / 2.0))
-    val chi2 = (BigDecimal(r6(math.pow(2 - 4 * b1, 2) / (4 * b1))) +
-      BigDecimal(r6(math.pow(2 - 4 * b2, 2) / (4 * b2)))).toDouble
-    assert(got == Seq((1, 2L, 0.5, b1, chi2), (2, 2L, 0.5, b2, chi2)))
+    val bs = (1 to 9).map(d => r9(math.log10((d + 1.0) / d)))
+    val nObs = Map(1 -> 2L, 2 -> 2L, 9 -> 1L).withDefaultValue(0L)
+    val chi2 = (1 to 9).map { d =>
+      val e = 5 * bs(d - 1)
+      BigDecimal(r6(math.pow(nObs(d) - e, 2) / e))
+    }.sum.toDouble
+    assert(got == (1 to 9).map(d =>
+      (d, nObs(d), r6(nObs(d) / 5.0), bs(d - 1), chi2)))
   }
 
   test("winsorizedStats: hand fixture — exact interpolated band, " +

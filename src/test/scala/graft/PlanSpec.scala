@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape assertions (SURVEY §5 item 6): the queries must not merely
   * return the right rows — they must plan the way a 100 TB run needs.
@@ -402,6 +403,81 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 0, s"expected zero hash exchanges, got $n:\n$p")
   }
 
+  test("q90o: CDC chunking is a SINGLE hash exchange that never ships text") {
+    // chunk boundaries and the chunk list are built in-row
+    // (CdcBoundaries + zip_with over the shifted boundary array), so the
+    // one hashpartitioning exchange is repartition(chunk_hash), whose
+    // clustering serves both aggregate levels ((hash, doc) then hash).
+    // Two failure modes guarded: a second hash exchange (the distinct-agg
+    // replan), and any text column in the exchanged schema (the old
+    // lead()-window plan shipped each document ~len/16 times — the 100 TB
+    // killer the round-12 rewrite removed).
+    val p = planOf("q90o_cdc_chunks")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.forall(l => !l.contains("__t") && !l.contains("__chunk")),
+      s"the exchange must carry digests, not text:\n$p")
+  }
+
+  test("q90q: the bucketed index probe plans ZERO exchanges above any " +
+      "history scan — the 100 TB dedup-index claim as a plan property") {
+    // Build the bucketed index, then examine the probe plan with
+    // broadcasts DISABLED: without the broadcast shortcut the verify
+    // attach must still read history in place (SMJ against the bucketed
+    // docs table), so the assertion proves the bucket clustering, not a
+    // small-fixture broadcast. History scans are the two catalog tables;
+    // an exchange anywhere above one means the 10-TB signature table
+    // would re-shuffle per daily batch.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    graft.Engine.buildMinHashIndexBucketed(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      "q90q_planspec_idx")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = graft.Engine.searchMinHashIndexBucketed(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        "q90q_planspec_idx").queryExecution.executedPlan
+      def historyScans(p: SparkPlan, table: String): Int = p.collect {
+        case a: AdaptiveSparkPlanExec => historyScans(a.initialPlan, table)
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == table) => 1
+      }.sum
+      def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.initialPlan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+      assert(historyScans(plan, "q90q_planspec_idx_bands") == 1 &&
+        historyScans(plan, "q90q_planspec_idx_docs") == 1,
+        s"expected both history tables scanned in:\n$plan")
+      // (a) the DOCS scan — the heavy verify-attach side — must never
+      // sit under a ShuffleExchange: its bucket clustering feeds the
+      // SMJ directly, so the grams arrays are read in place
+      assert(exchanges(plan).forall(e =>
+        historyScans(e.child, "q90q_planspec_idx_docs") == 0),
+        s"the docs table must never sit under a ShuffleExchange:\n$plan")
+      // (b) exchanges downstream of the BANDS probe are legitimate only
+      // if they ship CANDIDATES (ids, batch-side payload), never
+      // HISTORY payload: no band-signature or history-grams column may
+      // cross an exchange (the batch-side __sa array is bounded by the
+      // incremental contract and may ship)
+      val histCols = Set("__band", "__bh", "__sb", "grams")
+      assert(exchanges(plan).forall(e =>
+        historyScans(e.child, "q90q_planspec_idx_bands") == 0 ||
+          e.output.forall(a => !histCols(a.name))),
+        s"an exchange above the bands scan ships history payload:\n$plan")
+      // and the verify attach really is the sort-merge shape (no
+      // broadcast shortcut hiding the property)
+      assert(plan.toString.contains("SortMergeJoin"), plan.toString)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("q46i: the CUSUM trace reuses the daily rollup's key exchange " +
       "for both window passes") {
     // daily groupBy(key, day) shuffles on (key, day); the reference
@@ -540,7 +616,9 @@ class PlanSpec extends AnyFunSuite {
       // writes the banded-MinHash dedup index on build (q99h class)
       "q90m_dedup_index",
       // driver ingest loop: builds + appends the index per batch
-      "q90n_dedup_ingest")
+      "q90n_dedup_ingest",
+      // writes the bucketed catalog tables on build (q90m class)
+      "q90q_bucketed_index")
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),

@@ -73,4 +73,44 @@ class QioLedgerSpec extends AnyFunSuite {
         "via tools/gen_qio_baseline.py in the same commit): " +
         breaches.mkString("; "))
   }
+
+  /** SF1 SPILLER ALLOWLIST — the two DOCUMENTED spill floors of the
+    * exact-recall contrast family, with their committed volumes:
+    *  - q90d_incremental_dedup: the deliberate exact prefix-filter
+    *    baseline the banded path (q90l) is measured against — its
+    *    candidate flood on the gram-saturated 10× fixture spills
+    *    ~1.1 GB by design (SURVEY §8, VERDICT r11 "What's wrong #2");
+    *  - q90h_containment_join: the intrinsic GC-band case, ~33 MB.
+    * Everything else must stay spill-free at sf1. q90p's 2.6 GB sf1
+    * flood (r11) was caught only by a MANUAL sweep — this test is that
+    * sweep's assertion, in CI (r11 verdict item 3). */
+  private val sf1SpillFloors = Map(
+    "q90d_incremental_dedup" -> 1111000876L,
+    "q90h_containment_join" -> 33484804L)
+
+  test("the sf1 stress sweep spills ONLY at the two documented " +
+      "exact-join floors, each inside [x/2, 2x] of its committed volume") {
+    val sf1Opt = readJson("bench_sf1.json")
+    assume(sf1Opt.isDefined, "no committed sf1 sweep in this checkout")
+    val qio = sf1Opt.get.get("qio")
+    assume(qio != null && qio.size() > 0, "sf1 ledger carries no qio")
+    val breaches = qio.properties().asScala.toSeq.sortBy(_.getKey).flatMap {
+      e =>
+        val (name, node) = (e.getKey, e.getValue)
+        val sp = node.get("spill").asLong()
+        sf1SpillFloors.get(name) match {
+          case None if sp > 0 =>
+            Seq(s"$name: NEW sf1 spill $sp bytes (allowlist: " +
+              s"${sf1SpillFloors.keys.toSeq.sorted.mkString(", ")})")
+          case Some(x) if sp < x / 2 || sp > x * 2 =>
+            Seq(s"$name: sf1 spill $sp outside [${x / 2}, ${x * 2}] — " +
+              "if intentional, update sf1SpillFloors in the same commit")
+          case _ => Seq.empty
+        }
+    }
+    assert(breaches.isEmpty,
+      "sf1 spill envelope breach — a memory-envelope regression at the " +
+        "10x stress scale (or an intentional change: update the " +
+        "documented allowlist): " + breaches.mkString("; "))
+  }
 }
