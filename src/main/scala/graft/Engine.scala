@@ -1642,6 +1642,27 @@ object Engine {
       .format("parquet").saveAsTable(s"${table}_docs")
   }
 
+  /** Append a delta corpus into a [[buildMinHashIndexBucketed]] index:
+    * new files only, placed into their buckets (Spark routes appended
+    * rows by the table's bucket spec, so the clustering contract — and
+    * the exchange-free probe — survives the append; buckets simply gain
+    * one file per append, which a periodic in-bucket compaction folds
+    * back to one sorted file). Same caller contract as
+    * [[appendMinHashIndex]]: delta ids are NEW. */
+  def appendMinHashIndexBucketed(delta: DataFrame, id: String,
+      text: String, table: String, numBuckets: Int = 8,
+      numHashes: Int = 64, bands: Int = 16, ngramWords: Int = 2): Unit = {
+    val docs = minHashDocTable(delta, id, text, ngramWords).persistOnce()
+    minHashBandTable(docs, "doc_id", numHashes, bands)
+      .write.mode("append")
+      .bucketBy(numBuckets, "__band", "__bh").sortBy("__band", "__bh")
+      .format("parquet").saveAsTable(s"${table}_bands")
+    docs.select(col("__id").as("doc_id"), col("__sv").as("grams"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_docs")
+  }
+
   /** Probe a [[buildMinHashIndexBucketed]] index: result-identical to
     * [[searchMinHashIndex]] over the same corpus (same shared probe
     * body), with the history side exchange-free by bucket clustering. */

@@ -1183,7 +1183,8 @@ object LlmPipeline {
     // [[searchMinHashIndexBucketed]]): q90m's zero-exchange-history
     // story, promoted from a Scaladoc note to a plan property. Both
     // history tables are bucketBy().saveAsTable catalog tables (bands
-    // on the probe key, docs on doc_id), so a batch probe exchanges
+    // on the probe key, docs on doc_id), appends route new files into
+    // their buckets (full q90m lifecycle), and a batch probe exchanges
     // NOTHING on the history side — the bands probe streams history
     // through the broadcast-batch join and the verify attach reads doc
     // buckets already clustered on the join key (PlanSpec asserts no
@@ -1220,7 +1221,14 @@ object LlmPipeline {
       val docs = Tables.t(s, dir, "documents")
       val batch = docs.filter(col("doc_id") % 5 === 0)
       val hist = docs.filter(col("doc_id") % 5 =!= 0)
-      graft.Engine.buildMinHashIndexBucketed(hist, "doc_id", "text",
+      // same lifecycle as q90m: 90% of history builds the tables, the
+      // remaining tenth APPENDS (new files routed into their buckets —
+      // the clustering contract survives the append)
+      graft.Engine.buildMinHashIndexBucketed(
+        hist.filter(col("doc_id") % 10 =!= 4), "doc_id", "text",
+        "q90q_idx")
+      graft.Engine.appendMinHashIndexBucketed(
+        hist.filter(col("doc_id") % 10 === 4), "doc_id", "text",
         "q90q_idx")
       val pairs = graft.Engine.searchMinHashIndexBucketed(
         batch, "doc_id", "text", "q90q_idx", thresholdPct = 60)

@@ -513,7 +513,13 @@ class EngineSpec extends AnyFunSuite {
       .createTempDirectory("mh_bucketed_eq").toString
     try {
       Engine.buildMinHashIndex(hist, "doc_id", "text", path)
-      Engine.buildMinHashIndexBucketed(hist, "doc_id", "text",
+      // bucketed side exercises the FULL lifecycle: build 90%, append
+      // the rest — the appended bucket files must probe identically
+      Engine.buildMinHashIndexBucketed(
+        hist.filter(col("doc_id") % 10 =!= 4), "doc_id", "text",
+        "mh_bucketed_eq_idx")
+      Engine.appendMinHashIndexBucketed(
+        hist.filter(col("doc_id") % 10 === 4), "doc_id", "text",
         "mh_bucketed_eq_idx")
       def set(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -269,4 +269,71 @@ class ExpressionSpec extends AnyFunSuite {
       .count()
     assert(diffs == 0)
   }
+
+  // driver-side per-position reference for cdc_boundaries: the NAIVE
+  // fold the rolling recurrence must equal (and the shape the DuckDB
+  // oracle computes)
+  private def cdcRef(t: String, w: Int): Seq[Int] = {
+    def h(sub: String): Long =
+      sub.foldLeft(0L)((a, c) => (a * 257L + c) % 1000000007L)
+    1 +: (2 to t.length - w + 1)
+      .filter(i => h(t.substring(i - 1, i - 1 + w)) % 16 == 0)
+  }
+
+  test("cdc_boundaries: the rolling recurrence equals the per-position " +
+      "fold on randomized ASCII text, at several window sizes") {
+    graft.plans.CdcBoundaries.register(spark)
+    import spark.implicits._
+    // deterministic pseudo-random corpus (seeded — no Date.now)
+    val rnd = new scala.util.Random(421)
+    val texts = (1 to 200).map { i =>
+      val len = rnd.nextInt(400) // includes len < window edge cases
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar)
+        .mkString)
+    }
+    for (w <- Seq(4, 16, 48)) {
+      val got = texts.toDF("id", "t")
+        .select(col("id"),
+          call_function("cdc_boundaries", col("t"), lit(w)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      texts.foreach { case (id, t) =>
+        val want = if (t.length < w + 1) Seq(1) else cdcRef(t, w)
+        assert(got(id) == want,
+          s"window $w, len ${t.length}: ${got(id)} != $want")
+      }
+    }
+  }
+
+  test("cdc_boundaries: content-defined locality — boundaries strictly " +
+      "after an inserted prefix are the original's, shifted") {
+    graft.plans.CdcBoundaries.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val t = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val p = "INSERTED/" * 3
+    val w = 16
+    val rows = Seq((1L, t), (2L, p + t)).toDF("id", "t")
+      .select(col("id"),
+        call_function("cdc_boundaries", col("t"), lit(w)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // every boundary of t whose window lies fully inside t reappears in
+    // p+t shifted by |p| — the property that makes chunk dedup survive
+    // edits (fixed-offset chunking re-keys everything instead)
+    val shifted = rows(1L).filter(_ >= 2).map(_ + p.length).toSet
+    val after = rows(2L).filter(_ >= p.length + 2).toSet
+    assert(shifted == after, s"$shifted != $after")
+  }
+
+  test("cdc_boundaries participates in whole-stage codegen") {
+    graft.plans.CdcBoundaries.register(spark)
+    val df = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(call_function("cdc_boundaries", col("text"), lit(16))
+        .as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("cdc_boundaries")), plan)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.write.format("noop").mode("overwrite").save()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
