@@ -1538,6 +1538,44 @@ object Engine {
       .write.mode(mode).parquet(s"$path/docs")
   }
 
+  /** COMPACT a [[buildMinHashIndex]] index in place: each append lands
+    * as new files, so a long-lived index accumulates one small-file
+    * wave per ingest slot and loses the in-file probe-key clustering
+    * that makes row-group skipping work; compaction rewrites each
+    * table RANGE-CLUSTERED on its key (bands on (__band, __bh), docs
+    * on doc_id) into `files` sorted files — strictly better layout
+    * than the original build (globally range-partitioned, not just
+    * sorted within arbitrary partitions). Rows are untouched: a
+    * post-compaction probe is bit-identical (spec'd). Swap discipline:
+    * the rewrite lands in a sibling temp dir, the live dir moves to a
+    * trash name, temp renames in, trash deletes — a crash leaves
+    * either the old or the new table readable, never neither (the A16
+    * atomic-rename idea; directory rename is the atom on HDFS-like
+    * stores). Size `files` to table volume / healthy-scan-partition at
+    * deployment. */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, files: Int = 8): Unit = {
+    require(files >= 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(sub: String, keys: Seq[String]): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/__compact_$sub")
+      val trash = new org.apache.hadoop.fs.Path(s"$path/__trash_$sub")
+      val fs = src.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(trash)) fs.delete(trash, true)
+      spark.read.parquet(src.toString)
+        .repartitionByRange(files, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(src, trash) && fs.rename(tmp, src),
+        s"compactMinHashIndex: swap failed for $src")
+      fs.delete(trash, true): Unit
+    }
+    swap("bands", Seq("__band", "__bh"))
+    swap("docs", Seq("doc_id"))
+  }
+
   /** Probe a persisted [[buildMinHashIndex]] index with a new batch:
     * (left_id = batch doc, right_id = indexed doc, jaccard ≥ pct/100) —
     * result-identical to [[minHashJoinAcross]](batch, history) by
@@ -2255,6 +2293,38 @@ object Engine {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "cos_sim")
+  }
+
+  /** k-NN WEAK LABELER: each query vector takes the MAJORITY label of
+    * its k nearest labeled corpus vectors (rounded cosine; votes tie
+    * toward the smaller label) — the semi-supervised labeling /
+    * label-denoising pass a training-data pipeline runs when a small
+    * gold set must annotate a large crawl. Returns (query_id,
+    * pred_label, votes, vote_share). Caller contract: `queries` must
+    * not appear in `corpus` (a self-neighbor votes for its own label
+    * at cosine 1 and turns the labeler into an echo).
+    *
+    * Plan: rides [[cosineTopK]]'s broadcast-queries exact-scoring shape
+    * (the q92 contract: a BOUNDED query set; unbounded query sets route
+    * through the bucketed/IVF candidate cutover first), then one
+    * (query, label) vote aggregate and a 1-row-per-query argmax window
+    * — both on k·|queries| rows, never corpus-sized. */
+  def knnLabel(corpus: DataFrame, id: String, vec: String,
+      labelCol: String, queries: DataFrame, qid: String, qvec: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val nn = cosineTopK(corpus, id, vec, queries, qid, qvec, k)
+    val lab = corpus.select(col(id).as("vec_id"),
+      col(labelCol).as("__l"))
+    val votes = nn.join(lab, Seq("vec_id"))
+      .groupBy(col("query_id"), col("__l").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("pred_label").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("pred_label"), col("votes"),
+        round(col("votes").cast(DoubleType) / k, 6).as("vote_share"))
   }
 
   /** SEMANTIC dedup (the SemDeDup recipe): assign every vector to its
@@ -3718,7 +3788,24 @@ object Engine {
     * n_occ, chunk_len) with n_docs ≥ 2 — output bounded by distinct
     * shared chunks, never pairs. */
   def cdcChunkDedup(df: DataFrame, id: Column, text: Column,
-      window: Int = 16): DataFrame = {
+      window: Int = 16): DataFrame =
+    chunkOccurrences(df, id, text, window).repartition(col("chunk_hash"))
+      .groupBy(col("chunk_hash"), col("__id"))
+      .agg(count(lit(1)).as("__occ"), min(col("__len")).as("__len"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__occ")).as("n_occ"),
+        min(col("__len")).as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+
+  /** Internal: the (\_\_id, chunk_hash, \_\_len) content-defined chunk
+    * occurrence table — one row per chunk of every document, built
+    * entirely IN-ROW ([[graft.plans.CdcBoundaries]] rolling-hash
+    * boundaries zipped with their own shifted slice), shared by
+    * [[cdcChunkDedup]], [[buildChunkIndex]] and [[chunkNovelty]] so the
+    * index build and the probe can never disagree on chunking. */
+  private def chunkOccurrences(df: DataFrame, id: Column, text: Column,
+      window: Int): DataFrame = {
     require(window >= 2)
     graft.plans.CdcBoundaries.register(df.sparkSession)
     val base = df.select(id.as("__id"), text.as("__t"))
@@ -3731,18 +3818,58 @@ object Engine {
     val chunks = zip_with(
       slice(b, lit(1), size(b) - 1), slice(b, lit(2), size(b) - 1),
       (s, e) => t.substr(s, e - s))
-    val occ = base
-      .select(col("__id"), explode(chunks).as("__chunk"))
+    base.select(col("__id"), explode(chunks).as("__chunk"))
       .select(col("__id"), md5(col("__chunk")).as("chunk_hash"),
         length(col("__chunk")).as("__len"))
-    occ.repartition(col("chunk_hash"))
-      .groupBy(col("chunk_hash"), col("__id"))
-      .agg(count(lit(1)).as("__occ"), min(col("__len")).as("__len"))
-      .groupBy(col("chunk_hash"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__occ")).as("n_occ"),
-        min(col("__len")).as("chunk_len"))
-      .filter(col("n_docs") >= 2)
+  }
+
+  /** Build the persisted CONTENT-DEFINED CHUNK index of a corpus: the
+    * DISTINCT chunk digests (with a representative length) of every
+    * document's CDC chunks, written sorted by digest for row-group
+    * skipping on probes. This is the storage half of incremental
+    * fine-grained dedup: the index is bounded by distinct content
+    * (each shared paragraph stored once as a 16-byte digest row, never
+    * per occurrence), and probing a new crawl batch against it
+    * ([[chunkNovelty]]) answers "how many bytes of this batch are
+    * actually new" WITHOUT ever re-reading history text — the same
+    * amortization argument as [[buildMinHashIndex]], at chunk grain.
+    * Rebuild is overwrite (a rebuild IS the compaction). */
+  def buildChunkIndex(corpus: DataFrame, id: Column, text: Column,
+      path: String, window: Int = 16): Unit =
+    chunkOccurrences(corpus, id, text, window)
+      .groupBy(col("chunk_hash")).agg(min(col("__len")).as("chunk_len"))
+      .sortWithinPartitions("chunk_hash")
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a [[buildChunkIndex]] index with a new batch: per batch
+    * document, how many of its content-defined chunks — and how many
+    * of its CHARACTERS — are novel against the indexed history. The
+    * per-document novel-byte ratio is the number an incremental crawl
+    * ingest actually budgets on ("this batch is 3% new content"); a
+    * doc-grain near-dup pass can't see a boilerplate-heavy page that is
+    * 95% already-stored paragraphs. Plan: batch chunks built in-row,
+    * ONE digest equi-join against the distinct-hash index (no fanout —
+    * the index is unique on digest), one per-doc aggregate; history
+    * text is never read. Within-batch repeats count as novel on every
+    * occurrence (the index freezes at probe time; route same-batch
+    * dedup through [[cdcChunkDedup]] first). */
+  def chunkNovelty(batch: DataFrame, id: Column, text: Column,
+      path: String, window: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(path)
+      .select(col("chunk_hash"), lit(true).as("__known"))
+    chunkOccurrences(batch, id, text, window)
+      .join(idx, Seq("chunk_hash"), "left")
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__known").isNull, 1)).as("n_novel"),
+        sum(col("__len")).as("total_chars"),
+        coalesce(sum(when(col("__known").isNull, col("__len"))), lit(0L))
+          .as("novel_chars"))
+      .withColumn("novel_ratio", // NULL, not NaN, for an all-empty doc
+        when(col("total_chars") > 0,
+          round(col("novel_chars").cast(DoubleType) /
+            col("total_chars"), 6)))
   }
 
   /** Cross-source near-duplication MATRIX: for every unordered source
@@ -3786,6 +3913,82 @@ object Engine {
         greatest(col("__sa"), col("__sb")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** SPLIT-LEAKAGE audit: near-duplicate pairs (J ≥ τ on word n-grams)
+    * whose endpoints landed in DIFFERENT splits of a deterministic
+    * train/val/test assignment — the eval-set honesty check every
+    * corpus release needs: a test document with a J=0.9 twin in train
+    * makes the eval score a memorization measurement, and a doc-count
+    * split integrity check (q09e) cannot see it. Returns the leaked
+    * pairs (doc_a, doc_b, jaccard, split_a, split_b), output bounded
+    * by the corpus's near-dup pair count.
+    *
+    * Pair generation rides the BANDED-MinHash scale path
+    * ([[minHashNearDups]], exact verification of candidates), so the
+    * audit runs at corpus scale without an all-pairs join; the split
+    * attach is two id-keyed equi-joins. BANDING-MISS TRIAGE (q90l's
+    * note): against an exact oracle, a missing borderline pair
+    * (~0.11 per-pair miss at J=0.6 under 16×4) is the banding window,
+    * not a bug — and for THIS operator a missed leaked pair is a
+    * missed leak, so corpora with J-mass near τ should pass bands=32
+    * (the measured RECALL.json boundary guidance). */
+  def splitLeakage(df: DataFrame, id: String, text: String,
+      split: Column, thresholdPct: Int = 60, numHashes: Int = 64,
+      bands: Int = 16, ngramWords: Int = 2): DataFrame = {
+    val pairs = minHashNearDups(df, id, text,
+      threshold = thresholdPct / 100.0, numHashes = numHashes,
+      bands = bands, shingleWords = ngramWords)
+    val s = df.select(col(id), split.as("__split"))
+    pairs
+      .join(s.select(col(id).as("doc_a"), col("__split").as("split_a")),
+        Seq("doc_a"))
+      .join(s.select(col(id).as("doc_b"), col("__split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+  }
+
+  /** EMBEDDING-CENTROID drift between CONSECUTIVE cohorts (days,
+    * ingest batches): per cohort the per-dimension mean vector, then
+    * for each adjacent cohort pair the centroid cosine similarity and
+    * L2 shift — the embedding-space companion to the scalar drift
+    * family (q46f–q46i): an encoder version bump, a scraper pulling a
+    * new site mix, or a language-share move all show up as the
+    * centroid walking before any scalar column drifts.
+    *
+    * Scale shape: ONE posexplode pass feeds a (cohort, dim) aggregate
+    * — the map-side partials bound the shuffle at |cohorts|·dims rows
+    * regardless of corpus size — and the pairing join + final fold run
+    * on that config-sized centroid table, never on vectors.
+    * Determinism: per-dim means are [[Canon.avgDec]] rounded to 9 dp;
+    * the cosine/L2 folds sum 9-dp-rounded products through the decimal
+    * grid, so both engines fold identical term lists. */
+  def centroidDrift(df: DataFrame, vec: String,
+      cohort: Column): DataFrame = {
+    val ex = df.filter(col(vec).isNotNull)
+      .select(cohort.cast("long").as("__c"),
+        posexplode(col(vec)).as(Seq("__d", "__x")))
+    val cent = ex.groupBy(col("__c"), col("__d"))
+      .agg(round(Canon.avgDec(col("__x").cast(DoubleType)), 9).as("__m"))
+      .persistOnce()
+    val a = cent.select(col("__c").as("cohort_a"), col("__d"),
+      col("__m").as("__ma"))
+    val b = cent.select((col("__c") - 1).as("cohort_a"),
+      col("__d"), col("__m").as("__mb"))
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    def fold(t: Column) = sum(round(t, 9).cast(dec9)).cast(DoubleType)
+    a.join(b, Seq("cohort_a", "__d"))
+      .groupBy(col("cohort_a"))
+      .agg(fold(col("__ma") * col("__mb")).as("__ab"),
+        fold(col("__ma") * col("__ma")).as("__aa"),
+        fold(col("__mb") * col("__mb")).as("__bb"),
+        fold((col("__ma") - col("__mb")) *
+          (col("__ma") - col("__mb"))).as("__d2"))
+      .select(col("cohort_a"), (col("cohort_a") + 1).as("cohort_b"),
+        round(col("__ab") / sqrt(col("__aa") * col("__bb")), 6)
+          .as("cos_sim"),
+        round(sqrt(col("__d2")), 6).as("l2_shift"))
   }
 
   /** SCD TYPE-2 history build as a library operator (the q59 shape):
@@ -4856,8 +5059,13 @@ object Engine {
     val deg = e.select(col("__u").as("__n"))
       .unionByName(e.select(col("__v").as("__n")))
       .groupBy(col("__n")).agg(count(lit(1)).as("__d")).persistOnce()
+    // wedge count folds on DECIMAL(38,0): a degree past ~4.3e9 would
+    // silently wrap d·(d−1) in Long (the mannWhitneyU tie-term lesson);
+    // the product is even, so /2 is exact in decimal, and the final
+    // cast back to LongType only matters once the TOTAL fits
     val totals = deg.agg(count(lit(1)).as("n_nodes"),
-      coalesce(sum(expr("(__d * (__d - 1)) DIV 2")), lit(0L))
+      coalesce(sum(expr(
+          "CAST(__d AS DECIMAL(38,0)) * (__d - 1) / 2")), lit(0))
         .cast(LongType).as("n_wedges"))
     // orient: from the lower-(degree, id) endpoint to the higher
     val withDeg = e

@@ -1178,6 +1178,169 @@ object LlmPipeline {
           col("right_id").as("dup_of"), col("jaccard")))
     },
 
+    // Q90t (beyond-survey) — dedup-index COMPACTION
+    // ([[graft.Engine.compactMinHashIndex]]): the maintenance half of
+    // the q90m lifecycle — every append lands a small-file wave, so a
+    // long-lived index accumulates files and loses in-file probe-key
+    // clustering; compaction rewrites both tables RANGE-CLUSTERED on
+    // their keys behind an atomic-rename swap (the A16 discipline:
+    // a crash leaves old or new readable, never neither). Rows are
+    // untouched, so the oracle is q90m's probe VERBATIM — the hash
+    // match proves compaction is invisible to results while the spec
+    // proves the file count actually shrank.
+    Q("q90t_index_compaction",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS nid, b.doc_id AS hid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT nid, hid,
+         |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = nid
+         |  JOIN sz sb ON sb.doc_id = hid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+         |best AS (SELECT nid, hid, jaccard, row_number() OVER (
+         |    PARTITION BY nid ORDER BY jaccard DESC, hid ASC) AS rn
+         |  FROM pairs)
+         |SELECT nid AS doc_id, hid AS dup_of, jaccard
+         |FROM best WHERE rn = 1
+         |ORDER BY doc_id NULLS FIRST, dup_of NULLS FIRST,
+         |  jaccard NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val path = IO.scratch("q90t_index_compaction", dir)
+      // FOUR append waves on top of the build — the small-file
+      // accumulation compaction exists for
+      graft.Engine.buildMinHashIndex(
+        hist.filter(col("doc_id") % 10 =!= 4), "doc_id", "text", path)
+      graft.Engine.appendMinHashIndex(
+        hist.filter(col("doc_id") % 10 === 4), "doc_id", "text", path)
+      graft.Engine.compactMinHashIndex(s, path)
+      val pairs = graft.Engine.searchMinHashIndex(
+        batch, "doc_id", "text", path, thresholdPct = 60)
+      val w = Window.partitionBy(col("left_id"))
+        .orderBy(col("jaccard").desc, col("right_id").asc)
+      orderAll(pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("left_id").as("doc_id"),
+          col("right_id").as("dup_of"), col("jaccard")))
+    },
+
+    // Q90r (beyond-survey) — persisted CHUNK-HASH index + batch
+    // NOVELTY probe ([[graft.Engine.buildChunkIndex]] /
+    // [[chunkNovelty]]): the q90m incremental-dedup discipline at CHUNK
+    // grain — history's content-defined chunk digests (q90o's boundary
+    // rule, shared code) live once in a digest-sorted index; probing a
+    // new batch answers "how many of this batch's BYTES are actually
+    // new" per document, the number an incremental crawl ingest
+    // budgets on (a doc-grain near-dup pass cannot see a page that is
+    // 95% already-stored boilerplate paragraphs). Plan: batch chunks
+    // built in-row, one digest equi-join against the unique-hash index
+    // (no fanout), one per-doc aggregate — history text is never read.
+    Q("q90r_chunk_novelty",
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    [1] || [i FOR i IN generate_series(2, len(text) - 15)
+        |      IF list_reduce(list_transform(range(0,16),
+        |             k -> CAST(ascii(text[i+k]) AS BIGINT)),
+        |           (a,b) -> (a*257+b) % 1000000007) % 16 = 0] AS starts
+        |  FROM documents),
+        |ex AS (SELECT doc_id, text, unnest(starts) AS s FROM st),
+        |ch AS (SELECT doc_id,
+        |    substr(text, s, coalesce(lead(s) OVER (
+        |      PARTITION BY doc_id ORDER BY s), len(text) + 1) - s)
+        |      AS chunk
+        |  FROM ex),
+        |hist AS (SELECT DISTINCT md5(chunk) AS h FROM ch
+        |  WHERE doc_id % 5 <> 0),
+        |b AS (SELECT doc_id, md5(chunk) AS h, len(chunk) AS l FROM ch
+        |  WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(l) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN hist.h IS NULL THEN l ELSE 0 END)
+        |    AS BIGINT) AS novel_chars,
+        |  CASE WHEN sum(l) > 0 THEN round(CAST(sum(CASE WHEN hist.h
+        |    IS NULL THEN l ELSE 0 END) AS DOUBLE) / sum(l), 6)
+        |    END AS novel_ratio
+        |FROM b LEFT JOIN hist ON b.h = hist.h
+        |GROUP BY 1
+        |ORDER BY doc_id NULLS FIRST, n_chunks NULLS FIRST,
+        |  n_novel NULLS FIRST, total_chars NULLS FIRST,
+        |  novel_chars NULLS FIRST, novel_ratio NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val path = IO.scratch("q90r_chunk_index", dir)
+        graft.Engine.buildChunkIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"),
+          col("text"), path)
+        orderAll(graft.Engine.chunkNovelty(
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"),
+          col("text"), path))
+    },
+
+    // Q90s (beyond-survey) — SPLIT-LEAKAGE audit
+    // ([[graft.Engine.splitLeakage]]): near-dup pairs (J ≥ 0.6 on word
+    // bigrams, banded generation + exact verification) whose endpoints
+    // landed in DIFFERENT splits of the q09e deterministic md5
+    // assignment — the eval-set honesty check a doc-count split
+    // integrity audit cannot perform: a test doc with a J=0.96 twin in
+    // train turns its eval score into a memorization measurement (this
+    // corpus has 9 such pairs at sf0.01 — the audit finding real
+    // leaks). Oracle is the exact all-pairs join + the same split rule;
+    // q90l's banding-miss triage note applies, and because a missed
+    // pair here is a missed LEAK, borderline corpora should pass
+    // bands=32 (the RECALL.json boundary guidance).
+    Q("q90s_split_leakage",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS xid, b.doc_id AS yid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT xid, yid,
+         |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = xid
+         |  JOIN sz sb ON sb.doc_id = yid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |        1, 4) AS INT) * 100 < 80 * 65536 THEN 'train'
+         |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |        1, 4) AS INT) * 100 < 90 * 65536 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT xid AS doc_a, yid AS doc_b, jaccard,
+         |  pa.split AS split_a, pb.split AS split_b
+         |FROM pr
+         |JOIN sp pa ON pa.doc_id = xid
+         |JOIN sp pb ON pb.doc_id = yid
+         |WHERE pa.split <> pb.split
+         |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST,
+         |  jaccard NULLS FIRST, split_a NULLS FIRST,
+         |  split_b NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      val split = when(h * 100 < 80 * 65536, "train")
+        .when(h * 100 < 90 * 65536, "val").otherwise("test")
+      orderAll(graft.Engine.splitLeakage(docs, "doc_id", "text", split,
+        thresholdPct = 60, ngramWords = 2))
+    },
+
     // Q90q (beyond-survey) — BUCKETED-CATALOG dedup index probe
     // ([[graft.Engine.buildMinHashIndexBucketed]] /
     // [[searchMinHashIndexBucketed]]): q90m's zero-exchange-history
@@ -2245,6 +2408,99 @@ object LlmPipeline {
       orderAll(graft.Engine.mmrRerank(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
         n = 10, k = 5))
+    },
+
+    // Q92p (beyond-survey) — k-NN WEAK LABELER
+    // ([[graft.Engine.knnLabel]]): the semi-supervised labeling pass a
+    // pipeline runs when a small gold set must annotate a crawl — each
+    // "unlabeled" query vector (vec_id < 25, % 5 = 0: the bounded q92
+    // query contract) takes the majority label of its k=7 nearest
+    // labeled vectors (rounded cosine, smaller-label tiebreak); the
+    // oracle re-joins the held-out TRUE labels so the query doubles as
+    // a labeler-quality readout (vote_share is the confidence the
+    // downstream filter thresholds on). Unbounded query sets route
+    // through the bucketed/IVF candidate cutover first (q99 family).
+    Q("q92p_knn_label",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 25 AND vec_id % 5 = 0),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id % 5 <> 0),
+         |scored AS (
+         |  SELECT query_id, vec_id, label,
+         |    round(${Similarity.cosineSql("qe", "embedding")}, 6)
+         |      AS cos_sim
+         |  FROM q CROSS JOIN c),
+         |ranked AS (SELECT query_id, vec_id, label, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |  FROM scored),
+         |votes AS (SELECT query_id, label AS pred_label,
+         |    count(*) AS votes
+         |  FROM ranked WHERE rnk <= 7 GROUP BY 1, 2),
+         |best AS (SELECT query_id, pred_label, votes, row_number()
+         |    OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, pred_label ASC) AS rn
+         |  FROM votes)
+         |SELECT b.query_id, b.pred_label,
+         |  CAST(b.votes AS BIGINT) AS votes,
+         |  round(CAST(b.votes AS DOUBLE) / 7, 6) AS vote_share,
+         |  e.label AS true_label, (b.pred_label = e.label) AS hit
+         |FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+         |WHERE rn = 1
+         |ORDER BY query_id NULLS FIRST, pred_label NULLS FIRST,
+         |  votes NULLS FIRST, vote_share NULLS FIRST,
+         |  true_label NULLS FIRST, hit NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.t(s, dir, "embeddings")
+        val pred = graft.Engine.knnLabel(
+          e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          "label",
+          e.filter(col("vec_id") < 25 && col("vec_id") % 5 === 0),
+          "vec_id", "embedding", k = 7)
+        orderAll(pred.join(
+            e.select(col("vec_id").as("query_id"),
+              col("label").as("true_label")), Seq("query_id"))
+          .withColumn("hit", col("pred_label") === col("true_label")))
+    },
+
+    // Q92o (beyond-survey) — embedding CENTROID DRIFT between
+    // consecutive cohorts ([[graft.Engine.centroidDrift]], cohort =
+    // vec_id % 4 standing in for the ingest day): per-cohort mean
+    // vector, then per adjacent pair the centroid cosine and L2 shift
+    // — the embedding-space companion to the scalar drift family
+    // (q46f–q46i): an encoder version bump, a new site mix, or a
+    // language-share move walks the centroid before any scalar column
+    // drifts. One posexplode pass map-side-partials into a
+    // (|cohorts|·dims)-row aggregate — the shuffle is config-sized
+    // regardless of corpus size — and the pairing join + folds run on
+    // that centroid table, never on vectors. Decimal-grid folds of
+    // 9-dp-rounded terms keep both engines on identical term lists.
+    Q("q92o_centroid_drift",
+      s"""WITH exx AS (SELECT CAST(vec_id % 4 AS BIGINT) AS c,
+         |    CAST(dim AS INT) AS d, CAST(embedding[dim] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN
+         |    unnest(generate_series(1, len(embedding))) AS t(dim)),
+         |cent AS (SELECT c, d, round(${graft.Canon.avgDecSql("x")}, 9)
+         |    AS m
+         |  FROM exx GROUP BY c, d),
+         |j AS (SELECT a.c AS cohort_a, a.m AS ma, b.m AS mb
+         |  FROM cent a JOIN cent b ON b.c = a.c + 1 AND b.d = a.d)
+         |SELECT cohort_a, cohort_a + 1 AS cohort_b,
+         |  round(CAST(sum(CAST(round(ma*mb, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE)
+         |    / sqrt(CAST(sum(CAST(round(ma*ma, 9) AS DECIMAL(38,9)))
+         |        AS DOUBLE)
+         |      * CAST(sum(CAST(round(mb*mb, 9) AS DECIMAL(38,9)))
+         |        AS DOUBLE)), 6) AS cos_sim,
+         |  round(sqrt(CAST(sum(CAST(round((ma-mb)*(ma-mb), 9)
+         |      AS DECIMAL(38,9))) AS DOUBLE)), 6) AS l2_shift
+         |FROM j GROUP BY 1
+         |ORDER BY cohort_a NULLS FIRST, cohort_b NULLS FIRST,
+         |  cos_sim NULLS FIRST, l2_shift NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.centroidDrift(
+          Tables.t(s, dir, "embeddings"), "embedding",
+          col("vec_id") % 4))
     },
 
     // Q99e (beyond-survey) — IVF-PQ combined search, the two ANN halves

@@ -93,6 +93,41 @@ object Sources {
     r.parquet(staged)
   }
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** A FILTERED `documents` slice as a file STREAM, staged into `nFiles`
+    * doc_id-ranged files (mtimes in range order, the [[stageEvents]]
+    * discipline) — the "crawl batches arriving" source for the
+    * streaming-ingest queries (q79b). */
+  def docsStream(s: SparkSession, dir: String, filterSql: String,
+      nFiles: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val staged = stageCache.computeIfAbsent(
+      s"$dir#docs#$filterSql#$nFiles", _ => {
+        val out = IO.scratch(
+          s"docs_stage${nFiles}_${Integer.toHexString(filterSql.hashCode)}",
+          dir)
+        Tables.t(s, dir, "documents").filter(filterSql)
+          .repartitionByRange(nFiles, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(out)
+        val files = new java.io.File(out).listFiles()
+          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+        files.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 60000L): Unit
+        }
+        out
+      })
+    val r = s.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(staged)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Q01 — parquet scan, explicitly registered: projection + predicate are

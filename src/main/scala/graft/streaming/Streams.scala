@@ -545,6 +545,69 @@ object Streams {
           lit("2024-01-15").cast("timestamp")))
     },
 
+    // Q79b (beyond-survey) — STREAMING chunk-novelty ingest: q90r's
+    // content-defined novelty probe run the way a crawl actually
+    // arrives — document batches as a file stream, each micro-batch
+    // probed STATELESSLY against the static persisted chunk index
+    // ([[graft.Engine.chunkNovelty]] is per-document row-local + one
+    // stream-static digest join, so no watermark or state store is
+    // needed), results landing in per-batch_id partitions (the q77
+    // idempotent-replay discipline: a replayed batch overwrites its own
+    // partition). The oracle is q90r's VERBATIM — the hash match IS the
+    // batch≡streaming equivalence proof for the novelty pass, the q79
+    // verification pattern applied to the dedup family.
+    Q("q79b_stream_novelty",
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    [1] || [i FOR i IN generate_series(2, len(text) - 15)
+        |      IF list_reduce(list_transform(range(0,16),
+        |             k -> CAST(ascii(text[i+k]) AS BIGINT)),
+        |           (a,b) -> (a*257+b) % 1000000007) % 16 = 0] AS starts
+        |  FROM documents),
+        |ex AS (SELECT doc_id, text, unnest(starts) AS s FROM st),
+        |ch AS (SELECT doc_id,
+        |    substr(text, s, coalesce(lead(s) OVER (
+        |      PARTITION BY doc_id ORDER BY s), len(text) + 1) - s)
+        |      AS chunk
+        |  FROM ex),
+        |hist AS (SELECT DISTINCT md5(chunk) AS h FROM ch
+        |  WHERE doc_id % 5 <> 0),
+        |b AS (SELECT doc_id, md5(chunk) AS h, len(chunk) AS l FROM ch
+        |  WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(l) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN hist.h IS NULL THEN l ELSE 0 END)
+        |    AS BIGINT) AS novel_chars,
+        |  CASE WHEN sum(l) > 0 THEN round(CAST(sum(CASE WHEN hist.h
+        |    IS NULL THEN l ELSE 0 END) AS DOUBLE) / sum(l), 6)
+        |    END AS novel_ratio
+        |FROM b LEFT JOIN hist ON b.h = hist.h
+        |GROUP BY 1
+        |ORDER BY doc_id NULLS FIRST, n_chunks NULLS FIRST,
+        |  n_novel NULLS FIRST, total_chars NULLS FIRST,
+        |  novel_chars NULLS FIRST, novel_ratio NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val idxPath = IO.scratch("q79b_chunk_index", dir)
+        graft.Engine.buildChunkIndex(
+          Tables.t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"), idxPath)
+        val batches = Sources.docsStream(s, dir, "doc_id % 5 = 0",
+          nFiles = 4, maxFilesPerTrigger = Some(1))
+        val out = viaForeachBatch("q79b_stream_novelty", dir, batches,
+          "append") { (b, id) =>
+          graft.Engine.chunkNovelty(b, col("doc_id"), col("text"),
+              idxPath)
+            .write.mode("overwrite")
+            .parquet(IO.scratchPath("q79b_stream_novelty", dir) +
+              s"/data/batch=$id")
+        }
+        orderAll(s.read.parquet(s"$out/data")
+          .select("doc_id", "n_chunks", "n_novel", "total_chars",
+            "novel_chars", "novel_ratio"))
+    },
+
     // Q77 — foreachBatch sink with exactly-once semantics: each batch
     // lands in its own batch_id partition via idempotent dynamic-partition
     // overwrite — a replayed batch rewrites the same partition to the

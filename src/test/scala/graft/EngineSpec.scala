@@ -536,6 +536,104 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkNovelty: a doc rebuilt from indexed paragraphs reads ~0% " +
+      "novel, fresh text ~100%, and an edited doc only pays for its edit") {
+    import spark.implicits._
+    val para1 = "the quick brown fox jumps over the lazy dog " * 6
+    val para2 = "pack my box with five dozen liquor jugs today " * 6
+    val fresh = "completely new content never indexed before xyz " * 6
+    val hist = Seq((1L, para1), (2L, para2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, para1 + para2),          // pure recombination of history
+      (11L, fresh),                  // entirely novel
+      (12L, "EDIT! " + para1)        // one edit at the head
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("chunk_idx").toString
+    try {
+      Engine.buildChunkIndex(hist, col("doc_id"), col("text"), path)
+      val got = Engine.chunkNovelty(batch, col("doc_id"), col("text"),
+        path).collect()
+        .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+      // recombination: only the paragraph SEAM chunks can be novel
+      assert(got(10L) < 0.15, s"recombined doc read ${got(10L)} novel")
+      assert(got(11L) == 1.0, s"fresh doc read ${got(11L)} novel")
+      // content-defined boundaries localize the edit: far less than the
+      // whole doc re-keys (fixed-offset chunking would pay ~100%)
+      assert(got(12L) < 0.35, s"edited doc read ${got(12L)} novel")
+      assert(got(12L) > 0.0)
+    } finally {
+      graft.sources.IO.deleteRec(new java.io.File(path))
+    }
+  }
+
+  test("centroidDrift: identical cohorts read cos 1 / shift 0; an " +
+      "offset cohort reads the hand-computed drift") {
+    import spark.implicits._
+    // cohorts 0 and 1 identical; cohort 2 = cohort 1 shifted by +2 on
+    // dim 0 (vectors chosen so means are exact in decimal)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (0L, Seq(3.0f, 2.0f)),  // mean (2, 1)
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(3.0f, 2.0f)),  // mean (2, 1)
+      (2L, Seq(5.0f, 0.0f)), (2L, Seq(3.0f, 2.0f))   // mean (4, 1)
+    ).toDF("c", "embedding")
+    val got = Engine.centroidDrift(df, "embedding", col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cos((2,1),(4,1)) = 9 / (sqrt5 * sqrt17); shift = 2
+    val cos12 = r6(9.0 / math.sqrt(5.0 * 17.0))
+    assert(got.toSeq == Seq((0L, 1L, 1.0, 0.0), (1L, 2L, cos12, 2.0)))
+  }
+
+  test("splitLeakage: a near-dup pair across splits is reported; the " +
+      "same-split twin and the dissimilar cross-split doc are not") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val aDup = (1 to 28).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a, "train"), (2L, aDup, "test"),
+      (3L, a, "train"), (4L, other, "test"))
+      .toDF("doc_id", "text", "sp")
+    val got = Engine.splitLeakage(df, "doc_id", "text", col("sp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
+  }
+
+  test("compactMinHashIndex: file counts shrink to the target, the probe " +
+      "is bit-identical, and a leftover temp dir from a crash is ignored") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("mh_compact").toString
+    try {
+      Engine.buildMinHashIndex(
+        hist.filter(col("doc_id") % 10 =!= 4), "doc_id", "text", path)
+      Engine.appendMinHashIndex(
+        hist.filter(col("doc_id") % 10 === 4), "doc_id", "text", path)
+      def files(sub: String) = new java.io.File(s"$path/$sub")
+        .listFiles().count(_.getName.startsWith("part-"))
+      def probe() = Engine.searchMinHashIndex(
+          batch, "doc_id", "text", path, thresholdPct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val before = probe()
+      val (fb, fd) = (files("bands"), files("docs"))
+      // a dead compaction's temp dir must not break the next run
+      new java.io.File(s"$path/__compact_bands").mkdirs()
+      Engine.compactMinHashIndex(spark, path, files = 1)
+      assert(files("bands") == 1 && files("docs") == 1,
+        s"expected 1 file each, got bands=${files("bands")} " +
+          s"docs=${files("docs")} (was $fb/$fd)")
+      assert(fb > 1 && fd > 1, s"fixture too small to prove compaction")
+      assert(probe() == before && before.nonEmpty)
+    } finally {
+      graft.sources.IO.deleteRec(new java.io.File(path))
+    }
+  }
+
   test("dedupIngest: a rerun at the same indexPath with a CHANGED batch " +
       "set leaves no phantom survivors from the prior run") {
     import spark.implicits._

@@ -478,6 +478,29 @@ class PlanSpec extends AnyFunSuite {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("q90r: the novelty probe's exchanges carry digests, never text") {
+    // batch chunks are built in-row and projected to (id, digest, len)
+    // BEFORE the index join, so no exchange in the plan may ship the
+    // document text or chunk strings — the same 100 TB property the
+    // q90o rewrite established, preserved through the probe composition.
+    val p = planOf("q90r_chunk_novelty")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.nonEmpty)
+    assert(ex.forall(l => !l.contains("__t") && !l.contains("__chunk")),
+      s"a probe exchange ships text:\n$p")
+  }
+
+  test("q92o: centroid drift partial-aggregates the vector explode " +
+      "below its exchange — the shuffle is (cohort, dim)-sized, not data") {
+    // the posexplode pass is the only corpus-sized stage; map-side
+    // partial sums must fold it to |cohorts|·dims rows per task before
+    // anything moves, so the exchange volume is config-sized at any
+    // corpus scale.
+    val p = planOf("q92o_centroid_drift")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side partials below the centroid exchange:\n$p")
+  }
+
   test("q46i: the CUSUM trace reuses the daily rollup's key exchange " +
       "for both window passes") {
     // daily groupBy(key, day) shuffles on (key, day); the reference
@@ -618,7 +641,13 @@ class PlanSpec extends AnyFunSuite {
       // driver ingest loop: builds + appends the index per batch
       "q90n_dedup_ingest",
       // writes the bucketed catalog tables on build (q90m class)
-      "q90q_bucketed_index")
+      "q90q_bucketed_index",
+      // writes the chunk-hash index on build (q90m class)
+      "q90r_chunk_novelty",
+      // build + append + atomic-swap compaction before the probe
+      "q90t_index_compaction",
+      // streaming foreachBatch ingest probing the static chunk index
+      "q79b_stream_novelty")
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
@@ -631,6 +660,7 @@ class PlanSpec extends AnyFunSuite {
     val bnljOk = Set("q23_cross_join", "q92_cosine_topk",
       "q92e_hard_negatives", // bounded query set, same plan as q92
       "q92m_truncate_rerank", // bounded query set (stage 1), q92 class
+      "q92p_knn_label",       // bounded query set (5 ids), q92 class
       "q46c_tvd_drift",       // 1-row totals scalar broadcast, q93f class
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
