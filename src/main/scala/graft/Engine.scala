@@ -5096,4 +5096,288 @@ object Engine {
               col("n_wedges").cast(DoubleType), 6))
           .as("clustering_coeff"))
   }
+
+  /** LATE-INTERACTION (MaxSim) retrieval — the ColBERT scoring rule:
+    * documents and queries are BAGS of token vectors, and
+    * score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u). The multi-vector
+    * companion to [[cosineTopK]]'s single-vector contract: a
+    * single-vector index cannot see that one paragraph of d matches one
+    * clause of q exactly, which is the match late-interaction rankers
+    * are run for.
+    *
+    * Plan (the q92 bounded-query contract): the query token bag is
+    * BROADCAST (|Q|·tokens rows), the corpus token table is scanned
+    * ONCE, per-pair cosines run through the codegen CosineSimilarity
+    * expression, and both reductions — max over the document's tokens,
+    * then sum over the query's tokens — are partial-aggregable
+    * hash aggregates on (query, doc) grain, so nothing corpus-sized
+    * ever shuffles with its embedding attached. Per-token maxes are
+    * rounded to the 6-dp grid and summed on DECIMAL(38,6) (exact,
+    * order-free — the Canon discipline). At 100 TB the corpus side
+    * routes through an ANN candidate stage first (q99 cutover) and this
+    * exact scorer reranks the per-query candidate set.
+    *
+    * Inputs: token tables (docCol, tokId, vecCol); queries must be a
+    * bounded bag (broadcast side). Self-matches (same doc id on both
+    * sides) are excluded. Returns (query_doc, rnk, doc, maxsim). */
+  def maxSimRetrieve(tokens: DataFrame, doc: String, tokId: String,
+      vec: String, queryTokens: DataFrame, k: Int): DataFrame = {
+    graft.plans.CosineSimilarity.register(tokens.sparkSession)
+    val q = queryTokens.select(col(doc).as("query_doc"),
+      col(tokId).as("__qt"), col(vec).as("__qe"))
+    val t = tokens.select(col(doc).as("doc"), col(vec).as("__e"))
+    val perTok = t.crossJoin(broadcast(q))
+      .filter(col("doc") =!= col("query_doc"))
+      .groupBy(col("query_doc"), col("__qt"), col("doc"))
+      .agg(max(round(expr("cosine_sim(__qe, __e)"), 6)).as("__m"))
+    val scored = perTok.groupBy(col("query_doc"), col("doc"))
+      .agg(sum(col("__m").cast(org.apache.spark.sql.types
+          .DecimalType(38, 6))).cast(DoubleType).as("maxsim"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("maxsim").desc, col("doc").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_doc"), col("rnk"), col("doc"),
+        round(col("maxsim"), 6).as("maxsim"))
+  }
+
+  /** K-ANONYMITY audit: every quasi-identifier combination whose
+    * equivalence class holds FEWER than k rows — the re-identification
+    * risk surface a privacy review reads before a dataset ships
+    * (a (nation, segment, balance-band) triple shared by 2 people is a
+    * needle; k-anonymity demands every released combination hide each
+    * row among ≥ k). Returns the at-risk combos with their class size;
+    * an empty result IS the pass certificate.
+    *
+    * Plan: ONE partial-aggregable hash aggregate on the quasi-id tuple
+    * + a size filter — the audit costs a scan regardless of table
+    * width, and at 100 TB the combo table it reduces to is bounded by
+    * the quasi-id domain, not the row count. Generalization loops
+    * (widen bands until the audit is empty) re-run this same aggregate
+    * per candidate banding. */
+  def kAnonymity(df: DataFrame, quasi: Seq[(String, Column)], k: Int)
+      : DataFrame = {
+    require(k >= 2 && quasi.nonEmpty)
+    df.groupBy(quasi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** COUNT-MIN sketch word-frequency estimation: a depth×width grid of
+    * counters where every token increments one counter per row
+    * (h_j(t) = (poly257(t)·(2j+1) + 97j) mod width), and a point query
+    * reads the MIN across rows — the mergeable, fixed-size frequency
+    * summary streaming/sharded pipelines keep when exact per-token
+    * counts would be corpus-sized state. Always overestimates (never
+    * under), error ≤ 2N/width with prob. 1−2^−depth.
+    *
+    * Returns, for the topN exact-count words, (word, exact, est,
+    * overest = est−exact ≥ 0) — the estimate quality readout.
+    *
+    * Scale shape: the sketch build is a hash aggregate onto AT MOST
+    * depth·width cells — the shuffle is O(partitions·depth·width)
+    * regardless of corpus size (map-side combine collapses each
+    * partition to ≤ d·w rows), which is the entire point of sketching;
+    * the probe side joins topN·depth cell keys against the ≤ d·w-row
+    * sketch (broadcast). The exact top-N pass exists only to GRADE the
+    * estimate; production keeps the sketch and drops the exact pass. */
+  def countMinWords(df: DataFrame, text: Column, depth: Int, width: Int,
+      topN: Int): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val hashed = cmTokensHashed(df, text).persistOnce()
+    val cells = cmCellsOf(hashed, depth, width)
+    cmEstimate(cells, cmTopOf(hashed, topN), depth, width)
+  }
+
+  /** Tokenize + poly-hash one batch's text (internal CM plumbing). */
+  private def cmTokensHashed(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, " ")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("__h",
+        expr("aggregate(transform(sequence(1, length(__t)), " +
+          "i -> CAST(ascii(substring(__t, i, 1)) AS BIGINT)), 0L, " +
+          "(a, x) -> (a * 257 + x) % 1000000007)"))
+
+  private def cmCellsOf(hashed: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    hashed.select(posexplode(
+        transform(sequence(lit(0), lit(depth - 1)),
+          j => (col("__h") * (j * 2 + 1) + j * 97) % width))
+        .as(Seq("__j", "__b")))
+      .groupBy(col("__j"), col("__b")).agg(count(lit(1)).as("__c"))
+
+  private def cmTopOf(hashed: DataFrame, topN: Int): DataFrame =
+    // deterministic top-N via sort+limit (TakeOrderedAndProject — a
+    // per-partition heap + driver merge, never a 1-partition window)
+    hashed.groupBy(col("__t").as("word"))
+      .agg(count(lit(1)).as("exact"), min(col("__h")).as("__h"))
+      .orderBy(col("exact").desc, col("word").asc)
+      .limit(topN)
+
+  /** One batch's Count-Min sketch as a (row __j, bucket __b, count __c)
+    * cell table — the MERGEABLE half of [[countMinWords]], exposed for
+    * incremental/streaming builds: CM cells from disjoint batches ADD
+    * (each token increments exactly one counter per row), so
+    * `Σ_batches cells(batch)` ≡ `cells(union of batches)` cell-for-cell
+    * — the streaming registry query (q79c) proves that equivalence by
+    * hashing against the batch oracle verbatim. */
+  def cmCells(df: DataFrame, text: Column, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    cmCellsOf(cmTokensHashed(df, text), depth, width)
+  }
+
+  /** The exact top-N word table (word, exact, __h) used to GRADE a CM
+    * sketch — see [[countMinWords]]; production keeps only the sketch. */
+  def cmTopWords(df: DataFrame, text: Column, topN: Int): DataFrame =
+    cmTopOf(cmTokensHashed(df, text), topN)
+
+  /** Point-query a CM cell table for each word in `top` (word, exact,
+    * __h): est = min over the word's depth cells; returns (word, exact,
+    * est, overest). The cell table is ≤ depth·width rows — broadcast. */
+  def cmEstimate(cells: DataFrame, top: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    val probe = top.select(col("word"), col("exact"), posexplode(
+        transform(sequence(lit(0), lit(depth - 1)),
+          j => (col("__h") * (j * 2 + 1) + j * 97) % width))
+        .as(Seq("__j", "__b")))
+    probe.join(broadcast(cells.withColumn("__c",
+        col("__c").cast(LongType))), Seq("__j", "__b"))
+      .groupBy(col("word"), col("exact"))
+      .agg(min(col("__c")).as("est"))
+      .select(col("word"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overest"))
+  }
+
+  /** TIME-TRAVEL read of a [[dedupIngest]] ledger: the survivor set AS
+    * OF ingest batch `maxBatch` — exactly what the accepted/ tree held
+    * after that slot committed, because each batch's survivors were
+    * materialized into their own `batch=<b>` partition at the
+    * point-in-time index state (the probe-freezing discipline) and
+    * never rewritten by later slots. The filter on the partition column
+    * prunes at PLANNING time (PlanSpec-asserted): an as-of read of a
+    * 10-year ledger lists only the requested slots' directories — this
+    * is snapshot isolation for free, bought by the append-only layout
+    * rather than a transaction log. */
+  def survivorsAsOf(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, maxBatch: Long): DataFrame =
+    spark.read.parquet(s"$indexPath/accepted")
+      .filter(col("batch") <= maxBatch)
+
+  /** FUNCTIONAL-DEPENDENCY audit: for each candidate FD lhs → rhs,
+    * does every lhs value determine a single rhs value — and when not,
+    * how badly is it broken (violating keys, worst fan-out)? The
+    * schema-inference / data-contract check run before a column is
+    * trusted as a join key, a dimension attribute, or a dedup
+    * identity. Returns one row per candidate:
+    * (fd, lhs_keys, violating_keys, violation_share, max_rhs, holds).
+    *
+    * Plan per FD: distinct (lhs, rhs) pairs (partial-aggregable — the
+    * shuffle carries the distinct pair set, bounded by the value
+    * domain, not the row count), a per-lhs fan-out count, then a
+    * scalar rollup; candidates union into one result. At 100 TB each
+    * audit costs one scan + one domain-sized exchange, and candidate
+    * FDs share the scan under one action. */
+  def fdAudit(df: DataFrame, fds: Seq[(String, Column, Column)])
+      : DataFrame = {
+    require(fds.nonEmpty)
+    fds.map { case (name, lhs, rhs) =>
+      val fanout = df.select(lhs.as("__l"), rhs.as("__r"))
+        .filter(col("__l").isNotNull)
+        .distinct()
+        .groupBy(col("__l")).agg(count(lit(1)).as("__d"))
+      fanout.agg(
+          count(lit(1)).as("lhs_keys"),
+          sum(when(col("__d") > 1, 1L).otherwise(0L))
+            .as("violating_keys"),
+          max(col("__d")).as("max_rhs"))
+        .select(lit(name).as("fd"), col("lhs_keys"),
+          col("violating_keys"),
+          round(col("violating_keys").cast(DoubleType) /
+            col("lhs_keys").cast(DoubleType), 6).as("violation_share"),
+          col("max_rhs"),
+          (col("violating_keys") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** HASHING-TRICK linear text classifier (the fastText/CCNet-style
+    * quality-filter shape): every token hashes into one of `buckets`
+    * weight slots, the document's logit is the mean of its tokens'
+    * weights, and the keep decision is logit > 0 — the exact
+    * at-scale mechanics of the learned quality filters LLM corpora are
+    * gated through (CCNet's fastText LM filter, DCLM's classifier),
+    * with the weight table here derived deterministically from the
+    * bucket id (w(b) = ((b·2654435761 + 12345) mod 2^20)/2^20 − 1/2)
+    * so the oracle can replay it; a trained model ships its real
+    * weight array into the same slot.
+    *
+    * Plan: ZERO-SHUFFLE pure map — tokenize, hash, fold, per row; the
+    * weight "table" is closed-form (a real one is a broadcast array
+    * indexed by the same bucket id). Every weight is an exact multiple
+    * of 2⁻²¹, so the per-doc sum is EXACT in double (no rounding until
+    * the final divide) and order-free. This is what a quality gate
+    * must look like at 100 TB: classifier cost == scan cost. */
+  def hashClassifier(df: DataFrame, id: Column, text: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2)
+    val score = expr(
+      s"""aggregate(
+         |  transform(filter(split(__text, ' '), t -> length(t) > 0),
+         |    t -> aggregate(transform(sequence(1, length(t)),
+         |           i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+         |         0L, (a, x) -> (a * 257 + x) % 1000000007) % $buckets),
+         |  CAST(0.0 AS DOUBLE),
+         |  (acc, b) -> acc +
+         |    (CAST((b * 2654435761 + 12345) % 1048576 AS DOUBLE)
+         |       / 1048576.0 - 0.5))""".stripMargin)
+    df.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__n",
+        size(filter(split(col("__text"), " "), t => length(t) > 0)))
+      .withColumn("__s", score)
+      .select(col("doc_id"), col("__n").cast(LongType).as("n_tokens"),
+        round(col("__s") / col("__n").cast(DoubleType), 6).as("logit"),
+        (col("__s") > 0.0).as("keep"))
+  }
+
+  /** PRE-PRICE the exact gram-join dedup pass BEFORE running it: the
+    * all-pairs candidate count of a shared-shingle join is EXACTLY
+    * Σ_g df(g)·(df(g)−1)/2 over the gram document frequencies — one
+    * cheap aggregate that predicts whether the q90d-shaped exact join
+    * is affordable or the corpus must route through banding (q90l) —
+    * the [[joinSizeAudit]] discipline applied to dedup (measured
+    * cutover decisions, not guessed: q90p's 2.6 GB sf1 flood was this
+    * number, unread). Returns one row: corpus size, distinct grams,
+    * exact candidate-pair count, the heaviest gram and its df
+    * (smallest gram on ties), and pairs-per-doc.
+    *
+    * The pair count folds on DECIMAL(38,0) — one gram shared by 2M
+    * docs already overflows Long (the mannWhitneyU lesson). Plan:
+    * shingle in-row, one gram-frequency aggregate (partial-aggregable;
+    * the exchange carries the gram DOMAIN), two bounded folds. */
+  def dedupCostAudit(df: DataFrame, id: Column, text: Column,
+      ngramWords: Int = 2): DataFrame = {
+    val sh = df.select(id.as("__id"),
+        wordNgrams(split(text, " "), ngramWords).as("__sv"))
+      .filter(size(col("__sv")) >= 1)
+    val grams = sh.select(explode(col("__sv")).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .persistOnce()
+    val totals = grams.agg(
+      count(lit(1)).as("n_grams"),
+      sum(expr("CAST(__df AS DECIMAL(38,0)) * (__df - 1) / 2"))
+        .as("candidate_pairs"),
+      max(col("__df")).as("top_df"))
+    val top = grams.join(broadcast(
+        totals.select(col("top_df").as("__df"))), Seq("__df"))
+      .agg(min(col("__g")).as("top_gram"))
+    val docs = sh.agg(count(lit(1)).as("n_docs"))
+    // decimal fold inside (one 2M-doc gram overflows Long in the
+    // product), BIGINT readout — the q93s wedge-count discipline
+    docs.crossJoin(broadcast(totals)).crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_grams"),
+        col("candidate_pairs").cast(LongType).as("candidate_pairs"),
+        col("top_gram"), col("top_df"),
+        round(col("candidate_pairs").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("pairs_per_doc"))
+  }
 }

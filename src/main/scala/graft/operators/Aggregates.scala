@@ -349,6 +349,47 @@ object Aggregates {
           .between(col("xi") * 0.85, col("xi") * 1.15).as("inter_ok")))
     },
 
+    // Q33d (beyond-survey) — COUNT-MIN sketch frequency estimation
+    // ([[graft.Engine.countMinWords]], depth 4 × width 256): the
+    // mergeable fixed-size frequency summary kept when exact per-token
+    // counts would be corpus-sized state — h_j(t) = (poly257(t)·(2j+1)
+    // + 97j) mod width increments one counter per row, a point query
+    // reads the MIN across rows; always overestimates, error ≤ 2N/width
+    // w.p. 1−2⁻ᵈ. Unlike the q33 HLL family the whole sketch is
+    // integer-deterministic, so the oracle replays it EXACTLY (the
+    // same poly-hash recurrence the q90o/q90r oracles fold). Scale
+    // shape: the build aggregate map-side-combines every partition to
+    // ≤ d·w cells — the shuffle is config-sized regardless of corpus;
+    // the exact top-20 pass exists only to GRADE the estimate.
+    Q("q33d_countmin",
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tok AS (SELECT t, list_reduce(list_transform(
+        |      range(1, len(t) + 1), i -> CAST(ascii(t[i]) AS BIGINT)),
+        |    (a, b) -> (a * 257 + b) % 1000000007) AS h
+        |  FROM tk WHERE len(t) > 0),
+        |cells AS (SELECT g.j AS j, (h * (2 * g.j + 1) + 97 * g.j) % 256
+        |      AS b, count(*) AS c
+        |  FROM tok, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |exact AS (SELECT t AS word, count(*) AS exact, min(h) AS h
+        |  FROM tok GROUP BY 1),
+        |top AS (SELECT word, exact, h FROM exact
+        |  ORDER BY exact DESC, word ASC LIMIT 20),
+        |probe AS (SELECT word, exact, g.j AS j,
+        |    (h * (2 * g.j + 1) + 97 * g.j) % 256 AS b
+        |  FROM top, generate_series(0, 3) g(j))
+        |SELECT word, CAST(exact AS BIGINT) AS exact,
+        |  CAST(min(c) AS BIGINT) AS est,
+        |  CAST(min(c) - exact AS BIGINT) AS overest
+        |FROM probe JOIN cells USING (j, b)
+        |GROUP BY word, exact
+        |ORDER BY word NULLS FIRST, exact NULLS FIRST, est NULLS FIRST,
+        |  overest NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.countMinWords(
+        Tables.t(s, dir, "documents"), col("text"),
+        depth = 4, width = 256, topN = 20))
+    },
+
     // Q46 (beyond-survey) — statistical aggregates (correlation, sample
     // covariance, sample stddev) made CROSS-ENGINE DETERMINISTIC: the
     // five moments (Σx, Σy, Σxy, Σx², Σy²) are computed as exact

@@ -1458,6 +1458,98 @@ object LlmPipeline {
           col("doc_id") % 4, path, thresholdPct = 60))
     },
 
+    // Q90u (beyond-survey) — TIME-TRAVEL read of the dedup-ingest
+    // ledger ([[graft.Engine.survivorsAsOf]]): the survivor set AS OF
+    // ingest batch 2 of q90n's 4-slot run — exactly what accepted/
+    // held after that slot committed, because each slot materialized
+    // its survivors into an own batch=<b> partition at its
+    // point-in-time index state and later slots never rewrite it.
+    // Snapshot isolation bought by the append-only layout rather than
+    // a transaction log: the as-of filter prunes PARTITIONS at
+    // planning time (PlanSpec asserts batch=3 is never listed), so an
+    // as-of read of a 10-year ledger touches only the requested slots'
+    // files. Oracle: q90n's greedy ingest chain truncated after slot 2
+    // — the as-of semantics ("history as it was", not "current
+    // survivors restricted to old batches") falls out identically for
+    // this chain because acceptance depends only on EARLIER slots.
+    Q("q90u_survivors_asof",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS xid, b.doc_id AS yid, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |  WHERE (a.doc_id % 4) < (b.doc_id % 4)
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT xid, yid FROM inter
+         |  JOIN sz sa ON sa.doc_id = xid
+         |  JOIN sz sb ON sb.doc_id = yid
+         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+         |s0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+         |s1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 1
+         |  AND NOT EXISTS (SELECT 1 FROM pr, s0
+         |    WHERE pr.xid = s0.doc_id AND pr.yid = d.doc_id)),
+         |s2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 2
+         |  AND NOT EXISTS (SELECT 1 FROM pr
+         |    WHERE pr.xid IN (SELECT doc_id FROM s0
+         |      UNION ALL SELECT doc_id FROM s1)
+         |      AND pr.yid = d.doc_id))
+         |SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch FROM (
+         |  SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+         |  UNION ALL SELECT doc_id FROM s2)
+         |ORDER BY doc_id NULLS FIRST, batch NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val path = IO.scratch("q90u_survivors_asof", dir)
+        // run the 4-slot ingest (its slot writes are eager), then read
+        // the ledger as of slot 2
+        graft.Engine.dedupIngest(docs, "doc_id", "text",
+          col("doc_id") % 4, path, thresholdPct = 60): Unit
+        orderAll(graft.Engine.survivorsAsOf(s, path, maxBatch = 2)
+          .select(col("doc_id"), col("batch").cast("long").as("batch")))
+    },
+
+    // Q90v (beyond-survey) — dedup COST PRE-AUDIT
+    // ([[graft.Engine.dedupCostAudit]]): the exact all-pairs candidate
+    // count of the gram-join dedup pass — Σ_g df(g)·(df(g)−1)/2 — plus
+    // the heaviest gram, priced from ONE cheap gram-frequency aggregate
+    // BEFORE any pair is generated. This is the number that decides the
+    // exact-vs-banded cutover (q90d vs q90l): q90p's 2.6 GB sf1 flood
+    // was exactly this quantity, discovered by running the join instead
+    // of reading it. The q20e join-audit discipline applied to dedup.
+    // Decimal fold inside (a 2M-doc gram overflows Long in the
+    // product), BIGINT readout.
+    Q("q90v_dedup_cost",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |d AS (SELECT doc_id, sv FROM sh WHERE len(sv) >= 1),
+         |ex AS (SELECT doc_id, unnest(sv) AS g FROM d),
+         |dfv AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+         |tot AS (SELECT count(*) AS n_grams,
+         |    CAST(sum((CAST(df AS HUGEINT) * (df - 1)) // 2) AS BIGINT)
+         |      AS candidate_pairs,
+         |    max(df) AS top_df FROM dfv),
+         |tg AS (SELECT min(g) AS top_gram FROM dfv, tot
+         |  WHERE df = top_df),
+         |nd AS (SELECT count(*) AS n_docs FROM d)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_grams AS BIGINT) AS n_grams, candidate_pairs,
+         |  top_gram, CAST(top_df AS BIGINT) AS top_df,
+         |  round(CAST(candidate_pairs AS DOUBLE)
+         |    / CAST(n_docs AS DOUBLE), 6) AS pairs_per_doc
+         |FROM nd, tot, tg
+         |ORDER BY n_docs NULLS FIRST, n_grams NULLS FIRST,
+         |  candidate_pairs NULLS FIRST, top_gram NULLS FIRST,
+         |  top_df NULLS FIRST, pairs_per_doc NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.dedupCostAudit(
+          Tables.t(s, dir, "documents"), col("doc_id"), col("text")))
+    },
+
     // Q90o (beyond-survey) — CONTENT-DEFINED chunk dedup
     // ([[graft.Engine.cdcChunkDedup]], the FastCDC/rsync idea as a
     // query): q90c keys chunks by fixed offsets, so one insertion
@@ -1792,6 +1884,71 @@ object LlmPipeline {
             coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
           .withColumn("boiler_ratio",
             round(col("n_boiler").cast("double") / col("n_grams"), 6)))
+    },
+
+    // Q95i (beyond-survey) — K-ANONYMITY audit
+    // ([[graft.Engine.kAnonymity]]): quasi-identifier combinations
+    // (nation, market segment, 2000-unit balance band) whose
+    // equivalence class holds FEWER than k=5 customers — the
+    // re-identification risk surface a privacy review reads before a
+    // dataset ships (PII redaction, q95b, scrubs direct identifiers;
+    // this audits the INDIRECT ones: a combo shared by 2 people is a
+    // needle). One partial-aggregable hash aggregate + size filter —
+    // at 100 TB the audit costs a scan and reduces to the quasi-id
+    // domain, not the row count; the generalization loop (widen bands
+    // until empty) re-prices this same aggregate per banding.
+    Q("q95i_k_anonymity",
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY nation NULLS FIRST, segment NULLS FIRST,
+        |  bal_band NULLS FIRST, n NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.t(s, dir, "customer")
+        orderAll(graft.Engine.kAnonymity(c, Seq(
+          ("nation", col("c_nationkey")),
+          ("segment", col("c_mktsegment")),
+          ("bal_band", floor(col("c_acctbal") / 2000)
+            .cast(org.apache.spark.sql.types.LongType))), k = 5))
+    },
+
+    // Q95j (beyond-survey) — HASHING-TRICK linear quality classifier
+    // ([[graft.Engine.hashClassifier]]): the fastText/CCNet-shaped
+    // learned quality gate — every token hashes into one of 4096
+    // weight slots (base-257 poly hash, the q90o/q90r recurrence), the
+    // document logit is the mean token weight, keep = logit > 0. The
+    // weight table is a deterministic closed form of the bucket id so
+    // the oracle replays it bit-for-bit (every weight is an exact
+    // multiple of 2⁻²¹ ⇒ the per-doc sum is EXACT in double, order-
+    // free); a trained model ships its real weight array into the same
+    // slot as a broadcast. ZERO-SHUFFLE pure map (PlanSpec-asserted):
+    // classifier cost == scan cost, which is the only shape a quality
+    // gate can afford at 100 TB.
+    Q("q95j_hash_classifier",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ws, t ->
+        |        CAST(((list_reduce(list_transform(range(1, len(t) + 1),
+        |              i -> CAST(ascii(t[i]) AS BIGINT)),
+        |            (a, b) -> (a * 257 + b) % 1000000007) % 4096)
+        |            * 2654435761 + 12345) % 1048576 AS DOUBLE)
+        |          / 1048576.0 - 0.5)),
+        |      (acc, x) -> acc + x) AS sc
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(sc / n, 6) AS logit, sc > 0.0 AS keep
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST,
+        |  logit NULLS FIRST, keep NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        orderAll(graft.Engine.hashClassifier(
+          docs, col("doc_id"), col("text"), buckets = 4096))
     },
 
     // Q91d (beyond-survey) — FUZZY (edit-distance-1) join via DELETION
@@ -2463,6 +2620,48 @@ object LlmPipeline {
           .withColumn("hit", col("pred_label") === col("true_label")))
     },
 
+    // Q92q (beyond-survey) — LATE-INTERACTION MaxSim retrieval
+    // ([[graft.Engine.maxSimRetrieve]]): documents and queries as BAGS
+    // of token vectors (token-doc = vec_id div 20 — ~20 token vectors
+    // per pseudo-document), score(q,d) = Σ_{t∈q} max_{u∈d} cos(t,u) —
+    // the ColBERT scoring rule single-vector retrieval cannot express
+    // (one exactly-matching clause should dominate its own max term,
+    // not be averaged away by the rest of the document). Bounded query
+    // bag broadcast (the q92 contract), ONE corpus-token scan, then two
+    // partial-aggregable hash aggregates on (query, doc) grain — no
+    // row that carries an embedding ever shuffles; per-token maxes
+    // round to the 6-dp grid and sum on DECIMAL(38,6) (Canon). 100 TB
+    // cutover: q99's ANN candidates feed this exact scorer as rerank.
+    Q("q92q_maxsim",
+      s"""WITH tok AS (SELECT vec_id // 20 AS doc, embedding AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id // 20 AS query_doc, vec_id AS qt,
+         |    embedding AS qv
+         |  FROM embeddings WHERE vec_id < 60),
+         |pt AS (SELECT q.query_doc, q.qt, t.doc,
+         |    max(round(${Similarity.cosineSql("qv", "v")}, 6)) AS m
+         |  FROM q CROSS JOIN tok t WHERE t.doc <> q.query_doc
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_doc, doc,
+         |    CAST(sum(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS ms
+         |  FROM pt GROUP BY 1, 2),
+         |r AS (SELECT query_doc, doc, ms, row_number() OVER (
+         |    PARTITION BY query_doc ORDER BY ms DESC, doc ASC) AS rnk
+         |  FROM sc)
+         |SELECT query_doc, CAST(rnk AS INT) AS rnk, doc,
+         |  round(ms, 6) AS maxsim
+         |FROM r WHERE rnk <= 5
+         |ORDER BY query_doc NULLS FIRST, rnk NULLS FIRST,
+         |  doc NULLS FIRST, maxsim NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.t(s, dir, "embeddings")
+        val tok = e.select(expr("vec_id div 20").as("doc"),
+          col("vec_id").as("tok_id"), col("embedding"))
+        orderAll(graft.Engine.maxSimRetrieve(
+          tok, "doc", "tok_id", "embedding",
+          tok.filter(col("doc") < 3), k = 5))
+    },
+
     // Q92o (beyond-survey) — embedding CENTROID DRIFT between
     // consecutive cohorts ([[graft.Engine.centroidDrift]], cohort =
     // vec_id % 4 standing in for the ingest day): per-cohort mean
@@ -2945,6 +3144,77 @@ object LlmPipeline {
     // the already-tiny daily table; the one raw-data pass is the
     // dailyMeans rollup. Zero-or-null seasonal cells are excluded
     // before the divide (no NaN/Inf enters the hash contract).
+    // Q100e (beyond-survey) — GOVERNANCE capstone: the privacy/quality
+    // gate a corpus passes before it ships, composed from the round's
+    // registry operators — q95b's PII redaction (typed placeholders)
+    // → q95j's hashing-trick quality classifier over the REDACTED text
+    // (the gate must never score raw PII) → q95i's k-anonymity audit
+    // of the kept set's quasi-identifiers (lang, source, length band).
+    // The output is the at-risk combo table of the corpus that would
+    // actually ship — redaction scrubs direct identifiers, the
+    // classifier shrinks classes, and what remains below k=5 is the
+    // release blocker a privacy review reads. Plan: two pure per-row
+    // maps (redact, classify) + one domain-sized audit aggregate —
+    // the whole gate costs one scan at 100 TB.
+    Q("q100e_governance_pipeline",
+      """WITH t AS (SELECT doc_id, lang, source, n_chars,
+        |    concat(text, ' reach user', CAST(doc_id AS VARCHAR),
+        |      '@mail.example.com or +1-555-',
+        |      substr(CAST(10000 + doc_id % 10000 AS VARCHAR), 2, 4),
+        |      ' today') AS raw FROM documents),
+        |r AS (SELECT doc_id, lang, source, n_chars,
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+        |        '<EMAIL>', 'g'),
+        |      '[+][0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
+        |      '<PHONE>', 'g') AS red FROM t),
+        |d AS (SELECT doc_id, lang, source, n_chars,
+        |    list_filter(string_split(red, ' '), w -> len(w) > 0) AS ws
+        |  FROM r),
+        |s AS (SELECT lang, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ws, w ->
+        |        CAST(((list_reduce(list_transform(range(1, len(w) + 1),
+        |              i -> CAST(ascii(w[i]) AS BIGINT)),
+        |            (a, b) -> (a * 257 + b) % 1000000007) % 4096)
+        |            * 2654435761 + 12345) % 1048576 AS DOUBLE)
+        |          / 1048576.0 - 0.5)),
+        |      (acc, x) -> acc + x) AS sc
+        |  FROM d)
+        |SELECT lang, source,
+        |  CAST(floor(n_chars / 50) AS BIGINT) AS chars_band,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE sc > 0.0
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST,
+        |  chars_band NULLS FIRST, n NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val emailRe =
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+        val phoneRe = "[+][0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+        val raw = concat(col("text"), lit(" reach user"),
+          col("doc_id").cast(StringType),
+          lit("@mail.example.com or +1-555-"),
+          substring((col("doc_id") % 10000 + 10000).cast(StringType),
+            2, 4),
+          lit(" today"))
+        val red = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"),
+            regexp_replace(regexp_replace(raw, emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("red"))
+        val kept = graft.Engine.hashClassifier(
+            red, col("doc_id"), col("red"), buckets = 4096)
+          .filter(col("keep")).select("doc_id")
+        orderAll(graft.Engine.kAnonymity(
+          red.join(kept, Seq("doc_id")), Seq(
+            ("lang", col("lang")),
+            ("source", col("source")),
+            ("chars_band", floor(col("n_chars") / 50)
+              .cast(org.apache.spark.sql.types.LongType))), k = 5))
+    },
+
     Q("q100d_monitor_pipeline",
       """WITH daily AS (SELECT event_type AS k,
         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -168,6 +168,11 @@ final case class FrameSample(doc_id: Long, frame_idx: Int,
 final case class AudioSample(doc_id: Long, n_samples: Int, kept: Int,
     pcm_sum: Long, pcm_mean: Double)
 
+/** A 3-frame clip fingerprint: the frame-mean triple starting at frame
+  * `pos` — the content key cross-video clip detection joins on. */
+final case class ClipShingle(doc_id: Long, pos: Int, m1: Double,
+    m2: Double, m3: Double)
+
 /** Scene-change detection output: per video, the frame count, the number
   * of shot boundaries (consecutive-frame mean jumps above threshold) and
   * the largest jump observed (0.0 for single-frame clips). */
@@ -583,6 +588,28 @@ object Multimodal {
         AviDecoder.frameMeans(b, stride).map { case (idx, mean) =>
           FrameSample(b.doc_id, idx, mean)
         }
+      }
+    }
+  }
+
+  /** CLIP SHINGLES over the video modality: every 3-consecutive-frame
+    * mean triple, one row per start position — the shingled fingerprint
+    * cross-video clip detection joins on ([[ClipShingle]]). Frame
+    * ADJACENCY lives inside the container (the q94m argument), so the
+    * shingling is a per-blob flatMap on the same per-partition decode
+    * stream as every other modality operator — ZERO shuffle until the
+    * cross-video join, which is then a plain equi-join on content.
+    * At 100 TB digest the triple to an 8-byte key before the exchange
+    * (the (m1,m2,m3) key here keeps the oracle exact). */
+  def clipShingles(blobs: Dataset[MediaBlob])(
+      implicit s: SparkSession): Dataset[ClipShingle] = {
+    import s.implicits._
+    spread(blobs).mapPartitions { it =>
+      it.flatMap { b =>
+        AviDecoder.frameMeans(b, stride = 1).map(_._2)
+          .sliding(3).filter(_.size == 3).zipWithIndex.map {
+            case (w, i) => ClipShingle(b.doc_id, i, w(0), w(1), w(2))
+          }
       }
     }
   }
@@ -1358,6 +1385,53 @@ object Multimodal {
         val hashes = averageHashes(blobs, side = 4).toDF()
         orderAll(hashes.withColumn("dup_of",
           min(col("doc_id")).over(Window.partitionBy(col("ahash")))))
+    },
+
+    // Q94p (beyond-survey) — cross-video CLIP near-dup via frame-mean
+    // SHINGLES ([[clipShingles]]): video pairs sharing any 3-frame
+    // clip segment REGARDLESS of alignment — the "same footage embedded
+    // in two videos" detection a doc-grain hash (q94o) cannot see and a
+    // whole-file digest never will. Shingling is per-blob row-local on
+    // the decode stream (zero shuffle, the q94m adjacency argument);
+    // the cross-video pass is a plain equi-join on the shingle content
+    // key + one pair-count aggregate — never all-pairs. The fixture
+    // makes the unaligned case REAL: frame means are (doc_id+f) % 251,
+    // so id-adjacent videos share shifted clips (doc 7 frames 1..3 ==
+    // doc 8 frames 0..2) and id-distance-251 videos share aligned ones
+    // — both families surface, at every SF. At 100 TB the triple
+    // digests to an 8-byte key before the exchange.
+    Q("q94p_clip_neardup",
+      """WITH f AS (SELECT doc_id, CAST(g AS INT) AS fi,
+        |    CAST((doc_id + g) % 251 AS DOUBLE) AS m
+        |  FROM documents CROSS JOIN unnest(
+        |    generate_series(0, CAST(doc_id % 5 AS INT))) AS t(g)),
+        |sh AS (SELECT doc_id, m AS m1,
+        |    lead(m, 1) OVER (PARTITION BY doc_id ORDER BY fi) AS m2,
+        |    lead(m, 2) OVER (PARTITION BY doc_id ORDER BY fi) AS m3
+        |  FROM f),
+        |s2 AS (SELECT DISTINCT doc_id, m1, m2, m3 FROM sh
+        |  WHERE m3 IS NOT NULL)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM s2 a JOIN s2 b ON a.m1 = b.m1 AND a.m2 = b.m2
+        |  AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST,
+        |  n_shared NULLS FIRST""".stripMargin) { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val blobs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang")).as[(Long, String)]
+        .map { case (id, lang) =>
+          MediaBlob(id, "video", lang, aviFor(id)) }
+      val sh = clipShingles(blobs).toDF()
+        .select("doc_id", "m1", "m2", "m3").distinct()
+      val a = sh.toDF("doc_a", "m1", "m2", "m3")
+      val b = sh.toDF("doc_b", "m1", "m2", "m3")
+      orderAll(a.join(b, Seq("m1", "m2", "m3"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared")))
     })
 
   /** The capstone's pre-publish pipeline — decode → geo-clip → re-grid

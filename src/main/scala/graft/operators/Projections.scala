@@ -237,6 +237,48 @@ object Projections {
           Tables.t(s, dir, "lineitem"), col("l_partkey")))
     },
 
+    // Q11f (beyond-survey) — FUNCTIONAL-DEPENDENCY audit
+    // ([[graft.Engine.fdAudit]]): for each candidate FD lhs → rhs, does
+    // every lhs value determine ONE rhs value, and when not, how badly
+    // (violating keys, worst fan-out)? The data-contract check run
+    // before a column is trusted as a join key, a dimension attribute,
+    // or a dedup identity — q11b audits row predicates, this audits
+    // RELATIONSHIPS between columns. Plan per candidate: distinct
+    // (lhs, rhs) pairs (partial-aggregable; the exchange carries the
+    // pair DOMAIN, not the rows), per-lhs fan-out, scalar rollup;
+    // candidates union under one action. The fixture's three verdicts
+    // are real: event_id→user_id holds (event ids are unique),
+    // user_id→event_type and its reverse are broken with measured
+    // fan-outs.
+    Q("q11f_fd_audit", {
+      def one(name: String, l: String, r: String) =
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS lhs_keys,
+           |  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS violating_keys,
+           |  round(CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |    AS violation_share,
+           |  CAST(max(d) AS BIGINT) AS max_rhs,
+           |  (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+           |FROM (SELECT __l, count(*) AS d FROM (
+           |    SELECT DISTINCT $l AS __l, $r AS __r FROM events
+           |    WHERE $l IS NOT NULL) GROUP BY 1)""".stripMargin
+      s"""SELECT * FROM (
+         |${one("event_id->user_id", "event_id", "user_id")}
+         |UNION ALL
+         |${one("user_id->event_type", "user_id", "event_type")}
+         |UNION ALL
+         |${one("event_type->user_id", "event_type", "user_id")})
+         |ORDER BY fd NULLS FIRST, lhs_keys NULLS FIRST,
+         |  violating_keys NULLS FIRST, violation_share NULLS FIRST,
+         |  max_rhs NULLS FIRST, holds NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      orderAll(graft.Engine.fdAudit(Tables.t(s, dir, "events"), Seq(
+        ("event_id->user_id", col("event_id"), col("user_id")),
+        ("user_id->event_type", col("user_id"), col("event_type")),
+        ("event_type->user_id", col("event_type"), col("user_id")))))
+    },
+
     // Q12 — BETWEEN range predicate (the bbox-clip analog, meteosat.py:36).
     Q("q12_between",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate

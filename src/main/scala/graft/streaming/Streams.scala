@@ -608,6 +608,60 @@ object Streams {
             "novel_chars", "novel_ratio"))
     },
 
+    // Q79c (beyond-survey) — STREAMING Count-Min sketch: q33d's
+    // frequency sketch built the way a feed actually arrives — each
+    // micro-batch reduces to its OWN ≤ depth·width cell table
+    // ([[graft.Engine.cmCells]]), landed in an idempotent per-batch_id
+    // partition (the q77 replay discipline), and the serving sketch is
+    // the cell-wise SUM of the batch sketches. CM cells from disjoint
+    // batches ADD (each token increments exactly one counter per row),
+    // so the merged sketch is cell-identical to the all-at-once build —
+    // and the oracle is q33d's VERBATIM, making the hash match itself
+    // the batch≡streaming MERGEABILITY proof (the q79/q79b equivalence
+    // pattern applied to the sketch family). This is the shape sketch
+    // state takes at 100 TB: per-slot partial sketches, config-sized,
+    // merged at read time — never a corpus-sized token state store.
+    Q("q79c_stream_sketch",
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tok AS (SELECT t, list_reduce(list_transform(
+        |      range(1, len(t) + 1), i -> CAST(ascii(t[i]) AS BIGINT)),
+        |    (a, b) -> (a * 257 + b) % 1000000007) AS h
+        |  FROM tk WHERE len(t) > 0),
+        |cells AS (SELECT g.j AS j, (h * (2 * g.j + 1) + 97 * g.j) % 256
+        |      AS b, count(*) AS c
+        |  FROM tok, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |exact AS (SELECT t AS word, count(*) AS exact, min(h) AS h
+        |  FROM tok GROUP BY 1),
+        |top AS (SELECT word, exact, h FROM exact
+        |  ORDER BY exact DESC, word ASC LIMIT 20),
+        |probe AS (SELECT word, exact, g.j AS j,
+        |    (h * (2 * g.j + 1) + 97 * g.j) % 256 AS b
+        |  FROM top, generate_series(0, 3) g(j))
+        |SELECT word, CAST(exact AS BIGINT) AS exact,
+        |  CAST(min(c) AS BIGINT) AS est,
+        |  CAST(min(c) - exact AS BIGINT) AS overest
+        |FROM probe JOIN cells USING (j, b)
+        |GROUP BY word, exact
+        |ORDER BY word NULLS FIRST, exact NULLS FIRST, est NULLS FIRST,
+        |  overest NULLS FIRST""".stripMargin) { (s, dir) =>
+      val batches = Sources.docsStream(s, dir, "doc_id IS NOT NULL",
+        nFiles = 4, maxFilesPerTrigger = Some(1))
+      val out = viaForeachBatch("q79c_stream_sketch", dir, batches,
+        "append") { (b, id) =>
+        graft.Engine.cmCells(b, col("text"), depth = 4, width = 256)
+          .write.mode("overwrite")
+          .parquet(IO.scratchPath("q79c_stream_sketch", dir) +
+            s"/cells/batch=$id")
+      }
+      val merged = s.read.parquet(s"$out/cells")
+        .groupBy("__j", "__b").agg(sum(col("__c")).as("__c"))
+      val top = graft.Engine.cmTopWords(
+        Tables.t(s, dir, "documents"), col("text"), topN = 20)
+      orderAll(graft.Engine.cmEstimate(merged, top,
+        depth = 4, width = 256))
+    },
+
     // Q77 — foreachBatch sink with exactly-once semantics: each batch
     // lands in its own batch_id partition via idempotent dynamic-partition
     // overwrite — a replayed batch rewrites the same partition to the

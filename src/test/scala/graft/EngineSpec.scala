@@ -2357,4 +2357,161 @@ class EngineSpec extends AnyFunSuite {
     assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
     assert(none.isNullAt(2) && none.isNullAt(3) && none.isNullAt(4))
   }
+
+  test("maxSimRetrieve: hand fixture — per-query-token maxes sum, " +
+      "self-doc excluded, rank order by score") {
+    import spark.implicits._
+    // 2-D unit-ish vectors with exact cosines: (1,0)·(0.6,0.8) = 0.6
+    val tok = Seq(
+      (100L, 1L, Seq(1.0f, 0.0f)), // query doc: token along x
+      (100L, 2L, Seq(0.0f, 1.0f)), //            token along y
+      (1L, 3L, Seq(1.0f, 0.0f)),   // doc 1: exact x match
+      (1L, 4L, Seq(0.6f, 0.8f)),   //        0.8 vs y
+      (2L, 5L, Seq(0.6f, 0.8f))    // doc 2: 0.6 vs x, 0.8 vs y
+    ).toDF("doc", "tok_id", "embedding")
+    val got = Engine.maxSimRetrieve(tok, "doc", "tok_id", "embedding",
+        tok.filter(col("doc") === 100L), k = 5)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    // doc 1: max_x = 1.0, max_y = 0.8 -> 1.8; doc 2: 0.6 + 0.8 = 1.4;
+    // the query doc itself (score 2.0) must NOT appear.
+    assert(got.toSeq == Seq((100L, 1, 1L, 1.8), (100L, 2, 2L, 1.4)))
+  }
+
+  test("kAnonymity: only sub-k equivalence classes surface") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++
+      Seq(("b", 1))).toDF("g", "h")
+    val got = Engine.kAnonymity(df,
+        Seq(("g", col("g")), ("h", col("h"))), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    // the 5-row class ("a",1) is k-anonymous at k=3 and must not appear
+    assert(got == Set(("a", 2, 2L), ("b", 1, 1L)))
+  }
+
+  test("countMinWords: estimates never underestimate and grade the " +
+      "exact top-N") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val rows = Engine.countMinWords(docs, col("text"),
+      depth = 4, width = 256, topN = 10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CM sketch underestimated: $r")
+      assert(over == est - exact)
+    }
+    // widening the sketch can only tighten estimates (fewer collisions)
+    val wide = Engine.countMinWords(docs, col("text"),
+        depth = 4, width = 4096, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(wide(r.getString(0)) <= r.getLong(2))
+    }
+  }
+
+  test("fdAudit: held and broken dependencies report exact fan-outs, " +
+      "null lhs rows are excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "a"), // key 1 -> one rhs (held)
+      (Some(2L), "a"), (Some(2L), "b"), (Some(2L), "c"), // fan-out 3
+      (None, "z") // null lhs: not a key
+    ).toDF("k", "v")
+    val got = Engine.fdAudit(df, Seq(("k->v", col("k"), col("v"))))
+      .collect()(0)
+    assert(got.getString(0) == "k->v")
+    assert(got.getLong(1) == 2L) // lhs keys: 1, 2
+    assert(got.getLong(2) == 1L) // only key 2 violates
+    assert(got.getDouble(3) == 0.5)
+    assert(got.getLong(4) == 3L) // worst fan-out
+    assert(!got.getBoolean(5))
+    val held = Engine.fdAudit(df.filter(col("k") =!= 2L),
+      Seq(("k->v", col("k"), col("v")))).collect()(0)
+    assert(held.getBoolean(5) && held.getLong(2) == 0L)
+  }
+
+  test("survivorsAsOf: the as-of read equals rerunning the ingest on " +
+      "only the as-of batches — acceptance depends on earlier slots " +
+      "alone") {
+    import spark.implicits._
+    // batches 0..2; doc 20's text near-dups doc 10 (J = 8/10 = 0.8 on
+    // bigrams), doc 21 is novel, doc 12 near-dups doc 0
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", 0L),
+      (1L, "k l m n o p q r s t", 0L),
+      (10L, "u v w x y z aa bb cc dd", 1L),
+      (12L, "a b c d e f g h i k", 1L), // dup of 0 -> rejected
+      (20L, "u v w x y z aa bb cc de", 2L), // dup of 10 -> rejected
+      (21L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q0", 2L)
+    ).toDF("doc_id", "text", "b")
+    val full = "/tmp/graft_asof_full"
+    val prefix = "/tmp/graft_asof_prefix"
+    Engine.dedupIngest(docs, "doc_id", "text", col("b"), full): Unit
+    Engine.dedupIngest(docs.filter(col("b") <= 1L), "doc_id", "text",
+      col("b"), prefix): Unit
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val asOf1 = ids(Engine.survivorsAsOf(spark, full, maxBatch = 1))
+    assert(asOf1 == ids(spark.read.parquet(s"$prefix/accepted")))
+    assert(asOf1 == Set(0L, 1L, 10L))
+    assert(ids(Engine.survivorsAsOf(spark, full, maxBatch = 2)) ==
+      Set(0L, 1L, 10L, 21L))
+  }
+
+  test("dedupCostAudit: hand fixture — candidate pairs price exactly " +
+      "as sum df*(df-1)/2, heaviest gram reported") {
+    import spark.implicits._
+    // bigrams: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {a b, b c} ->
+    // df(a b)=3, df(b c)=2, df(b d)=1 -> pairs = 3 + 1 + 0 = 4
+    val df = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("id", "txt")
+    val r = Engine.dedupCostAudit(df, col("id"), col("txt")).collect()(0)
+    assert(r.getLong(0) == 3L) // docs
+    assert(r.getLong(1) == 3L) // distinct grams
+    assert(r.getLong(2) == 4L) // candidate pairs
+    assert(r.getString(3) == "a b" && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == BigDecimal(4.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("cmCells: sketches from disjoint batches ADD cell-for-cell to " +
+      "the all-at-once sketch") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val whole = cellMap(Engine.cmCells(docs, col("text"), 4, 64))
+    val a = cellMap(Engine.cmCells(
+      docs.filter(col("doc_id") % 2 === 0), col("text"), 4, 64))
+    val b = cellMap(Engine.cmCells(
+      docs.filter(col("doc_id") % 2 =!= 0), col("text"), 4, 64))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
+  test("hashClassifier: logit == the closed-form weight mean, blank " +
+      "tokens filtered") {
+    import spark.implicits._
+    def h(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 257L + c.toLong) % 1000000007L)
+    def w(t: String): Double =
+      (((h(t) % 4096) * 2654435761L + 12345) % 1048576).toDouble /
+        1048576.0 - 0.5
+    val df = Seq((1L, "foo bar  baz"), (2L, "spark")).toDF("id", "txt")
+    val got = Engine.hashClassifier(df, col("id"), col("txt"), 4096)
+      .orderBy("doc_id").collect()
+    val s1 = w("foo") + w("bar") + w("baz")
+    assert(got(0).getLong(1) == 3L) // the double space adds no token
+    assert(got(0).getDouble(2) ==
+      BigDecimal(s1 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got(0).getBoolean(3) == (s1 > 0.0))
+    assert(got(1).getLong(1) == 1L)
+    assert(got(1).getDouble(2) ==
+      BigDecimal(w("spark")).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{ImageIoDecoder, MediaBlob, Multimodal, StubDecoder}
+import graft.operators.{ClipShingle, ImageIoDecoder, MediaBlob,
+  Multimodal, StubDecoder}
 
 /** The media-decode SPI: a real javax.imageio round-trip and the
   * decoder-injection seam (two decoders through the same operator). */
@@ -352,5 +353,27 @@ class MultimodalSpec extends AnyFunSuite {
         Seq(MediaBlob(1L, "image", "en", Array[Byte](9, 9))).toDS(),
         side = 4).collect()
     }
+  }
+
+  test("clipShingles: every 3-frame window off the real AVI walk, " +
+      "short clips yield none") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // doc 7: n = 7%5+1 = 3 frames with means 7,8,9 -> ONE shingle
+    val one = Multimodal.clipShingles(
+      Seq(MediaBlob(7L, "video", "en", Multimodal.aviFor(7L))).toDS())
+      .collect()
+    assert(one.toSeq == Seq(ClipShingle(7L, 0, 7.0, 8.0, 9.0)))
+    // doc 9: 5 frames -> shingles at 0,1,2; doc 11: 2 frames -> none
+    val five = Multimodal.clipShingles(
+      Seq(MediaBlob(9L, "video", "en", Multimodal.aviFor(9L))).toDS())
+      .collect().sortBy(_.pos)
+    assert(five.toSeq == Seq(
+      ClipShingle(9L, 0, 9.0, 10.0, 11.0),
+      ClipShingle(9L, 1, 10.0, 11.0, 12.0),
+      ClipShingle(9L, 2, 11.0, 12.0, 13.0)))
+    assert(Multimodal.clipShingles(
+      Seq(MediaBlob(11L, "video", "en", Multimodal.aviFor(11L))).toDS())
+      .collect().isEmpty)
   }
 }

@@ -285,6 +285,28 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
   }
 
+  test("q90u: the as-of ledger read prunes batch PARTITIONS at " +
+      "planning time — batch 3 is never listed") {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.initialPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val df = SparkEntry.queries("q90u_survivors_asof")(
+      spark, TestSpark.sfDir)
+    // the as-of predicate must land in PartitionFilters (directory
+    // pruning — snapshot isolation from the append-only layout), and
+    // the scan must select exactly the 3 as-of slots of the 4 written
+    val ledger = scans(df.queryExecution.executedPlan).filter(
+      _.partitionFilters.exists(_.toString.contains("batch")))
+    assert(ledger.nonEmpty, "no scan prunes on the batch partition")
+    assert(ledger.forall(_.selectedPartitions.partitionCount == 3),
+      s"expected 3 of 4 slots listed, got " +
+        ledger.map(_.selectedPartitions.partitionCount).mkString(","))
+  }
+
   test("q10b: id assignment plans no single-partition exchange or " +
       "global window") {
     // the whole point of globalIds: the oracle's row_number() OVER
@@ -401,6 +423,30 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q93t_rag_chunks")
     val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
     assert(n == 0, s"expected zero hash exchanges, got $n:\n$p")
+  }
+
+  test("q95j: hash classifier moves ZERO data — a pure per-row map") {
+    // tokenize, hash, fold all happen inside the row: the only exchange
+    // in the registered plan is the oracle-canonicalization orderBy's
+    // range partitioning. A hash exchange here means the quality gate
+    // started shuffling the corpus — at 100 TB a classifier must cost
+    // exactly one scan (the q93t discipline, applied to scoring).
+    val p = planOf("q95j_hash_classifier")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 0, s"expected zero hash exchanges, got $n:\n$p")
+  }
+
+  test("q92q: MaxSim exchanges carry scores, never embeddings") {
+    // both reductions (max over doc tokens, sum over query tokens) are
+    // partial-aggregable on (query, doc) grain, so every exchange in
+    // the plan ships rounded scalars — a vector column in an exchange
+    // schema means the late-interaction scorer started shuffling the
+    // token table with embeddings attached (corpus-sized payload).
+    val p = planOf("q92q_maxsim")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.forall(l => !l.contains("__e") && !l.contains("__qe") &&
+      !l.contains("embedding")),
+      s"an exchange ships an embedding column:\n$p")
   }
 
   test("q90o: CDC chunking is a SINGLE hash exchange that never ships text") {
@@ -661,6 +707,9 @@ class PlanSpec extends AnyFunSuite {
       "q92e_hard_negatives", // bounded query set, same plan as q92
       "q92m_truncate_rerank", // bounded query set (stage 1), q92 class
       "q92p_knn_label",       // bounded query set (5 ids), q92 class
+      "q92q_maxsim",          // bounded query token bag, q92 class
+      // 1-row totals + 1-row top-gram scalar broadcasts, q93f class
+      "q90v_dedup_cost",
       "q46c_tvd_drift",       // 1-row totals scalar broadcast, q93f class
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
