@@ -1394,9 +1394,16 @@ object Multimodal {
     // whole-file digest never will. Shingling is per-blob row-local on
     // the decode stream (zero shuffle, the q94m adjacency argument);
     // the cross-video pass is a plain equi-join on the shingle content
-    // key + one pair-count aggregate — never all-pairs. The fixture
-    // makes the unaligned case REAL: frame means are (doc_id+f) % 251,
-    // so id-adjacent videos share shifted clips (doc 7 frames 1..3 ==
+    // key + one pair-count aggregate — never all-pairs. SATURATED
+    // fingerprints (shared by > 64 videos — intros, test cards, black
+    // frames) are dropped before the join, the q90d gram-saturation
+    // lesson applied to video: a ubiquitous clip is not a dup signal,
+    // and its bucket is the one quadratic fan-in the plan would
+    // otherwise have (this fixture's buckets CROSS the cap as the
+    // corpus grows — ~60 videos/key at sf0.1, ~600 at sf1 — so the cap
+    // is load-bearing, not decorative). The fixture makes the
+    // unaligned case REAL: frame means are (doc_id+f) % 251, so
+    // id-adjacent videos share shifted clips (doc 7 frames 1..3 ==
     // doc 8 frames 0..2) and id-distance-251 videos share aligned ones
     // — both families surface, at every SF. At 100 TB the triple
     // digests to an 8-byte key before the exchange.
@@ -1410,10 +1417,13 @@ object Multimodal {
         |    lead(m, 2) OVER (PARTITION BY doc_id ORDER BY fi) AS m3
         |  FROM f),
         |s2 AS (SELECT DISTINCT doc_id, m1, m2, m3 FROM sh
-        |  WHERE m3 IS NOT NULL)
+        |  WHERE m3 IS NOT NULL),
+        |keep AS (SELECT m1, m2, m3 FROM s2
+        |  GROUP BY 1, 2, 3 HAVING count(*) <= 64),
+        |s3 AS (SELECT s2.* FROM s2 JOIN keep USING (m1, m2, m3))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM s2 a JOIN s2 b ON a.m1 = b.m1 AND a.m2 = b.m2
+        |FROM s3 a JOIN s3 b ON a.m1 = b.m1 AND a.m2 = b.m2
         |  AND a.m3 = b.m3 AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST,
@@ -1424,10 +1434,18 @@ object Multimodal {
         .select(col("doc_id"), col("lang")).as[(Long, String)]
         .map { case (id, lang) =>
           MediaBlob(id, "video", lang, aviFor(id)) }
+      import graft.Engine.PersistOnceOps
       val sh = clipShingles(blobs).toDF()
         .select("doc_id", "m1", "m2", "m3").distinct()
-      val a = sh.toDF("doc_a", "m1", "m2", "m3")
-      val b = sh.toDF("doc_b", "m1", "m2", "m3")
+        .persistOnce()
+      val keep = sh.groupBy("m1", "m2", "m3")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= 64).select("m1", "m2", "m3")
+      // re-project: the USING join reorders keys first
+      val s3 = sh.join(keep, Seq("m1", "m2", "m3"), "left_semi")
+        .select("doc_id", "m1", "m2", "m3")
+      val a = s3.toDF("doc_a", "m1", "m2", "m3")
+      val b = s3.toDF("doc_b", "m1", "m2", "m3")
       orderAll(a.join(b, Seq("m1", "m2", "m3"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
