@@ -5339,6 +5339,75 @@ object Engine {
         (col("__s") > 0.0).as("keep"))
   }
 
+  /** PQ QUANTIZATION-DISTORTION audit: the per-vector encode error
+    * Σ_blocks ‖sub−centroid‖² of a [[pqEncode]] codebook, reduced to
+    * the one-row distribution summary (mean / p50 / p95 / max) an
+    * index review reads before trusting ADC scores — the lossiness
+    * companion to q99i's recall gate: recall says "did the right ids
+    * surface", this says "how far are the codes from the floats" and
+    * moves FIRST when a codebook stops fitting the data (drift,
+    * wrong K, wrong block split). Same decimal-exact block kernel as
+    * the encoder, so the audit is bit-reproducible; cost is the
+    * encode pass + a 1-row reduce. */
+  def pqDistortion(vecs: DataFrame, id: String, vec: String,
+      codebook: DataFrame, cid: String, cvec: String,
+      blocks: Int, subDim: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val per = pqBlockDistances(vecs, id, vec, codebook, cid, cvec,
+        blocks, subDim)
+      .groupBy(col("__qid"), col("__blk"))
+      .agg(min(struct(col("__dd"), col("__cid"))).as("__m"))
+      .groupBy(col("__qid"))
+      .agg(sum(col("__m.__dd").cast(dec)).cast(DoubleType).as("__dist"))
+    per.agg(
+      count(lit(1)).as("n_vecs"),
+      round(sum(col("__dist").cast(dec)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 6).as("mean_dist"),
+      expr("round(percentile(__dist, 0.5D), 6)").as("p50_dist"),
+      expr("round(percentile(__dist, 0.95D), 6)").as("p95_dist"),
+      round(max(col("__dist")), 6).as("max_dist"))
+  }
+
+  /** DEDUP-THEN-UPWEIGHT (the data-constrained scaling recipe): one
+    * survivor per near-dup cluster carrying weight = cluster size,
+    * weight 1 for unclustered docs — so Σ weights == corpus size and a
+    * sampler that draws by weight reproduces the original frequency
+    * mass without training on byte-identical repeats. This is the
+    * half of dedup that plain removal throws away: how often a
+    * document occurred IS signal (site boilerplate vs canon), and
+    * epoch-limited training wants it as a sampling weight, not as
+    * copies. Cost: one aggregate on the cluster id + one anti-join. */
+  def survivorWeights(docs: DataFrame, id: String, clusters: DataFrame,
+      member: String, cluster: String): DataFrame = {
+    val sz = clusters.groupBy(col(cluster))
+      .agg(count(lit(1)).as("weight"), min(col(member)).as("__keep"))
+    val keepers = sz.select(col("__keep").as(id), col("weight"))
+    val loners = docs.select(col(id))
+      .join(clusters.select(col(member).as(id)), Seq(id), "left_anti")
+      .withColumn("weight", lit(1L))
+    keepers.unionByName(loners)
+  }
+
+  /** QUOTA sampling: draw a TARGET COUNT per stratum (not a rate —
+    * the q09b stratified form) by stable md5 rank of the key — "ship
+    * 100k en, 20k each for the rest" is how a training mix is actually
+    * specced. Deterministic across engines, reruns and partitioning
+    * (the q09 hash discipline); the rank is one window keyed by the
+    * stratum. With per-stratum quotas the window cannot prune below
+    * its exchange (the limit is data-dependent) — at 100 TB pre-filter
+    * with [[stableSample]] at a rate safely above quota/|stratum|,
+    * then rank only the survivors. */
+  def quotaSample(df: DataFrame, stratum: Column, key: Column,
+      quotas: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(md5(col("key").cast(StringType)).asc, col("key").asc)
+    df.select(stratum.as("stratum"), key.as("key"))
+      .withColumn("rnk", row_number().over(w))
+      .join(broadcast(quotas), Seq("stratum"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("stratum"), col("key"), col("rnk"))
+  }
+
   /** PRE-PRICE the exact gram-join dedup pass BEFORE running it: the
     * all-pairs candidate count of a shared-shingle join is EXACTLY
     * Σ_g df(g)·(df(g)−1)/2 over the gram document frequencies — one
@@ -5354,6 +5423,107 @@ object Engine {
     * docs already overflows Long (the mannWhitneyU lesson). Plan:
     * shingle in-row, one gram-frequency aggregate (partial-aggregable;
     * the exchange carries the gram DOMAIN), two bounded folds. */
+  /** N-GRAM DIVERSITY audit (distinct-n): per stratum and n, the
+    * distinct/total n-gram ratio — the standard diversity readout for
+    * SYNTHETIC or heavily-filtered corpora (mode-collapsed generation
+    * repeats the same constructions: distinct-2 falls long before eye
+    * inspection sees it; dedup'd web text sits near 1.0). One exploded
+    * pass per n: total is a plain count, distinct routes through the
+    * (stratum, gram) pre-aggregate — both partial-aggregable, the
+    * exchange carries the gram domain. */
+  def distinctNgramRatios(df: DataFrame, stratum: Column, text: Column,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty)
+    ns.map { n =>
+      val g = df.select(stratum.as("stratum"),
+        explode(positionalNgrams(split(text, " "), n)).as("__g"))
+      val tot = g.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("total_ngrams"))
+      val dis = g.select(col("stratum"), col("__g")).distinct()
+        .groupBy(col("stratum")).agg(count(lit(1)).as("distinct_ngrams"))
+      tot.join(dis, Seq("stratum"))
+        .select(col("stratum"), lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast(DoubleType) /
+            col("total_ngrams").cast(DoubleType), 6).as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** EMBEDDING-TABLE quality audit: the one-row health certificate an
+    * embedding pipeline checks before vectors are indexed or trained
+    * on — zero-norm vectors (a broken encoder's signature), non-finite
+    * components (overflow/div-by-zero upstream), RAGGED dimensions (a
+    * mixed-model table — every ANN structure silently assumes one
+    * dim), and exact duplicate vectors (collapsed inputs). All four
+    * are row-local predicates folding into one aggregate; the dup
+    * count adds one distinct pre-aggregate keyed by the vector value.
+    * An all-zero row (matching dims) IS the pass certificate. */
+  def embeddingAudit(df: DataFrame, vec: String): DataFrame = {
+    val v = col(vec)
+    val row = df.select(
+      size(v).as("__d"),
+      (aggregate(transform(v, x => x.cast(DoubleType) * x),
+        lit(0.0), (a, x) => a + x) < 1e-12).as("__zero"),
+      exists(v, x => x.isNaN || x.cast(DoubleType) === lit(
+        Double.PositiveInfinity) || x.cast(DoubleType) === lit(
+        Double.NegativeInfinity)).as("__nonfin"),
+      v.as("__v"))
+    val dups = row.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L))
+        .as("dup_rows"))
+    row.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("__nonfin"), 1L).otherwise(0L)).as("n_nonfinite"),
+        min(col("__d")).as("dim_min"), max(col("__d")).as("dim_max"))
+      .crossJoin(broadcast(dups))
+      .select(col("n_vecs"), col("n_zero_norm"), col("n_nonfinite"),
+        col("dim_min").cast(LongType).as("dim_min"),
+        col("dim_max").cast(LongType).as("dim_max"),
+        (col("dim_min") =!= col("dim_max")).as("ragged"),
+        col("dup_rows"))
+  }
+
+  /** RFM feature extraction with GLOBAL quintile scores and NO
+    * single-partition window: per user — recency (days since last
+    * event at `asOf`), frequency (event count), monetary (exact
+    * decimal spend) — then each measure's 20/40/60/80 exact
+    * percentiles reduce to ONE broadcast row and the score is
+    * 1 + Σ(v > cut) (recency inverted: recent = high). The textbook
+    * implementation is `ntile(5) OVER (ORDER BY …)` — which collapses
+    * the user table to one partition (the q10b global-window trap);
+    * this shape is the at-scale replacement: one keyed aggregate, one
+    * 1-row percentile reduce, one broadcast map. Cuts round to the
+    * 6-dp grid before comparison so both engines bucket identically. */
+  def rfmFeatures(events: DataFrame, user: Column, ts: Column,
+      value: Column, monetary: Column, asOf: Column): DataFrame = {
+    val perUser = events.filter(user.isNotNull && ts.isNotNull)
+      .groupBy(user.as("user_id"))
+      .agg(
+        datediff(asOf, max(ts)).cast(LongType).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(monetary, value)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast(DoubleType).as("monetary"))
+      .persistOnce()
+    def cutsOf(c: String) = expr(
+      s"transform(percentile($c, array(0.2D, 0.4D, 0.6D, 0.8D)), " +
+        "x -> round(x, 6))").as(s"__$c")
+    val cuts = perUser.agg(cutsOf("recency_days"), cutsOf("frequency"),
+      cutsOf("monetary"))
+    def score(c: String) = (lit(1) +
+      aggregate(col(s"__$c"),
+        lit(0), (a, cut) => a + when(col(c) > cut, 1).otherwise(0)))
+      .cast(LongType)
+    perUser.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("monetary"), 6).as("monetary"),
+        (lit(6L) - score("recency_days")).as("r_score"),
+        score("frequency").as("f_score"),
+        score("monetary").as("m_score"))
+  }
+
   def dedupCostAudit(df: DataFrame, id: Column, text: Column,
       ngramWords: Int = 2): DataFrame = {
     val sh = df.select(id.as("__id"),

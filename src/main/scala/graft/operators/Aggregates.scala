@@ -155,6 +155,30 @@ object Aggregates {
           .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
     },
 
+    // Q34c (beyond-survey) — CUBE: all four margins of the
+    // (flag, status) pair in one pass, completing the multi-aggregate
+    // trio (q34 rollup, q34b grouping sets). Same Expand + single hash
+    // aggregate physical shape — 2^k grouping sets still cost ONE
+    // shuffle, which is the only affordable form of an OLAP margin
+    // sweep at 100 TB.
+    Q("q34c_cube",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  count(*) AS n, ${sumDecSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+         |  gid NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(Tables.t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sumDec(col("l_quantity")).as("sum_qty"))
+          .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
+    },
+
     // Q34b (beyond-survey) — GROUPING SETS that neither ROLLUP nor CUBE
     // express: ((flag,status),(status),()) — the per-cell detail, the
     // status margin WITHOUT the flag margin, and the grand total. Spark 4's

@@ -884,6 +884,39 @@ object LlmPipeline {
         "vec_id", "embedding", blocks = 8))
     },
 
+    // Q92s (beyond-survey) — PQ QUANTIZATION-DISTORTION audit
+    // ([[graft.Engine.pqDistortion]]): the one-row encode-error
+    // distribution (mean/p50/p95/max of Σ_blocks ‖sub−centroid‖²) of
+    // the q92i codebook — the LOSSINESS companion to q99i's recall
+    // gate: recall says "did the right ids surface", this says "how
+    // far are the codes from the floats", and it moves FIRST when a
+    // codebook stops fitting (embedding drift, wrong K, wrong block
+    // split). Same decimal-exact block kernel as the encoder; cost is
+    // the encode pass + a 1-row reduce; percentile ≡ quantile_cont
+    // (the q38 parity).
+    Q("q92s_pq_distortion",
+      s"""WITH $pqDistCtes,
+         |err AS (SELECT c.vec_id,
+         |    CAST(sum(CAST(d.dd AS DECIMAL(38,6))) AS DOUBLE) AS dist
+         |  FROM codes c JOIN dist d ON d.vec_id = c.vec_id
+         |    AND d.blk = c.blk AND d.cid = c.code
+         |  GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(CAST(dist AS DECIMAL(38,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_dist,
+         |  round(quantile_cont(dist, 0.5), 6) AS p50_dist,
+         |  round(quantile_cont(dist, 0.95), 6) AS p95_dist,
+         |  round(max(dist), 6) AS max_dist
+         |FROM err
+         |ORDER BY n_vecs NULLS FIRST, mean_dist NULLS FIRST,
+         |  p50_dist NULLS FIRST, p95_dist NULLS FIRST,
+         |  max_dist NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      orderAll(graft.Engine.pqDistortion(e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
+        "vec_id", "embedding", blocks = 8))
+    },
+
     // Q99c (beyond-survey) — PQ ASYMMETRIC-DISTANCE (ADC) top-k search
     // over the q92i codes — [[graft.Engine.pqSearch]]: the query builds
     // an (8 blocks × 8 codes) exact-distance LUT against the broadcast
@@ -2662,6 +2695,62 @@ object LlmPipeline {
           tok.filter(col("doc") < 3), k = 5))
     },
 
+    // Q92r (beyond-survey) — EMBEDDING-TABLE quality audit
+    // ([[graft.Engine.embeddingAudit]]): the one-row health
+    // certificate checked before vectors are indexed or trained on —
+    // zero-norm vectors (a broken encoder's signature), non-finite
+    // components, RAGGED dimensions (a mixed-model table: every ANN
+    // structure silently assumes one dim), exact duplicates. The
+    // clean fixture is deterministically dirtied so the audit FIRES
+    // (the q95b redaction argument): vec_id%97 → zeroed, %89 →
+    // truncated to 16 dims, %83 → NaN first component — and the same
+    // CASE replays in the oracle. Row-local predicates into one
+    // aggregate + one distinct pre-aggregate; scan-cost at 100 TB.
+    Q("q92r_embedding_audit",
+      """WITH d AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0
+        |        THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+        |      WHEN vec_id % 89 = 0 THEN embedding[1:16]
+        |      WHEN vec_id % 83 = 0
+        |        THEN [CAST('nan' AS FLOAT)] || embedding[2:]
+        |      ELSE embedding END AS v
+        |  FROM embeddings),
+        |r AS (SELECT len(v) AS d,
+        |    (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(v, x -> CAST(x AS DOUBLE) * x)),
+        |      (a, x) -> a + x) < 1e-12) AS zero,
+        |    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+        |      AS nonfin,
+        |    v FROM d),
+        |dup AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_rows
+        |  FROM (SELECT count(*) AS c FROM r GROUP BY v
+        |        HAVING count(*) > 1))
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(sum(CASE WHEN nonfin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite,
+        |  CAST(min(d) AS BIGINT) AS dim_min,
+        |  CAST(max(d) AS BIGINT) AS dim_max,
+        |  (min(d) <> max(d)) AS ragged, dup.dup_rows AS dup_rows
+        |FROM r, dup GROUP BY dup.dup_rows
+        |ORDER BY n_vecs NULLS FIRST, n_zero_norm NULLS FIRST,
+        |  n_nonfinite NULLS FIRST, dim_min NULLS FIRST,
+        |  dim_max NULLS FIRST, ragged NULLS FIRST,
+        |  dup_rows NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val dirty = e.withColumn("embedding",
+        when(col("vec_id") % 97 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .when(col("vec_id") % 89 === 0,
+            slice(col("embedding"), 1, 16))
+          .when(col("vec_id") % 83 === 0,
+            concat(array(lit(Float.NaN)),
+              slice(col("embedding"), 2, 1000000)))
+          .otherwise(col("embedding")))
+      orderAll(graft.Engine.embeddingAudit(dirty, "embedding"))
+    },
+
     // Q92o (beyond-survey) — embedding CENTROID DRIFT between
     // consecutive cohorts ([[graft.Engine.centroidDrift]], cohort =
     // vec_id % 4 standing in for the ingest day): per-cohort mean
@@ -2785,6 +2874,44 @@ object LlmPipeline {
           col("__rr").cast("int").as("rnk"))
       orderAll(graft.Engine.rrfFuse(text, vec, "query_id", "item",
         "rnk", k = 5))
+    },
+
+    // Q93w (beyond-survey) — N-GRAM DIVERSITY audit (distinct-n)
+    // ([[graft.Engine.distinctNgramRatios]]): per source and n ∈ {1,2},
+    // the distinct/total n-gram ratio — the standard diversity readout
+    // for SYNTHETIC or heavily-filtered corpora: mode-collapsed
+    // generation repeats constructions, and distinct-2 falls long
+    // before eye inspection sees it (the self-BLEU family's cheap,
+    // exact cousin). Complements q93q (vocab growth over time) with a
+    // per-stratum structural ratio. One exploded pass per n; total is
+    // a plain count, distinct routes through the (source, gram)
+    // pre-aggregate — the exchange carries the gram domain.
+    Q("q93w_distinct_ngrams",
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |u1 AS (SELECT source, unnest(ws) AS g FROM w),
+        |t1 AS (SELECT source, CAST(1 AS INT) AS n,
+        |    CAST(count(*) AS BIGINT) AS total_ngrams,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+        |  FROM u1 GROUP BY 1),
+        |u2 AS (SELECT source, unnest(list_transform(
+        |      generate_series(1, len(ws) - 1),
+        |      i -> concat_ws(' ', ws[i], ws[i + 1]))) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |t2 AS (SELECT source, CAST(2 AS INT) AS n,
+        |    CAST(count(*) AS BIGINT) AS total_ngrams,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+        |  FROM u2 GROUP BY 1)
+        |SELECT source AS stratum, n, total_ngrams, distinct_ngrams,
+        |  round(CAST(distinct_ngrams AS DOUBLE)
+        |    / CAST(total_ngrams AS DOUBLE), 6) AS distinct_ratio
+        |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+        |ORDER BY stratum NULLS FIRST, n NULLS FIRST,
+        |  total_ngrams NULLS FIRST, distinct_ngrams NULLS FIRST,
+        |  distinct_ratio NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.distinctNgramRatios(
+        Tables.t(s, dir, "documents"), col("source"), col("text"),
+        ns = Seq(1, 2)))
     },
 
     // Q93s (beyond-survey) — TRIANGLE COUNT + clustering coefficient
@@ -3033,6 +3160,34 @@ object LlmPipeline {
       orderAll(graft.Engine.keepBest(
         graft.Engine.simhashClusters(d, col("doc_id"), col("text")),
         "doc_id", "cluster_id", d, "doc_id", col("n_chars")))
+    },
+
+    // Q90w (beyond-survey) — DEDUP-THEN-UPWEIGHT
+    // ([[graft.Engine.survivorWeights]], the data-constrained scaling
+    // recipe): one survivor per q98b SimHash cluster carrying
+    // weight = cluster size, weight 1 for unclustered docs, so
+    // Σ weights == corpus size (spec-asserted) and a weight-
+    // proportional sampler reproduces the original frequency mass
+    // without training on byte-near-identical repeats. This is the
+    // half of dedup plain removal throws away: occurrence COUNT is
+    // signal, and epoch-limited training wants it as a sampling
+    // weight, not as copies. One cluster aggregate + one anti-join.
+    Q("q90w_survivor_weights",
+      s"""$simhashClusterCtes,
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS weight,
+         |    min(doc_id) AS keep FROM asg GROUP BY 1)
+         |SELECT doc_id, weight FROM (
+         |  SELECT keep AS doc_id, weight FROM sz
+         |  UNION ALL
+         |  SELECT d.doc_id, CAST(1 AS BIGINT) AS weight
+         |  FROM documents d LEFT JOIN asg ON d.doc_id = asg.doc_id
+         |  WHERE asg.doc_id IS NULL)
+         |ORDER BY doc_id NULLS FIRST, weight NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val d = Tables.t(s, dir, "documents")
+        orderAll(graft.Engine.survivorWeights(d, "doc_id",
+          graft.Engine.simhashClusters(d, col("doc_id"), col("text")),
+          "doc_id", "cluster_id"))
     },
 
     // Q92k (beyond-survey) — cluster-BALANCED capping: nearest-centroid

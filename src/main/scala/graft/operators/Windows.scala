@@ -206,6 +206,55 @@ object Windows {
         .withColumnRenamed("key", "user_id"))
     },
 
+    // Q47h (beyond-survey) — RFM FEATURE EXTRACTION with global
+    // quintile scores and NO single-partition window
+    // ([[graft.Engine.rfmFeatures]]): per user, recency (days since
+    // last event at 2024-02-01) / frequency / exact-decimal purchase
+    // spend, each scored 1..5 against the corpus-wide 20/40/60/80
+    // exact percentiles (recency inverted: recent = 5). The feature-
+    // store batch job behind ranking/churn training data. The textbook
+    // `ntile(5) OVER (ORDER BY …)` collapses the user table to ONE
+    // partition (the q10b trap); this is the at-scale replacement:
+    // one keyed aggregate, a 1-row percentile reduce
+    // (percentile ≡ quantile_cont — the q38 parity), one broadcast
+    // score map. Cuts round to the 6-dp grid before comparison.
+    Q("q47h_rfm_features",
+      """WITH pu AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE),
+        |      DATE '2024-02-01') AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(coalesce(sum(CAST(CASE WHEN event_type = 'purchase'
+        |        THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE)
+        |      AS monetary
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |cuts AS (SELECT
+        |    list_transform(quantile_cont(recency_days,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS cr,
+        |    list_transform(quantile_cont(frequency,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS cf,
+        |    list_transform(quantile_cont(monetary,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS cm
+        |  FROM pu)
+        |SELECT user_id, recency_days, frequency,
+        |  round(monetary, 6) AS monetary,
+        |  CAST(6 - (1 + len(list_filter(cr, c -> recency_days > c)))
+        |    AS BIGINT) AS r_score,
+        |  CAST(1 + len(list_filter(cf, c -> frequency > c))
+        |    AS BIGINT) AS f_score,
+        |  CAST(1 + len(list_filter(cm, c -> monetary > c))
+        |    AS BIGINT) AS m_score
+        |FROM pu, cuts
+        |ORDER BY user_id NULLS FIRST, recency_days NULLS FIRST,
+        |  frequency NULLS FIRST, monetary NULLS FIRST,
+        |  r_score NULLS FIRST, f_score NULLS FIRST,
+        |  m_score NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.rfmFeatures(Tables.t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"),
+        col("event_type") === "purchase",
+        lit("2024-02-01").cast("date")))
+    },
+
     // Q47b (beyond-survey) — ordered event FUNNEL: the furthest
     // signup → click → purchase stage each user reached, with every
     // step STRICTLY after the previous one (not mere type presence —

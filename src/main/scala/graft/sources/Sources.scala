@@ -522,6 +522,39 @@ object Sources {
         .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty")))
     },
 
+    // Q09g (beyond-survey) — QUOTA sampling
+    // ([[graft.Engine.quotaSample]]): a TARGET COUNT per stratum, not
+    // a rate — "ship 60 en docs, 15 each for the rest" is how a
+    // training mix is actually specced (q09b rebalances by rate and
+    // cannot hit a count; q09f budgets tokens). Selection is the
+    // stable md5 rank of the key within the stratum — deterministic
+    // across engines, reruns and partitioning (the q09 hash
+    // discipline); quotas broadcast as a tiny dim. Per-stratum
+    // DATA-DEPENDENT limits keep the rank window from pruning below
+    // its exchange — the 100 TB form pre-filters with stableSample at
+    // a rate safely above quota/|stratum| and ranks only survivors
+    // (Scaladoc).
+    Q("q09g_quota_sample",
+      """WITH q AS (SELECT DISTINCT lang AS stratum,
+        |    CASE WHEN lang = 'en' THEN 60 ELSE 15 END AS quota
+        |  FROM documents),
+        |rk AS (SELECT lang AS stratum, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |      AS rnk
+        |  FROM documents)
+        |SELECT rk.stratum, doc_id AS key, CAST(rnk AS INT) AS rnk
+        |FROM rk JOIN q USING (stratum) WHERE rnk <= quota
+        |ORDER BY stratum NULLS FIRST, key NULLS FIRST,
+        |  rnk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val quotas = d.select(col("lang").as("stratum")).distinct()
+        .withColumn("quota",
+          when(col("stratum") === "en", 60).otherwise(15))
+      orderAll(graft.Engine.quotaSample(d, col("lang"), col("doc_id"),
+        quotas))
+    },
+
     // Q09b (beyond-survey) — STRATIFIED stable sampling: the language /
     // domain REBALANCING pass of corpus curation (up-weight scarce
     // strata, down-weight dominant ones), q09's hash discipline with the

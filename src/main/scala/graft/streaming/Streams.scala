@@ -406,6 +406,65 @@ object Streams {
     // state unevicted within a batch and probe cost explodes (2 files ->
     // 20 s); more batches multiply the doubled per-trigger state-store
     // cost of a two-sided join (8 files -> 30 s); 4 is the knee, ~14 s.)
+    // Q76c (beyond-survey) — STREAMING point-in-time enrichment: every
+    // arriving click is attributed to the user's purchase-tier interval
+    // that was CURRENT at the click's own event time (eff_from ≤ ts <
+    // eff_to against the q59-shaped SCD2 dimension built by
+    // [[graft.Engine.scd2Build]]) — the feature-store SERVING join,
+    // where reading today's dimension row for yesterday's event is
+    // exactly the leakage q59b exists to prevent, now in the path where
+    // it actually happens: online. The per-batch join is STATELESS
+    // (equi on user + range residual, the q59b plan), results land in
+    // idempotent batch_id partitions (q77 discipline), and the oracle
+    // is the BATCH PIT join of the same events — the q79 equivalence
+    // pattern applied to the serving join: stateless per-row
+    // enrichment commutes with micro-batching, and the hash match
+    // proves it.
+    Q("q76c_stream_pit_lookup",
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |chg AS (SELECT user_id, ts, event_id, tier,
+        |    CASE WHEN lag(tier) OVER w IS NULL
+        |      OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS is_chg
+        |  FROM p WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |iv AS (SELECT user_id AS d_user, tier, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS eff_to
+        |  FROM chg WHERE is_chg = 1)
+        |SELECT e.event_id, e.user_id, e.ts, iv.tier
+        |FROM events e JOIN iv ON e.user_id = d_user
+        |  AND e.ts >= eff_from AND (eff_to IS NULL OR e.ts < eff_to)
+        |WHERE e.event_type = 'click'
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
+        |  ts NULLS FIRST, tier NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val dim = graft.Engine.scd2Build(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"),
+              when(col("value") > 50, "hi").otherwise("lo").as("tier"),
+              col("ts"), col("event_id")),
+          "user_id", "tier", "ts", "event_id")
+        .select(col("user_id").as("d_user"), col("tier"),
+          col("eff_from"), col("eff_to"))
+      val stream = Sources.eventsStream(s, dir, 2, Some(1))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val out = viaForeachBatch("q76c_stream_pit_lookup", dir, stream,
+        "append") { (b, id) =>
+        b.join(dim, b("user_id") === col("d_user") &&
+            b("ts") >= col("eff_from") &&
+            (col("eff_to").isNull || b("ts") < col("eff_to")))
+          .select("event_id", "user_id", "ts", "tier")
+          .write.mode("overwrite")
+          .parquet(IO.scratchPath("q76c_stream_pit_lookup", dir) +
+            s"/data/batch=$id")
+      }
+      orderAll(s.read.parquet(s"$out/data")
+        .select("event_id", "user_id", "ts", "tier"))
+    },
+
     Q("q78_stream_stream_join",
       """SELECT p.event_id AS p_id, c.event_id AS c_id,
         |  p.user_id AS user_id

@@ -2492,6 +2492,104 @@ class EngineSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("survivorWeights: weights conserve corpus mass, min member " +
+      "survives, loners weigh 1") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val got = Engine.survivorWeights(docs, "doc_id", clusters,
+        "doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    assert(got.values.sum == 4L) // sum of weights == corpus size
+  }
+
+  test("quotaSample: exact per-stratum counts, md5-rank stable under " +
+      "repartitioning") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (if (i % 4 == 0) "a" else "b", i))
+      .toDF("s", "k")
+    val quotas = Seq(("a", 5), ("b", 10)).toDF("stratum", "quota")
+    val got = Engine.quotaSample(df, col("s"), col("k"), quotas)
+    val counts = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 5L, "b" -> 10L))
+    val re = Engine.quotaSample(df.repartition(7), col("s"), col("k"),
+      quotas)
+    assert(got.collect().map(_.toSeq).toSet ==
+      re.collect().map(_.toSeq).toSet)
+  }
+
+  test("pqDistortion: a codebook containing every vector has zero " +
+      "distortion; a coarser one does not") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq.fill(16)(1.0f)), (2L, Seq.fill(16)(2.0f)),
+      (3L, Seq.fill(16)(3.0f))).toDF("vec_id", "embedding")
+    val perfect = Engine.pqDistortion(vecs, "vec_id", "embedding",
+      vecs, "vec_id", "embedding", blocks = 2).collect()(0)
+    assert(perfect.getLong(0) == 3L && perfect.getDouble(1) == 0.0 &&
+      perfect.getDouble(4) == 0.0)
+    val coarse = Engine.pqDistortion(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding",
+      blocks = 2).collect()(0)
+    // vec 2 is off by 1 per dim, vec 3 by 2: Σd² = 16, 64; mean 80/3
+    assert(coarse.getDouble(4) == 64.0)
+    assert(coarse.getDouble(1) == BigDecimal(80.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("rfmFeatures: five users with strictly ordered measures score " +
+      "exactly 1..5 on every axis") {
+    import spark.implicits._
+    // user u: u events ending u days after base, spend 10*u each
+    val rows = for (u <- 1 to 5; k <- 1 to u) yield
+      (u.toLong, s"2024-01-${10 + u} 00:00:00", 10.0 * u, "purchase")
+    val ev = rows.toDF("user_id", "ts", "value", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Engine.rfmFeatures(ev, col("user_id"), col("ts"),
+        col("value"), col("event_type") === "purchase",
+        lit("2024-01-20").cast("date"))
+      .orderBy("user_id").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val u = i + 1
+      assert(r.getLong(1) == 10 - u) // recency_days
+      assert(r.getLong(2) == u) // frequency
+      assert(r.getDouble(3) == 10.0 * u * u) // monetary
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) ==
+        ((u.toLong, u.toLong, u.toLong)),
+        s"user $u scored ${r.toSeq}")
+    }
+  }
+
+  test("embeddingAudit: zero-norm, non-finite, ragged dims, and dup " +
+      "rows all counted on one pass") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), // dup pair
+      Seq(0.0f, 0.0f), // zero norm
+      Seq(Float.NaN, 1.0f), // non-finite
+      Seq(1.0f, 2.0f, 3.0f) // ragged
+    ).toDF("embedding")
+    val r = Engine.embeddingAudit(df, "embedding").collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1L &&
+      r.getLong(2) == 1L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L && r.getBoolean(5))
+    assert(r.getLong(6) == 2L) // both rows of the dup pair
+  }
+
+  test("distinctNgramRatios: exact ratios on a hand corpus") {
+    import spark.implicits._
+    val df = Seq(("s1", "a a b")).toDF("src", "txt")
+    val got = Engine.distinctNgramRatios(df, col("src"), col("txt"),
+        Seq(1, 2))
+      .orderBy("n").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((1, 3L, 2L, 0.666667), (2, 2L, 2L, 1.0)))
+  }
+
   test("hashClassifier: logit == the closed-form weight mean, blank " +
       "tokens filtered") {
     import spark.implicits._

@@ -710,6 +710,13 @@ class PlanSpec extends AnyFunSuite {
       "q92q_maxsim",          // bounded query token bag, q92 class
       // 1-row totals + 1-row top-gram scalar broadcasts, q93f class
       "q90v_dedup_cost",
+      // 1-row percentile-cuts scalar broadcast, q95g tertile class
+      "q47h_rfm_features",
+      // 1-row dup-count scalar broadcast, q93f class
+      "q92r_embedding_audit",
+      // 1-row distortion-summary reduce feeds no BNLJ, but its
+      // percentile agg rides the same 1-row cross shape
+      "q92s_pq_distortion",
       "q46c_tvd_drift",       // 1-row totals scalar broadcast, q93f class
       "q33b_hll_union", "q48_gap_fill", "q93c_tfidf", "q95d_lm_score",
       "q09d_temperature_mix", // 1-row √-sum scalar broadcast
