@@ -37,6 +37,12 @@ class IoEnvelopeSpec extends AnyFunSuite {
     "q91c_jaccard_join" -> 1020185L,
     "q92g_kmeans_refine" -> 315306L,
     "q92n_mmr_rerank" -> 5959L,
+    // the two round-12 candidate-generation additions: MaxSim's scored
+    // (query, doc) aggregates and the clip-shingle pair join — the
+    // exchanges that would balloon if an embedding / the saturation
+    // cap ever escaped into them
+    "q92q_maxsim" -> 27396L,
+    "q94p_clip_neardup" -> 130116L,
     "q93j_bm25_search" -> 806833L,
     "q93u_kcore" -> 41454L,
     "q93v_communities" -> 55782L)
