@@ -5320,23 +5320,21 @@ object Engine {
   def hashClassifier(df: DataFrame, id: Column, text: Column,
       buckets: Int): DataFrame = {
     require(buckets >= 2)
-    val score = expr(
-      s"""aggregate(
-         |  transform(filter(split(__text, ' '), t -> length(t) > 0),
-         |    t -> aggregate(transform(sequence(1, length(t)),
-         |           i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
-         |         0L, (a, x) -> (a * 257 + x) % 1000000007) % $buckets),
-         |  CAST(0.0 AS DOUBLE),
-         |  (acc, b) -> acc +
-         |    (CAST((b * 2654435761 + 12345) % 1048576 AS DOUBLE)
-         |       / 1048576.0 - 0.5))""".stripMargin)
+    // one codegen pass per row ([[graft.plans.ClassifierScore]]): the
+    // HOF formulation (aggregate∘transform∘filter∘split with a nested
+    // per-char fold) evaluates interpreted lambdas outside whole-stage
+    // codegen — measured 10.7 s vs ~1 s for the sf1 corpus scan;
+    // ExpressionSpec pins kernel ≡ HOF bit-for-bit
+    graft.plans.ClassifierScore.register(df.sparkSession)
     df.select(id.as("doc_id"), text.as("__text"))
-      .withColumn("__n",
-        size(filter(split(col("__text"), " "), t => length(t) > 0)))
-      .withColumn("__s", score)
-      .select(col("doc_id"), col("__n").cast(LongType).as("n_tokens"),
-        round(col("__s") / col("__n").cast(DoubleType), 6).as("logit"),
-        (col("__s") > 0.0).as("keep"))
+      .withColumn("__r",
+        call_function(graft.plans.ClassifierScore.name,
+          col("__text"), lit(buckets)))
+      .select(col("doc_id"),
+        col("__r.n_tokens").as("n_tokens"),
+        round(col("__r.score") / col("__r.n_tokens").cast(DoubleType), 6)
+          .as("logit"),
+        (col("__r.score") > 0.0).as("keep"))
   }
 
   /** PQ QUANTIZATION-DISTORTION audit: the per-vector encode error

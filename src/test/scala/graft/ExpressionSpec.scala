@@ -324,6 +324,56 @@ class ExpressionSpec extends AnyFunSuite {
     assert(shifted == after, s"$shifted != $after")
   }
 
+  test("classifier_score: kernel equals the HOF formulation bit-for-bit " +
+      "on randomized texts with blank-token edge cases") {
+    graft.plans.ClassifierScore.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(1217)
+    def word() = (0 until 1 + rnd.nextInt(8))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val texts = (1 to 200).map { i =>
+      // random words joined by 1-3 spaces; some leading/trailing blanks
+      val body = (0 until rnd.nextInt(30))
+        .map(_ => word()).mkString(" " * (1 + rnd.nextInt(3)))
+      (i.toLong, if (i % 7 == 0) s"  $body " else body)
+    }
+    val hof = expr(
+      """aggregate(
+        |  transform(filter(split(t, ' '), w -> length(w) > 0),
+        |    w -> aggregate(transform(sequence(1, length(w)),
+        |           i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+        |         0L, (a, x) -> (a * 257 + x) % 1000000007) % 4096),
+        |  CAST(0.0 AS DOUBLE),
+        |  (acc, b) -> acc +
+        |    (CAST((b * 2654435761 + 12345) % 1048576 AS DOUBLE)
+        |       / 1048576.0 - 0.5))""".stripMargin)
+    val got = texts.toDF("id", "t")
+      .select(col("id"),
+        call_function("classifier_score", col("t"), lit(4096)).as("r"),
+        size(filter(split(col("t"), " "), w => length(w) > 0))
+          .cast("long").as("nref"),
+        hof.as("sref"))
+      .collect()
+    got.foreach { r =>
+      val (n, s) = (r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1))
+      assert(n == r.getLong(2), s"token count drift on id ${r.getLong(0)}")
+      assert(s == r.getDouble(3), s"score drift on id ${r.getLong(0)}")
+    }
+  }
+
+  test("classifier_score participates in whole-stage codegen") {
+    graft.plans.ClassifierScore.register(spark)
+    val df = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(call_function("classifier_score", col("text"), lit(4096))
+        .as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("classifier_score")), plan)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.write.format("noop").mode("overwrite").save()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("cdc_boundaries participates in whole-stage codegen") {
     graft.plans.CdcBoundaries.register(spark)
     val df = Tables.t(spark, TestSpark.sfDir, "documents")
