@@ -3151,20 +3151,33 @@ object Engine {
     * doc_id ASC) over bit-identical doubles. */
   def bm25Search(df: DataFrame, id: Column, text: Column,
       isQuery: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25SearchStatsOn(df, id, text, isQuery, lit(true), k, k1, b)
+
+  /** [[bm25Search]] with the CORPUS STATISTICS (N, avgdl, per-term df)
+    * computed over only the `statsOn` rows while scoring still runs
+    * over the whole table — the ranking an APPEND-ONLY search index
+    * actually serves between stat refreshes: postings for new docs are
+    * added, but IDF/avgdl stay frozen at the last rebuild. A term seen
+    * only in appended docs carries df = 0 (maximal IDF) — exactly the
+    * frozen-index behavior. With `statsOn = true` this IS bm25Search. */
+  def bm25SearchStatsOn(df: DataFrame, id: Column, text: Column,
+      isQuery: Column, statsOn: Column, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1)
     val docs = df.select(id.as("__id"), split(text, " ").as("__w"),
-      isQuery.as("__isq"))
+      isQuery.as("__isq"), statsOn.as("__st"))
       .withColumn("__dl", size(col("__w")))
-    val stats = docs.agg(count(lit(1)).as("__n"),
-      (sum(col("__dl")).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("__avgdl"))
-    val toks = docs.select(col("__id"), col("__dl"),
+    val stats = docs.filter(col("__st"))
+      .agg(count(lit(1)).as("__n"),
+        (sum(col("__dl")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("__avgdl"))
+    val toks = docs.select(col("__id"), col("__dl"), col("__st"),
       explode(col("__w")).as("__t"))
     val qterms = broadcast(docs.filter(col("__isq"))
       .select(col("__id").as("__qid"), explode(col("__w")).as("__t"))
       .distinct())
-    val dfT = broadcast(toks
+    val dfT = broadcast(toks.filter(col("__st"))
       .join(qterms.select("__t").distinct(), Seq("__t"), "left_semi")
       .select(col("__id"), col("__t")).distinct()
       .groupBy(col("__t")).agg(count(lit(1)).as("__df")))
@@ -3172,7 +3185,11 @@ object Engine {
       .filter(col("__id") =!= col("__qid"))
       .groupBy(col("__qid"), col("__id"), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
-      .join(dfT, Seq("__t"))
+      // LEFT: a term absent from the stats slice has df = 0 (the
+      // frozen-index maximal-IDF case); with statsOn = true every
+      // scored term has df >= 1 and this is the old inner join
+      .join(dfT, Seq("__t"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         (col("__n") + lit(1L)).cast(DoubleType) /
@@ -3190,6 +3207,38 @@ object Engine {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("int").as("rnk"),
         col("doc_id"), col("score"))
+  }
+
+  /** STALE-IDF drift audit for an append-only search index: how much
+    * does the top-k ranking served with FROZEN corpus statistics
+    * (N, avgdl, df from the pre-append `isHistory` slice — postings
+    * appended, stats not rebuilt) differ from the fresh full rebuild?
+    * Returns per query (query_id, n_common, overlap_ratio) over the
+    * two top-k lists — the measured number that decides WHEN an index
+    * rebuild is due, instead of rebuilding on a guess or serving
+    * drifted rankings unknowingly. (IDF drift is the one thing q99h's
+    * append-equivalence proof cannot cover for BM25: unlike MinHash
+    * bands, BM25 scores are functions of GLOBAL stats, so append-only
+    * serving is approximate BY CONSTRUCTION — this audit prices that
+    * approximation.) Cost: two bm25 rankings sharing the scan +
+    * one k-row-per-query join. */
+  def bm25StaleIdfAudit(df: DataFrame, id: Column, text: Column,
+      isQuery: Column, isHistory: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val fresh = bm25SearchStatsOn(df, id, text, isQuery, lit(true),
+      k, k1, b)
+    val stale = bm25SearchStatsOn(df, id, text, isQuery, isHistory,
+      k, k1, b)
+    val common = fresh.select(col("query_id"), col("doc_id"))
+      .join(stale.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    fresh.select(col("query_id")).distinct()
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+          lit(k.toDouble), 6).as("overlap_ratio"))
   }
 
   /** Achlioptas-style SIGN RANDOM PROJECTION of an embedding column to

@@ -2846,6 +2846,82 @@ object LlmPipeline {
         col("doc_id"), col("text"), col("doc_id") < 5, k = 5))
     },
 
+    // Q93x (beyond-survey) — STALE-IDF drift audit for an append-only
+    // search index ([[graft.Engine.bm25StaleIdfAudit]]): per query, the
+    // top-10 overlap between the ranking served with FROZEN corpus
+    // stats (N, avgdl, df from the pre-append doc_id%5≠0 slice —
+    // postings appended, stats not rebuilt; a delta-only term carries
+    // df=0, i.e. maximal IDF) and the fresh full rebuild. BM25 scores
+    // are functions of GLOBAL statistics, so append-only serving is
+    // approximate BY CONSTRUCTION — unlike the MinHash index, whose
+    // q99h-style append equivalence is exact. This audit prices that
+    // approximation into a number (overlap@10 per query), which is
+    // what decides WHEN a rebuild is due. Two rankings share the scan;
+    // the comparison join touches k rows per query.
+    Q("q93x_stale_idf_audit",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
+        |stf AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |sth AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl WHERE doc_id % 5 <> 0),
+        |tok AS (SELECT doc_id, dl, unnest(w) AS t FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS qid, t FROM tok
+        |  WHERE doc_id < 5 AND doc_id % 5 <> 0),
+        |dff AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE t IN (SELECT t FROM qt) GROUP BY t),
+        |dfh AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE doc_id % 5 <> 0 AND t IN (SELECT t FROM qt) GROUP BY t),
+        |ft AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+        |  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, dl, t),
+        |sF AS (SELECT q.qid, f.doc_id,
+        |    (CAST(n + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 0.5e0))
+        |      * (CAST(tf AS DOUBLE) * 2.2e0)
+        |      / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 *
+        |          (CAST(dl AS DOUBLE) / avgdl))) AS sc
+        |  FROM ft f JOIN qt q ON f.t = q.t AND f.doc_id != q.qid
+        |  JOIN dff ON dff.t = f.t CROSS JOIN stf),
+        |sH AS (SELECT q.qid, f.doc_id,
+        |    (CAST(n + 1 AS DOUBLE)
+        |      / (CAST(coalesce(dfh.df, 0) AS DOUBLE) + 0.5e0))
+        |      * (CAST(tf AS DOUBLE) * 2.2e0)
+        |      / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 *
+        |          (CAST(dl AS DOUBLE) / avgdl))) AS sc
+        |  FROM ft f JOIN qt q ON f.t = q.t AND f.doc_id != q.qid
+        |  LEFT JOIN dfh ON dfh.t = f.t CROSS JOIN sth),
+        |rF AS (SELECT qid AS query_id, doc_id FROM (
+        |  SELECT qid, doc_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        CAST(sum(CAST(sc AS DECIMAL(38,6))) AS DOUBLE) DESC,
+        |        doc_id ASC) AS rn
+        |    FROM sF GROUP BY qid, doc_id) WHERE rn <= 10),
+        |rH AS (SELECT qid AS query_id, doc_id FROM (
+        |  SELECT qid, doc_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        CAST(sum(CAST(sc AS DECIMAL(38,6))) AS DOUBLE) DESC,
+        |        doc_id ASC) AS rn
+        |    FROM sH GROUP BY qid, doc_id) WHERE rn <= 10),
+        |qs AS (SELECT DISTINCT qid FROM qt),
+        |ov AS (SELECT f.query_id, count(*) AS c
+        |  FROM rF f JOIN rH h ON f.query_id = h.query_id
+        |    AND f.doc_id = h.doc_id
+        |  GROUP BY 1)
+        |SELECT qid AS query_id,
+        |  CAST(coalesce(c, 0) AS BIGINT) AS n_common,
+        |  round(CAST(coalesce(c, 0) AS DOUBLE) / 10.0, 6)
+        |    AS overlap_ratio
+        |FROM qs LEFT JOIN ov ON ov.query_id = qs.qid
+        |ORDER BY query_id NULLS FIRST, n_common NULLS FIRST,
+        |  overlap_ratio NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.bm25StaleIdfAudit(
+        Tables.t(s, dir, "documents"), col("doc_id"), col("text"),
+        col("doc_id") < 5 && col("doc_id") % 5 =!= 0,
+        col("doc_id") % 5 =!= 0, k = 10))
+    },
+
     // Q93r (beyond-survey) — HYBRID text+vector retrieval via
     // RECIPROCAL-RANK FUSION ([[graft.Engine.rrfFuse]], Cormack et al.
     // 2009): each query's q93j BM25 top-20 and q92 cosine top-20

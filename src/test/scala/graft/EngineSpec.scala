@@ -2492,6 +2492,36 @@ class EngineSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("bm25StaleIdfAudit: identity when history is the whole corpus; " +
+      "a ranking-shifting append is detected") {
+    import spark.implicits._
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val full = Engine.bm25StaleIdfAudit(docs, col("doc_id"),
+      col("text"), col("doc_id") < 5 && col("doc_id") % 5 =!= 0,
+      lit(true), k = 10).collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getDouble(2) == 1.0,
+      s"frozen==fresh must overlap fully: $r"))
+    val stale = Engine.bm25StaleIdfAudit(docs, col("doc_id"),
+      col("text"), col("doc_id") < 5 && col("doc_id") % 5 =!= 0,
+      col("doc_id") % 5 =!= 0, k = 10).collect()
+    stale.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // a synthetic corpus where the append DOMINATES a query term's df:
+    // the frozen index must rank differently for at least one query
+    val base = Seq((1L, "alpha beta gamma", false),
+      (2L, "alpha beta delta", false), (3L, "beta epsilon zeta", false),
+      (4L, "alpha zeta eta", false)) ++
+      (10L to 30L).map(i => (i, "alpha filler" + i, true))
+    val df2 = base.toDF("id", "txt", "isDelta")
+    val drift = Engine.bm25StaleIdfAudit(df2, col("id"), col("txt"),
+      col("id") === 1L, !col("isDelta"), k = 3).collect()
+    assert(drift.exists(_.getDouble(2) < 1.0),
+      s"df-dominating append must shift some top-k: ${drift.toSeq}")
+  }
+
   test("survivorWeights: weights conserve corpus mass, min member " +
       "survives, loners weigh 1") {
     import spark.implicits._

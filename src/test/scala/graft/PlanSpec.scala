@@ -733,6 +733,8 @@ class PlanSpec extends AnyFunSuite {
       // assignment crosses (q99b) and the codebook/LUT crosses (q99c)
       "q99e_ivfpq_ann",
       "q93j_bm25_search", // 1-row (N, avgdl) stats scalar, the q93h class
+    // two 1-row (N, avgdl) stats scalars (fresh + frozen), q93j class
+    "q93x_stale_idf_audit",
       "q92j_semantic_decontaminate", // bounded benchmark broadcast (q92 class)
       // the recall eval's ground-truth side IS the q92 plan (bounded
       // query set crossed against the corpus); the LSH side is equi-join
