@@ -634,4 +634,67 @@ object AlgebraProps extends Properties("algebra") {
       val (m5, b5) = run(5.0)
       m5 == m0 && math.abs(b5 - (b0 + 5.0)) <= 2e-6
     }
+
+  property("quotaSample: per-stratum counts are exactly " +
+      "min(quota, |stratum|) at any partitioning") =
+    forAll(rows, parts, Gen.choose(1, 6), Gen.choose(1, 6)) {
+      (xs, p, qa, qb) =>
+        import spark.implicits._
+        val quotas = Seq(("x", qa), ("y", qb), ("z", 2))
+          .toDF("stratum", "quota")
+        val counts = Engine.quotaSample(df(xs, p), col("s"), col("a"),
+            quotas)
+          .groupBy("stratum").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sizes = xs.groupBy(_._3).view.mapValues(_.size).toMap
+        val qmap = Map("x" -> qa, "y" -> qb, "z" -> 2)
+        sizes.forall { case (s, n) =>
+          counts.getOrElse(s, 0L) == math.min(qmap(s), n).toLong
+        } && counts.keySet.subsetOf(sizes.keySet)
+    }
+
+  property("survivorWeights: weights conserve corpus mass, cluster " +
+      "minima survive, loners weigh one") =
+    forAll(rows, parts) { (xs, p) =>
+      import spark.implicits._
+      val ids = xs.map(_._1.toLong).distinct
+      val docs = spark.createDataset(ids).toDF("doc_id").repartition(p)
+      val members = ids.filter(_ % 2 == 0)
+      val clusters = spark.createDataset(
+          members.map(m => (m, m % 3 - 100)))
+        .toDF("doc_id", "cluster_id").repartition(p)
+      val got = Engine.survivorWeights(docs, "doc_id", clusters,
+          "doc_id", "cluster_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byC = members.groupBy(_ % 3)
+      got.values.sum == ids.size.toLong &&
+        byC.forall { case (_, ms) =>
+          got.get(ms.min).contains(ms.size.toLong) } &&
+        (ids.toSet -- members).forall(l => got.get(l).contains(1L))
+    }
+
+  property("kAnonymity: exactly the sub-k classes of the brute-force " +
+      "grouping, with exact sizes") =
+    forAll(rows, parts, Gen.choose(2, 4)) { (xs, p, k) =>
+      val got = Engine.kAnonymity(df(xs, p),
+          Seq(("s", col("s")), ("b", col("b"))), k)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val ref = xs.groupBy(t => (t._3, t._2)).view
+        .mapValues(_.size.toLong).filter(_._2 < k).toMap
+      got == ref
+    }
+
+  property("fdAudit: violating keys and worst fan-out match the " +
+      "brute-force reference") =
+    forAll(rows.suchThat(_.nonEmpty), parts) { (xs, p) =>
+      val r = Engine.fdAudit(df(xs, p),
+        Seq(("a->s", col("a"), col("s")))).collect()(0)
+      val fan = xs.groupBy(_._1).view
+        .mapValues(_.map(_._3).distinct.size).toMap
+      r.getLong(1) == fan.size.toLong &&
+        r.getLong(2) == fan.values.count(_ > 1).toLong &&
+        r.getLong(4) == fan.values.max.toLong &&
+        r.getBoolean(5) == fan.values.forall(_ == 1)
+    }
 }
