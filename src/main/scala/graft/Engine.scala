@@ -3233,7 +3233,11 @@ object Engine {
       .join(stale.select(col("query_id"), col("doc_id")),
         Seq("query_id", "doc_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
-    fresh.select(col("query_id")).distinct()
+    // Query universe from the isQuery rows, NOT from the fresh
+    // ranking: a query whose terms match no other document retrieves
+    // nothing in BOTH rankings and must still report (qid, 0, 0.0) —
+    // deriving the universe from results would silently drop it.
+    df.filter(isQuery).select(id.as("query_id")).distinct()
       .join(common, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
@@ -5363,7 +5367,7 @@ object Engine {
     * Plan: ZERO-SHUFFLE pure map — tokenize, hash, fold, per row; the
     * weight "table" is closed-form (a real one is a broadcast array
     * indexed by the same bucket id). Every weight is an exact multiple
-    * of 2⁻²¹, so the per-doc sum is EXACT in double (no rounding until
+    * of 2⁻²⁰, so the per-doc sum is EXACT in double (no rounding until
     * the final divide) and order-free. This is what a quality gate
     * must look like at 100 TB: classifier cost == scan cost. */
   def hashClassifier(df: DataFrame, id: Column, text: Column,
@@ -5381,9 +5385,13 @@ object Engine {
           col("__text"), lit(buckets)))
       .select(col("doc_id"),
         col("__r.n_tokens").as("n_tokens"),
-        round(col("__r.score") / col("__r.n_tokens").cast(DoubleType), 6)
-          .as("logit"),
-        (col("__r.score") > 0.0).as("keep"))
+        // zero-token guard: empty/whitespace-only text has no logit
+        // (null, keep=false), never 0.0/0 = NaN — Spark's NaN and
+        // DuckDB's divide-by-zero NULL would otherwise diverge
+        when(col("__r.n_tokens") === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(col("__r.score") /
+            col("__r.n_tokens").cast(DoubleType), 6)).as("logit"),
+        (col("__r.n_tokens") > 0L && col("__r.score") > 0.0).as("keep"))
   }
 
   /** PQ QUANTIZATION-DISTORTION audit: the per-vector encode error

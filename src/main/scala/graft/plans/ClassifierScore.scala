@@ -23,15 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel is one multiply-add per character in generated code (the
   * [[CdcBoundaries]] discipline; the sf1 solo measurement is recorded in
   * SURVEY §8). Semantics are bit-identical to the HOF form — every
-  * weight is an exact multiple of 2⁻²¹, so the running double sum is
+  * weight is an exact multiple of 2⁻²⁰, so the running double sum is
   * EXACT and order-insensitive — and ExpressionSpec pins the equivalence
   * on randomized strings.
   *
   * Tokenization contract (== `filter(split(text, ' '), t -> len(t) > 0)`):
   * tokens are maximal runs of non-space characters; consecutive /
-  * leading / trailing spaces contribute nothing. The hash folds UTF-16
-  * code units, equal to code points — and DuckDB's `ascii()` — on BMP
-  * text. Null text → null.
+  * leading / trailing spaces contribute nothing. The hash folds Unicode
+  * CODE POINTS (surrogate pairs fold as one value), matching the HOF
+  * formulation's `ascii(...)` and DuckDB's `ascii()` on ALL text, not
+  * just the BMP. Null text → null.
   */
 case class ClassifierScore(child: Expression, buckets: Int)
     extends UnaryExpression {
@@ -90,8 +91,10 @@ object ClassifierScore {
     var inTok = false
     var i = 0
     while (i <= len) {
-      val c = if (i < len) s.charAt(i) else ' '
-      if (c == ' ') {
+      // Code-point iteration: a surrogate pair folds as ONE value
+      // (== the HOF/oracle ascii() contract), not two UTF-16 units.
+      val cp = if (i < len) s.codePointAt(i) else ' '.toInt
+      if (cp == ' '.toInt) {
         if (inTok) {
           val slot = h % buckets
           sum += (slot * 2654435761L + 12345L) % 1048576L / 1048576.0 - 0.5
@@ -100,10 +103,10 @@ object ClassifierScore {
           h = 0L
         }
       } else {
-        h = (h * 257L + c) % 1000000007L
+        h = (h * 257L + cp) % 1000000007L
         inTok = true
       }
-      i += 1
+      i += (if (i < len) Character.charCount(cp) else 1)
     }
     new GenericInternalRow(Array[Any](n, sum))
   }

@@ -2642,4 +2642,18 @@ class EngineSpec extends AnyFunSuite {
       BigDecimal(w("spark")).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("hashClassifier: zero-token text yields null logit and " +
+      "keep=false, never NaN") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "ok")).toDF("id", "txt")
+    val got = Engine.hashClassifier(df, col("id"), col("txt"), 4096)
+      .orderBy("doc_id").collect()
+    Seq(0, 1).foreach { i =>
+      assert(got(i).getLong(1) == 0L)
+      assert(got(i).isNullAt(2), s"row $i logit must be null")
+      assert(!got(i).getBoolean(3))
+    }
+    assert(got(2).getLong(1) == 1L && !got(2).isNullAt(2))
+  }
 }

@@ -336,7 +336,13 @@ class ExpressionSpec extends AnyFunSuite {
       val body = (0 until rnd.nextInt(30))
         .map(_ => word()).mkString(" " * (1 + rnd.nextInt(3)))
       (i.toLong, if (i % 7 == 0) s"  $body " else body)
-    }
+    } ++ Seq(
+      // non-BMP: surrogate pairs must fold as ONE code point (the
+      // ascii()/code-point contract), not two UTF-16 units
+      (201L, "😀"),                   // 😀 alone
+      (202L, "a😀b c𝕊"),   // mixed in-token
+      (203L, " 😀 😀😀 "),
+      (204L, "café naïve"))           // BMP multi-byte
     val hof = expr(
       """aggregate(
         |  transform(filter(split(t, ' '), w -> length(w) > 0),
