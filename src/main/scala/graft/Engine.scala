@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** The user-facing operator library — the programmatic surface behind the
   * oracle-checked query registry. Every operator here is the same
@@ -585,6 +585,42 @@ object Engine {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Default priced-candidate budget for the EXACT prefix-filter join
+    * family ([[jaccardJoin]] / [[jaccardJoinAcross]] /
+    * [[containmentJoin]]): the q90v price (Σ over grams of the all-pairs
+    * product the gram equi-join can emit) above which the join REFUSES
+    * to run unless the caller raises the budget explicitly. Calibration
+    * from the committed ledgers: the q90d sf1 flood prices 1.17e9 and
+    * costs a 1.1 GB spill floor; q91c's trigram self-join prices 1.25e8
+    * at sf1 and runs clean. 5e8 sits between them — a saturated-
+    * vocabulary corpus one notch past q91c's sf1 volume gets a refusal
+    * NAMING the banded exit instead of a multi-GB shuffle flood
+    * (the r11 q90p incident, priced in advance). */
+  val exactJoinDefaultBudget: Long = 500_000_000L
+
+  /** PRICED REFUSAL GATE for the exact joins: crossJoin the 1-row
+    * `price` (column `__price`, the q90v candidate count) onto the
+    * gram-frequency table and fail the PLAN — codegen'd when/raise_error
+    * in the row path, the [[pqBlockDistances]] guard discipline, never a
+    * driver-side collect — if the price exceeds the budget. The gate
+    * rides the frequency table every prefix ranking already consumes, so
+    * a refused join dies after one vocabulary-sized aggregate, BEFORE
+    * any candidate pair is generated or shuffled. */
+  private def candidateBudgetGate(freq: DataFrame, price: DataFrame,
+      opName: String, bandedExit: String, maxPairs: Long): DataFrame =
+    freq.crossJoin(broadcast(price))
+      .filter(when(col("__price") <= lit(maxPairs), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$opName: priced exact-join candidate volume "),
+          col("__price").cast(DecimalType(38, 0)).cast(StringType),
+          lit(s" exceeds maxCandidatePairs=$maxPairs. The gram equi-join" +
+            s" would flood (the q90p lesson: a 2.6 GB spill this price" +
+            s" predicts in one cheap aggregate — see dedupCostAudit)." +
+            s" Use the banded exit ($bandedExit) for the same verified" +
+            s" answer, or pass maxCandidatePairs explicitly to run the" +
+            s" exact form anyway")))))
+      .drop("__price")
+
   /** N-gram Jaccard similarity join via PREFIX FILTERING (the
     * AllPairs/PPJoin family) — the deterministic-recall alternative to
     * [[minHashNearDups]]: candidate generation is EXACT, not
@@ -637,7 +673,8 @@ object Engine {
     */
   def jaccardJoin(df: DataFrame, id: String, text: String,
       thresholdPct: Int = 60, ngramWords: Int = 2,
-      suffixBound: Boolean = false): DataFrame = {
+      suffixBound: Boolean = false,
+      maxCandidatePairs: Long = exactJoinDefaultBudget): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(df.sparkSession)
     val docs = spreadInput(df)
@@ -655,7 +692,21 @@ object Engine {
       // minHashNearDups' banded signatures.
       .persistOnce()
     val tok = docs.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
-    val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val dfreq0 = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // priced refusal (see [[candidateBudgetGate]]): Σ df·(df−1)/2 — the
+    // exact all-pairs volume of the gram equi-join (q90v's number) —
+    // must fit the budget before any candidate is generated. MaxValue
+    // opts out plan-unchanged (the q90d contrast-anchor override).
+    val dfreq =
+      if (maxCandidatePairs == Long.MaxValue) dfreq0
+      else {
+        val gated = dfreq0.persistOnce()
+        candidateBudgetGate(gated,
+          gated.agg(coalesce(
+            sum(expr("CAST(__df AS DECIMAL(38,0)) * (__df - 1) / 2")),
+            lit(0).cast(DecimalType(38, 6))).as("__price")),
+          "jaccardJoin", "minHashNearDups (q91)", maxCandidatePairs)
+      }
     val byDoc = Window.partitionBy(col("__id"))
     val pref = tok.join(dfreq, Seq("__t"))
       .withColumn("__rn", row_number().over(
@@ -1216,7 +1267,8 @@ object Engine {
     * the contract is integer-only — (n_shared, n_grams_a), no FP. */
   def containmentJoin(contained: DataFrame, container: DataFrame,
       id: String, text: String, thresholdPct: Int = 80,
-      ngramWords: Int = 2, suffixBound: Boolean = false): DataFrame = {
+      ngramWords: Int = 2, suffixBound: Boolean = false,
+      maxCandidatePairs: Long = exactJoinDefaultBudget): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(contained.sparkSession)
     def docsOf(df: DataFrame) = spreadInput(df)
@@ -1232,7 +1284,25 @@ object Engine {
     // the container's df defines the one global rarity order both
     // rankings share (required for the positional filter's
     // first-shared-gram argument)
-    val dfreq = tokOf(db).groupBy("__t").agg(count(lit(1)).as("__df"))
+    val dfreq0 = tokOf(db).groupBy("__t").agg(count(lit(1)).as("__df"))
+    // priced refusal (see [[candidateBudgetGate]]): containment's
+    // candidates are Σ_{t∈prefix(a)} df_B(t) ≤ Σ_t df_A(t)·df_B(t) —
+    // priced with the UPPER bound (both df tables are vocabulary-sized
+    // aggregates; the prefix discount is corpus-dependent and the gate
+    // must never under-price). MaxValue opts out plan-unchanged — the
+    // q90h anchor keeps its committed qio floor.
+    val dfreq =
+      if (maxCandidatePairs == Long.MaxValue) dfreq0
+      else {
+        val gated = dfreq0.persistOnce()
+        val dfa = tokOf(da).groupBy("__t").agg(count(lit(1)).as("__dfa"))
+        candidateBudgetGate(gated,
+          gated.join(dfa, Seq("__t")).agg(coalesce(
+            sum(expr("CAST(__dfa AS DECIMAL(38,0)) * __df")),
+            lit(0).cast(DecimalType(38, 0))).as("__price")),
+          "containmentJoin", "minHashJoinAcross (q90l) / bandedMinHash",
+          maxCandidatePairs)
+      }
     def rankOf(tok: DataFrame) = tok
       .join(dfreq, Seq("__t"), "left")
       .withColumn("__rn", row_number().over(
@@ -1305,7 +1375,8 @@ object Engine {
   def jaccardJoinAcross(left: DataFrame, right: DataFrame, id: String,
       text: String, thresholdPct: Int = 60, ngramWords: Int = 2,
       broadcastBounded: Boolean = false,
-      suffixBound: Boolean = false): DataFrame = {
+      suffixBound: Boolean = false,
+      maxCandidatePairs: Long = exactJoinDefaultBudget): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     graft.plans.SortedIntersectCount.register(left.sparkSession)
     def docsOf(df: DataFrame) = spreadInput(df)
@@ -1319,8 +1390,29 @@ object Engine {
     def tokOf(d: DataFrame) =
       d.select(col("__id"), col("__n"), explode(col("__sv")).as("__t"))
     val (tokL, tokR) = (tokOf(dl), tokOf(dr))
-    val dfreq = tokL.unionByName(tokR)
-      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    // priced refusal (see [[candidateBudgetGate]]): the bipartite price
+    // is Σ df_L·df_R per gram — the exact cross-side volume of the
+    // prefix equi-join's worst case. Side counts ride the SAME
+    // aggregate the prefix order already needs (one extra sum), and
+    // MaxValue opts out with the round-12 plan byte-identical — the
+    // q90d contrast anchor keeps its committed qio floor.
+    val dfreq =
+      if (maxCandidatePairs == Long.MaxValue)
+        tokL.unionByName(tokR)
+          .groupBy("__t").agg(count(lit(1)).as("__df"))
+      else {
+        val tagged = tokL.withColumn("__l", lit(1L))
+          .unionByName(tokR.withColumn("__l", lit(0L)))
+          .groupBy("__t").agg(count(lit(1)).as("__df"),
+            sum(col("__l")).as("__dfl"))
+          .persistOnce()
+        candidateBudgetGate(tagged,
+          tagged.agg(coalesce(
+            sum(expr("CAST(__dfl AS DECIMAL(38,0)) * (__df - __dfl)")),
+            lit(0).cast(DecimalType(38, 0))).as("__price")),
+          "jaccardJoinAcross", "minHashJoinAcross (q90l)",
+          maxCandidatePairs).drop("__dfl")
+      }
     def prefixOf(tok: DataFrame) = tok.join(dfreq, Seq("__t"))
       .withColumn("__rn", row_number().over(Window.partitionBy(col("__id"))
         .orderBy(col("__df").asc, col("__t").asc)))

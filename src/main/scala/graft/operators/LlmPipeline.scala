@@ -1024,9 +1024,14 @@ object LlmPipeline {
          |  n_shared NULLS FIRST, n_grams_a NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
+        // maxCandidatePairs override: q90h is the second documented
+        // exact anchor (saturated-vocabulary containment, CI-pinned
+        // 33.5 MB sf1 spill floor) — its price bound exceeds the
+        // default budget by design
         orderAll(graft.Engine.containmentJoin(
           docs.filter(graft.Engine.stableSample(col("doc_id"), 5)), docs,
-          "doc_id", "text", thresholdPct = 80, ngramWords = 2))
+          "doc_id", "text", thresholdPct = 80, ngramWords = 2,
+          maxCandidatePairs = Long.MaxValue))
     },
 
     // Q90c (beyond-survey) — CHUNK-LEVEL corpus dedup with order-
@@ -1105,11 +1110,15 @@ object LlmPipeline {
       // knows its left side is the bounded increment (the day's batch),
       // so pinning the broadcasts is safe and kills the measured AQE
       // plan-flap; the Engine default stays unpinned for safety.
+      // maxCandidatePairs override: q90d is the DOCUMENTED exact-recall
+      // contrast anchor — its sf1 price (1.17e9 candidate pairs, the
+      // 1.1 GB spill floor) exceeds the default budget BY DESIGN; every
+      // other call site gets the priced refusal naming the banded exit
       val pairs = graft.Engine.jaccardJoinAcross(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", thresholdPct = 60, ngramWords = 2,
-        broadcastBounded = true)
+        broadcastBounded = true, maxCandidatePairs = Long.MaxValue)
       val w = Window.partitionBy(col("left_id"))
         .orderBy(col("jaccard").desc, col("right_id").asc)
       orderAll(pairs.withColumn("__rn", row_number().over(w))

@@ -749,6 +749,44 @@ class EngineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("exact-join priced gate: over-budget joins refuse with the banded " +
+      "exit named; the explicit override runs them unchanged") {
+    // The r11 q90p flood (2.6 GB spill) is exactly the number the gate
+    // prices — a new call site must hit a refusal, not the flood. A
+    // 1-pair budget guarantees refusal on this corpus for all three
+    // exact forms; MaxValue must run them to the same answer.
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    def refuses(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] {
+        df.write.format("noop").mode("overwrite").save()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(e).mkString(" ")
+      assert(all.contains("maxCandidatePairs") &&
+        (all.contains("minHashNearDups") ||
+          all.contains("minHashJoinAcross")), all.take(500))
+    }
+    refuses(Engine.jaccardJoin(docs, "doc_id", "text",
+      thresholdPct = 60, maxCandidatePairs = 1L))
+    refuses(Engine.jaccardJoinAcross(batch, hist, "doc_id", "text",
+      thresholdPct = 60, maxCandidatePairs = 1L))
+    refuses(Engine.containmentJoin(batch, docs, "doc_id", "text",
+      thresholdPct = 80, maxCandidatePairs = 1L))
+    // the override (and the in-budget default) computes the identical
+    // answer the round-12 plans computed
+    val viaDefault = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaOverride = Engine.jaccardJoin(docs, "doc_id", "text",
+        thresholdPct = 60, maxCandidatePairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDefault.nonEmpty && viaDefault == viaOverride)
+  }
+
   test("PPJoin suffix bound (opt-in): all three prefix-filter joins find " +
       "EXACTLY the brute-force pairs with the tightened per-pair prune on") {
     // The per-pair aggregate bound (o + min(na−ram, nb−rbm) ≥ required

@@ -367,10 +367,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q91c: the similarity join is equi-join driven (no cartesian/NLJ)") {
+  test("q91c: the similarity join is equi-join driven (no cartesian; " +
+      "the only NLJ is the 1-row priced-budget gate)") {
     val p = planOf("q91c_jaccard_join")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact-join refusal gate crossJoins ONE 1-row price scalar
+    // onto the vocabulary-sized gram-frequency table; every data-sized
+    // join must stay an equi-join. The gated prefix table feeds both
+    // sides of the candidate join, so the pre-materialization plan
+    // text shows the gate's NLJ at most twice (once per reference —
+    // the persistOnce collapses it to one at execution).
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 2, p)
+    if (bnlj >= 1) assert(p.contains("__price"), p)
   }
 
   test("q92c/q95b: per-row quantize/redact plans carry no data shuffle") {
@@ -772,7 +781,10 @@ class PlanSpec extends AnyFunSuite {
       // 1-row basket-total scalar broadcast cross
       "q30c_assoc_rules",
       // five 1-row sketch/exact scalars crossed into one row
-      "q33c_overlap_estimate")
+      "q33c_overlap_estimate",
+      // 1-row priced-candidate budget scalar broadcast (the exact-join
+      // refusal gate riding q91c's gram-frequency table)
+      "q91c_jaccard_join")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
