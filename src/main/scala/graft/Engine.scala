@@ -925,62 +925,204 @@ object Engine {
         col("vec_id"), col("adist"))
   }
 
+  /** Per-vector IVF RESIDUAL: assign every row its nearest coarse
+    * centroid (rounded cosine, centroid-id tiebreak — the q99b
+    * discipline) and emit (idAs, cell, residual = vec − μ_cell), the
+    * quantity the standard IVF-PQ construction encodes. Subtraction
+    * runs element-wise in DOUBLE (float→double widening is exact and
+    * IEEE subtraction is correctly rounded, so both engines agree
+    * bit-for-bit). Centroids broadcast; the whole thing is a map pass
+    * over the corpus — no shuffle, pipelines inside the scan at any
+    * scale. */
+  def ivfResiduals(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      idAs: String = "vec_id"): DataFrame = {
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    val cent = broadcast(
+      centroids.select(col(cid).as("__ccid"), col(cvec).as("__ce")))
+    val w = Window.partitionBy(col(idAs))
+      .orderBy(col("__cos").desc, col("__ccid").asc)
+    corpus.select(col(id).as(idAs), col(vec).as("__e"))
+      .crossJoin(cent)
+      .withColumn("__cos", round(expr("cosine_sim(__e, __ce)"), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idAs), col("__ccid").as("cell"),
+        expr("zip_with(__e, __ce, (a, b) -> " +
+          "CAST(a AS DOUBLE) - CAST(b AS DOUBLE))").as("residual"))
+  }
+
+  /** The deterministic seed PQ codebook for the RESIDUAL space: the
+    * residuals of `seedIds`' own vectors vs their assigned coarse cells
+    * — entries that live where the residuals live (near the origin, at
+    * residual scale), which is what raw data vectors structurally are
+    * NOT (the round-12 recall floor: codes quantized RAW vectors
+    * against data-vector entries — 0.11–0.13 recall@10; residual
+    * entries are centered and scaled with what they quantize).
+    * Production trains per-block k-means on residuals and ships it
+    * into the same (id, vector) slot; this seed form is the
+    * oracle-replayable bootstrap, the [[ivfCentroidIds]] discipline
+    * applied to the residual space. */
+  def pqSeedResidualCodebook(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      seedIds: Seq[Long]): DataFrame = {
+    require(seedIds.nonEmpty)
+    ivfResiduals(corpus.filter(col(id).isin(seedIds: _*)), id, vec,
+        centroids, cid, cvec)
+      .select(col("vec_id").as("cb_id"), col("residual").as("cb_vec"))
+  }
+
+  /** PER-BLOCK Lloyd training of a residual PQ codebook — the standard
+    * IVF-PQ training loop as a real operator instead of prose: starting
+    * from [[pqSeedResidualCodebook]]'s seed entries, each iteration
+    * (a) assigns every corpus residual its per-block argmin code (the
+    * same decimal-exact [[graft.plans.PqBlockDists]] kernel the encoder
+    * uses — training and encoding can never disagree on a boundary) and
+    * (b) replaces each (block, code) sub-vector with the decimal-rounded
+    * mean of its assigned residual slices, per block INDEPENDENTLY —
+    * full-width entries whose block b segment is block b's own centroid,
+    * which is exactly per-block codebooks in the engine's full-width
+    * storage shape. Empty clusters keep their previous entry.
+    *
+    * Plan per iteration: one assignment pass (corpus × K in-row kernel,
+    * map-side argmin) + one (blocks·K·subDim)-sized mean aggregate +
+    * a driver-bounded reassembly of K rows — the corpus shuffles
+    * nothing wider than (vec_id, blk, code). Means round through
+    * DECIMAL(38,9), so the trained codebook is bit-reproducible across
+    * partitionings and reruns. */
+  def pqTrainResidualCodebook(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      seedIds: Seq[Long], blocks: Int, subDim: Int = 8,
+      iters: Int = 1): DataFrame = {
+    require(iters >= 0)
+    val dec9 = DecimalType(38, 9)
+    val res = ivfResiduals(corpus, id, vec, centroids, cid, cvec)
+      .persistOnce()
+    var cb = res.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cb_id"), col("residual").as("cb_vec"))
+      .persistOnce()
+    for (_ <- 1 to iters) {
+      val assign = pqBlockDistances(res, "vec_id", "residual",
+          cb, "cb_id", "cb_vec", blocks, subDim)
+        .groupBy(col("__qid"), col("__blk"))
+        .agg(min(struct(col("__dd"), col("__cid"))).as("__m"))
+        .select(col("__qid").as("vec_id"), col("__blk").as("blk"),
+          col("__m.__cid").as("code"))
+      val means = assign.join(res, Seq("vec_id"))
+        .select(col("blk"), col("code"),
+          posexplode(expr(s"slice(residual, blk * $subDim + 1, $subDim)"))
+            .as(Seq("__d", "__x")))
+        .groupBy(col("blk"), col("code"), col("__d"))
+        .agg((sum(col("__x").cast(dec9)) / count(col("__x")))
+          .cast(dec9).cast(DoubleType).as("__mv"))
+      // reassemble full-width entries: old codebook exploded per
+      // (code, blk, dim), new means coalesced over it (empty cluster ⇒
+      // the old block segment survives), dims re-packed in order —
+      // blocks·K·subDim rows, bounded config, never corpus-sized
+      val oldExp = cb.select(col("cb_id"),
+          posexplode(col("cb_vec")).as(Seq("__j", "__old")))
+        .select(col("cb_id"), col("__j"),
+          (col("__j") / subDim).cast("int").as("blk"),
+          (col("__j") % subDim).as("__d"), col("__old"))
+      cb = oldExp
+        .join(means, col("code") === col("cb_id") &&
+          means("blk") === oldExp("blk") &&
+          means("__d") === oldExp("__d"), "left")
+        .select(col("cb_id"), oldExp("__j").as("__j"),
+          coalesce(col("__mv"), col("__old")).as("__v"))
+        .groupBy(col("cb_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__j"),
+          col("__v")))), e => e.getField("__v")).as("cb_vec"))
+        .persistOnce()
+    }
+    cb
+  }
+
   /** IVF-PQ top-k search — the two ANN halves composed the way a
-    * billion-vector index actually runs: the IVF coarse quantizer
-    * prunes the corpus to the queries' `nprobe` nearest cells, and PQ
-    * asymmetric distance scores ONLY those candidates from their codes.
-    * [[lshTopK]]'s measured limit motivates this composition: hash
-    * geometry saturates once 2·bits exhausts the embedding dims (the
-    * RecallProbe result), while IVF cells grow with the corpus and PQ
-    * keeps the candidate read at `blocks` small ints per vector.
+    * billion-vector index actually runs, with the STANDARD residual
+    * construction: the IVF coarse quantizer prunes the corpus to the
+    * queries' `nprobe` nearest cells, each vector's PQ codes quantize
+    * its RESIDUAL r = x − μ_cell(x) against `codebook`, and asymmetric
+    * distance scores candidates as Σ_blocks ‖(q − μ_cell)_blk −
+    * codebook[code]_blk‖² — i.e. ‖q − (μ_cell + decode(codes))‖²,
+    * the L2 distance to the reconstructed vector. Encoding residuals
+    * instead of raw vectors is what makes the codebook's job possible:
+    * residuals are centered at the origin at residual scale, so
+    * codebook entries trained/seeded in that space describe them,
+    * while raw vectors quantized against data-vector entries carry the
+    * full corpus geometry per code (the measured round-12 recall
+    * floor). [[lshTopK]]'s measured limit motivates the composition:
+    * hash geometry saturates once 2·bits exhausts the embedding dims,
+    * while IVF cells grow with the corpus and PQ keeps the candidate
+    * read at `blocks` small ints per vector.
     *
-    * Plan shape: centroids broadcast for BOTH assignments (corpus cells
-    * and query probes are maps, no shuffle); the probe list and the
-    * query LUT are queries×nprobe / queries×blocks×K scalars — bounded
-    * config, broadcast; candidate selection is one equi-join on the
-    * cell id (the inverted-file read — nprobe/K of the corpus, never
-    * all of it); ADC scoring joins the candidates' codes to the LUT on
-    * (query, block, code) and partial-aggregates the DECIMAL(38,6)
-    * block sums map-side. No corpus float is read after encode; no
-    * all-pairs stage anywhere. At 100 TB: grow K toward √N (cells stay
-    * small, the centroid broadcast stays bounded) and feed
-    * [[kmeansRefine]] output as both centroid set and codebook.
+    * Plan shape: centroids broadcast for BOTH assignments (corpus
+    * residuals and query probes are maps, no shuffle); the probe list
+    * and the per-(query, probed-cell) LUT are queries×nprobe(×blocks×K)
+    * scalars — bounded config, broadcast; candidate selection is one
+    * equi-join on the cell id (the inverted-file read — nprobe/K of
+    * the corpus, never all of it); ADC scoring joins the candidates'
+    * codes to the LUT on (query, cell, block, code) and
+    * partial-aggregates the DECIMAL(38,6) block sums map-side. No
+    * corpus float is read after encode; no all-pairs stage anywhere.
+    * At 100 TB: grow K toward √N (cells stay small, the centroid
+    * broadcast stays bounded), feed [[kmeansRefine]] output as the
+    * centroid set and a residual-trained codebook (e.g.
+    * [[pqSeedResidualCodebook]] refined offline) as `codebook`.
     *
-    * Determinism: cell argmax runs over ROUNDED cosines with centroid-id
-    * tiebreak (the q99b discipline); block distances and their sums
-    * reuse [[pqEncode]]'s decimal-exact kernel; final ranking ties break
-    * (adist ASC, id ASC). */
+    * Determinism: cell argmax runs over ROUNDED cosines with
+    * centroid-id tiebreak (the q99b discipline); residuals subtract in
+    * double (exact); block distances and their sums reuse the
+    * decimal-exact [[graft.plans.PqBlockDists]] kernel; final ranking
+    * ties break (adist ASC, id ASC). */
   def ivfPqSearch(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qid: String, qvec: String,
       centroids: DataFrame, cid: String, cvec: String,
+      codebook: DataFrame, cbid: String, cbvec: String,
       blocks: Int, nprobe: Int, k: Int, subDim: Int = 8): DataFrame = {
     require(nprobe >= 1 && k >= 1)
     graft.plans.CosineSimilarity.register(corpus.sparkSession)
     val cent = broadcast(
       centroids.select(col(cid).as("__ccid"), col(cvec).as("__ce")))
-    def nearestCells(src: DataFrame, idAs: String, vecName: String,
-        probe: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__cos").desc, col("__ccid").asc)
-      src.crossJoin(cent)
-        .select(col(idAs), col("__ccid"),
-          round(expr(s"cosine_sim($vecName, __ce)"), 6).as("__cos"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= probe)
-        .select(col(idAs), col("__ccid").as("cell"))
-    }
-    val cells = nearestCells(corpus.select(col(id).as("vec_id"),
-      col(vec).as("__e")), "vec_id", "__e", probe = 1)
-    val probes = nearestCells(queries.select(col(qid).as("query_id"),
-      col(qvec).as("__qe")), "query_id", "__qe", probe = nprobe)
-    val cand = cells.join(broadcast(probes), Seq("cell"))
-      .select(col("query_id"), col("vec_id"))
-    val codes = pqEncode(corpus, id, vec, centroids, cid, cvec,
-      blocks, subDim)
-    val lut = broadcast(pqBlockDistances(queries, qid, qvec,
-      centroids, cid, cvec, blocks, subDim))
-    val scored = cand.join(codes, Seq("vec_id"))
-      .join(lut, col("__qid") === col("query_id") &&
+    // corpus side: cell + residual in ONE assignment pass, the cell
+    // riding through the encode as part of the composite key — the
+    // whole corpus side is a single map+aggregate pipeline (no second
+    // residual pass, nothing corpus-sized pinned)
+    val res = ivfResiduals(corpus, id, vec, centroids, cid, cvec)
+    val codes = pqBlockDistances(
+        res.select(struct(col("vec_id"), col("cell")).as("__vc"),
+          col("residual")),
+        "__vc", "residual", codebook, cbid, cbvec, blocks, subDim)
+      .groupBy(col("__qid"), col("__blk"))
+      .agg(min(struct(col("__dd"), col("__cid"))).as("__m"))
+      .select(col("__qid.vec_id").as("vec_id"),
+        col("__qid.cell").as("cell"),
+        col("__blk").as("block"), col("__m.__cid").as("code"))
+    // query side: nprobe cells, each with its OWN query residual — the
+    // LUT is keyed (query, cell): ADC distances are cell-relative
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("__ccid").asc)
+    val qres = queries.select(col(qid).as("query_id"), col(qvec).as("__qe"))
+      .crossJoin(cent)
+      .withColumn("__cos", round(expr("cosine_sim(__qe, __ce)"), 6))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__ccid").as("cell"),
+        expr("zip_with(__qe, __ce, (a, b) -> " +
+          "CAST(a AS DOUBLE) - CAST(b AS DOUBLE))").as("__qr"))
+    val lut = broadcast(pqBlockDistances(
+        qres.select(struct(col("query_id"), col("cell")).as("__qc"),
+          col("__qr")),
+        "__qc", "__qr", codebook, cbid, cbvec, blocks, subDim)
+      .select(col("__qid.query_id").as("query_id"),
+        col("__qid.cell").as("__lc"), col("__blk"), col("__cid"),
+        col("__dd")))
+    // candidate selection AND ADC scoring in one broadcast join: the
+    // LUT row (query, cell, block, code) exists only for probed cells,
+    // so the equi-join both prunes to the inverted-file read and
+    // attaches the block distance
+    val scored = codes
+      .join(lut, col("__lc") === col("cell") &&
         col("__blk") === col("block") && col("__cid") === col("code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("__dd").cast(org.apache.spark.sql.types

@@ -76,6 +76,17 @@ object RecallProbe {
 
     val codes = Engine.pqEncode(e, "vec_id", "embedding",
       cent, "cid", "ce", blocks = 8)
+
+    // residual codebooks: q99e's 8 fixed seed ids, and the 256-seed
+    // scale geometry (every 79th id from 7, deterministic)
+    val cbSeed8 = Engine.pqSeedResidualCodebook(e, "vec_id", "embedding",
+      cent, "cid", "ce", Seq(7L, 71L, 135L, 199L, 263L, 327L, 391L, 455L))
+      .persist()
+    val seed256 = e.filter(col("vec_id") % 79 === 7)
+      .orderBy("vec_id").limit(256)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val cbSeed256 = Engine.pqSeedResidualCodebook(e, "vec_id",
+      "embedding", cent, "cid", "ce", seed256).persist()
     val results = Seq(
       "lsh_8bit" -> recall(Engine.lshTopK(e, "vec_id", "embedding",
         queries, "query_id", "qe", k)),
@@ -100,16 +111,35 @@ object RecallProbe {
       "ivf_nprobe4" -> recall(ivf(4)),
       "pq_adc" -> recall(Engine.pqSearch(codes, queries, "query_id", "qe",
         cent, "cid", "ce", blocks = 8, k = k)),
-      // the composed q99e path: how much of flat PQ-ADC's (already
-      // quantization-limited) recall survives the IVF cell pruning —
-      // the number that says whether nprobe or the codebook is the
-      // binding constraint at this corpus size
+      // the composed q99e path with the r13 RESIDUAL construction:
+      // codes quantize r = x − μ_cell against a seed-residual codebook
+      // (8 fixed ids, q99e's registered geometry)
       "ivfpq_nprobe2" -> recall(Engine.ivfPqSearch(e, "vec_id",
         "embedding", queries, "query_id", "qe", cent, "cid", "ce",
-        blocks = 8, nprobe = 2, k = k)),
+        cbSeed8, "cb_id", "cb_vec", blocks = 8, nprobe = 2, k = k)),
       "ivfpq_nprobe4" -> recall(Engine.ivfPqSearch(e, "vec_id",
         "embedding", queries, "query_id", "qe", cent, "cid", "ce",
-        blocks = 8, nprobe = 4, k = k)))
+        cbSeed8, "cb_id", "cb_vec", blocks = 8, nprobe = 4, k = k)),
+      // the SCALE-PATH geometry: 16 blocks × 256 seed-residual entries
+      // (128-bit codes). On THIS fixture's isotropic unit vectors the
+      // information-theoretic picture caps any short code — the
+      // measured top10-vs-50th squared-L2 neighbor gap is ~0.12 while
+      // even a K=256 trained-codebook distortion floors near ~0.4 at
+      // 64 bits — so this row is the honest ceiling of the family at
+      // 128 bits, not a tuning failure (see RECALL.json notes)
+      "ivfpq_res16x256_nprobe4" -> recall(Engine.ivfPqSearch(e,
+        "vec_id", "embedding", queries, "query_id", "qe",
+        cent, "cid", "ce", cbSeed256, "cb_id", "cb_vec",
+        blocks = 16, subDim = 4, nprobe = 4, k = k)),
+      // one per-block Lloyd pass over the 256-seed codebook — the
+      // trained production construction (pqTrainResidualCodebook)
+      "ivfpq_res16x256_lloyd1_nprobe4" -> recall(Engine.ivfPqSearch(e,
+        "vec_id", "embedding", queries, "query_id", "qe",
+        cent, "cid", "ce",
+        Engine.pqTrainResidualCodebook(e, "vec_id", "embedding",
+          cent, "cid", "ce", seed256, blocks = 16, subDim = 4,
+          iters = 1),
+        "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k)))
     val body = results.map { case (m, r) => f""""$m":$r%.4f""" }
       .mkString(",")
     println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +

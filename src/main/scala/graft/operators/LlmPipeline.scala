@@ -2820,19 +2820,25 @@ object LlmPipeline {
     // Q99e (beyond-survey) — IVF-PQ combined search, the two ANN halves
     // composed the way a billion-vector index runs: IVF cells prune the
     // corpus to each query's nprobe=2 nearest cells, PQ asymmetric
-    // distance scores only those candidates from their codes
-    // ([[graft.Engine.ivfPqSearch]]). The RecallProbe measurement is
-    // the design argument: LSH saturates once 2·bits exhausts the
-    // embedding dims while IVF cells grow with the corpus — and PQ cuts
-    // the candidate read to `blocks` small ints per vector. Centroids
-    // and codebook are the q99b/q92i seed set, so encode, cells, LUT
-    // and ranking are all hash-gated against the CTE replay.
+    // distance scores only those candidates from their codes — with the
+    // STANDARD residual construction ([[graft.Engine.ivfPqSearch]]):
+    // codes quantize r = x − μ_cell against a codebook that lives in
+    // the residual space ([[graft.Engine.pqSeedResidualCodebook]], the
+    // r12 recall-floor fix — raw codes against data-vector entries
+    // measured 0.11–0.13 recall@10), and the LUT is per (query,
+    // probed cell) so the summed ADC distance is ‖q − (μ + decode)‖².
+    // Centroids are the q99b seed set, codebook seeds a disjoint fixed
+    // id set; encode, cells, residuals, LUT and ranking are all
+    // hash-gated against the CTE replay.
     Q("q99e_ivfpq_ann", ivfPqOracleSql) { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      val cb = graft.Engine.pqSeedResidualCodebook(e, "vec_id",
+        "embedding", cents, "vec_id", "embedding", pqResidualSeedIds)
       orderAll(graft.Engine.ivfPqSearch(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        e.filter(col("vec_id").isin(ivfCentroidIds: _*)),
-        "vec_id", "embedding", blocks = 8, nprobe = 2, k = 3))
+        cents, "vec_id", "embedding", cb, "cb_id", "cb_vec",
+        blocks = 8, nprobe = 2, k = 3))
     },
 
     // Q99f (beyond-survey) — HYPERPLANE multi-table OR-LSH
@@ -4208,6 +4214,12 @@ object LlmPipeline {
   private def ivfCentroidIds: Seq[Long] =
     Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)
 
+  /** The Q99e residual-codebook seed set: 8 fixed vec_ids DISJOINT from
+    * [[ivfCentroidIds]] (a centroid vector's own residual is ~0 — a
+    * useless codebook entry), all present at every scale factor. */
+  private def pqResidualSeedIds: Seq[Long] =
+    Seq(7L, 71L, 135L, 199L, 263L, 327L, 391L, 455L)
+
   /** Shared CTE prefix for the PQ oracles: per-(vector, code, block)
     * squared L2 with the identical per-term DECIMAL(38,6) rounding the
     * Spark kernel applies, plus the argmin code assignment. */
@@ -4503,35 +4515,65 @@ object LlmPipeline {
        |  n_hit NULLS FIRST, recall NULLS FIRST""".stripMargin
   }
 
-  /** DuckDB oracle for Q99e: the q99b cell-assignment CTEs (argmax
-    * rounded cosine, cid tiebreak; corpus nprobe=1, queries nprobe=2)
-    * restricting the q99c ADC scoring to probed-cell candidates. */
-  private def ivfPqOracleSql: String =
-    s"""WITH ${pqDistCtes},
-       |assign AS (
-       |  SELECT e.vec_id, c.cid,
+  /** DuckDB oracle for Q99e — the RESIDUAL IVF-PQ construction: q99b's
+    * cell assignment (argmax rounded cosine, cid tiebreak; corpus
+    * nprobe=1, queries nprobe=2) feeding residuals r = x − μ_cell,
+    * codes as the argmin over the seed-residual codebook (seed ids'
+    * own residuals), a per-(query, probed-cell) LUT over the query's
+    * cell-relative residual, and the DECIMAL-routed ADC sum. Every
+    * subtraction parenthesizes exactly as the engine computes it:
+    * (x[j] − μ[j]) − (s[j] − μs[j]), all double, so d is bit-identical
+    * before the per-term DECIMAL(38,6) rounding. */
+  private def ivfPqOracleSql: String = {
+    val ids = ivfCentroidIds.mkString(", ")
+    val seeds = pqResidualSeedIds.mkString(", ")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |asg AS (
+       |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6) DESC,
        |      c.cid ASC) AS rn
        |  FROM embeddings e CROSS JOIN cent c),
-       |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
-       |qassign AS (
-       |  SELECT e.vec_id AS query_id, c.cid,
+       |rv AS (SELECT vec_id, cid AS cell, embedding, ce FROM asg
+       |  WHERE rn = 1),
+       |rcb AS (SELECT vec_id AS cb_id, embedding AS se, ce AS sce
+       |  FROM rv WHERE vec_id IN ($seeds)),
+       |ru AS (SELECT v.vec_id, v.cell, b.cb_id,
+       |    CAST((j - 1) // 8 AS INT) AS blk,
+       |    (CAST(v.embedding[j] AS DOUBLE) - CAST(v.ce[j] AS DOUBLE))
+       |      - (CAST(b.se[j] AS DOUBLE) - CAST(b.sce[j] AS DOUBLE)) AS d
+       |  FROM rv v CROSS JOIN rcb b
+       |  CROSS JOIN unnest(generate_series(1, len(v.embedding))) AS g(j)),
+       |rdist AS (SELECT vec_id, cell, cb_id, blk,
+       |    CAST(sum(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS dd
+       |  FROM ru GROUP BY vec_id, cell, cb_id, blk),
+       |codes AS (SELECT vec_id, cell, blk, cb_id AS code FROM (
+       |    SELECT vec_id, cell, cb_id, blk, row_number() OVER (
+       |      PARTITION BY vec_id, blk ORDER BY dd ASC, cb_id ASC) AS rn
+       |    FROM rdist) WHERE rn = 1),
+       |qasg AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid, c.ce,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      round(${Similarity.cosineSql("e.embedding", "c.ce")}, 6) DESC,
        |      c.cid ASC) AS rn
        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5),
-       |probes AS (SELECT query_id, cid AS cell FROM qassign WHERE rn <= 2),
-       |cand AS (SELECT DISTINCT p.query_id, cl.vec_id
-       |  FROM probes p JOIN cells cl ON p.cell = cl.cell),
-       |lut AS (SELECT vec_id AS query_id, blk, cid, dd FROM dist
-       |  WHERE vec_id < 5),
-       |sc AS (SELECT n.query_id, n.vec_id,
+       |qp AS (SELECT query_id, cid AS cell, qe, ce FROM qasg
+       |  WHERE rn <= 2),
+       |qu AS (SELECT q.query_id, q.cell, b.cb_id,
+       |    CAST((j - 1) // 8 AS INT) AS blk,
+       |    (CAST(q.qe[j] AS DOUBLE) - CAST(q.ce[j] AS DOUBLE))
+       |      - (CAST(b.se[j] AS DOUBLE) - CAST(b.sce[j] AS DOUBLE)) AS d
+       |  FROM qp q CROSS JOIN rcb b
+       |  CROSS JOIN unnest(generate_series(1, len(q.qe))) AS g(j)),
+       |lut AS (SELECT query_id, cell, cb_id, blk,
+       |    CAST(sum(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS dd
+       |  FROM qu GROUP BY query_id, cell, cb_id, blk),
+       |sc AS (SELECT l.query_id, c.vec_id,
        |    CAST(sum(CAST(l.dd AS DECIMAL(38,6))) AS DOUBLE) AS adist
-       |  FROM cand n JOIN codes c ON c.vec_id = n.vec_id
-       |  JOIN lut l ON l.query_id = n.query_id AND l.blk = c.blk
-       |    AND l.cid = c.code
-       |  GROUP BY n.query_id, n.vec_id),
+       |  FROM codes c JOIN lut l ON l.cell = c.cell AND l.blk = c.blk
+       |    AND l.cb_id = c.code
+       |  GROUP BY l.query_id, c.vec_id),
        |r AS (SELECT query_id, vec_id, adist, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rn
        |  FROM sc)
@@ -4539,6 +4581,7 @@ object LlmPipeline {
        |FROM r WHERE rn <= 3
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
        |  vec_id NULLS FIRST, adist NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB oracle for Q93j: q93h's BM25 arithmetic with the term set
     * drawn per-query from the query docs' own distinct tokens (df

@@ -1240,30 +1240,81 @@ class EngineSpec extends AnyFunSuite {
       assert(ys(a) != ys(b), s"y${a + 1} == y${b + 1} (${ys(a)})")
   }
 
-  test("ivfPqSearch at nprobe=K == pqSearch (IVF pruning is the only delta)") {
-    // With every cell probed the candidate set is the whole corpus, so
-    // IVF-PQ must reduce EXACTLY to flat PQ-ADC — same codes, same LUT,
-    // same decimal sums, same (adist, id) ranking. This pins the cell
-    // restriction as the only thing nprobe changes; recall at nprobe<K
-    // is then purely a quantizer-quality question, not a scoring bug.
+  test("ivfPqSearch: a vector whose residual IS a codebook entry scores " +
+      "at its exact cell-relative distance (lossless decode there)") {
+    // The seed vectors' residuals are codebook entries, so their codes
+    // decode losslessly (per-block distance 0 picks the own entry) and
+    // their ADC distance must equal the EXACT blockwise decimal-rounded
+    // distance between the query's and the vector's residuals relative
+    // to the VECTOR's cell — which pins the whole residual plumbing:
+    // assignment, residual subtraction, the per-(query, cell) LUT
+    // keying, and the decimal sum. nprobe=8 probes every cell so each
+    // seed is a candidate of each query.
+    graft.plans.PqBlockDists.register(spark)
+    graft.plans.CosineSimilarity.register(spark)
     val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
-    val cents = e.filter(col("vec_id")
-      .isin(Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L): _*))
-    val queries = e.filter(col("vec_id") < 5)
-    val flat = Engine.pqSearch(
-      Engine.pqEncode(e, "vec_id", "embedding", cents, "vec_id",
-        "embedding", blocks = 8),
-      queries, "vec_id", "embedding", cents, "vec_id", "embedding",
-      blocks = 8, k = 3)
-    val ivf = Engine.ivfPqSearch(e, "vec_id", "embedding",
-      queries, "vec_id", "embedding", cents, "vec_id", "embedding",
-      blocks = 8, nprobe = 8, k = 3)
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getDouble(3))).toSet
-    val got = rows(ivf)
-    assert(got == rows(flat))
-    assert(got.nonEmpty)
+    val centIds = Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)
+    val seedIds = Seq(7L, 71L, 135L, 199L, 263L, 327L, 391L, 455L)
+    val cents = e.filter(col("vec_id").isin(centIds: _*))
+    val cb = Engine.pqSeedResidualCodebook(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding", seedIds)
+    val got = Engine.ivfPqSearch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        cents, "vec_id", "embedding", cb, "cb_id", "cb_vec",
+        blocks = 8, nprobe = 8, k = 1000000)
+      .filter(col("vec_id").isin(seedIds: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // expected: residuals of query and seed RELATIVE TO THE SEED'S CELL,
+    // per-block decimal-rounded squared L2, decimal-summed
+    val res = Engine.ivfResiduals(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+    val seedRes = res.filter(col("vec_id").isin(seedIds: _*))
+      .join(cents.select(col("vec_id").as("cell"),
+        col("embedding").as("__ce")), Seq("cell"))
+      .select(col("vec_id").as("svid"), col("cell"),
+        col("residual").as("__sr"), col("__ce"))
+    val want = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qvid"), col("embedding").as("__qe"))
+      .crossJoin(seedRes)
+      .select(col("qvid"), col("svid"),
+        expr("CAST(aggregate(pq_block_dists(" +
+          "zip_with(__qe, __ce, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)), " +
+          "__sr, 8), CAST(0 AS DECIMAL(38,6)), " +
+          "(acc, x) -> acc + CAST(x AS DECIMAL(38,6))) AS DOUBLE)")
+          .as("__want"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(want.nonEmpty && want.keySet.subsetOf(got.keySet))
+    want.foreach { case (k2, v) =>
+      assert(got(k2) == v, s"$k2: adist ${got(k2)} != exact $v")
+    }
+  }
+
+  test("pqTrainResidualCodebook: Lloyd iterations never increase the " +
+      "measured encode distortion, entries stay full-width") {
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val centIds = Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)
+    val seedIds = Seq(7L, 71L, 135L, 199L, 263L, 327L, 391L, 455L)
+    val cents = e.filter(col("vec_id").isin(centIds: _*))
+    val res = Engine.ivfResiduals(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+    def distortion(iters: Int): Double = {
+      val cb = Engine.pqTrainResidualCodebook(e, "vec_id", "embedding",
+        cents, "vec_id", "embedding", seedIds, blocks = 8, iters = iters)
+      assert(cb.count() == seedIds.size)
+      assert(cb.select(size(col("cb_vec"))).distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(64))
+      Engine.pqDistortion(res, "vec_id", "residual",
+          cb, "cb_id", "cb_vec", blocks = 8)
+        .collect().head.getDouble(1)
+    }
+    val d0 = distortion(0)
+    val d1 = distortion(1)
+    val d2 = distortion(2)
+    assert(d1 <= d0, s"lloyd1 $d1 > seed $d0")
+    assert(d2 <= d1 + 1e-6, s"lloyd2 $d2 > lloyd1 $d1")
+    assert(d1 < d0, s"one iteration should strictly improve here ($d0)")
   }
 
   test("bm25Search == per-query bm25Rank with that query's own terms") {
