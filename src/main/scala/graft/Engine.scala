@@ -372,32 +372,29 @@ object Engine {
     df.sparkSession.createDataFrame(withIds, schema)
   }
 
-  /** Distinct word n-grams of a BOUND words-array column (see
-    * LlmPipeline scaladoc for why the array must be materialized and why
-    * slicing beats indexed lambdas ~7×). */
+  /** Distinct word n-grams of a BOUND words-array column —
+    * `array_distinct` over the [[graft.plans.WordNgrams]] codegen
+    * kernel. History of this kernel (SURVEY §8): indexed lambdas →
+    * zip-slice HOF (~7× better) → native expression (the r13 HOF
+    * audit: the zip-slice lambda still evaluated INTERPRETED outside
+    * whole-stage codegen, measured as 4.2 s of q90f's 7.8 s at the 10×
+    * fixture; the expression is one fused byte-level concatWs loop,
+    * bit-equal by ExpressionSpec pin). */
   def wordNgrams(words: Column, n: Int): Column = {
     require(n >= 1)
-    val span = size(words) - (n - 1)
-    val shifted = (1 to n).map(k => slice(words, lit(k), span))
-    when(size(words) >= n,
-      array_distinct(transform(arrays_zip(shifted: _*),
-        t => concat_ws(" ", (0 until n).map(k =>
-          t.getField(k.toString)): _*))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(positionalNgrams(words, n))
   }
 
   /** POSITIONAL word n-grams: element p (0-based) is the n-gram starting
     * at token p+1 — [[wordNgrams]] without the distinct, for operators
-    * that need the start offset ([[dupSpans]]). Same zip-slice kernel. */
+    * that need the start offset ([[dupSpans]]). The expression is built
+    * directly (no session-registry dependency), so every shingling
+    * operator gets the codegen kernel with no call-site changes. */
   def positionalNgrams(words: Column, n: Int): Column = {
     require(n >= 1)
-    val span = size(words) - (n - 1)
-    val shifted = (1 to n).map(k => slice(words, lit(k), span))
-    when(size(words) >= n,
-      transform(arrays_zip(shifted: _*),
-        t => concat_ws(" ", (0 until n).map(k =>
-          t.getField(k.toString)): _*)))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.WordNgrams(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(words), n))
   }
 
   /** Duplicated-substring SPANS (the exact substring-dedup pass of Lee
@@ -420,17 +417,25 @@ object Engine {
         posexplode(positionalNgrams(col("__w"), n)).as(Seq("__p", "__g")))
       .select(col("__id"), (col("__p") + 1).cast("int").as("__i"),
         col("__g"))
-    // duplicated-gram detection as ONE unbounded count window over the
-    // gram — the n-gram string (the n-word payload, the heavy column)
-    // rides a single exchange. The groupBy+semi-join predecessor
-    // shipped it three times (count shuffle + both join sides) and
-    // recomputed the explode for the join probe; measured 11.1 → see
-    // ledger at the 10× fixture. Skew note: a pathologically hot gram
-    // concentrates its occurrences in one partition either way (the
-    // semi-join had the same property on its probe side); the window
-    // adds a sort but no per-key state.
+    // duplicated-gram detection as ONE unbounded count window — over
+    // the 16-byte md5 DIGEST of the gram, not the n-word string: the
+    // count needs only gram identity, so the exchange ships (id, i,
+    // 16 B) instead of (id, i, ~n·6 B text) and the window sort
+    // compares fixed-width binaries (measured at the 10× fixture:
+    // 7.0 → 3.3 s for the detection stage, exchange bytes 388 → 180 MB
+    // — the r13 §8 HOF-audit finding for q90f, which turned out to be
+    // exchange width, not an interpreted lambda). Digest-identity is
+    // the q90 exactDedup bar (md5 collisions are 2⁻¹²⁸-scale, the same
+    // assumption exact dedup already rests on). The groupBy+semi-join
+    // predecessor shipped the string three times (count shuffle + both
+    // join sides) and recomputed the explode for the join probe;
+    // measured 11.1 s at the same fixture. Skew note: a pathologically
+    // hot gram concentrates its occurrences in one partition either
+    // way; the window adds a sort but no per-key state.
     val pos = grams
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .withColumn("__h", unhex(md5(col("__g"))))
+      .select(col("__id"), col("__i"), col("__h"))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__c") > 1)
       .select(col("__id"), col("__i"))
     val wdoc = Window.partitionBy(col("__id")).orderBy(col("__i"))

@@ -367,6 +367,55 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams_pos: kernel equals the zip-slice HOF formulation " +
+      "on randomized inputs incl. null-token/short/null-array edges") {
+    import spark.implicits._
+    // the HOF predecessor, verbatim (the r12 kernel) — the reference
+    // semantics the codegen expression must reproduce bit-for-bit
+    def hof(words: org.apache.spark.sql.Column, n: Int) = {
+      val span = size(words) - (n - 1)
+      val shifted = (1 to n).map(k => slice(words, lit(k), span))
+      when(size(words) >= n,
+        transform(arrays_zip(shifted: _*),
+          t => concat_ws(" ", (0 until n).map(k =>
+            t.getField(k.toString)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    val rnd = new scala.util.Random(1319)
+    def word() = (0 until 1 + rnd.nextInt(6))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows: Seq[(Long, Seq[String])] = (1 to 150).map { i =>
+      val ws = (0 until rnd.nextInt(15)).map { _ =>
+        if (rnd.nextInt(20) == 0) null else word()
+      }
+      (i.toLong, ws)
+    } ++ Seq((151L, null), (152L, Seq.empty[String]), (153L, Seq("one")))
+    val df = rows.toDF("id", "ws")
+    for (n <- Seq(2, 3, 8)) {
+      val got = df.select(col("id"),
+          graft.Engine.positionalNgrams(col("ws"), n).as("a"),
+          hof(col("ws"), n).as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(!r.isNullAt(1), s"n=$n id ${r.getLong(0)}: null output")
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("word_ngrams_pos participates in whole-stage codegen") {
+    val df = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(graft.Engine.positionalNgrams(split(col("text"), " "), 8)
+        .as("g"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("word_ngrams_pos")), plan)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.write.format("noop").mode("overwrite").save()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("classifier_score participates in whole-stage codegen") {
     graft.plans.ClassifierScore.register(spark)
     val df = Tables.t(spark, TestSpark.sfDir, "documents")
