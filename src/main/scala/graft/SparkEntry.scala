@@ -17,6 +17,7 @@ object SparkEntry {
       operators.SetOps.all ++
       operators.LlmPipeline.all ++
       operators.Multimodal.all ++
+      pipeline.Capstone.all ++
       functions.Scalars.all ++
       functions.Udfs.all
 

@@ -702,7 +702,10 @@ class PlanSpec extends AnyFunSuite {
       // build + append + atomic-swap compaction before the probe
       "q90t_index_compaction",
       // streaming foreachBatch ingest probing the static chunk index
-      "q79b_stream_novelty")
+      "q79b_stream_novelty",
+      // runs the whole Part-A slot loop (catalog match → fetch → unzip
+      // → publish → cursor commit) on build, then reads the trace back
+      "q101_pipeline_capstone")
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
