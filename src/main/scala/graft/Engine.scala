@@ -4033,6 +4033,137 @@ object Engine {
     * table, whose size is corpus/|bucket| — pick bucketWidth so that
     * table is config-sized (it is the curve's plot resolution, not a
     * data structure). */
+  /** ZIPF-SLOPE fit (q93z) — OLS of ln(freq) on ln(rank) over the
+    * top-N term frequencies: natural corpora follow Zipf's law with a
+    * slope near −1, and the fitted slope is a one-number corpus-health
+    * readout (synthetic/templated text flattens toward 0; a boilerplate-
+    * flooded crawl steepens past −1.5). Complements q93q's Heaps-law
+    * growth curve (is more data buying new vocabulary) with the static
+    * rank-frequency shape of the vocabulary already there.
+    *
+    * Scale shape: the corpus-sized work is ONE token explode into a
+    * partial-aggregated count (the q93c TF kernel); the top-N cut is a
+    * TakeOrdered (no global sort materialization), and everything after
+    * operates on exactly N rows — the row_number window over that
+    * bounded result is N rows by construction, not the q10b global-
+    * window trap. Determinism: ln terms and their products round onto
+    * the 9-dp decimal grid before the exact decimal sums (the q11c
+    * entropy discipline); the closed-form slope divides those exact
+    * sums in double with one pinned operation order. */
+  def zipfSlope(df: DataFrame, text: Column, topN: Int = 100): DataFrame = {
+    require(topN >= 3, s"zipfSlope: need topN >= 3 ($topN)")
+    val freq = df.select(explode(split(text, " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    val top = freq.orderBy(col("__f").desc, col("__w").asc).limit(topN)
+    val wR = Window.orderBy(col("__f").desc, col("__w").asc)
+    val ranked = top.select(
+      row_number().over(wR).cast(LongType).as("__r"), col("__f"))
+    val x = round(log(col("__r").cast(DoubleType)), 9)
+    val y = round(log(col("__f").cast(DoubleType)), 9)
+    val dec9 = DecimalType(38, 9)
+    val s = ranked.select(x.as("__x"), y.as("__y")).agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      sum(col("__x").cast(dec9)).cast(DoubleType).as("__sx"),
+      sum(col("__y").cast(dec9)).cast(DoubleType).as("__sy"),
+      sum(round(col("__x") * col("__y"), 9).cast(dec9))
+        .cast(DoubleType).as("__sxy"),
+      sum(round(col("__x") * col("__x"), 9).cast(dec9))
+        .cast(DoubleType).as("__sxx"))
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    s.select(col("__n").cast(LongType).as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("__sy") - slope * col("__sx")) / col("__n"), 6)
+        .as("intercept"))
+  }
+
+  /** Per-group drift screen with BENJAMINI–HOCHBERG FDR control (q46n)
+    * — the multiple-testing layer the pairwise drift family (q46c/f/g/h)
+    * deliberately lacks: screening EVERY segment against the rest at
+    * α=0.05 each false-alarms ~1 segment in 20 on pure noise, which at a
+    * 10⁴-segment catalog is 500 bogus drift tickets; BH bounds the
+    * expected FALSE-DISCOVERY fraction instead. Per group g: a
+    * two-sample KS statistic of g's value distribution vs the
+    * complement, evaluated on a fixed 256-bucket grid (the ECDF gap at
+    * bucket granularity — a lower bound on exact D, identical in both
+    * engines because bucketing is one pinned IEEE expression); p from
+    * the large-sample KS tail bound p = 2·exp(−2·D²·n_g·n_rest/(n_g+
+    * n_rest)) capped at 1; then the BH step-up: order p ascending,
+    * adj_i = min_{j≥i}(p_j·m/j) capped at 1, reject at q.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-aggregated
+    * groupBy on (group, bucket) — histogram rows are |groups|·256
+    * BEFORE any window or join, so the ECDF windows, the dense-grid
+    * broadcast cross join, and the BH sort all run on domain-sized
+    * tables (the 1-row min/max reduce is a broadcast, the q46e
+    * pattern). Never a per-row rank — the textbook ECDF-by-sort dies
+    * on a corpus-sized single partition (the q10b trap). */
+  def bhFdrDrift(events: DataFrame, group: Column, value: Column,
+      buckets: Int = 256, q: Double = 0.05): DataFrame = {
+    require(buckets >= 2 && q > 0 && q < 1)
+    val f = events.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("__g"), value.as("__v"))
+    val mm = f.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val b = when(col("__hi") > col("__lo"),
+      least(lit(buckets - 1), greatest(lit(0),
+        floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
+          * buckets)))).otherwise(lit(0)).cast("int")
+    val hist = f.crossJoin(broadcast(mm))
+      .select(col("__g"), b.as("__b"))
+      .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+      .persistOnce()
+    // dense (group × bucket) grid so every group's ECDF is defined at
+    // every global jump point — both sides are domain-sized aggregates
+    val grid = hist.select(col("__g")).distinct()
+      .crossJoin(broadcast(hist.select(col("__b")).distinct()))
+    val dense = grid.join(hist, Seq("__g", "__b"), "left")
+      .select(col("__g"), col("__b"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense.withColumn("__cg", sum(col("__c")).over(wCum))
+    val tot = cum.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+      .withColumn("__ca", sum(col("__cb")).over(
+        Window.orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__b"), col("__ca"))
+    val ns = hist.groupBy("__g").agg(sum(col("__c")).as("__ng"))
+      .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
+    val gaps = cum.join(broadcast(tot), Seq("__b"))
+      .join(broadcast(ns), Seq("__g"))
+      .filter(col("__n") > col("__ng"))
+      .select(col("__g"), col("__ng"), col("__n"),
+        abs(col("__cg").cast(DoubleType) / col("__ng") -
+          (col("__ca") - col("__cg")).cast(DoubleType) /
+            (col("__n") - col("__ng"))).as("__gap"))
+    val d = gaps.groupBy("__g", "__ng", "__n")
+      .agg(max(col("__gap")).as("__d"))
+    val ne = (col("__ng").cast(DoubleType) *
+      (col("__n") - col("__ng")).cast(DoubleType)) /
+      col("__n").cast(DoubleType)
+    val pRaw = least(lit(1.0),
+      lit(2.0) * exp(lit(-2.0) * col("__d") * col("__d") * ne))
+    val scored = d.select(col("__g"), col("__ng"), col("__d"),
+      pRaw.as("__p"))
+    // BH step-up over the m groups — the sort and both windows run on
+    // the domain-sized table
+    val byP = Window.orderBy(col("__p").asc, col("__g").asc)
+    val wUp = byP.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withAdj = scored
+      .withColumn("__m", count(lit(1)).over(
+        byP.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__rk", row_number().over(byP))
+      .withColumn("__adj", least(lit(1.0),
+        min(col("__p") * col("__m") / col("__rk")).over(wUp)))
+    withAdj.select(col("__g").as("group_key"),
+      col("__ng").cast(LongType).as("n"),
+      round(col("__d"), 6).as("d_stat"),
+      round(col("__p"), 6).as("p_raw"),
+      round(col("__adj"), 6).as("p_adj"),
+      (col("__adj") <= q).as("reject"))
+  }
+
   def vocabGrowth(df: DataFrame, id: Column, text: Column,
       n: Int = 2, bucketWidth: Long = 50): DataFrame = {
     require(n >= 1 && bucketWidth >= 1)
@@ -5816,6 +5947,58 @@ object Engine {
         (lit(6L) - score("recency_days")).as("r_score"),
         score("frequency").as("f_score"),
         score("monetary").as("m_score"))
+  }
+
+  /** Inter-event GAP-REGULARITY audit (q47i) — the standard automation /
+    * bot screen over an activity stream: a scripted client fires on a
+    * timer, so its inter-event gaps have a coefficient of variation near
+    * zero, where organic human traffic is near-Poisson (cv ≈ 1). Per
+    * user: gap count, mean gap, and cv = σ/μ over the inter-arrival
+    * times, plus the `automated` flag (cv below threshold with enough
+    * gaps to mean something — a 3-event user's cv is noise).
+    *
+    * Scale shape: ONE exchange. The lag window hash-partitions on
+    * user_id and the per-user aggregate reuses that exact partitioning,
+    * so the audit is one shuffle + one sort at any corpus size — never a
+    * self-join on consecutive event ids (the naive formulation, which
+    * re-shuffles the stream once per offset). Determinism: gaps are
+    * EXACT integer microseconds (unix_micros of the fixture's
+    * micro-precision timestamps), Σgap and Σgap² accumulate in
+    * DECIMAL(38,0) (a month-long gap is ~10¹³ µs; its square overflows
+    * a signed 64-bit long, and decimal addition is order-free where a
+    * double sum is not), and the mean/variance/cv divisions run in
+    * double over those exact sums with ONE pinned operation order —
+    * both engines hit identical IEEE bits, rounded to the 6-dp grid. */
+  def gapRegularity(events: DataFrame, user: Column, ts: Column,
+      eventId: Column, cvMax: Double = 0.2, minGaps: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__ts").asc, col("__eid").asc)
+    val gaps = events.filter(user.isNotNull && ts.isNotNull)
+      .select(user.as("user_id"), unix_micros(ts).as("__ts"),
+        eventId.as("__eid"))
+      .withColumn("__gap", col("__ts") - lag(col("__ts"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val perUser = gaps.groupBy("user_id").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__gap").cast(DecimalType(38, 0))).as("__s"),
+      sum((col("__gap").cast(DecimalType(38, 0)) *
+        col("__gap").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)))
+        .as("__s2"))
+    val meanUs = col("__s").cast(DoubleType) / col("n_gaps")
+    val varUs = col("__s2").cast(DoubleType) / col("n_gaps") -
+      meanUs * meanUs
+    val sdUs = sqrt(greatest(varUs, lit(0.0)))
+    val cv = when(meanUs > 0, sdUs / meanUs)
+    // mean at the 6-dp grid via EXACT integer half-up at µs precision:
+    // s/n is a small-denominator rational that LANDS on 7th-decimal
+    // halfway points (sf0.1 hit one on the first sweep), where Spark
+    // and DuckDB round(double, 6) split — (2s+n) div (2n) is tie-free.
+    val meanUsInt = expr("(2 * __s + n_gaps) div (2 * n_gaps)")
+    perUser.select(col("user_id"), col("n_gaps"),
+      (meanUsInt.cast(DoubleType) / 1000000.0).as("mean_gap_s"),
+      round(cv, 6).as("cv"),
+      (coalesce(cv < cvMax, lit(false)) &&
+        col("n_gaps") >= minGaps).as("automated"))
   }
 
   def dedupCostAudit(df: DataFrame, id: Column, text: Column,

@@ -993,5 +993,70 @@ object Aggregates {
         |  intercept NULLS FIRST""".stripMargin) { (s, dir) =>
       orderAll(graft.Engine.theilSen(Tables.t(s, dir, "events"),
         col("event_type"), col("ts"), col("value")))
+    },
+
+    // Q46n (beyond-survey) — per-group drift screen with
+    // BENJAMINI–HOCHBERG FDR control ([[graft.Engine.bhFdrDrift]]):
+    // the multiple-testing layer the pairwise drift family
+    // (q46c/f/g/h) lacks — screening every segment vs the rest at
+    // α=0.05 each false-alarms ~1 in 20 segments on pure noise; BH
+    // bounds the expected false-discovery FRACTION instead. Per group:
+    // a 256-bucket-grid two-sample KS vs the complement, p from the
+    // large-sample tail bound 2·exp(−2D²·n_g·n_rest/(n_g+n_rest)),
+    // then the BH step-up (order p, adj_i = min_{j≥i} p_j·m/j, cap 1).
+    // Corpus-sized work is ONE partial-aggregated (group, bucket)
+    // histogram; the ECDF windows, dense-grid broadcast, and BH sort
+    // all run on domain-sized tables — never a per-row rank (the
+    // ECDF-by-global-sort shape dies on a corpus-sized partition).
+    Q("q46n_bh_fdr",
+      """WITH f AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM f),
+        |hist AS (SELECT g,
+        |    CAST(CASE WHEN hi > lo THEN least(255, greatest(0,
+        |      floor((v - lo) / (hi - lo) * 256))) ELSE 0 END AS INT)
+        |      AS b,
+        |    count(*) AS c
+        |  FROM f CROSS JOIN mm GROUP BY 1, 2),
+        |grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM hist)
+        |  CROSS JOIN (SELECT DISTINCT b FROM hist)),
+        |dense AS (SELECT grid.g, grid.b, coalesce(c, 0) AS c
+        |  FROM grid LEFT JOIN hist ON grid.g = hist.g
+        |    AND grid.b = hist.b),
+        |cum AS (SELECT g, b, c, sum(c) OVER (PARTITION BY g
+        |    ORDER BY b ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cg FROM dense),
+        |tot AS (SELECT b, sum(cb) OVER (ORDER BY b ASC ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        |  FROM (SELECT b, sum(c) AS cb FROM cum GROUP BY 1)),
+        |ns AS (SELECT g, sum(c) AS ng FROM hist GROUP BY 1),
+        |ntot AS (SELECT sum(c) AS n FROM hist),
+        |gaps AS (SELECT cum.g, ng, n,
+        |    abs(CAST(cg AS DOUBLE) / ng
+        |      - CAST(ca - cg AS DOUBLE) / (n - ng)) AS gap
+        |  FROM cum JOIN tot USING (b) JOIN ns ON cum.g = ns.g
+        |  CROSS JOIN ntot WHERE n > ng),
+        |d AS (SELECT g, ng, n, max(gap) AS d FROM gaps
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT g, ng, d,
+        |    least(1.0, 2.0 * exp(-2.0 * d * d * (CAST(ng AS DOUBLE)
+        |      * CAST(n - ng AS DOUBLE) / CAST(n AS DOUBLE)))) AS p
+        |  FROM d),
+        |adj AS (SELECT g, ng, d, p, count(*) OVER () AS m,
+        |    row_number() OVER (ORDER BY p ASC, g ASC) AS rk FROM sc),
+        |bh AS (SELECT g, ng, d, p,
+        |    least(1.0, min(p * m / rk) OVER (ORDER BY p ASC, g ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |      AS padj
+        |  FROM adj)
+        |SELECT g AS group_key, CAST(ng AS BIGINT) AS n,
+        |  round(d, 6) AS d_stat, round(p, 6) AS p_raw,
+        |  round(padj, 6) AS p_adj, (padj <= 0.05) AS reject
+        |FROM bh
+        |ORDER BY group_key NULLS FIRST, n NULLS FIRST,
+        |  d_stat NULLS FIRST, p_raw NULLS FIRST, p_adj NULLS FIRST,
+        |  reject NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.bhFdrDrift(Tables.t(s, dir, "events"),
+        col("event_type"), col("value")))
     })
 }

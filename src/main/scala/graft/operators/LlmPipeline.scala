@@ -3687,6 +3687,47 @@ object LlmPipeline {
       orderAll(graft.Engine.vocabGrowth(
         Tables.t(s, dir, "documents"), col("doc_id"), col("text"),
         n = 2, bucketWidth = 50))
+    },
+
+    // Q93z (beyond-survey) — ZIPF-SLOPE fit
+    // ([[graft.Engine.zipfSlope]]): OLS of ln(freq) on ln(rank) over
+    // the top-100 term frequencies — natural corpora sit near −1;
+    // templated/synthetic text flattens toward 0, boilerplate floods
+    // steepen past −1.5. The static rank-frequency complement of
+    // q93q's Heaps-law growth curve. Corpus-sized work is ONE token
+    // explode into a partial-aggregated count; the top-100 cut is a
+    // TakeOrdered and the regression runs over exactly 100 rows (the
+    // row_number window is bounded by the LIMIT, not the q10b trap).
+    // ln terms and products round onto the 9-dp decimal grid before
+    // exact decimal sums (the q11c discipline); the closed-form slope
+    // divides those sums in double with one pinned op order.
+    Q("q93z_zipf_slope",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, count(*) AS f FROM t WHERE w <> ''
+        |  GROUP BY 1),
+        |top AS (SELECT w, f FROM f ORDER BY f DESC, w ASC LIMIT 100),
+        |r AS (SELECT row_number() OVER (ORDER BY f DESC, w ASC) AS r,
+        |    f FROM top),
+        |tm AS (SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(f AS DOUBLE)), 9) AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9)))
+        |      AS DOUBLE) AS sxx
+        |  FROM tm)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept
+        |FROM s
+        |ORDER BY n_terms NULLS FIRST, slope NULLS FIRST,
+        |  intercept NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.zipfSlope(
+        Tables.t(s, dir, "documents"), col("text"), topN = 100))
     })
 
   /** Shared CTE prefix of the q98 family: per-doc 64-bit SimHash, ending

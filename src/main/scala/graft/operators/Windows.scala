@@ -255,6 +255,50 @@ object Windows {
         lit("2024-02-01").cast("date")))
     },
 
+    // Q47i (beyond-survey) — inter-event GAP-REGULARITY audit
+    // ([[graft.Engine.gapRegularity]]): per-user gap count, mean gap,
+    // and coefficient of variation over inter-arrival times, with the
+    // `automated` flag (cv < 0.2 over ≥ 20 gaps) — the standard bot /
+    // scripted-client screen over an activity stream (timers fire at
+    // cv ≈ 0; organic traffic is near-Poisson, cv ≈ 1). One exchange:
+    // the lag window partitions on user_id and the per-user aggregate
+    // reuses that partitioning — never the consecutive-event self-join.
+    // Gaps are exact integer microseconds; Σ and Σ² ride DECIMAL(38,0)
+    // (a month-long gap squares past a signed long; decimal addition
+    // is order-free), and mean/var/cv divide in double with one pinned
+    // op order, so both engines land identical IEEE bits.
+    Q("q47i_gap_regularity",
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(gap AS DECIMAL(38,0))) AS s,
+        |    sum(CAST(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS
+        |      DECIMAL(38,0)) AS DECIMAL(38,0))) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |m AS (SELECT user_id, n_gaps,
+        |    CAST(s AS DOUBLE) / n_gaps AS mean_us,
+        |    CAST((2 * CAST(s AS HUGEINT) + n_gaps)
+        |      // (2 * CAST(n_gaps AS HUGEINT)) AS BIGINT) AS mean_us_i,
+        |    sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+        |      - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE)
+        |        / n_gaps), 0.0)) AS sd_us
+        |  FROM pu)
+        |SELECT user_id, n_gaps,
+        |  CAST(mean_us_i AS DOUBLE) / 1000000.0 AS mean_gap_s,
+        |  round(CASE WHEN mean_us > 0 THEN sd_us / mean_us END, 6) AS cv,
+        |  (coalesce(CASE WHEN mean_us > 0 THEN sd_us / mean_us END < 0.2,
+        |    false) AND n_gaps >= 20) AS automated
+        |FROM m
+        |ORDER BY user_id NULLS FIRST, n_gaps NULLS FIRST,
+        |  mean_gap_s NULLS FIRST, cv NULLS FIRST,
+        |  automated NULLS FIRST""".stripMargin) { (s, dir) =>
+      orderAll(graft.Engine.gapRegularity(Tables.t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id")))
+    },
+
     // Q47b (beyond-survey) — ordered event FUNNEL: the furthest
     // signup → click → purchase stage each user reached, with every
     // step STRICTLY after the previous one (not mere type presence —
