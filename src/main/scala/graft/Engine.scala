@@ -2688,6 +2688,49 @@ object Engine {
       col("__c").as("centroid"))
   }
 
+  /** Per-dimension EMBEDDING STANDARDIZATION (q92t) — z-score each
+    * coordinate against the corpus-wide per-dim mean/σ (diagonal
+    * whitening): the preprocessing step before cosine/PQ work when one
+    * embedding dimension's scale dominates the rest (a common defect of
+    * contrastively-trained encoders — rogue dimensions carry most of
+    * the norm and drown the similarity signal; q92r's embedding audit
+    * DETECTS that condition, this operator repairs it).
+    *
+    * Scale shape: the per-dim moment pass is a posexplode into a
+    * groupBy(dim) — dims·rows exploded rows, but partial aggregation
+    * collapses each partition to |dims| rows map-side, so the exchange
+    * carries |dims|·partitions rows, never data. The |dims|-row stats
+    * table packs into ONE broadcast row (the rfmFeatures cuts pattern)
+    * and the rewrite is a pure zip_with map — no second pass, no join
+    * keyed on data. Determinism: moments ride the DECIMAL(38,6) grid
+    * (float→double widening is exact; decimal addition order-free);
+    * mean/σ/z divide in double with one pinned op order mirrored by
+    * the oracle; constant dims (σ=0) emit z=0 by contract. */
+  def standardizeEmbeddings(vecs: DataFrame, id: String,
+      vec: String): DataFrame = {
+    val ex = vecs.select(col(id).as("__vid"),
+        posexplode(col(vec)).as(Seq("__d", "__xf")))
+      .select(col("__vid"), col("__d"),
+        col("__xf").cast(DoubleType).as("__x"))
+    val stats = ex.groupBy("__d").agg(
+      count(lit(1)).as("__n"),
+      graft.Canon.sumDec(col("__x")).as("__sx"),
+      graft.Canon.sumDec(col("__x") * col("__x")).as("__sxx"))
+    val mean = col("__sx") / col("__n")
+    val sd = sqrt(greatest(col("__sxx") / col("__n") -
+      (col("__sx") / col("__n")) * (col("__sx") / col("__n")), lit(0.0)))
+    val packed = stats
+      .select(col("__d"), mean.as("__m"), sd.as("__s"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m"),
+        col("__s")))).as("__st"))
+    vecs.crossJoin(broadcast(packed))
+      .select(col(id).as("vec_id"),
+        zip_with(col(vec), col("__st"), (x, s) =>
+          when(s.getField("__s") > 0,
+            round((x.cast(DoubleType) - s.getField("__m")) /
+              s.getField("__s"), 6)).otherwise(lit(0.0))).as("zvec"))
+  }
+
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most
     * similar corpus vectors carrying a DIFFERENT label — the batch-prep
     * pass for contrastive/embedding training (the best negatives are the
@@ -4162,6 +4205,42 @@ object Engine {
       round(col("__p"), 6).as("p_raw"),
       round(col("__adj"), 6).as("p_adj"),
       (col("__adj") <= q).as("reject"))
+  }
+
+  /** Per-document CHARACTER-ENTROPY quality signal (q95m) — Shannon
+    * entropy of the code-point distribution plus its normalized form
+    * (entropy / ln(alphabet)), the classic cheap junk detector: binary
+    * blobs mis-ingested as text, base64/hex dumps, and key-mashing all
+    * sit far from prose on this axis, and repeated-template boilerplate
+    * collapses it toward 0. Complements q95 (word-shape ratios) and
+    * q95c (word repetition) with the sub-token layer.
+    *
+    * Scale shape: a PURE MAP — the [[graft.plans.CharEntropy]] codegen
+    * kernel computes histogram + fold per row in whole-stage codegen,
+    * so the operator costs exactly the scan (the SQL formulation would
+    * exchange one row per corpus CHARACTER; the HOF formulation is an
+    * interpreted-lambda tree — the q95j lesson). Entropy terms ride the
+    * 9-dp decimal grid inside the kernel (the q11c discipline), so the
+    * emitted double is grid-exact and left UNROUNDED (a further 6-dp
+    * round of a 9-dp grid value CAN land on a half — the q47i mean
+    * lesson); the normalized ratio divides to an irrational and rounds
+    * to 6 dp safely. Degenerate contract: n_distinct ≤ 1 (empty,
+    * single-char-alphabet) → entropy_norm 0.0, low_entropy true. */
+  def charEntropy(df: DataFrame, id: Column, text: Column,
+      normMin: Double = 0.5): DataFrame = {
+    val ce = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CharEntropy(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+    val norm = when(col("__ce.n_distinct") <= 1, lit(0.0))
+      .otherwise(round(col("__ce.entropy") /
+        log(col("__ce.n_distinct").cast(DoubleType)), 6))
+    df.select(id.as("doc_id"), ce.as("__ce"))
+      .select(col("doc_id"),
+        col("__ce.n_chars").as("n_cps"),
+        col("__ce.n_distinct").as("n_distinct"),
+        col("__ce.entropy").as("entropy_nats"),
+        norm.as("entropy_norm"),
+        (norm < normMin).as("low_entropy"))
   }
 
   def vocabGrowth(df: DataFrame, id: Column, text: Column,

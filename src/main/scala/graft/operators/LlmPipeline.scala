@@ -2270,6 +2270,54 @@ object LlmPipeline {
             .as("top_word_frac")))
     },
 
+    // Q95m (beyond-survey) — CHARACTER-ENTROPY quality signal
+    // ([[graft.Engine.charEntropy]] over the [[graft.plans.CharEntropy]]
+    // codegen kernel): per-doc Shannon entropy of the code-point
+    // distribution + the ln(alphabet)-normalized form — the cheap junk
+    // detector for binary blobs, base64/hex dumps, and key-mashing
+    // (all far from prose on this axis; template boilerplate collapses
+    // toward 0). Sub-token companion to q95 (word-shape ratios) and
+    // q95c (word repetition). A PURE MAP: histogram + fold per row in
+    // whole-stage codegen — the SQL formulation below exchanges one
+    // row per corpus CHARACTER (affordable at sf0.01, wrong at 100 TB,
+    // the q93o argument). Entropy terms ride the 9-dp decimal grid in
+    // the kernel (q11c discipline); the grid-exact sum is emitted
+    // UNROUNDED (re-rounding a grid value can land on a half — the
+    // q47i lesson); the normalized ratio rounds at 6 dp safely.
+    Q("q95m_char_entropy",
+      """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c
+        |  FROM documents CROSS JOIN
+        |    unnest(generate_series(1, length(text))) AS t(i)),
+        |hist AS (SELECT doc_id, c, count(*) AS cnt FROM ch
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, sum(cnt) AS n, count(*) AS nd FROM hist
+        |  GROUP BY 1),
+        |e AS (SELECT h.doc_id,
+        |    CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS ent
+        |  FROM hist h JOIN nn USING (doc_id) GROUP BY 1),
+        |o AS (SELECT d.doc_id,
+        |    CAST(coalesce(n, 0) AS BIGINT) AS n_cps,
+        |    CAST(coalesce(nd, 0) AS INT) AS n_distinct,
+        |    coalesce(ent, 0.0) AS entropy_nats,
+        |    CASE WHEN coalesce(nd, 0) <= 1 THEN 0.0
+        |      ELSE round(ent / ln(CAST(nd AS DOUBLE)), 6) END
+        |      AS entropy_norm
+        |  FROM documents d LEFT JOIN nn USING (doc_id)
+        |    LEFT JOIN e USING (doc_id))
+        |SELECT doc_id, n_cps, n_distinct, entropy_nats, entropy_norm,
+        |  (entropy_norm < 0.5) AS low_entropy
+        |FROM o
+        |ORDER BY doc_id NULLS FIRST, n_cps NULLS FIRST,
+        |  n_distinct NULLS FIRST, entropy_nats NULLS FIRST,
+        |  entropy_norm NULLS FIRST, low_entropy NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orderAll(graft.Engine.charEntropy(
+          Tables.t(s, dir, "documents"), col("doc_id"), col("text")))
+    },
+
     // Q92f (beyond-survey) — SEMANTIC dedup (the SemDeDup recipe: cluster
     // by nearest centroid, compare only within a cluster, drop all but
     // the smallest id of each near-duplicate set). The centroids are the
@@ -2775,6 +2823,42 @@ object LlmPipeline {
               slice(col("embedding"), 2, 1000000)))
           .otherwise(col("embedding")))
       orderAll(graft.Engine.embeddingAudit(dirty, "embedding"))
+    },
+
+    // Q92t (beyond-survey) — per-dimension EMBEDDING STANDARDIZATION
+    // ([[graft.Engine.standardizeEmbeddings]]): z-score every
+    // coordinate against the corpus-wide per-dim mean/σ (diagonal
+    // whitening) — the repair step for the rogue-dimension defect
+    // q92r's audit detects (one dominant dimension drowning the
+    // cosine signal). The moment pass posexplodes into a groupBy(dim)
+    // whose partial aggregation collapses each partition to |dims|
+    // rows map-side; the |dims|-row stats table packs into ONE
+    // broadcast row and the rewrite is a pure zip_with map — no
+    // data-keyed join, scan-cost at 100 TB. Moments ride the
+    // DECIMAL(38,6) grid; mean/σ/z divide in double with the one op
+    // order the oracle mirrors; constant dims emit z=0 by contract.
+    Q("q92t_standardize",
+      """WITH ex AS (SELECT vec_id, CAST(dim - 1 AS INT) AS d,
+        |    CAST(embedding[dim] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN
+        |    unnest(generate_series(1, len(embedding))) AS t(dim)),
+        |st AS (SELECT d, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM ex GROUP BY 1),
+        |m AS (SELECT d, sx / n AS mean,
+        |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+        |  FROM st),
+        |z AS (SELECT vec_id, ex.d,
+        |    CASE WHEN sd > 0 THEN round((x - mean) / sd, 6)
+        |      ELSE 0.0 END AS zx
+        |  FROM ex JOIN m ON ex.d = m.d)
+        |SELECT vec_id, list(zx ORDER BY d ASC) AS zvec
+        |FROM z GROUP BY 1
+        |ORDER BY vec_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.Engine.standardizeEmbeddings(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id").asc_nulls_first)
     },
 
     // Q92o (beyond-survey) — embedding CENTROID DRIFT between

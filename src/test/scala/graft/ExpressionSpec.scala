@@ -416,6 +416,71 @@ class ExpressionSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("char_entropy: kernel equals the decimal-grid HOF formulation " +
+      "bit-for-bit on randomized + degenerate + non-BMP texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1499)
+    val alphabet = "abcdefgh XYZ.,!"
+    val texts: Seq[(Long, String)] = (1 to 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(80))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ Seq(
+      (201L, ""),              // empty → (0, 0, 0.0) by contract
+      (202L, "aaaaaaa"),       // single-char alphabet → entropy 0
+      (203L, "😀😀a😀"),       // surrogate pairs count ONCE
+      (204L, "café naïve"),   // BMP multi-byte
+      (205L, null))
+    // reference: per-distinct-char counts via HOFs, terms rounded onto
+    // the 9-dp grid, summed in DECIMAL(38,9) — the oracle's arithmetic
+    val cs = filter(split(col("t"), ""), c => c =!= "")
+    val dist = array_distinct(cs)
+    val n = size(cs).cast("double")
+    // DECIMAL(20,9), not (38,9): adding two (38,9)s overflows precision
+    // and Spark REDUCES THE SCALE to 8 — the accumulator would round at
+    // 1e-8 every step (measured 4.5e-8 drift before the fix)
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val refEnt = aggregate(dist, lit(0).cast(dec9), (acc, c) =>
+      (acc + round(-(size(filter(cs, x => x === c)).cast("double") / n) *
+        log(size(filter(cs, x => x === c)).cast("double") / n), 9)
+        .cast(dec9)).cast(dec9)).cast("double")
+    val ce = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CharEntropy(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("t"))))
+    val got = texts.toDF("id", "t")
+      .select(col("id"), ce.as("r"), size(cs).cast("long").as("nref"),
+        size(dist).as("dref"), coalesce(refEnt, lit(0.0)).as("eref"),
+        col("t").isNull.as("tnull"))
+      .collect()
+    got.foreach { r =>
+      if (r.getBoolean(5)) assert(r.isNullAt(1), "null text must be null")
+      else {
+        val s = r.getStruct(1)
+        assert(s.getLong(0) == r.getLong(2),
+          s"n_chars drift on id ${r.getLong(0)}")
+        assert(s.getInt(1) == r.getInt(3),
+          s"n_distinct drift on id ${r.getLong(0)}")
+        assert(s.getDouble(2) == r.getDouble(4),
+          s"entropy drift on id ${r.getLong(0)}: " +
+            s"${s.getDouble(2)} != ${r.getDouble(4)}")
+      }
+    }
+  }
+
+  test("char_entropy participates in whole-stage codegen") {
+    val ce = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CharEntropy(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("text"))))
+    val df = Tables.t(spark, TestSpark.sfDir, "documents").select(ce.as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("char_entropy")), plan)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.write.format("noop").mode("overwrite").save()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("classifier_score participates in whole-stage codegen") {
     graft.plans.ClassifierScore.register(spark)
     val df = Tables.t(spark, TestSpark.sfDir, "documents")
