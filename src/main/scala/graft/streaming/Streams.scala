@@ -721,6 +721,52 @@ object Streams {
         depth = 4, width = 256))
     },
 
+    // Q79d (beyond-survey) — STREAMING quality-classifier gate: q95j's
+    // hashing-trick classifier applied the way an ingest feed actually
+    // arrives — each micro-batch classifies its own documents (a PURE
+    // MAP riding the [[graft.plans.ClassifierScore]] codegen kernel, so
+    // per-trigger cost is the batch scan) and lands in an idempotent
+    // per-batch partition (the q77 replay discipline). The oracle is
+    // q95j's VERBATIM, so the hash match IS the batch≡streaming proof:
+    // a row-local operator commutes with any batching of the corpus —
+    // the property that lets the same classifier gate serve both the
+    // backfill and the live feed with one code path (the reference's
+    // batch/cursor duality, sources/meteosat.py:88-122, applied to a
+    // quality gate instead of a slot fetch).
+    Q("q79d_stream_classifier",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ws, t ->
+        |        CAST(((list_reduce(list_transform(range(1, len(t) + 1),
+        |              i -> CAST(ascii(t[i]) AS BIGINT)),
+        |            (a, b) -> (a * 257 + b) % 1000000007) % 4096)
+        |            * 2654435761 + 12345) % 1048576 AS DOUBLE)
+        |          / 1048576.0 - 0.5)),
+        |      (acc, x) -> acc + x) AS sc
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CASE WHEN n = 0 THEN NULL ELSE round(sc / n, 6) END AS logit,
+        |  (n > 0 AND sc > 0.0) AS keep
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST,
+        |  logit NULLS FIRST, keep NULLS FIRST""".stripMargin) { (s, dir) =>
+      val batches = Sources.docsStream(s, dir, "doc_id IS NOT NULL",
+        nFiles = 4, maxFilesPerTrigger = Some(1))
+      val out = viaForeachBatch("q79d_stream_classifier", dir, batches,
+        "append") { (b, id) =>
+        graft.Engine.hashClassifier(b, col("doc_id"), col("text"),
+            buckets = 4096)
+          .write.mode("overwrite")
+          .parquet(IO.scratchPath("q79d_stream_classifier", dir) +
+            s"/data/batch=$id")
+      }
+      orderAll(s.read.parquet(s"$out/data")
+        .select("doc_id", "n_tokens", "logit", "keep"))
+    },
+
     // Q77 — foreachBatch sink with exactly-once semantics: each batch
     // lands in its own batch_id partition via idempotent dynamic-partition
     // overwrite — a replayed batch rewrites the same partition to the
