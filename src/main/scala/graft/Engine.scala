@@ -4207,6 +4207,52 @@ object Engine {
       (col("__adj") <= q).as("reject"))
   }
 
+  /** Per-column STATISTICS-DRIFT audit between two table versions
+    * (q11g) — the data-contract companion to q58b's row diff: row diffs
+    * say WHICH rows changed, this says whether any COLUMN's shape moved
+    * (null rate, distinct cardinality, row count) — the check that
+    * catches a silent upstream re-tag, a null-flood, or an enum
+    * collapse before a model trains on it. Per column of both
+    * versions: rows, non-null count, distinct count; then the aligned
+    * drift readout with flags.
+    *
+    * Scale shape: one pass per version explodes each row into
+    * |columns| (name, value) pairs — a constant fan-out of the scan,
+    * partial-aggregated for counts; the DISTINCT pre-aggregate keys on
+    * md5(value), so the exchange carries 16-byte digests, never the
+    * values themselves (the q90f digest discipline — a text column at
+    * 100 TB would otherwise ship its whole domain). All ratios are
+    * divisions of exact longs — identical IEEE bits in both engines,
+    * emitted UNROUNDED (no decimal-grid step needed). */
+  def columnStatsDrift(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String], ratioLo: Double = 0.8, ratioHi: Double = 1.25,
+      nullDeltaMax: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty)
+    def stats(df: DataFrame, suffix: String): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*))
+          .as("__p"))
+        .select(col("__p.c").as("column_name"), col("__p.v").as("__v"))
+        .groupBy("column_name")
+        .agg(count(lit(1)).as(s"n_$suffix"),
+          count(col("__v")).as(s"__nn_$suffix"),
+          countDistinct(md5(col("__v"))).as(s"distinct_$suffix"))
+    val o = stats(oldDf, "old")
+    val n = stats(newDf, "new")
+    val nullOld = (col("n_old") - col("__nn_old")).cast(DoubleType) /
+      col("n_old")
+    val nullNew = (col("n_new") - col("__nn_new")).cast(DoubleType) /
+      col("n_new")
+    val dRatio = col("distinct_new").cast(DoubleType) / col("distinct_old")
+    o.join(n, Seq("column_name"))
+      .select(col("column_name"), col("n_old"), col("n_new"),
+        nullOld.as("null_rate_old"), nullNew.as("null_rate_new"),
+        col("distinct_old"), col("distinct_new"),
+        dRatio.as("distinct_ratio"),
+        (dRatio < ratioLo || dRatio > ratioHi ||
+          abs(nullNew - nullOld) > nullDeltaMax).as("drift"))
+  }
+
   /** Per-document CHARACTER-ENTROPY quality signal (q95m) — Shannon
     * entropy of the code-point distribution plus its normalized form
     * (entropy / ln(alphabet)), the classic cheap junk detector: binary
@@ -6026,6 +6072,43 @@ object Engine {
         (lit(6L) - score("recency_days")).as("r_score"),
         score("frequency").as("f_score"),
         score("monetary").as("m_score"))
+  }
+
+  /** Top-k SEQUENTIAL event PATTERNS (q47j) — the most frequent
+    * length-3 event-type sequences across per-user ordered streams,
+    * with corpus support: the sequence-mining readout behind funnel
+    * DISCOVERY (q47b measures a funnel you already know; this surfaces
+    * the paths users actually take) and session-level anomaly review
+    * (a scripted client's loop is a single dominant trigram — the
+    * sequence-shaped complement to q47i's timing signal). Complements
+    * q47d's Markov matrix (order-1 transitions) with order-2 context.
+    *
+    * Scale shape: ONE exchange — the per-user window hash-partitions
+    * on user_id and two lags build each trigram row-locally inside it;
+    * the count groupBy partial-aggregates into the |types|³-bounded
+    * pattern domain, and the top-k cut is a TakeOrdered. Support
+    * divides exact longs (identical IEEE bits; unrounded) against the
+    * 1-row total broadcast. */
+  def eventTrigrams(events: DataFrame, user: Column, ts: Column,
+      eventId: Column, etype: Column, k: Int = 20): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts").asc, col("__eid").asc)
+    val tri = events.filter(user.isNotNull && ts.isNotNull)
+      .select(user.as("__u"), ts.as("__ts"), eventId.as("__eid"),
+        etype.as("e3"))
+      .withColumn("e1", lag(col("e3"), 2).over(w))
+      .withColumn("e2", lag(col("e3"), 1).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .persistOnce()
+    val tot = tri.agg(sum(col("n")).as("__tot"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("e1"), col("e2"), col("e3"), col("n"),
+        (col("n").cast(DoubleType) / col("__tot")).as("support"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc,
+        col("e3").asc)
+      .limit(k)
   }
 
   /** Inter-event GAP-REGULARITY audit (q47i) — the standard automation /

@@ -315,6 +315,67 @@ object Projections {
           col("o_custkey").isNull.as("cust_missing"))).limit(5000)
     },
 
+    // Q11g (beyond-survey) — per-column STATISTICS-DRIFT audit between
+    // two table versions ([[graft.Engine.columnStatsDrift]]): q58b's
+    // row diff says WHICH rows changed; this says whether any COLUMN's
+    // shape moved (rows, null rate, distinct cardinality) — the
+    // data-contract check that catches a silent upstream re-tag, a
+    // null-flood, or an enum collapse before a model trains on it.
+    // Versions are the q58b SnapshotFixture pair, and the audit FIRES
+    // for real: the new snapshot's %5=0 lang re-tag adds an enum value
+    // (distinct 5 -> 6, ratio 1.2, outside the [0.87, 1.15] band sized
+    // for low-cardinality enums) while row-level churn leaves every
+    // other column inside it (id/text ~1.002, n_chars ~0.993). Each version is ONE pass with a
+    // constant |columns| fan-out; the distinct pre-aggregate keys on
+    // md5(value) so the exchange carries 16-byte digests, never the
+    // text domain (the q90f digest discipline). Ratios divide exact
+    // longs — identical IEEE bits, emitted unrounded.
+    Q("q11g_stats_drift",
+      """WITH od AS (SELECT * FROM documents WHERE doc_id % 11 <> 3),
+        |nd AS (SELECT doc_id, text, source, n_chars,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang
+        |  FROM documents WHERE doc_id % 11 <> 7),
+        |op AS (SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS v
+        |    FROM od
+        |  UNION ALL SELECT 'text', text FROM od
+        |  UNION ALL SELECT 'lang', lang FROM od
+        |  UNION ALL SELECT 'source', source FROM od
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM od),
+        |np AS (SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS v
+        |    FROM nd
+        |  UNION ALL SELECT 'text', text FROM nd
+        |  UNION ALL SELECT 'lang', lang FROM nd
+        |  UNION ALL SELECT 'source', source FROM nd
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM nd),
+        |os AS (SELECT c, count(*) AS n_old, count(v) AS nn_old,
+        |    count(DISTINCT md5(v)) AS distinct_old FROM op GROUP BY 1),
+        |ns AS (SELECT c, count(*) AS n_new, count(v) AS nn_new,
+        |    count(DISTINCT md5(v)) AS distinct_new FROM np GROUP BY 1),
+        |j AS (SELECT os.c AS column_name, n_old, n_new,
+        |    CAST(n_old - nn_old AS DOUBLE) / n_old AS null_rate_old,
+        |    CAST(n_new - nn_new AS DOUBLE) / n_new AS null_rate_new,
+        |    distinct_old, distinct_new,
+        |    CAST(distinct_new AS DOUBLE) / distinct_old
+        |      AS distinct_ratio
+        |  FROM os JOIN ns ON os.c = ns.c)
+        |SELECT column_name, n_old, n_new, null_rate_old, null_rate_new,
+        |  distinct_old, distinct_new, distinct_ratio,
+        |  (distinct_ratio < 0.87 OR distinct_ratio > 1.15
+        |    OR abs(null_rate_new - null_rate_old) > 0.01) AS drift
+        |FROM j
+        |ORDER BY column_name NULLS FIRST, n_old NULLS FIRST,
+        |  n_new NULLS FIRST, null_rate_old NULLS FIRST,
+        |  null_rate_new NULLS FIRST, distinct_old NULLS FIRST,
+        |  distinct_new NULLS FIRST, distinct_ratio NULLS FIRST,
+        |  drift NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      orderAll(graft.Engine.columnStatsDrift(
+        graft.SnapshotFixture.oldSnapshot(docs),
+        graft.SnapshotFixture.newSnapshot(docs),
+        Seq("doc_id", "text", "lang", "source", "n_chars"),
+        ratioLo = 0.87, ratioHi = 1.15))
+    },
+
     // Q14 — LIKE and regex predicates (rlike == unanchored search, same as
     // DuckDB regexp_matches).
     Q("q14_like",

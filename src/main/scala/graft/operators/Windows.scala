@@ -299,6 +299,37 @@ object Windows {
         col("user_id"), col("ts"), col("event_id")))
     },
 
+    // Q47j (beyond-survey) — top-k SEQUENTIAL event patterns
+    // ([[graft.Engine.eventTrigrams]]): the most frequent length-3
+    // event-type sequences over per-user ordered streams, with corpus
+    // support — funnel DISCOVERY (q47b measures a funnel you name;
+    // this surfaces the paths users actually take) and the
+    // sequence-shaped complement to q47i's timing-based bot signal
+    // (a scripted loop is one dominant trigram). Order-2 context on
+    // top of q47d's order-1 Markov matrix. ONE exchange: two lags
+    // inside the user window build trigrams row-locally; the count
+    // groupBy partial-aggregates into the |types|³-bounded domain;
+    // top-k is a TakeOrdered; support divides exact longs against the
+    // 1-row total broadcast (identical IEEE bits, unrounded).
+    Q("q47j_event_trigrams",
+      """WITH o AS (SELECT user_id, ts, event_id, event_type AS e3,
+        |    lag(event_type, 2) OVER w AS e1,
+        |    lag(event_type, 1) OVER w AS e2
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC)),
+        |t AS (SELECT e1, e2, e3, count(*) AS n FROM o
+        |  WHERE e1 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(n) AS tot FROM t)
+        |SELECT e1, e2, e3, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / tot AS support
+        |FROM t CROSS JOIN tot
+        |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.Engine.eventTrigrams(Tables.t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    },
+
     // Q47b (beyond-survey) — ordered event FUNNEL: the furthest
     // signup → click → purchase stage each user reached, with every
     // step STRICTLY after the previous one (not mere type presence —

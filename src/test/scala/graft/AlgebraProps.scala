@@ -697,4 +697,104 @@ object AlgebraProps extends Properties("algebra") {
         r.getLong(4) == fan.values.max.toLong &&
         r.getBoolean(5) == fan.values.forall(_ == 1)
     }
+
+  property("gapRegularity: time translation leaves every output " +
+      "bit-identical at any partitioning (cv is shift-free)") =
+    forAll(Gen.listOfN(25, for {
+      u <- Gen.choose(1, 3)
+      t <- Gen.choose(0L, 100000L)
+    } yield (u, t)), parts, Gen.choose(1L, 500000L)) { (xs, p, shift) =>
+      import spark.implicits._
+      def run(off: Long) = {
+        val df = spark.createDataset(xs.zipWithIndex.map {
+            case ((u, t), i) => (u.toLong, (t + off) * 1000000L, i.toLong)
+          }).toDF("user_id", "us", "event_id")
+          .withColumn("ts", timestamp_micros(col("us"))).repartition(p)
+        Engine.gapRegularity(df, col("user_id"), col("ts"),
+            col("event_id"), minGaps = 3)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      run(0L) == run(shift)
+    }
+
+  property("charEntropy kernel: permutation-invariant, and " +
+      "self-concatenation doubles n but preserves entropy exactly") =
+    forAll(Gen.listOf(Gen.oneOf("abcdd  XY.!".toSeq)).map(_.mkString)) {
+      t =>
+        import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+        val base = graft.plans.CharEntropy.compute(u8(t))
+        val perm = graft.plans.CharEntropy.compute(
+          u8(new scala.util.Random(42).shuffle(t.toSeq).mkString))
+        val dbl = graft.plans.CharEntropy.compute(u8(t + t))
+        base.getLong(0) == perm.getLong(0) &&
+          base.getInt(1) == perm.getInt(1) &&
+          base.getDouble(2) == perm.getDouble(2) &&
+          dbl.getLong(0) == 2 * base.getLong(0) &&
+          dbl.getInt(1) == base.getInt(1) &&
+          dbl.getDouble(2) == base.getDouble(2)
+    }
+
+  property("zipfSlope: duplicating the corpus preserves the slope and " +
+      "shifts the intercept by ln 2 (rank order is frequency-scale-free)") =
+    forAll(Gen.listOfN(12,
+      Gen.listOfN(8, Gen.oneOf("aa bb cc dd ee ff gg hh".split(" ").toSeq))
+        .map(_.mkString(" "))).suchThat(_.nonEmpty), parts) { (docs, p) =>
+      import spark.implicits._
+      val d1 = spark.createDataset(docs).toDF("text").repartition(p)
+      val r1 = Engine.zipfSlope(d1, col("text"), topN = 8).collect()(0)
+      val r2 = Engine.zipfSlope(d1.unionAll(d1), col("text"), topN = 8)
+        .collect()(0)
+      r1.getLong(0) == r2.getLong(0) &&
+        math.abs(r2.getDouble(1) - r1.getDouble(1)) <= 2e-6 &&
+        math.abs(r2.getDouble(2) -
+          (r1.getDouble(2) + math.log(2.0))) <= 2e-6
+    }
+
+  property("bhFdrDrift: adjusted p is a step-up — non-decreasing along " +
+      "the raw-p order, >= raw p, capped at 1") =
+    forAll(rows.suchThat(_.map(_._3).distinct.size >= 2), parts) {
+      (xs, p) =>
+        val out = Engine.bhFdrDrift(
+            df(xs, p).withColumn("v", col("a").cast("double")),
+            col("s"), col("v"), buckets = 16)
+          .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+          .sortBy(_._1)
+        out.forall { case (pr, pa) => pa >= pr - 1e-9 && pa <= 1.0 } &&
+          out.sliding(2).forall {
+            case Array((_, a), (_, b)) => b >= a - 1e-9
+            case _ => true
+          }
+    }
+
+  property("eventTrigrams: with an unbounded k the pattern counts sum " +
+      "to exactly sum_u max(0, |events_u| - 2)") =
+    forAll(Gen.listOfN(30, for {
+      u <- Gen.choose(1, 4)
+      t <- Gen.choose(0L, 1000L)
+      e <- Gen.oneOf("a", "b", "c")
+    } yield (u, t, e)), parts) { (xs, p) =>
+      import spark.implicits._
+      val df = spark.createDataset(xs.zipWithIndex.map {
+          case ((u, t, e), i) => (u.toLong, t * 1000000L, i.toLong, e)
+        }).toDF("user_id", "us", "event_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))).repartition(p)
+      val got = Engine.eventTrigrams(df, col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), k = 1000000)
+        .agg(sum(col("n"))).collect()(0)
+      val want = xs.groupBy(_._1).values.map(g => math.max(0, g.size - 2))
+        .sum.toLong
+      (if (got.isNullAt(0)) 0L else got.getLong(0)) == want
+    }
+
+  property("columnStatsDrift: identical versions read ratio exactly 1, " +
+      "zero null-rate delta, no drift") =
+    forAll(rows.suchThat(_.nonEmpty), parts) { (xs, p) =>
+      val d = df(xs, p)
+      Engine.columnStatsDrift(d, d, Seq("a", "b", "s")).collect()
+        .forall { r =>
+          r.getDouble(7) == 1.0 && !r.getBoolean(8) &&
+            r.getDouble(3) == r.getDouble(4) &&
+            r.getLong(1) == r.getLong(2)
+        }
+    }
 }
