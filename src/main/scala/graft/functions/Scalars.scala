@@ -69,6 +69,38 @@ object Scalars {
           expr("repeat('-', CAST(p_size % 5 AS INT))").as("gauge")))
     },
 
+    // Q66b (beyond-survey) — JARO–WINKLER similarity
+    // ([[graft.plans.JaroWinkler]] codegen kernel): the standard
+    // record-linkage / name-matching comparator — transposition-
+    // tolerant where q66's levenshtein counts raw edits — with the
+    // Winkler prefix boost above the 0.7 Jaro threshold. A PURE MAP
+    // (per-row kernel in whole-stage codegen). The oracle calls
+    // DuckDB's OWN jaro_winkler_similarity, so this hash match is a
+    // cross-engine, cross-IMPLEMENTATION equality: two independent
+    // ports of Winkler's comparator agreeing on every fixture row,
+    // every probed branch (window-0, odd transposition floor, boost
+    // threshold, prefix cap 4) — the q93s two-routes argument applied
+    // to a scalar kernel. The match flag compares the ROUNDED score,
+    // so a last-ulp cross-port difference cannot flip it.
+    Q("q66b_jaro_winkler",
+      """SELECT p_partkey,
+        |  round(jaro_winkler_similarity(substr(p_name, 1, 10),
+        |    p_brand), 6) AS jw,
+        |  (round(jaro_winkler_similarity(substr(p_name, 1, 10),
+        |    p_brand), 6) >= 0.5) AS strong
+        |FROM part
+        |ORDER BY p_partkey NULLS FIRST, jw NULLS FIRST,
+        |  strong NULLS FIRST""".stripMargin) { (s, dir) =>
+      val jw = round(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.JaroWinkler(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            substring(col("p_name"), 1, 10)),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col("p_brand")))), 6)
+      orderAll(Tables.t(s, dir, "part").select(
+        col("p_partkey"), jw.as("jw"), (jw >= 0.5).as("strong")))
+    },
+
     // Q61 — date/time functions. The `slot` column is the reference's 15-min
     // slot bucketing (`sources/meteosat.py:88-93`); epoch seconds use
     // floor() on both sides (DuckDB CAST(double AS BIGINT) rounds, so the

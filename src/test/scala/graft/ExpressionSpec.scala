@@ -481,6 +481,46 @@ class ExpressionSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("jaro_winkler: every probed branch pins to the independently " +
+      "verified values (window-0, odd-transposition floor, boost " +
+      "threshold, prefix cap)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def jw(a: String, b: String) =
+      graft.plans.JaroWinkler.compute(u8(a), u8(b))
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    assert(close(jw("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(close(jw("DIXON", "DICKSONX"), 0.8133333333333332))
+    assert(close(jw("JELLYFISH", "SMELLYFISH"), 0.8962962962962964))
+    // jaro 0.6 with a 4-char common prefix: boost must NOT fire
+    assert(close(jw("abcdxxxxxx", "abcdyyyyyy"), 0.6))
+    // odd mismatch count floors the half-transposition (t = 1, not 1.5)
+    assert(close(jw("abcxyz", "bcaxyz"), 0.9444444444444445))
+    // prefix boost capped at 4 even with 5 common chars
+    assert(close(jw("aaaaab", "aaaaac"), 0.9333333333333333))
+    // window 0: adjacent transposition out of reach -> 0
+    assert(jw("ab", "ba") == 0.0)
+    assert(jw("", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("a", "a") == 1.0)
+    // surrogate pairs compare as single code points
+    assert(jw("😀😀", "😀😀") == 1.0)
+  }
+
+  test("jaro_winkler participates in whole-stage codegen") {
+    val jw = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.JaroWinkler(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col("source")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col("lang"))))
+    val df = Tables.t(spark, TestSpark.sfDir, "documents").select(jw.as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("jaro_winkler")), plan)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.write.format("noop").mode("overwrite").save()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("classifier_score participates in whole-stage codegen") {
     graft.plans.ClassifierScore.register(spark)
     val df = Tables.t(spark, TestSpark.sfDir, "documents")

@@ -787,7 +787,15 @@ class PlanSpec extends AnyFunSuite {
       "q33c_overlap_estimate",
       // 1-row priced-candidate budget scalar broadcast (the exact-join
       // refusal gate riding q91c's gram-frequency table)
-      "q91c_jaccard_join")
+      "q91c_jaccard_join",
+      // 1-row min/max bounds scalar + the domain-sized dense-grid
+      // cross (|groups| × 256 buckets, both sides aggregates)
+      "q46n_bh_fdr",
+      // 1-row trigram-total scalar broadcast, the q93f class
+      "q47j_event_trigrams",
+      // 1-row packed per-dim stats scalar broadcast (the q47h cuts
+      // pattern applied to the |dims|-row moment table)
+      "q92t_standardize")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
