@@ -663,6 +663,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q47i: the gap audit moves data exactly once — the lag window's " +
+      "user partitioning is reused by the per-user aggregate") {
+    // the naive formulation shuffles twice (window, then a fresh
+    // aggregate exchange); here the groupBy must ride the window's
+    // hashpartitioning(user_id), so ONE hash exchange total (the final
+    // orderAll adds a range exchange for oracle canonicalization)
+    val p = planOf("q47i_gap_regularity")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+  }
+
+  test("q95m / q66b: the codegen scalar kernels are PURE MAPS — zero " +
+      "hash exchanges between scan and canonicalization sort") {
+    // (whole-stage-codegen participation is pinned separately in
+    // ExpressionSpec; the AQE-wrapped registry plan string does not
+    // render codegen stars before finalization)
+    for ((q, kernel) <- Seq("q95m_char_entropy" -> "char_entropy",
+        "q66b_jaro_winkler" -> "jaro_winkler")) {
+      val p = planOf(q)
+      val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+      assert(n == 0, s"$q: expected 0 hash exchanges, got $n:\n$p")
+      assert(p.contains(kernel), s"$q: $kernel missing from the plan:\n$p")
+    }
+  }
+
+  test("q92t: one moment-pass exchange, stats return as a broadcast — " +
+      "no data-keyed join anywhere in the rewrite") {
+    // posexplode → groupBy(dim) is the single hashpartitioning (its
+    // partial aggregate collapses each partition to |dims| rows
+    // map-side); the packed stats row must come back as a
+    // BroadcastExchange, never a SortMergeJoin on vec rows
+    val p = planOf("q92t_standardize")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"moment pass must partial-aggregate below the exchange:\n$p")
+  }
+
   test("global audit: no CartesianProduct anywhere; BNLJ only where intended") {
     // Sweep every LAZILY-built registry query's executed plan for the
     // two scale-killers. Excluded — by EXPLICIT name, so pure-plan
