@@ -2700,35 +2700,35 @@ object Engine {
     * groupBy(dim) — dims·rows exploded rows, but partial aggregation
     * collapses each partition to |dims| rows map-side, so the exchange
     * carries |dims|·partitions rows, never data. The |dims|-row stats
-    * table packs into ONE broadcast row (the rfmFeatures cuts pattern)
-    * and the rewrite is a pure zip_with map — no second pass, no join
-    * keyed on data. Determinism: moments ride the DECIMAL(38,6) grid
-    * (float→double widening is exact; decimal addition order-free);
-    * mean/σ/z divide in double with one pinned op order mirrored by
-    * the oracle; constant dims (σ=0) emit z=0 by contract. */
+    * table comes back as a BROADCAST hash join keyed on the dim index,
+    * so the rewrite never shuffles data rows. Output is SCALAR rows
+    * (vec_id, d, zx) — the q36/q38 "arrays don't canonicalize" rule —
+    * which also gives ragged/null inputs the oracle's semantics for
+    * free: a short vector emits only its own dims, a null embedding
+    * emits no rows (posexplode and unnest agree). Determinism: moments
+    * ride the DECIMAL(38,6) grid (float→double widening is exact;
+    * decimal addition order-free); mean/σ/z divide in double with one
+    * pinned op order mirrored by the oracle; constant dims (σ=0) emit
+    * z=0 by contract. */
   def standardizeEmbeddings(vecs: DataFrame, id: String,
       vec: String): DataFrame = {
-    val ex = vecs.select(col(id).as("__vid"),
-        posexplode(col(vec)).as(Seq("__d", "__xf")))
-      .select(col("__vid"), col("__d"),
+    val ex = vecs.select(col(id).as("vec_id"),
+        posexplode(col(vec)).as(Seq("d", "__xf")))
+      .select(col("vec_id"), col("d"),
         col("__xf").cast(DoubleType).as("__x"))
-    val stats = ex.groupBy("__d").agg(
+    val stats = ex.groupBy(col("d").as("__sd")).agg(
       count(lit(1)).as("__n"),
       graft.Canon.sumDec(col("__x")).as("__sx"),
       graft.Canon.sumDec(col("__x") * col("__x")).as("__sxx"))
     val mean = col("__sx") / col("__n")
     val sd = sqrt(greatest(col("__sxx") / col("__n") -
       (col("__sx") / col("__n")) * (col("__sx") / col("__n")), lit(0.0)))
-    val packed = stats
-      .select(col("__d"), mean.as("__m"), sd.as("__s"))
-      .agg(array_sort(collect_list(struct(col("__d"), col("__m"),
-        col("__s")))).as("__st"))
-    vecs.crossJoin(broadcast(packed))
-      .select(col(id).as("vec_id"),
-        zip_with(col(vec), col("__st"), (x, s) =>
-          when(s.getField("__s") > 0,
-            round((x.cast(DoubleType) - s.getField("__m")) /
-              s.getField("__s"), 6)).otherwise(lit(0.0))).as("zvec"))
+    ex.join(broadcast(stats.select(col("__sd"), mean.as("__m"),
+        sd.as("__s"))), col("d") === col("__sd"))
+      .select(col("vec_id"), col("d"),
+        when(col("__s") > 0,
+          round((col("__x") - col("__m")) / col("__s"), 6))
+          .otherwise(lit(0.0)).as("zx"))
   }
 
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most

@@ -2832,11 +2832,13 @@ object LlmPipeline {
     // q92r's audit detects (one dominant dimension drowning the
     // cosine signal). The moment pass posexplodes into a groupBy(dim)
     // whose partial aggregation collapses each partition to |dims|
-    // rows map-side; the |dims|-row stats table packs into ONE
-    // broadcast row and the rewrite is a pure zip_with map — no
-    // data-keyed join, scan-cost at 100 TB. Moments ride the
-    // DECIMAL(38,6) grid; mean/σ/z divide in double with the one op
-    // order the oracle mirrors; constant dims emit z=0 by contract.
+    // rows map-side; the |dims|-row stats table broadcasts back onto
+    // the exploded rows — no data-keyed shuffle, scan-cost at 100 TB.
+    // Output is SCALAR (vec_id, d, zx) rows per the q36/q38 "arrays
+    // don't canonicalize" rule (the driver's pandas comparator cannot
+    // hash array cells). Moments ride the DECIMAL(38,6) grid; mean/σ/z
+    // divide in double with the one op order the oracle mirrors;
+    // constant dims emit z=0 by contract.
     Q("q92t_standardize",
       """WITH ex AS (SELECT vec_id, CAST(dim - 1 AS INT) AS d,
         |    CAST(embedding[dim] AS DOUBLE) AS x
@@ -2848,17 +2850,16 @@ object LlmPipeline {
         |  FROM ex GROUP BY 1),
         |m AS (SELECT d, sx / n AS mean,
         |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
-        |  FROM st),
-        |z AS (SELECT vec_id, ex.d,
+        |  FROM st)
+        |SELECT vec_id, ex.d AS d,
         |    CASE WHEN sd > 0 THEN round((x - mean) / sd, 6)
         |      ELSE 0.0 END AS zx
-        |  FROM ex JOIN m ON ex.d = m.d)
-        |SELECT vec_id, list(zx ORDER BY d ASC) AS zvec
-        |FROM z GROUP BY 1
-        |ORDER BY vec_id NULLS FIRST""".stripMargin) { (s, dir) =>
+        |FROM ex JOIN m ON ex.d = m.d
+        |ORDER BY vec_id NULLS FIRST, d NULLS FIRST""".stripMargin) {
+      (s, dir) =>
       graft.Engine.standardizeEmbeddings(
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy(col("vec_id").asc_nulls_first)
+        .orderBy(col("vec_id").asc_nulls_first, col("d").asc_nulls_first)
     },
 
     // Q92o (beyond-survey) — embedding CENTROID DRIFT between

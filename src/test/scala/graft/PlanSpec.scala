@@ -692,8 +692,9 @@ class PlanSpec extends AnyFunSuite {
       "no data-keyed join anywhere in the rewrite") {
     // posexplode → groupBy(dim) is the single hashpartitioning (its
     // partial aggregate collapses each partition to |dims| rows
-    // map-side); the packed stats row must come back as a
-    // BroadcastExchange, never a SortMergeJoin on vec rows
+    // map-side); the |dims|-row stats table must come back as a
+    // BroadcastExchange hash join on the dim index, never a
+    // SortMergeJoin on vec rows
     val p = planOf("q92t_standardize")
     val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
@@ -832,10 +833,7 @@ class PlanSpec extends AnyFunSuite {
       // cross (|groups| × 256 buckets, both sides aggregates)
       "q46n_bh_fdr",
       // 1-row trigram-total scalar broadcast, the q93f class
-      "q47j_event_trigrams",
-      // 1-row packed per-dim stats scalar broadcast (the q47h cuts
-      // pattern applied to the |dims|-row moment table)
-      "q92t_standardize")
+      "q47j_event_trigrams")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     assert(names.size >= 95, s"audit should cover the bulk: ${names.size}")
     val bad = names.flatMap { n =>
