@@ -704,16 +704,16 @@ class PlanSpec extends AnyFunSuite {
       s"moment pass must partial-aggregate below the exchange:\n$p")
   }
 
-  test("global audit: no CartesianProduct anywhere; BNLJ only where intended") {
-    // Sweep every LAZILY-built registry query's executed plan for the
-    // two scale-killers. Excluded — by EXPLICIT name, so pure-plan
-    // queries can never silently fall out of the sweep — are only the
-    // builders that execute side effects on build: source/sink
-    // round-trips that stage or write, streaming replays that run their
-    // query on build, q20c/q20d (eager materialization under scoped
-    // confs), and q91b/q91e (the iterative clustering loop). Those have
-    // targeted assertions or return read-back scans with no join at all.
-    val sideEffecting = Set(
+  /** Registry queries whose BUILDER executes side effects (source/sink
+    * round-trips that stage or write, streaming replays that run their
+    * query on build, eager materialization under scoped confs, the
+    * iterative clustering loops). Shared by the no-cartesian audit and
+    * the output-schema lint, both of which only build LAZY queries; the
+    * excluded names are pinned explicitly (and asserted ⊆ registry) so
+    * a rename can never silently widen the blind spot. Side-effecting
+    * queries' output schemas are still hash-checked by the driver's
+    * per-round DuckDB compare. */
+  private val sideEffecting = Set(
       "q01b_schema_evolution", "q02_csv_scan", "q03_json_scan",
       "q03b_corrupt_json", "q03c_xml_roundtrip", "q04_binary_scan",
       "q05_partitioned_sink", "q05b_compacted_roundtrip",
@@ -747,6 +747,58 @@ class PlanSpec extends AnyFunSuite {
       // runs the whole Part-A slot loop (catalog match → fetch → unzip
       // → publish → cursor commit) on build, then reads the trace back
       "q101_pipeline_capstone")
+
+  /** The q92t lesson as an executable rule: the driver's comparator
+    * serializes results through pandas, whose sort/hash canonicalizer
+    * crashes on nested cells (`unhashable type: numpy.ndarray`) — so a
+    * registered query must only ever emit SCALAR top-level columns.
+    * Arrays/maps/structs must be exploded to scalar rows first (the
+    * q36/q38 convention, stated in prose at Aggregates.scala:230-236
+    * and :257-259; enforced here). Returns the offending columns. */
+  private def nestedOutputCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+
+  test("registry lint: no query registers a nested (array/map/struct) " +
+      "output column — the q92t class cannot recur") {
+    assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
+      sideEffecting.diff(SparkEntry.queries.keySet).mkString(","))
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
+    // schema alone forces only ANALYSIS, never a job — the whole
+    // registry lints in seconds
+    val bad = names.flatMap { n =>
+      val nested = nestedOutputCols(
+        SparkEntry.queries(n)(spark, TestSpark.sfDir).schema)
+      if (nested.nonEmpty) Some(s"$n → ${nested.mkString(", ")}") else None
+    }
+    assert(bad.isEmpty,
+      s"nested output columns (driver cannot canonicalize them — " +
+        s"posexplode to scalar rows per the q36/q38 rule):\n" +
+        bad.mkString("\n"))
+  }
+
+  test("registry lint: the nested-column detector itself fires on an " +
+      "array-returning probe") {
+    import spark.implicits._
+    val probe = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")
+    assert(nestedOutputCols(probe.schema) == Seq("vec: array<double>"))
+    val probe2 = probe.select(col("id"),
+      org.apache.spark.sql.functions.map(col("id").cast("string"),
+        col("id")).as("m"),
+      org.apache.spark.sql.functions.struct(col("id")).as("s"))
+    assert(nestedOutputCols(probe2.schema).size == 2)
+  }
+
+  test("global audit: no CartesianProduct anywhere; BNLJ only where intended") {
+    // Sweep every LAZILY-built registry query's executed plan for the
+    // two scale-killers (side-effecting builders excluded — see
+    // `sideEffecting`; those have targeted assertions or return
+    // read-back scans with no join at all).
     // every excluded name must exist — a rename would silently widen the
     // sweep's blind spot otherwise
     assert(sideEffecting.subsetOf(SparkEntry.queries.keySet),
