@@ -994,11 +994,18 @@ object Engine {
     * a driver-bounded reassembly of K rows — the corpus shuffles
     * nothing wider than (vec_id, blk, code). Means round through
     * DECIMAL(38,9), so the trained codebook is bit-reproducible across
-    * partitionings and reruns. */
+    * partitionings and reruns.
+    *
+    * `tol` > 0 turns `iters` into a CAP with convergence early-stop:
+    * after each pass the measured encode distortion ([[pqDistortion]],
+    * one bounded action per pass — a training loop, not a query) is
+    * compared to the previous pass's, and training stops once the
+    * relative improvement drops below `tol`. Lloyd monotonicity
+    * (EngineSpec pins it) makes the stop deterministic. */
   def pqTrainResidualCodebook(corpus: DataFrame, id: String, vec: String,
       centroids: DataFrame, cid: String, cvec: String,
       seedIds: Seq[Long], blocks: Int, subDim: Int = 8,
-      iters: Int = 1): DataFrame = {
+      iters: Int = 1, tol: Double = 0.0): DataFrame = {
     require(iters >= 0)
     val dec9 = DecimalType(38, 9)
     val res = ivfResiduals(corpus, id, vec, centroids, cid, cvec)
@@ -1006,7 +1013,12 @@ object Engine {
     var cb = res.filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id").as("cb_id"), col("residual").as("cb_vec"))
       .persistOnce()
-    for (_ <- 1 to iters) {
+    def distortion(): Double =
+      pqDistortion(res, "vec_id", "residual", cb, "cb_id", "cb_vec",
+        blocks, subDim).collect().head.getDouble(1)
+    var prev = if (tol > 0) distortion() else Double.NaN
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
       val assign = pqBlockDistances(res, "vec_id", "residual",
           cb, "cb_id", "cb_vec", blocks, subDim)
         .groupBy(col("__qid"), col("__blk"))
@@ -1038,7 +1050,20 @@ object Engine {
         .groupBy(col("cb_id"))
         .agg(transform(array_sort(collect_list(struct(col("__j"),
           col("__v")))), e => e.getField("__v")).as("cb_vec"))
-        .persistOnce()
+      // lineage cut: the codebook is K config-sized rows, so pin it to
+      // the driver and restart each pass's plan from a literal table —
+      // without this, 10+ chained assign/mean/reassemble passes OOM on
+      // plan-TREE size alone (a training loop collects its model; the
+      // corpus never leaves the cluster)
+      val pinned = cb.collect().toSeq
+      cb = res.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(pinned).asJava,
+        cb.schema)
+      if (tol > 0) {
+        val cur = distortion()
+        if (prev - cur < tol * prev) converged = true
+        prev = cur
+      }
     }
     cb
   }
@@ -1079,13 +1104,28 @@ object Engine {
     * centroid-id tiebreak (the q99b discipline); residuals subtract in
     * double (exact); block distances and their sums reuse the
     * decimal-exact [[graft.plans.PqBlockDists]] kernel; final ranking
-    * ties break (adist ASC, id ASC). */
+    * ties break (adist ASC, id ASC).
+    *
+    * `rerank` > 0 adds the standard FAISS-style REFINE stage: the ADC
+    * pass keeps its top-`rerank` shortlist per query, whose RAW vectors
+    * are re-read and scored exactly (rounded cosine, the q92m
+    * truncate-rerank shape); output ranks by (cos_sim DESC, id ASC)
+    * and `adist` is replaced by `cos_sim`. This converts PQ from a
+    * (lossy) ranker into a candidate compressor — recall is then gated
+    * only by IVF probe coverage and shortlist width, not quantization
+    * noise (the r13 measured floor on isotropic corpora). Cost at
+    * scale: the shortlist is |Q|·rerank ids — config-sized — so the
+    * re-read is one broadcast semi-join against the corpus, never a
+    * second scan-wide shuffle. */
   def ivfPqSearch(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qid: String, qvec: String,
       centroids: DataFrame, cid: String, cvec: String,
       codebook: DataFrame, cbid: String, cbvec: String,
-      blocks: Int, nprobe: Int, k: Int, subDim: Int = 8): DataFrame = {
+      blocks: Int, nprobe: Int, k: Int, subDim: Int = 8,
+      rerank: Int = 0): DataFrame = {
     require(nprobe >= 1 && k >= 1)
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist ($rerank) must be at least k ($k)")
     graft.plans.CosineSimilarity.register(corpus.sparkSession)
     val cent = broadcast(
       centroids.select(col(cid).as("__ccid"), col(cvec).as("__ce")))
@@ -1134,10 +1174,33 @@ object Engine {
         .DecimalType(38, 6))).cast(DoubleType).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
-        col("vec_id"), col("adist"))
+    if (rerank == 0) {
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+          col("vec_id"), col("adist"))
+    } else {
+      // refine: the |Q|·rerank shortlist broadcasts onto the corpus —
+      // one hash join keyed on the vector id re-reads ONLY shortlist
+      // vectors; exact rounded-cosine rescoring then ranks the final k
+      val shortlist = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= rerank)
+        .select(col("query_id"), col("vec_id"))
+      val qv = broadcast(queries
+        .select(col(qid).as("query_id"), col(qvec).as("__qe2")))
+      val exact = corpus
+        .select(col(id).as("vec_id"), col(vec).as("__e2"))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(qv, Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(expr("cosine_sim(__qe2, __e2)"), 6).as("cos_sim"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      exact.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+          col("vec_id"), col("cos_sim"))
+    }
   }
 
   /** IVF search served from a PERSISTED index — the missing operational
@@ -1447,7 +1510,7 @@ object Engine {
           gated.join(dfa, Seq("__t")).agg(coalesce(
             sum(expr("CAST(__dfa AS DECIMAL(38,0)) * __df")),
             lit(0).cast(DecimalType(38, 0))).as("__price")),
-          "containmentJoin", "minHashJoinAcross (q90l) / bandedMinHash",
+          "containmentJoin", "containmentJoinBanded (the q90h default)",
           maxCandidatePairs)
       }
     def rankOf(tok: DataFrame) = tok
@@ -1498,6 +1561,66 @@ object Engine {
       s"(__na * $thresholdPct + 99) div 100)")
     verified
       .filter(inter.cast("long") * 100 >= col("__na") * thresholdPct)
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("int").as("n_shared"),
+        col("__na").cast("int").as("n_grams_a"))
+  }
+
+  /** BANDED containment join — [[containmentJoin]]'s exact verification
+    * behind [[minHashJoinAcross]]'s banded candidate generation, and
+    * the DEFAULT q90h path since r14: the exact pigeonhole prefix must
+    * emit every pair sharing one rare gram, which on a gram-saturated
+    * corpus is a measured candidate floor (the 33.5 MB sf1 spill the
+    * qio ledger carried through r13); banding emits only pairs agreeing
+    * on a full min-hash band, collapsing candidates by orders of
+    * magnitude for the same verified answer.
+    *
+    * HONESTY BOUND (the q90l discipline): band collision probability is
+    * a function of JACCARD, not containment, so a contained-in-much-
+    * larger pair (C ≥ t but J ≈ t·n_a/n_b → 0 as n_b grows) can be
+    * missed — the asymmetric case [[containmentJoin]] exists for. This
+    * corpus's true containment pairs are measured at J ≥ 0.9167 (30/30
+    * at sf0.1; miss ≤ (1−0.9167⁴)¹⁶ ≈ 3e-9 per pair at 16×4), because
+    * its docs are near-uniform length — banding is exact HERE, and the
+    * oracle gate re-checks that claim every round. On a corpus with
+    * genuine wrapper/quote asymmetry (n_b ≫ n_a mass), use the exact
+    * prefix path — its priced refusal gate names this operator as the
+    * exit precisely so the choice is a measured one. Verification is
+    * byte-identical to the exact path: same sorted-intersect kernel,
+    * same ⌈t·n_a⌉ early exit, same integer-only contract — the two
+    * paths can never disagree on a surviving pair's values. */
+  def containmentJoinBanded(contained: DataFrame, container: DataFrame,
+      id: String, text: String, thresholdPct: Int = 80,
+      ngramWords: Int = 2, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    graft.plans.SortedIntersectCount.register(contained.sparkSession)
+    def docsOf(df: DataFrame) =
+      minHashDocTable(df, id, text, ngramWords).persistOnce()
+    val (da, db) = (docsOf(contained), docsOf(container))
+    // contained ⊆ container in the q90h batch-vs-corpus shape, so the
+    // banded equi-join surfaces self-pairs the bipartite dedup callers
+    // never see — drop them before the verify attach
+    val cands = minHashCandidatesAcross(da, db, numHashes, bands,
+        broadcastBounded = false)
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
+    val sa2 = da.select(col("__id").as("doc_a"), col("__sv").as("__sa"),
+      size(col("__sv")).cast("long").as("__na"))
+    val sb2 = db.select(col("__id").as("doc_b"), col("__sv").as("__sb"))
+    val verified =
+      if (da.count() + db.count() <= verifyBroadcastMaxDocs)
+        cands.join(broadcast(sb2), Seq("doc_b"))
+          .join(broadcast(sa2), Seq("doc_a"))
+      else cands.join(sb2, Seq("doc_b")).join(sa2, Seq("doc_a"))
+    val inter = expr("sorted_intersect_count(__sa, __sb, " +
+      s"(__na * $thresholdPct + 99) div 100)")
+    verified
+      // size prune first (intersection ≤ |g(b)|) — short-circuits the
+      // merge kernel on pairs a larger b could never satisfy anyway
+      .filter(size(col("__sb")).cast("long") * 100 >=
+          col("__na") * thresholdPct &&
+        inter.cast("long") * 100 >= col("__na") * thresholdPct)
       .select(col("doc_a"), col("doc_b"),
         inter.cast("int").as("n_shared"),
         col("__na").cast("int").as("n_grams_a"))

@@ -87,6 +87,9 @@ object RecallProbe {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     val cbSeed256 = Engine.pqSeedResidualCodebook(e, "vec_id",
       "embedding", cent, "cid", "ce", seed256).persist()
+    val cbTrained = Engine.pqTrainResidualCodebook(e, "vec_id",
+      "embedding", cent, "cid", "ce", seed256, blocks = 16, subDim = 4,
+      iters = 15, tol = 1e-3).persist()
     val results = Seq(
       "lsh_8bit" -> recall(Engine.lshTopK(e, "vec_id", "embedding",
         queries, "query_id", "qe", k)),
@@ -139,7 +142,27 @@ object RecallProbe {
         Engine.pqTrainResidualCodebook(e, "vec_id", "embedding",
           cent, "cid", "ce", seed256, blocks = 16, subDim = 4,
           iters = 1),
-        "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k)))
+        "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k)),
+      // Lloyd TO CONVERGENCE (≤15 passes, 0.1% relative-improvement
+      // stop) — the r14 production training loop
+      "ivfpq_res16x256_lloydC_nprobe4" -> recall(Engine.ivfPqSearch(e,
+        "vec_id", "embedding", queries, "query_id", "qe",
+        cent, "cid", "ce", cbTrained,
+        "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k)),
+      // converged codebook + RAW-VECTOR RERANK of the ADC shortlist
+      // (FAISS-style refine): PQ becomes the candidate compressor,
+      // exact cosine ranks the final k — recall is then gated by IVF
+      // probe coverage + shortlist width, not quantization noise
+      "ivfpq_lloydC_rerank32_nprobe4" -> recall(Engine.ivfPqSearch(e,
+        "vec_id", "embedding", queries, "query_id", "qe",
+        cent, "cid", "ce", cbTrained,
+        "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k,
+        rerank = 32)),
+      "ivfpq_lloydC_rerank128_nprobe4" -> recall(Engine.ivfPqSearch(e,
+        "vec_id", "embedding", queries, "query_id", "qe",
+        cent, "cid", "ce", cbTrained,
+        "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k,
+        rerank = 128)))
     val body = results.map { case (m, r) => f""""$m":$r%.4f""" }
       .mkString(",")
     println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +

@@ -997,11 +997,15 @@ object LlmPipeline {
     // sample) checked against the standing corpus — bipartite like
     // q90d, because the container side must index every gram (see the
     // operator Scaladoc for why corpus×corpus degenerates on a small-
-    // vocabulary corpus). Rare-first prefix on the contained side
-    // (recall 1.0 by pigeonhole) + the positional filter from the
-    // shared global rarity order, codegen sorted-intersect verify,
-    // integer-only contract. The oracle is the batch×corpus brute
-    // force, so the recall claim is hash-gated, not prose.
+    // vocabulary corpus). Since r14 the registered path is the BANDED
+    // construction ([[graft.Engine.containmentJoinBanded]]): banded
+    // MinHash candidates + the same codegen sorted-intersect verify,
+    // which erases the exact prefix filter's candidate floor (the
+    // 33.5 MB sf1 spill the qio ledger carried through r13). Recall is
+    // measured-1.0 here (true pairs at J ≥ 0.9167, miss ~3e-9/pair —
+    // see the operator's honesty bound for the asymmetric case the
+    // exact path still owns). The oracle is the batch×corpus brute
+    // force, so the recall claim stays hash-gated, not prose.
     Q("q90h_containment_join",
       s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
@@ -1024,14 +1028,9 @@ object LlmPipeline {
          |  n_shared NULLS FIRST, n_grams_a NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
-        // maxCandidatePairs override: q90h is the second documented
-        // exact anchor (saturated-vocabulary containment, CI-pinned
-        // 33.5 MB sf1 spill floor) — its price bound exceeds the
-        // default budget by design
-        orderAll(graft.Engine.containmentJoin(
+        orderAll(graft.Engine.containmentJoinBanded(
           docs.filter(graft.Engine.stableSample(col("doc_id"), 5)), docs,
-          "doc_id", "text", thresholdPct = 80, ngramWords = 2,
-          maxCandidatePairs = Long.MaxValue))
+          "doc_id", "text", thresholdPct = 80, ngramWords = 2))
     },
 
     // Q90c (beyond-survey) — CHUNK-LEVEL corpus dedup with order-

@@ -1070,6 +1070,34 @@ class EngineSpec extends AnyFunSuite {
     assert(jac == 0L) // the symmetric join cannot see the pair
   }
 
+  test("containmentJoinBanded == exact containmentJoin on the fixture " +
+      "(measured-recall-1.0 territory), and misses the asymmetric pair " +
+      "the exact path owns (the documented honesty bound)") {
+    import spark.implicits._
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val batch = docs.filter(Engine.stableSample(col("doc_id"), 5))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3))).toSet
+    val exact = norm(Engine.containmentJoin(batch, docs, "doc_id",
+      "text", thresholdPct = 80, maxCandidatePairs = Long.MaxValue))
+    val banded = norm(Engine.containmentJoinBanded(batch, docs,
+      "doc_id", "text", thresholdPct = 80))
+    // same verification kernel ⇒ identical surviving values; banding
+    // recall on this corpus's J ≥ 0.9167 pairs is 1 − ~3e-9
+    assert(exact.nonEmpty && banded == exact)
+    // the structural limit, pinned: containment 1.0 at J = 2/9 — the
+    // exact pigeonhole prefix finds it, Jaccard-banding cannot (the
+    // whole-band collision probability at J = 2/9 is ~16·(2/9)⁴ ≈ 4e-4)
+    val wrapper = Seq(
+      (1L, "x y z"),
+      (2L, "x y z p q r s t u v")).toDF("doc_id", "text")
+    assert(Engine.containmentJoin(wrapper, wrapper, "doc_id", "text",
+      thresholdPct = 80).count() == 1L)
+    assert(Engine.containmentJoinBanded(wrapper, wrapper, "doc_id",
+      "text", thresholdPct = 80).count() == 0L)
+  }
+
   test("annBits sizes the LSH width; recall@3 >= 0.7 on the sized corpus") {
     import spark.implicits._
     // the integer rule at its boundaries — no float log2 ambiguity
