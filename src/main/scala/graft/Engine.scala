@@ -2785,6 +2785,11 @@ object Engine {
       seeds: DataFrame, cid: String, cvec: String,
       iters: Int): DataFrame = {
     require(iters >= 1)
+    // assignment cosine rides the codegen kernel (r14, the SURVEY §8
+    // interpreted-HOF audit): the zip_with∘aggregate HOF form ran
+    // INTERPRETED in the |vecs|×K hot loop; ExpressionSpec pins the
+    // kernel bit-identical, so the swap cannot move the oracle
+    graft.plans.CosineSimilarity.register(vecs.sparkSession)
     val e = vecs.select(col(id).as("__vid"), col(vec).as("__e"))
     var cent = seeds.select(col(cid).as("__cid"), col(cvec).as("__ce"))
     var perDim: DataFrame = null
@@ -2793,8 +2798,7 @@ object Engine {
         .orderBy(col("__cos").desc, col("__cid").asc)
       val members = e.crossJoin(broadcast(cent))
         .select(col("__vid"), col("__e"), col("__cid"),
-          round(graft.functions.Similarity.cosine(col("__e"), col("__ce")),
-            6).as("__cos"))
+          round(expr("cosine_sim(__e, __ce)"), 6).as("__cos"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
       perDim = members
@@ -4397,9 +4401,16 @@ object Engine {
     * single-char-alphabet) → entropy_norm 0.0, low_entropy true. */
   def charEntropy(df: DataFrame, id: Column, text: Column,
       normMin: Double = 0.5): DataFrame = {
-    val ce = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+    val ce0 = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.plans.CharEntropy(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+    // null text → the kernel's struct is null; coalesce it to the
+    // empty-text degenerate row (0, 0, 0.0) so the operator matches
+    // the q95m oracle's LEFT JOIN + coalesce semantics (r14, ADVICE —
+    // latent while the documents fixture carries no null text)
+    val ce = coalesce(ce0, struct(
+      lit(0L).as("n_chars"), lit(0).as("n_distinct"),
+      lit(0.0).as("entropy")))
     val norm = when(col("__ce.n_distinct") <= 1, lit(0.0))
       .otherwise(round(col("__ce.entropy") /
         log(col("__ce.n_distinct").cast(DoubleType)), 6))

@@ -162,7 +162,15 @@ object RecallProbe {
         "vec_id", "embedding", queries, "query_id", "qe",
         cent, "cid", "ce", cbTrained,
         "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k,
-        rerank = 128)))
+        rerank = 128)),
+      // the serving point: shortlist ~2.5% of the probed set — recall
+      // converges on the IVF probe ceiling while the full-precision
+      // reads stay |Q|·rerank, a rounding error against the scan
+      "ivfpq_lloydC_rerank512_nprobe4" -> recall(Engine.ivfPqSearch(e,
+        "vec_id", "embedding", queries, "query_id", "qe",
+        cent, "cid", "ce", cbTrained,
+        "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k,
+        rerank = 512)))
     val body = results.map { case (m, r) => f""""$m":$r%.4f""" }
       .mkString(",")
     println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +

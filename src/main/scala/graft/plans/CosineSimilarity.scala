@@ -9,18 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Cosine similarity of two ARRAY<FLOAT> embeddings as a native Catalyst
-  * expression with whole-stage codegen (SURVEY §2 Q83 "fast path";
-  * preference order (b) from the build mandate — a custom Expression
-  * beats a UDF because it code-generates into the surrounding stage with
-  * no boxing or iterator bridges).
+/** Cosine similarity of two ARRAY<FLOAT>/ARRAY<DOUBLE> embeddings as a
+  * native Catalyst expression with whole-stage codegen (SURVEY §2 Q83
+  * "fast path"; preference order (b) from the build mandate — a custom
+  * Expression beats a UDF because it code-generates into the
+  * surrounding stage with no boxing or iterator bridges).
   *
   * One fused loop accumulates the dot product and both squared norms.
-  * Each accumulator sums LEFT-TO-RIGHT in double over float inputs —
+  * Each accumulator sums LEFT-TO-RIGHT in double; float elements widen
+  * exactly (every float is a double), so both element types are
   * bit-identical to the `zip_with`+`aggregate` HOF formulation
-  * ([[graft.functions.Similarity.cosine]]) and to DuckDB's
-  * `list_reduce(list_transform(...))`, so either form hash-matches the
-  * same oracle (asserted in ExpressionSpec).
+  * ([[graft.functions.Similarity.cosine]], which casts each element to
+  * double the same way) and to DuckDB's
+  * `list_reduce(list_transform(...))` — either form hash-matches the
+  * same oracle (asserted in ExpressionSpec for both element types).
+  * The double side exists for the iterating callers (kmeansRefine's
+  * recomputed centroid means are doubles); sides may mix types.
   *
   * Null in either side → null (BinaryExpression's null-safe contract).
   * Dimensions are trusted equal (the embedding-table contract); extra
@@ -31,27 +35,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two ARRAY<FLOAT> arguments, got " +
+      s"$prettyName expects ARRAY<FLOAT>/ARRAY<DOUBLE> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (fa, fb) = (isFloat(left), isFloat(right))
     val n = math.min(xa.numElements(), xb.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = xa.getFloat(i).toDouble
-      val y = xb.getFloat(i).toDouble
+      val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val y = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -66,14 +76,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val (dot, na, nb) =
         (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
       val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
+      def elem(arr: String, e: Expression): String =
+        if (isFloat(e)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |double $na = 0.0;
          |double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = (double) $a.getFloat($i);
-         |  final double $y = (double) $b.getFloat($i);
+         |  final double $x = ${elem(a, left)};
+         |  final double $y = ${elem(b, right)};
          |  $dot += $x * $y;
          |  $na += $x * $x;
          |  $nb += $y * $y;

@@ -83,13 +83,23 @@ object Sources {
       out
     })
 
+  /** Trigger-sizing override for the profiling sweep
+    * ([[graft.StreamSizing]]): `-Dgraft.stream.mfpt=N` replaces every
+    * registered stream's maxFilesPerTrigger so per-trigger fixed
+    * overhead can be measured as a CURVE without forking the builders.
+    * Unset (the default, and every bench/verify run) leaves each
+    * query's registered batching untouched. */
+  private def mfptOverride: Option[Int] =
+    sys.props.get("graft.stream.mfpt").map(_.toInt)
+
   /** `events` as a file STREAM over the staged directory. Callers pick the
     * trigger / files-per-batch. Used by Q06 and the Q70–Q77 surface. */
   def eventsStream(s: SparkSession, dir: String, nFiles: Int = 1,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val staged = stageEvents(s, dir, nFiles)
     val r = s.readStream.schema(eventsSchema)
-    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    mfptOverride.orElse(maxFilesPerTrigger)
+      .foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(staged)
   }
 
@@ -124,7 +134,8 @@ object Sources {
         out
       })
     val r = s.readStream.schema(documentsSchema)
-    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    mfptOverride.orElse(maxFilesPerTrigger)
+      .foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(staged)
   }
 

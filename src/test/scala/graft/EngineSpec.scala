@@ -1070,6 +1070,21 @@ class EngineSpec extends AnyFunSuite {
     assert(jac == 0L) // the symmetric join cannot see the pair
   }
 
+  test("charEntropy: null text emits the empty-text degenerate row " +
+      "(0, 0, 0.0, 0.0, true) — the q95m oracle's LEFT JOIN semantics") {
+    import spark.implicits._
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("")),
+      (3L, Some("ababab"))).toDF("doc_id", "text")
+    val got = Engine.charEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+    // null text and empty text must agree (the oracle cannot tell them
+    // apart through its LEFT JOIN + coalesce)
+    assert(got.contains((1L, 0L, 0, 0.0, 0.0, true)))
+    assert(got.contains((2L, 0L, 0, 0.0, 0.0, true)))
+    assert(got.exists(t => t._1 == 3L && t._3 == 2))
+  }
+
   test("containmentJoinBanded == exact containmentJoin on the fixture " +
       "(measured-recall-1.0 territory), and misses the asymmetric pair " +
       "the exact path owns (the documented honesty bound)") {

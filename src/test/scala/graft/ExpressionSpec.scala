@@ -25,6 +25,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("cosine_sim on ARRAY<DOUBLE> (and mixed float/double) is " +
+      "bit-identical to the HOF form — the kmeansRefine centroid case") {
+    CosineSimilarity.register(spark)
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("da"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("db"))
+    val diffs = a.join(b, col("vb") === col("va") + 1)
+      .select(expr("cosine_sim(da, db)").as("dd"),
+        expr("cosine_sim(ea, db)").as("fd"),
+        expr("cosine_sim(da, eb)").as("df"),
+        Similarity.cosine(col("ea"), col("eb")).as("hof"))
+      .filter(col("dd") =!= col("hof") || col("fd") =!= col("hof") ||
+        col("df") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("cosine_sim of a vector with itself is 1.0 (exact)") {
     CosineSimilarity.register(spark)
     val bad = Tables.t(spark, TestSpark.sfDir, "embeddings")
