@@ -652,8 +652,12 @@ object Streams {
         graft.Engine.buildChunkIndex(
           Tables.t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
           col("doc_id"), col("text"), idxPath)
+        // mfpt=2 (r14): two 2-file batches keep the multi-batch
+        // mergeability proof while halving the per-trigger fixed
+        // overhead the STREAMING_PROFILE trigger-sizing curve measured
+        // (cost is ~linear in trigger count, invariant in results)
         val batches = Sources.docsStream(s, dir, "doc_id % 5 = 0",
-          nFiles = 4, maxFilesPerTrigger = Some(1))
+          nFiles = 4, maxFilesPerTrigger = Some(2))
         val out = viaForeachBatch("q79b_stream_novelty", dir, batches,
           "append") { (b, id) =>
           graft.Engine.chunkNovelty(b, col("doc_id"), col("text"),
@@ -704,8 +708,9 @@ object Streams {
         |GROUP BY word, exact
         |ORDER BY word NULLS FIRST, exact NULLS FIRST, est NULLS FIRST,
         |  overest NULLS FIRST""".stripMargin) { (s, dir) =>
+      // mfpt=2 (r14): see q79b — the trigger-sizing curve's fix
       val batches = Sources.docsStream(s, dir, "doc_id IS NOT NULL",
-        nFiles = 4, maxFilesPerTrigger = Some(1))
+        nFiles = 4, maxFilesPerTrigger = Some(2))
       val out = viaForeachBatch("q79c_stream_sketch", dir, batches,
         "append") { (b, id) =>
         graft.Engine.cmCells(b, col("text"), depth = 4, width = 256)
@@ -753,8 +758,9 @@ object Streams {
         |FROM s
         |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST,
         |  logit NULLS FIRST, keep NULLS FIRST""".stripMargin) { (s, dir) =>
+      // mfpt=2 (r14): see q79b — the trigger-sizing curve's fix
       val batches = Sources.docsStream(s, dir, "doc_id IS NOT NULL",
-        nFiles = 4, maxFilesPerTrigger = Some(1))
+        nFiles = 4, maxFilesPerTrigger = Some(2))
       val out = viaForeachBatch("q79d_stream_classifier", dir, batches,
         "append") { (b, id) =>
         graft.Engine.hashClassifier(b, col("doc_id"), col("text"),
