@@ -74,6 +74,28 @@ object DedupRecall {
       s""","banded_candidates":$nCands""" +
       f""","sec_exact":$tExact%.1f,"sec_banded":$tBanded%.1f}""")
 
+    // ---- CONTAINMENT recall under banding (r14, the q90h default
+    // cutover): the oracle gate re-checks banded == exact at sf0.01/
+    // sf0.1 every round, but the sf1 stress fixture never hash-compares
+    // — this section is that comparison, with the production operators
+    // on both arms (q90h's 5% stable-sample batch vs the full corpus).
+    def cpairsOf(df: DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cbatch = docs.filter(Engine.stableSample(col("doc_id"), 5))
+    val (cExact, tcExact) = timed(cpairsOf(Engine.containmentJoin(
+      cbatch, docs, "doc_id", "text", thresholdPct = 80, ngramWords = 2,
+      maxCandidatePairs = Long.MaxValue)))
+    val (cBanded, tcBanded) = timed(cpairsOf(Engine.containmentJoinBanded(
+      cbatch, docs, "doc_id", "text", thresholdPct = 80, ngramWords = 2)))
+    val cHit = (cBanded intersect cExact).size
+    val cRecall = if (cExact.isEmpty) 1.0 else cHit.toDouble / cExact.size
+    println(s"""{"metric":"containment_recall_t0.8","sf":"$dir"""" +
+      s""","exact_pairs":${cExact.size},"banded_pairs":${cBanded.size}""" +
+      s""","recall":$cRecall""" +
+      s""","banded_false_positives":${(cBanded diff cExact).size}""" +
+      f""","sec_exact":$tcExact%.1f,"sec_banded":$tcBanded%.1f}""")
+
     // ---- τ-BOUNDARY recall vs band shape (r11 verdict item 4) ----
     // The corpus fixtures only carry mass at J ≥ 0.889 and J ≤ 0.08, so
     // the "~0.11 miss at J = 0.6 under 16×4" honesty bound was THEORY.

@@ -766,9 +766,13 @@ class EngineSpec extends AnyFunSuite {
         if (t == null) Nil
         else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       val all = msgs(e).mkString(" ")
+      // each form's refusal must name ITS banded exit (containment's
+      // is containmentJoinBanded since r14; the Jaccard forms name the
+      // MinHash family)
       assert(all.contains("maxCandidatePairs") &&
         (all.contains("minHashNearDups") ||
-          all.contains("minHashJoinAcross")), all.take(500))
+          all.contains("minHashJoinAcross") ||
+          all.contains("containmentJoinBanded")), all.take(500))
     }
     refuses(Engine.jaccardJoin(docs, "doc_id", "text",
       thresholdPct = 60, maxCandidatePairs = 1L))
