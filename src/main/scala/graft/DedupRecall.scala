@@ -46,9 +46,12 @@ object DedupRecall {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // MaxValue opt-out: the probe's exact arm IS the flood the priced
+    // gate refuses at this fixture (1.17e9 candidates ≥ the 5e8
+    // budget) — measuring it is this tool's purpose
     val (exact, tExact) = timed(pairsOf(Engine.jaccardJoinAcross(
       batch, hist, "doc_id", "text", thresholdPct = 60, ngramWords = 2,
-      broadcastBounded = true)))
+      broadcastBounded = true, maxCandidatePairs = Long.MaxValue)))
     val (banded, tBanded) = timed(pairsOf(Engine.minHashJoinAcross(
       batch, hist, "doc_id", "text", thresholdPct = 60, numHashes = 64,
       bands = 16, ngramWords = 2, broadcastBounded = true)))
