@@ -2914,7 +2914,7 @@ object LlmPipeline {
     // Centroids are the q99b seed set, codebook seeds a disjoint fixed
     // id set; encode, cells, residuals, LUT and ranking are all
     // hash-gated against the CTE replay.
-    Q("q99e_ivfpq_ann", ivfPqOracleSql) { (s, dir) =>
+    Q("q99e_ivfpq_ann", ivfPqOracleSql()) { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       val cents = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
       val cb = graft.Engine.pqSeedResidualCodebook(e, "vec_id",
@@ -2923,6 +2923,28 @@ object LlmPipeline {
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
         cents, "vec_id", "embedding", cb, "cb_id", "cb_vec",
         blocks = 8, nprobe = 2, k = 3))
+    },
+
+    // Q99m (beyond-survey) — IVF-PQ with RAW-VECTOR RERANK
+    // ([[graft.Engine.ivfPqSearch]] `rerank`): q99e's ADC pass kept as
+    // the candidate COMPRESSOR, its top-10 shortlist re-scored with
+    // the exact rounded cosine against raw vectors — the FAISS-style
+    // refine that r14's RECALL ledger measured at parity with the IVF
+    // probe ceiling (0.7836 vs 0.7841 at the sf1 fixture, R=512 on the
+    // trained scale geometry; this registered toy geometry makes the
+    // construction oracle-replayable). Scale shape: the shortlist is
+    // |Q|·R ids — config-sized — so the refine is one broadcast hash
+    // join re-reading ONLY shortlist vectors; no second scan-wide
+    // shuffle, quantization noise gone from the final ranking.
+    Q("q99m_ivfpq_rerank", ivfPqOracleSql(rerank = 10)) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id").isin(ivfCentroidIds: _*))
+      val cb = graft.Engine.pqSeedResidualCodebook(e, "vec_id",
+        "embedding", cents, "vec_id", "embedding", pqResidualSeedIds)
+      orderAll(graft.Engine.ivfPqSearch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cents, "vec_id", "embedding", cb, "cb_id", "cb_vec",
+        blocks = 8, nprobe = 2, k = 3, rerank = 10))
     },
 
     // Q99f (beyond-survey) — HYPERPLANE multi-table OR-LSH
@@ -4648,8 +4670,13 @@ object LlmPipeline {
     * cell-relative residual, and the DECIMAL-routed ADC sum. Every
     * subtraction parenthesizes exactly as the engine computes it:
     * (x[j] − μ[j]) − (s[j] − μs[j]), all double, so d is bit-identical
-    * before the per-term DECIMAL(38,6) rounding. */
-  private def ivfPqOracleSql: String = {
+    * before the per-term DECIMAL(38,6) rounding.
+    *
+    * `rerank` > 0 (Q99m) appends the refine stage: the top-`rerank`
+    * ADC shortlist per query (adist ASC, id ASC — the engine's
+    * shortlist order) re-scored with the exact rounded cosine against
+    * raw vectors, final k ranked (cos DESC, id ASC). */
+  private def ivfPqOracleSql(rerank: Int = 0): String = {
     val ids = ivfCentroidIds.mkString(", ")
     val seeds = pqResidualSeedIds.mkString(", ")
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
@@ -4701,11 +4728,30 @@ object LlmPipeline {
        |  GROUP BY l.query_id, c.vec_id),
        |r AS (SELECT query_id, vec_id, adist, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rn
-       |  FROM sc)
+       |  FROM sc)""".stripMargin + (if (rerank == 0)
+      """
        |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, adist
        |FROM r WHERE rn <= 3
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
        |  vec_id NULLS FIRST, adist NULLS FIRST""".stripMargin
+    else
+      s""",
+       |short AS (SELECT query_id, vec_id FROM r WHERE rn <= $rerank),
+       |ex AS (SELECT s.query_id, s.vec_id,
+       |    round(${Similarity.cosineSql("q.qe", "v.embedding")}, 6)
+       |      AS cos_sim
+       |  FROM short s JOIN embeddings v ON v.vec_id = s.vec_id
+       |  JOIN (SELECT vec_id AS query_id, embedding AS qe
+       |        FROM embeddings WHERE vec_id < 5) q
+       |    ON q.query_id = s.query_id),
+       |rr AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)
+       |      AS rn
+       |  FROM ex)
+       |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, cos_sim
+       |FROM rr WHERE rn <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
+       |  vec_id NULLS FIRST, cos_sim NULLS FIRST""".stripMargin)
   }
 
   /** DuckDB oracle for Q93j: q93h's BM25 arithmetic with the term set

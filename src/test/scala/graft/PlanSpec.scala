@@ -837,6 +837,9 @@ class PlanSpec extends AnyFunSuite {
       // q99e composes exactly those two shapes: the 8-centroid
       // assignment crosses (q99b) and the codebook/LUT crosses (q99c)
       "q99e_ivfpq_ann",
+      // q99m = q99e + the rerank broadcast (|Q|·R shortlist) — same
+      // bounded crosses, refine leg is a keyed broadcast hash join
+      "q99m_ivfpq_rerank",
       "q93j_bm25_search", // 1-row (N, avgdl) stats scalar, the q93h class
     // two 1-row (N, avgdl) stats scalars (fresh + frozen), q93j class
     "q93x_stale_idf_audit",
