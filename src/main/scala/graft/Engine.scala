@@ -2858,6 +2858,50 @@ object Engine {
           .otherwise(lit(0.0)).as("zx"))
   }
 
+  /** WHITENED exact top-k cosine — [[cosineTopK]] run in the per-dim
+    * standardized space of [[standardizeEmbeddings]]: every coordinate
+    * z-scored against the corpus-wide per-dim mean/σ BEFORE the cosine,
+    * so one rogue high-variance dimension (the defect q92r's audit
+    * detects and q92t repairs) cannot drown the similarity signal. The
+    * search-side closure of that detect→repair loop: audit (q92r) →
+    * standardize (q92t) → search HERE — what a retrieval deployment
+    * actually runs once the audit fires.
+    *
+    * Plan: the same single moment-pass exchange as q92t (posexplode →
+    * groupBy(dim), map-side partials), the |dims|-row stats packed into
+    * ONE broadcast row, the rewrite a pure zip_with map (arrays stay
+    * internal — the registered envelope rule only binds query OUTPUT),
+    * then [[cosineTopK]]'s broadcast-queries scoring over the z-arrays
+    * — the cosine_sim kernel runs natively on the ARRAY<DOUBLE> z
+    * vectors. Determinism: the zx grid is the q92t-proven
+    * DECIMAL-moment + round-6 grid, so both engines fold identical
+    * doubles in identical order. */
+  def whitenedCosineTopK(corpus: DataFrame, id: String, vec: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val ex = corpus.select(posexplode(col(vec)).as(Seq("__d", "__xf")))
+      .select(col("__d"), col("__xf").cast(DoubleType).as("__x"))
+    val stats = ex.groupBy(col("__d")).agg(
+      count(lit(1)).as("__n"),
+      graft.Canon.sumDec(col("__x")).as("__sx"),
+      graft.Canon.sumDec(col("__x") * col("__x")).as("__sxx"))
+    val mean = col("__sx") / col("__n")
+    val sd = sqrt(greatest(col("__sxx") / col("__n") -
+      (col("__sx") / col("__n")) * (col("__sx") / col("__n")), lit(0.0)))
+    val packed = stats
+      .select(col("__d"), mean.as("__m"), sd.as("__s"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m"),
+        col("__s")))).as("__st"))
+    val z = corpus.crossJoin(broadcast(packed))
+      .select(col(id).as("vec_id"), isQuery.as("__isq"),
+        zip_with(col(vec), col("__st"), (x, s) =>
+          when(s.getField("__s") > 0,
+            round((x.cast(DoubleType) - s.getField("__m")) /
+              s.getField("__s"), 6)).otherwise(lit(0.0))).as("__z"))
+      .persistOnce()
+    cosineTopK(z, "vec_id", "__z",
+      z.filter(col("__isq")), "vec_id", "__z", k)
+  }
+
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most
     * similar corpus vectors carrying a DIFFERENT label — the batch-prep
     * pass for contrastive/embedding training (the best negatives are the

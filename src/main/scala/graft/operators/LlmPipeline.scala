@@ -2861,6 +2861,53 @@ object LlmPipeline {
         .orderBy(col("vec_id").asc_nulls_first, col("d").asc_nulls_first)
     },
 
+    // Q92u (beyond-survey) — WHITENED cosine top-k
+    // ([[graft.Engine.whitenedCosineTopK]]): q92's exact search run in
+    // q92t's per-dim standardized space — the search-side closure of
+    // the rogue-dimension loop (q92r detects, q92t repairs, this
+    // serves). Same single moment exchange + 1-row stats broadcast as
+    // q92t (the z arrays stay INTERNAL — the scalar-envelope rule
+    // binds query output, not intermediates), then the q92 broadcast-
+    // queries scoring with the cosine kernel running natively on the
+    // ARRAY<DOUBLE> z vectors. The zx grid is the q92t-proven decimal
+    // grid, so both engines fold identical doubles in identical order.
+    Q("q92u_whitened_topk",
+      s"""WITH ex AS (SELECT vec_id, CAST(dim - 1 AS INT) AS d,
+         |    CAST(embedding[dim] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN
+         |    unnest(generate_series(1, len(embedding))) AS t(dim)),
+         |st AS (SELECT d, count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         |  FROM ex GROUP BY 1),
+         |m AS (SELECT d, sx / n AS mean,
+         |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+         |  FROM st),
+         |zr AS (SELECT vec_id, ex.d AS d,
+         |    CASE WHEN sd > 0 THEN round((x - mean) / sd, 6)
+         |      ELSE 0.0 END AS zx
+         |  FROM ex JOIN m ON ex.d = m.d),
+         |zl AS (SELECT vec_id, list(zx ORDER BY d ASC) AS z
+         |  FROM zr GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, z AS qz FROM zl
+         |  WHERE vec_id < 5),
+         |scored AS (SELECT query_id, vec_id,
+         |    round(${Similarity.cosineSql("qz", "z")}, 6) AS cos_sim
+         |  FROM q CROSS JOIN zl),
+         |ranked AS (SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST,
+         |  vec_id NULLS FIRST, cos_sim NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      orderAll(graft.Engine.whitenedCosineTopK(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, k = 3))
+    },
+
     // Q92o (beyond-survey) — embedding CENTROID DRIFT between
     // consecutive cohorts ([[graft.Engine.centroidDrift]], cohort =
     // vec_id % 4 standing in for the ingest day): per-cohort mean

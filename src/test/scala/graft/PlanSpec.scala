@@ -794,6 +794,19 @@ class PlanSpec extends AnyFunSuite {
     assert(nestedOutputCols(probe2.schema).size == 2)
   }
 
+  test("q92u: whitened search adds NOTHING over q92t + q92's shapes — " +
+      "moment + config-sized packing + ranking exchanges only, stats " +
+      "broadcast, no data-keyed join") {
+    val p = planOf("q92u_whitened_topk")
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    // the moment groupBy(dim), the |dims|-row stats-PACKING aggregate
+    // (config-sized by construction), and the rank window's query_id
+    // partitioning — nothing data-keyed beyond the one moment pass
+    assert(n == 3, s"expected exactly 3 hash exchanges, got $n:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("global audit: no CartesianProduct anywhere; BNLJ only where intended") {
     // Sweep every LAZILY-built registry query's executed plan for the
     // two scale-killers (side-effecting builders excluded — see
@@ -840,6 +853,9 @@ class PlanSpec extends AnyFunSuite {
       // q99m = q99e + the rerank broadcast (|Q|·R shortlist) — same
       // bounded crosses, refine leg is a keyed broadcast hash join
       "q99m_ivfpq_rerank",
+      // 1-row packed per-dim stats cross (the q92t moment shape) +
+      // the q92 bounded-query scoring cross
+      "q92u_whitened_topk",
       "q93j_bm25_search", // 1-row (N, avgdl) stats scalar, the q93h class
     // two 1-row (N, avgdl) stats scalars (fresh + frozen), q93j class
     "q93x_stale_idf_audit",
