@@ -37,13 +37,23 @@ object StreamSizing {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val triggers = new java.util.concurrent.atomic.AtomicLong()
+    // Trigger counts keyed by stream RUN id, not one shared counter:
+    // listener events are async, so a terminated cell's stragglers can
+    // arrive while the NEXT cell runs — under a shared counter they
+    // bleed into the next cell's delta and skew the curve. Every stream
+    // start mints a fresh runId, so a cell's count is exactly the sum
+    // over runIds first seen during that cell; late events from prior
+    // cells land on old runIds and cannot pollute it.
+    val counts = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        triggers.incrementAndGet(): Unit
+        counts.computeIfAbsent(e.progress.runId,
+          _ => new java.util.concurrent.atomic.AtomicLong())
+          .incrementAndGet(): Unit
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -58,16 +68,25 @@ object StreamSizing {
     val cells = for (name <- names; mfpt <- sweeps) yield {
       sys.props("graft.stream.mfpt") = mfpt.toString
       try {
-        val t0 = triggers.get()
+        val before = {
+          import scala.jdk.CollectionConverters._
+          counts.keySet().asScala.toSet
+        }
         val start = System.nanoTime()
         // the builder runs the stream to completion (awaitTermination)
         // and returns the read-back; count() forces the read-back scan
         val n = SparkEntry.queries(name)(spark, dir).count()
         val sec = (System.nanoTime() - start) / 1e9
-        // listener events are async — wait for the terminated stream's
-        // last progress events to land before snapshotting the delta
+        // brief drain for THIS cell's own async stragglers (prior
+        // cells' late events land on old runIds and are excluded by
+        // construction)
         Thread.sleep(300)
-        val nt = triggers.get() - t0
+        val nt = {
+          import scala.jdk.CollectionConverters._
+          counts.asScala.collect {
+            case (rid, c) if !before(rid) => c.get()
+          }.sum
+        }
         System.err.println(f"[sizing] $name mfpt=$mfpt $sec%.2f s " +
           s"triggers=$nt rows=$n")
         (name, mfpt, sec, nt)

@@ -90,7 +90,21 @@ object Sources {
     * Unset (the default, and every bench/verify run) leaves each
     * query's registered batching untouched. */
   private def mfptOverride: Option[Int] =
-    sys.props.get("graft.stream.mfpt").map(_.toInt)
+    sys.props.get("graft.stream.mfpt").map { v =>
+      // Validated parse: a malformed value must fail with the knob's
+      // name, not an anonymous NumberFormatException from deep inside a
+      // stream builder. And honoring the override is LOUD — q78/q78b's
+      // registered mfpt=1 is a correctness contract (watermark
+      // progression across triggers is the tested behavior), so a
+      // leaked property must leave a trace in any run it touches; the
+      // ledger entrypoints (Bench/Verify) refuse to start with it set.
+      val n = v.toIntOption.filter(_ >= 1).getOrElse(sys.error(
+        s"graft.stream.mfpt must be a positive int, got '$v'"))
+      System.err.println(s"[sources] graft.stream.mfpt=$n OVERRIDES every " +
+        "registered stream's maxFilesPerTrigger (profiling knob — not a " +
+        "valid ledger configuration)")
+      n
+    }
 
   /** `events` as a file STREAM over the staged directory. Callers pick the
     * trigger / files-per-batch. Used by Q06 and the Q70–Q77 surface. */
