@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** DEDUP-RECALL probe (dev main, alongside RecallProbe): side-by-side of
   * the EXACT bipartite prefix-filter join ([[Engine.jaccardJoinAcross]],
-  * the q90d path) and the banded-MinHash form
-  * ([[Engine.minHashJoinAcross]], the q90l scale path) on the documents
+  * the pre-r15 q90d path, now the library contrast operator) and the
+  * banded-MinHash form ([[Engine.minHashJoinAcross]], the registered
+  * q90d scale path since r15) on the documents
   * table of SPARK_GRAFT_SF_DIR — pair counts, recall, candidate volume,
   * and wall time per arm.
   *
-  * The oracle gate pins q90l's OUTPUT; what it cannot show is the
+  * The oracle gate pins the banded q90d's OUTPUT; what it cannot show is the
   * CONTRAST that justifies the banded path at scale: the exact join's
   * candidate set is a theorem-bound floor (every pair sharing a rare
   * prefix gram — 77.7M real candidates on the gram-saturated 10×

@@ -1016,7 +1016,11 @@ object Engine {
     def distortion(): Double =
       pqDistortion(res, "vec_id", "residual", cb, "cb_id", "cb_vec",
         blocks, subDim).collect().head.getDouble(1)
-    var prev = if (tol > 0) distortion() else Double.NaN
+    // Convergence state seeds from the FIRST in-loop measurement — no
+    // pre-training distortion pass (the loop's documented cost is one
+    // bounded action per pass, and pass 1 always runs regardless of the
+    // seed codebook's quality, so measuring before it buys nothing).
+    var prev = Double.NaN
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val assign = pqBlockDistances(res, "vec_id", "residual",
@@ -1061,7 +1065,12 @@ object Engine {
         cb.schema)
       if (tol > 0) {
         val cur = distortion()
-        if (prev - cur < tol * prev) converged = true
+        // cur == 0 is exact reconstruction — nothing left to improve
+        // (prev - cur < tol*prev is 0 < 0 at prev == 0 and would run
+        // every capped pass on a perfect codebook); otherwise compare
+        // against the previous pass once one exists.
+        if (cur == 0.0 || (!prev.isNaN && prev - cur < tol * prev))
+          converged = true
         prev = cur
       }
     }
@@ -1575,7 +1584,7 @@ object Engine {
     * on a full min-hash band, collapsing candidates by orders of
     * magnitude for the same verified answer.
     *
-    * HONESTY BOUND (the q90l discipline): band collision probability is
+    * HONESTY BOUND (the banded-dedup discipline): band collision probability is
     * a function of JACCARD, not containment, so a contained-in-much-
     * larger pair (C ≥ t but J ≈ t·n_a/n_b → 0 as n_b grows) can be
     * missed — the asymmetric case [[containmentJoin]] exists for. This
@@ -1598,6 +1607,19 @@ object Engine {
     def docsOf(df: DataFrame) =
       minHashDocTable(df, id, text, ngramWords).persistOnce()
     val (da, db) = (docsOf(contained), docsOf(container))
+    // ASYMMETRY AUDIT (r15, ADVICE): the honesty bound below is silent
+    // by construction — a corpus where it bites looks exactly like one
+    // where it doesn't. Price the check instead: one bounded min/max
+    // aggregate over the already-persisted doc tables bounds the WORST
+    // Jaccard a true containment pair can have at these size extremes,
+    // and if banding's miss probability at that J is material, say so
+    // loudly and name the exact-path exit. Measured misuse, not silent.
+    val ext = da.agg(min(size(col("__sv"))).as("__namin")).crossJoin(
+      db.agg(max(size(col("__sv"))).as("__nbmax"))).collect().head
+    if (!ext.isNullAt(0) && !ext.isNullAt(1))
+      containmentBandingRisk(ext.getInt(0).toLong, ext.getInt(1).toLong,
+        thresholdPct, numHashes, bands).foreach(w =>
+        System.err.println(s"[engine] containmentJoinBanded: $w"))
     // contained ⊆ container in the q90h batch-vs-corpus shape, so the
     // banded equi-join surfaces self-pairs the bipartite dedup callers
     // never see — drop them before the verify attach
@@ -1624,6 +1646,42 @@ object Engine {
       .select(col("doc_a"), col("doc_b"),
         inter.cast("int").as("n_shared"),
         col("__na").cast("int").as("n_grams_a"))
+  }
+
+  /** [[containmentJoinBanded]]'s asymmetry audit, factored pure so the
+    * spec can pin its boundary. The quantity audited is what asymmetry
+    * SPECIFICALLY breaks — not the borderline-J miss every LSH scheme
+    * carries (a C ≈ t, J ≈ t/(2−t) pair can always slip a band with a
+    * few percent probability; that is the documented, accepted recall
+    * characteristic), but the FULLY-contained pair: a doc of n_a grams
+    * quoted verbatim inside one of n_b has C = 1 (the clearest
+    * possible duplicate) yet J = n_a/n_b, so once the corpus' length
+    * spread ρ = n_bMax/n_aMin passes ~1.3 (at 16×4), banding can no
+    * longer even SEE the cleanest wrapper pair at the size extremes —
+    * miss = (1 − (n_a/n_b)^r)^bands → 1 as ρ grows. Returns the audit
+    * note when that bound exceeds 0.1%; None on near-uniform corpora,
+    * where asymmetric blindness structurally cannot occur. A corpus
+    * that fires is not necessarily WRONG — the q90h fixture fires at
+    * ρ ≈ 12 and its oracle still measures banded == exact, because no
+    * true pair happens to live in the blind region — but its safety is
+    * then a per-round MEASUREMENT (oracle gate + DedupRecall), not a
+    * structural guarantee, and the note says so in the run log. */
+  private[graft] def containmentBandingRisk(naMin: Long, nbMax: Long,
+      thresholdPct: Int, numHashes: Int, bands: Int): Option[String] = {
+    if (naMin <= 0 || nbMax <= 0) return None
+    val jFull = naMin.toDouble / nbMax
+    val rows = math.max(numHashes / bands, 1)
+    val miss = math.pow(1.0 - math.pow(math.min(jFull, 1.0), rows), bands)
+    if (miss <= 1e-3) None
+    else Some(
+      f"length asymmetry (min contained grams $naMin, max container " +
+        f"grams $nbMax) puts FULLY-contained pairs at Jaccard " +
+        f"$jFull%.4f, which ${bands}x$rows banding misses with " +
+        f"probability up to $miss%.3f — banded recall on this corpus " +
+        "is certified by the per-round oracle/DedupRecall measurement, " +
+        "not by construction; if asymmetric wrappers matter, route " +
+        "through containmentJoin (the exact prefix path behind the " +
+        "priced refusal gate)")
   }
 
   /** BIPARTITE n-gram Jaccard join — [[jaccardJoin]]'s machinery across
@@ -1680,7 +1738,7 @@ object Engine {
           tagged.agg(coalesce(
             sum(expr("CAST(__dfl AS DECIMAL(38,0)) * (__df - __dfl)")),
             lit(0).cast(DecimalType(38, 0))).as("__price")),
-          "jaccardJoinAcross", "minHashJoinAcross (q90l)",
+          "jaccardJoinAcross", "minHashJoinAcross (q90d)",
           maxCandidatePairs).drop("__dfl")
       }
     def prefixOf(tok: DataFrame) = tok.join(dfreq, Seq("__t"))
@@ -2878,6 +2936,28 @@ object Engine {
     * doubles in identical order. */
   def whitenedCosineTopK(corpus: DataFrame, id: String, vec: String,
       isQuery: Column, k: Int): DataFrame = {
+    val z = whitenedZ(corpus, id, vec, isQuery)
+    cosineTopK(z, "vec_id", "__z",
+      z.filter(col("__isq")), "vec_id", "__z", k)
+  }
+
+  /** Internal: the (vec_id, __isq, __z) standardized-vector table shared
+    * by [[whitenedCosineTopK]] and [[whitenedLshTopKHyper]] — the q92t
+    * per-dim z-scoring packed back into ARRAY<DOUBLE> rows via one
+    * moment exchange + a 1-row stats broadcast (arrays stay INTERNAL;
+    * the registered scalar-envelope rule binds query output only).
+    *
+    * FIXED-DIM GUARD (the q92t ADVICE class one layer down): zip_with
+    * null-pads a vector SHORTER than the |dims|-wide stats array, and a
+    * NULL embedding zips to a null array — either would feed nulls into
+    * the cosine/sign kernels' trusted-equal-dims loops. Ragged/null
+    * vectors still contribute their own coordinates to the per-dim
+    * moments (the q92t standardization semantics), but only FULL-dim
+    * vectors enter the search space — a fixed-dim kernel cannot score a
+    * vector that has no value on some standardized axis. EngineSpec
+    * pins the ragged+null probe. */
+  private def whitenedZ(corpus: DataFrame, id: String, vec: String,
+      isQuery: Column): DataFrame = {
     val ex = corpus.select(posexplode(col(vec)).as(Seq("__d", "__xf")))
       .select(col("__d"), col("__xf").cast(DoubleType).as("__x"))
     val stats = ex.groupBy(col("__d")).agg(
@@ -2891,15 +2971,40 @@ object Engine {
       .select(col("__d"), mean.as("__m"), sd.as("__s"))
       .agg(array_sort(collect_list(struct(col("__d"), col("__m"),
         col("__s")))).as("__st"))
-    val z = corpus.crossJoin(broadcast(packed))
+    corpus.crossJoin(broadcast(packed))
+      .filter(col(vec).isNotNull && size(col(vec)) === size(col("__st")))
       .select(col(id).as("vec_id"), isQuery.as("__isq"),
         zip_with(col(vec), col("__st"), (x, s) =>
           when(s.getField("__s") > 0,
             round((x.cast(DoubleType) - s.getField("__m")) /
               s.getField("__s"), 6)).otherwise(lit(0.0))).as("__z"))
       .persistOnce()
-    cosineTopK(z, "vec_id", "__z",
-      z.filter(col("__isq")), "vec_id", "__z", k)
+  }
+
+  /** WHITENED hyperplane ANN — [[lshTopKHyper]] run over the
+    * [[whitenedZ]] standardized vectors: the 100 TB SERVING shape of the
+    * rogue-dimension loop (q92r detects the defect, q92t repairs it,
+    * [[whitenedCosineTopK]] is the exact/oracle form, THIS is what a
+    * retrieval deployment actually indexes once the audit fires —
+    * brute-force whitened search re-scans the corpus per query; an
+    * index must be built in the SAME space the queries are scored in,
+    * or bucket geometry and ranking geometry disagree).
+    *
+    * Plan: one moment exchange + 1-row stats broadcast (the q92t
+    * shape), then the q99f machinery unchanged — all tables·bits sign
+    * projections in one fused SignProject codegen pass (the kernel
+    * accepts the ARRAY<DOUBLE> z rows natively; zx is 6-dp
+    * grid-exact, so its long fixed-point rounding is lossless and both
+    * engines compute identical signs), in-row bucket assembly,
+    * broadcast Hamming-≤1 probes, exact rounded-cosine re-rank of the
+    * bucket-pruned candidates. Per-query work stays
+    * O(tables·(bits+1)·N/2^bits); nothing all-pairs. */
+  def whitenedLshTopKHyper(corpus: DataFrame, id: String, vec: String,
+      isQuery: Column, k: Int, tables: Int = 8, bits: Int = 10,
+      dims: Int = 64): DataFrame = {
+    val z = whitenedZ(corpus, id, vec, isQuery)
+    lshTopKHyper(z, "vec_id", "__z",
+      z.filter(col("__isq")), "vec_id", "__z", k, tables, bits, dims)
   }
 
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most
@@ -4607,7 +4712,7 @@ object Engine {
     * ([[minHashNearDups]], 64 hashes × 16 bands, exact verification of
     * candidates) — NOT the exact prefix-filter join; the rollup is two
     * id-keyed equi-joins to attach sources and one bounded (|sources|²)
-    * aggregate. BANDING-MISS TRIAGE (same note as q90l): the oracle is
+    * aggregate. BANDING-MISS TRIAGE (same note as q90d): the oracle is
     * the exact all-pairs join, so a hash mismatch on fresh data most
     * likely means a true pair near the τ boundary was missed by banding
     * (~0.11 miss probability per pair at J = 0.6 under 16×4) — check
@@ -4615,12 +4720,12 @@ object Engine {
   def dupSourceMatrix(df: DataFrame, id: String, text: String,
       src: String, thresholdPct: Int = 60,
       ngramWords: Int = 2): DataFrame = {
-    // pair generation rides the BANDED-MinHash scale path (the q90l
+    // pair generation rides the BANDED-MinHash scale path (the q90d
     // measured exit), not the exact prefix-filter join: the matrix only
     // consumes verified ≥τ pairs, and on the gram-saturated 10× fixture
     // the exact join's candidate flood cost this operator 113.6 s and a
     // 2.6 GB spill where banding + exact verification returns the
-    // IDENTICAL pair set (q90l: recall 1.0 measured, RECALL.json) in
+    // IDENTICAL pair set (q90d: recall 1.0 measured, RECALL.json) in
     // ~8 s with zero spill. The oracle stays the exact all-pairs join —
     // every sweep re-proves the equivalence on this corpus's
     // J-distribution. Swap back to [[jaccardJoin]] only for corpora
@@ -4653,7 +4758,7 @@ object Engine {
     * Pair generation rides the BANDED-MinHash scale path
     * ([[minHashNearDups]], exact verification of candidates), so the
     * audit runs at corpus scale without an all-pairs join; the split
-    * attach is two id-keyed equi-joins. BANDING-MISS TRIAGE (q90l's
+    * attach is two id-keyed equi-joins. BANDING-MISS TRIAGE (q90d's
     * note): against an exact oracle, a missing borderline pair
     * (~0.11 per-pair miss at J=0.6 under 16×4) is the banding window,
     * not a bug — and for THIS operator a missed leaked pair is a
@@ -6140,7 +6245,7 @@ object Engine {
     * all-pairs candidate count of a shared-shingle join is EXACTLY
     * Σ_g df(g)·(df(g)−1)/2 over the gram document frequencies — one
     * cheap aggregate that predicts whether the q90d-shaped exact join
-    * is affordable or the corpus must route through banding (q90l) —
+    * is affordable or the corpus must route through banding (q90d) —
     * the [[joinSizeAudit]] discipline applied to dedup (measured
     * cutover decisions, not guessed: q90p's 2.6 GB sf1 flood was this
     * number, unread). Returns one row: corpus size, distinct grams,
@@ -6284,7 +6389,7 @@ object Engine {
     tri.crossJoin(broadcast(tot))
       .select(col("e1"), col("e2"), col("e3"), col("n"),
         (col("n").cast(DoubleType) / col("__tot")).as("support"))
-      .orderBy(col("n").desc, col("e1").asc, col("e2").asc,
+      .orderBy(col("n").desc_nulls_last, col("e1").asc, col("e2").asc,
         col("e3").asc)
       .limit(k)
   }

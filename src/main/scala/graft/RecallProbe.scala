@@ -46,6 +46,22 @@ object RecallProbe {
       truth.join(approx.select("query_id", "vec_id"),
         Seq("query_id", "vec_id")).count() / denom
 
+    // WHITENED-space rows (r15): ground truth for the whitened index is
+    // the exact whitened search (q92u's construction) — an index must
+    // be measured in the space it ranks in. The whitened_truth_overlap
+    // row measures how much whitening CHANGES the raw neighborhood
+    // (near 1.0 on this isotropic fixture, where per-dim σ are ~equal;
+    // it is the number that DROPS when a q92r-class rogue dimension is
+    // present and whitening actually repairs something).
+    val isQ = col("vec_id") % 97 === 0
+    val truthW = Engine.whitenedCosineTopK(e, "vec_id", "embedding",
+        isQ, k)
+      .select("query_id", "vec_id").persist()
+    val denomW = truthW.count().toDouble
+    def recallW(approx: DataFrame): Double =
+      truthW.join(approx.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id")).count() / denomW
+
     // The same fixed coarse-quantizer seed set the q99b/q99c queries
     // bootstrap from (production would feed kmeansRefine output).
     val cent = e.filter(col("vec_id")
@@ -170,7 +186,18 @@ object RecallProbe {
         "vec_id", "embedding", queries, "query_id", "qe",
         cent, "cid", "ce", cbTrained,
         "cb_id", "cb_vec", blocks = 16, subDim = 4, nprobe = 4, k = k,
-        rerank = 512)))
+        rerank = 512)),
+      // whitened serving path (q99n) vs the whitened exact truth — the
+      // apples-to-apples index-quality number in z space, beside the
+      // raw lsh_hyper rows' numbers in raw space
+      "whitened_hyper_8t" -> recallW(Engine.whitenedLshTopKHyper(e,
+        "vec_id", "embedding", isQ, k, tables = 8,
+        bits = Engine.annBits(n, targetBucket = 32, maxBits = 16))),
+      "whitened_hyper_32t" -> recallW(Engine.whitenedLshTopKHyper(e,
+        "vec_id", "embedding", isQ, k, tables = 32,
+        bits = Engine.annBits(n, targetBucket = 32, maxBits = 16))),
+      // whitened-vs-raw neighborhood agreement (exact vs exact)
+      "whitened_truth_overlap" -> recall(truthW))
     val body = results.map { case (m, r) => f""""$m":$r%.4f""" }
       .mkString(",")
     println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +

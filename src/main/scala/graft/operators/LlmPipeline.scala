@@ -1071,14 +1071,27 @@ object LlmPipeline {
     // STANDING corpus (the rest) and report each new doc's best
     // historical near-duplicate. This is the production dedup shape — a
     // small increment against 100 TB of history — and it must never
-    // degenerate into increment×increment or history×history work:
-    // Engine.jaccardJoinAcross generates candidates only across the two
-    // sides via the shared-rarity-order prefix equi-join (recall 1.0 by
-    // the prefix-filter theorem, proven bipartite in AlgebraProps), and
-    // at scale the history side's prefix index is the precomputable,
-    // incrementally-maintained artifact. Best match per new doc breaks
-    // ties on (jaccard DESC, historical id ASC) over ROUNDED jaccards so
-    // both engines rank identical values.
+    // degenerate into increment×increment or history×history work.
+    // Since r15 the registered path is the BANDED construction
+    // ([[graft.Engine.minHashJoinAcross]]): banded-MinHash candidates +
+    // the same exact sorted-intersect verify. The exact prefix-filter
+    // form ([[graft.Engine.jaccardJoinAcross]], recall 1.0 by the
+    // prefix-filter theorem, proven bipartite in AlgebraProps) stays a
+    // library operator behind the priced refusal gate — its candidate
+    // set on a gram-saturated corpus is a THEOREM-BOUND floor (77.7M
+    // real candidates / 1.1 GB spill on the 10× fixture, the last sf1
+    // spill the qio ledger carried through r14), which no registered
+    // bench query should pay when the banded path returns the same
+    // verified answer (DedupRecall measures banded == exact 100% on
+    // this fixture, committed in RECALL.json; miss prob (1−J⁴)¹⁶ ≤
+    // 1.5e-7 at the fixture's J ≥ 0.889 dup population). The oracle is
+    // deliberately EXACT (the batch×history brute force), so the recall
+    // claim stays hash-gated per round, not prose — a mismatch on fresh
+    // data most likely means a borderline J≈0.6 pair fell in the
+    // banding miss window; check the pair's band collisions first.
+    // Best match per new doc breaks ties on (jaccard DESC, historical
+    // id ASC) over ROUNDED jaccards so both engines rank identical
+    // values.
     Q("q90d_incremental_dedup",
       s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
@@ -1107,69 +1120,9 @@ object LlmPipeline {
       val docs = Tables.t(s, dir, "documents")
       // broadcastBounded is an explicit OPT-IN here: this call site
       // knows its left side is the bounded increment (the day's batch),
-      // so pinning the broadcasts is safe and kills the measured AQE
-      // plan-flap; the Engine default stays unpinned for safety.
-      // maxCandidatePairs override: q90d is the DOCUMENTED exact-recall
-      // contrast anchor — its sf1 price (1.17e9 candidate pairs, the
-      // 1.1 GB spill floor) exceeds the default budget BY DESIGN; every
-      // other call site gets the priced refusal naming the banded exit
-      val pairs = graft.Engine.jaccardJoinAcross(
-        docs.filter(col("doc_id") % 5 === 0),
-        docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", thresholdPct = 60, ngramWords = 2,
-        broadcastBounded = true, maxCandidatePairs = Long.MaxValue)
-      val w = Window.partitionBy(col("left_id"))
-        .orderBy(col("jaccard").desc, col("right_id").asc)
-      orderAll(pairs.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("left_id").as("doc_id"),
-          col("right_id").as("dup_of"), col("jaccard")))
-    },
-
-    // Q90l (beyond-survey) — BANDED incremental dedup: q90d's exact
-    // batch×history shape with banded-MinHash candidate generation
-    // (Engine.minHashJoinAcross) instead of the exact prefix filter —
-    // THE measured scale exit from q90d's candidate floor. Same fixture
-    // split (batch = doc_id % 5 = 0), same τ = 0.6 bigram Jaccard, same
-    // best-match-per-new-doc output, and the SAME EXACT ORACLE as q90d:
-    // every banded candidate is exactly verified, so the two queries
-    // differ only in recall (miss prob (1−J⁴)¹⁶ per true pair — ≤ 1.5e-7
-    // at this corpus's J ≥ 0.889 dup population, measured recall 1.0 at
-    // sf0.01/0.1/1) and in candidate volume (the 10× fixture's 77.7M
-    // exact candidates collapse to ~thousands of band collisions:
-    // background pairs sit at J ≤ 0.08, colliding at ≈ 16·J⁴ ≤ 7e-4).
-    // TRIAGE NOTE (q91 discipline): the oracle is deliberately EXACT
-    // while banding is probabilistic-recall — a hash mismatch on fresh
-    // data most likely means a borderline J≈0.6 pair fell in the banding
-    // miss window, not a bug; check the pair's band collisions first.
-    Q("q90l_banded_incremental_dedup",
-      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-         |        FROM documents)),
-         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS nid, b.doc_id AS hid, count(*) AS i
-         |  FROM ex a JOIN ex b ON a.s = b.s
-         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT nid, hid,
-         |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-         |  FROM inter
-         |  JOIN sz sa ON sa.doc_id = nid
-         |  JOIN sz sb ON sb.doc_id = hid
-         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
-         |best AS (SELECT nid, hid, jaccard, row_number() OVER (
-         |    PARTITION BY nid ORDER BY jaccard DESC, hid ASC) AS rn
-         |  FROM pairs)
-         |SELECT nid AS doc_id, hid AS dup_of, jaccard
-         |FROM best WHERE rn = 1
-         |ORDER BY doc_id NULLS FIRST, dup_of NULLS FIRST,
-         |  jaccard NULLS FIRST""".stripMargin) { (s, dir) =>
-      val docs = Tables.t(s, dir, "documents")
-      // broadcastBounded: same opt-in rationale as q90d — this call site
-      // knows its left side is the bounded increment
+      // so pinning the batch-side band-table broadcast is safe and
+      // kills the measured AQE plan-flap; the Engine default stays
+      // unpinned for safety.
       val pairs = graft.Engine.minHashJoinAcross(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),
@@ -1184,13 +1137,13 @@ object LlmPipeline {
     },
 
     // Q90m (beyond-survey) — PERSISTED dedup-index lifecycle: the q99h
-    // build/append/search discipline applied to the q90l banded-MinHash
+    // build/append/search discipline applied to the q90d banded-MinHash
     // index. History's banded signatures are built from 90% of the
     // standing corpus (doc_id % 10 ≠ 4 within history), the remaining
     // tenth arrives as a delta APPENDED into the same parquet layout
     // (new files only — appending 0.1% of a 10-billion-doc index must
     // not rewrite the other 99.9%), and probing with the day's batch
-    // must return EXACTLY what the in-memory q90l join returns over the
+    // must return EXACTLY what the in-memory q90d join returns over the
     // full history — same oracle. This is the operational form of the
     // 100 TB claim: the history side is hashed ONCE at ingest, and each
     // day's dedup pass hashes only the batch.
@@ -1356,7 +1309,7 @@ object LlmPipeline {
     // train turns its eval score into a memorization measurement (this
     // corpus has 9 such pairs at sf0.01 — the audit finding real
     // leaks). Oracle is the exact all-pairs join + the same split rule;
-    // q90l's banding-miss triage note applies, and because a missed
+    // q90d's banding-miss triage note applies, and because a missed
     // pair here is a missed LEAK, borderline corpora should pass
     // bands=32 (the RECALL.json boundary guidance).
     Q("q90s_split_leakage",
@@ -1413,7 +1366,7 @@ object LlmPipeline {
     // ShuffleExchange above a history scan, broadcasts disabled). At a
     // 10-billion-doc history this is reading ~10 TB of signatures in
     // place per daily batch instead of re-shuffling them. Same oracle
-    // as q90l/q90m: the probe must return exactly what the in-memory
+    // as q90d/q90m: the probe must return exactly what the in-memory
     // join over (batch, full history) returns.
     Q("q90q_bucketed_index",
       s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
@@ -1473,7 +1426,7 @@ object LlmPipeline {
     // no τ≥0.6 pair into s₀∪…∪sₖ₋₁. Per-slot cost is O(batch) +
     // O(collisions) — history is never re-hashed — which is what lets
     // the loop run forever at 100 TB accumulated history. Same banding
-    // triage note as q90l. Within-batch dups are out of scope by
+    // triage note as q90d. Within-batch dups are out of scope by
     // contract (route same-slot dedup through q90/q91 first).
     Q("q90n_dedup_ingest",
       s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
@@ -1574,7 +1527,7 @@ object LlmPipeline {
     // count of the gram-join dedup pass — Σ_g df(g)·(df(g)−1)/2 — plus
     // the heaviest gram, priced from ONE cheap gram-frequency aggregate
     // BEFORE any pair is generated. This is the number that decides the
-    // exact-vs-banded cutover (q90d vs q90l): q90p's 2.6 GB sf1 flood
+    // exact-vs-banded cutover (exact jaccardJoinAcross vs the banded q90d): q90p's 2.6 GB sf1 flood
     // was exactly this quantity, discovered by running the join instead
     // of reading it. The q20e join-audit discipline applied to dedup.
     // Decimal fold inside (a 2M-doc gram overflows Long in the
@@ -1661,14 +1614,14 @@ object LlmPipeline {
     // the diagonal), the report that turns a near-dup run into a
     // crawl-policy decision. Pair generation rides the BANDED-MinHash
     // scale path ([[graft.Engine.minHashNearDups]], 64×16 banding +
-    // exact verification, J ≥ 0.6 on word bigrams) — the measured q90l
+    // exact verification, J ≥ 0.6 on word bigrams) — the measured q90d
     // exit, after the exact prefix-filter join flooded at sf1; the
     // rollup is two id-keyed equi-joins to attach sources plus one
     // aggregate bounded by |sources|². The oracle stays the exact
     // all-pairs join, so a hash mismatch on fresh data most likely
     // means banding missed a true pair near the τ boundary (~0.11
     // per-pair miss at J=0.6 under 16×4) — check that pair's Jaccard
-    // before suspecting the rollup (q90l's triage note applies).
+    // before suspecting the rollup (q90d's triage note applies).
     Q("q90p_dup_matrix",
       s"""WITH sh AS (SELECT doc_id, source, $bigramsSql AS sv
          |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
@@ -2872,23 +2825,7 @@ object LlmPipeline {
     // ARRAY<DOUBLE> z vectors. The zx grid is the q92t-proven decimal
     // grid, so both engines fold identical doubles in identical order.
     Q("q92u_whitened_topk",
-      s"""WITH ex AS (SELECT vec_id, CAST(dim - 1 AS INT) AS d,
-         |    CAST(embedding[dim] AS DOUBLE) AS x
-         |  FROM embeddings CROSS JOIN
-         |    unnest(generate_series(1, len(embedding))) AS t(dim)),
-         |st AS (SELECT d, count(*) AS n,
-         |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
-         |  FROM ex GROUP BY 1),
-         |m AS (SELECT d, sx / n AS mean,
-         |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
-         |  FROM st),
-         |zr AS (SELECT vec_id, ex.d AS d,
-         |    CASE WHEN sd > 0 THEN round((x - mean) / sd, 6)
-         |      ELSE 0.0 END AS zx
-         |  FROM ex JOIN m ON ex.d = m.d),
-         |zl AS (SELECT vec_id, list(zx ORDER BY d ASC) AS z
-         |  FROM zr GROUP BY 1),
+      s"""WITH $zListCtes,
          |q AS (SELECT vec_id AS query_id, z AS qz FROM zl
          |  WHERE vec_id < 5),
          |scored AS (SELECT query_id, vec_id,
@@ -3016,6 +2953,29 @@ object LlmPipeline {
       orderAll(graft.Engine.lshTopKHyper(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
         tables = 8, bits = bits))
+    },
+
+    // Q99n (beyond-survey) — WHITENED hyperplane ANN
+    // ([[graft.Engine.whitenedLshTopKHyper]]): the q99f index built and
+    // probed in the q92t-standardized space — the 100 TB SERVING shape
+    // of the rogue-dimension loop (q92r audits, q92t repairs, q92u is
+    // the exact/oracle search; an index must live in the SAME space the
+    // ranking scores in, or bucket geometry and ranking geometry
+    // disagree — a rogue dimension owns the sign of nearly every
+    // hyperplane dot product, so buckets collapse along it exactly as
+    // the cosine does). One moment exchange + 1-row stats broadcast
+    // (the q92t shape), then the q99f machinery verbatim over the z
+    // rows — the SignProject kernel runs natively on ARRAY<DOUBLE>, and
+    // the 6-dp z grid makes its long fixed-point rounding lossless, so
+    // both engines compute identical sign bits. Whitened-vs-raw recall
+    // at the stress fixtures is ledgered in RECALL.json (RecallProbe's
+    // whitened section); this registration hash-gates the construction.
+    Q("q99n_whitened_ann", whitenedHyperAnnOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val bits = graft.Engine.annBits(e.count(), targetBucket = 32,
+        maxBits = 16)
+      orderAll(graft.Engine.whitenedLshTopKHyper(e, "vec_id",
+        "embedding", col("vec_id") < 20, k = 3, tables = 8, bits = bits))
     },
 
     // Q93j (beyond-survey) — BM25 top-k RETRIEVAL: q93h's scorer
@@ -4548,22 +4508,26 @@ object LlmPipeline {
     * annBits sizing rule (maxBits 16), per-table bucket assembly
     * (table (h−1) div bits, bit (h−1) mod bits), Hamming-1 probing and
     * the cosine ranking — from scratch in SQL. */
-  /** Shared CTE chain for the q99f/q99i_b oracles: the full hyperplane
-    * pipeline — sizing rule, ±1/0 sparse sign matrix, 8 tables of
-    * sign-bit buckets, Hamming-≤1 probes, candidate union, exact
-    * rounded-cosine re-rank — through the `ranked` CTE. */
-  private def hyperRankedCtes: String = {
+  /** Shared CTE chain for the q99f/q99i_b/q99n oracles: the full
+    * hyperplane pipeline — sizing rule, ±1/0 sparse sign matrix, 8
+    * tables of sign-bit buckets, Hamming-≤1 probes, candidate union,
+    * exact rounded-cosine re-rank — through the `ranked` CTE, over any
+    * (vec_id, `vcol`) vector table `src` (q99f/q99i_b read the raw
+    * `embeddings`; q99n reads the q92t-standardized `zl`). One builder
+    * so the raw and whitened registrations can never drift. */
+  private def hyperRankedCtes(src: String = "embeddings",
+      vcol: String = "embedding"): String = {
     val signCase = "(CASE (CAST('0x' || substr(md5(" +
       "CAST(j AS VARCHAR) || ':' || CAST(hh.h AS VARCHAR)), 1, 4) " +
       "AS BIGINT) % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
-    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+    s"""nn AS (SELECT count(*) AS n FROM $src),
        |bb AS (SELECT coalesce((SELECT min(g.b)
        |    FROM generate_series(1, 16) g(b), nn
        |    WHERE (CAST(1 AS BIGINT) << g.b) * 32 >= nn.n), 16) AS bits
        |  FROM nn),
-       |t AS (SELECT vec_id, CAST(embedding[j] AS DOUBLE) AS x, j
-       |  FROM embeddings
-       |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(j)),
+       |t AS (SELECT vec_id, CAST($vcol[j] AS DOUBLE) AS x, j
+       |  FROM $src
+       |  CROSS JOIN unnest(generate_series(1, len($vcol))) AS g(j)),
        |ys AS (SELECT t.vec_id, hh.h AS h, bb.bits AS bits,
        |    CAST(sum(CAST(x * $signCase AS DECIMAL(38,6))) AS DOUBLE) AS y
        |  FROM t, bb
@@ -4584,22 +4548,57 @@ object LlmPipeline {
        |  FROM probes p JOIN tabs e
        |    ON p.tbl = e.tbl AND p.bucket = e.bucket),
        |scored AS (SELECT c.query_id, c.vec_id,
-       |    round(${Similarity.cosineSql("qv.embedding", "cv.embedding")}, 6)
+       |    round(${Similarity.cosineSql(s"qv.$vcol", s"cv.$vcol")}, 6)
        |      AS cos_sim
        |  FROM cand c
-       |  JOIN embeddings qv ON qv.vec_id = c.query_id
-       |  JOIN embeddings cv ON cv.vec_id = c.vec_id),
+       |  JOIN $src qv ON qv.vec_id = c.query_id
+       |  JOIN $src cv ON cv.vec_id = c.vec_id),
        |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |  FROM scored)""".stripMargin
   }
 
   private def hyperAnnOracleSql: String =
-    s"""WITH $hyperRankedCtes
+    s"""WITH ${hyperRankedCtes()}
        |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
        |  cos_sim NULLS FIRST""".stripMargin
+
+  /** Q99n oracle: the q92u standardization CTEs feeding the SAME
+    * hyperplane chain as q99f, over the z lists — whitened index +
+    * whitened ranking, replayed end-to-end in SQL. */
+  private def whitenedHyperAnnOracleSql: String =
+    s"""WITH $zListCtes,
+       |${hyperRankedCtes("zl", "z")}
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
+       |  cos_sim NULLS FIRST""".stripMargin
+
+  /** The q92t/q92u standardization pipeline as CTEs — per-dim
+    * DECIMAL(38,6) moments, the one pinned mean/σ/z op order, 6-dp z
+    * grid — ending in `zl (vec_id, z)`: each full-dim vector's
+    * standardized coordinates as an ordered list. Shared by the q92u
+    * and q99n oracles (one text, no drift). */
+  private def zListCtes: String =
+    """ex AS (SELECT vec_id, CAST(dim - 1 AS INT) AS d,
+      |    CAST(embedding[dim] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN
+      |    unnest(generate_series(1, len(embedding))) AS t(dim)),
+      |st AS (SELECT d, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      |  FROM ex GROUP BY 1),
+      |m AS (SELECT d, sx / n AS mean,
+      |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+      |  FROM st),
+      |zr AS (SELECT vec_id, ex.d AS d,
+      |    CASE WHEN sd > 0 THEN round((x - mean) / sd, 6)
+      |      ELSE 0.0 END AS zx
+      |  FROM ex JOIN m ON ex.d = m.d),
+      |zl AS (SELECT vec_id, list(zx ORDER BY d ASC) AS z
+      |  FROM zr GROUP BY 1)""".stripMargin
 
   /** Q99i_b oracle: the q99f hyperplane pipeline and the q92 exact
     * pipeline as CTEs of ONE query, joined into per-query recall@3 —
@@ -4607,7 +4606,7 @@ object LlmPipeline {
     * item 5), so the headline hyperplane recall claim is continuously
     * hash-gated rather than living only in the RecallProbe dev tool. */
   private def hyperRecallOracleSql: String =
-    s"""WITH $hyperRankedCtes,
+    s"""WITH ${hyperRankedCtes()},
        |ap AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 3),
        |eq AS (SELECT vec_id AS query_id, embedding AS qe
        |  FROM embeddings WHERE vec_id < 20),

@@ -324,14 +324,16 @@ object Windows {
         |SELECT e1, e2, e3, CAST(n AS BIGINT) AS n,
         |  CAST(n AS DOUBLE) / tot AS support
         |FROM t CROSS JOIN tot
-        |ORDER BY n DESC, e1 ASC NULLS FIRST, e2 ASC NULLS FIRST,
-        |  e3 ASC NULLS FIRST
+        |ORDER BY n DESC NULLS LAST, e1 ASC NULLS FIRST,
+        |  e2 ASC NULLS FIRST, e3 ASC NULLS FIRST
         |LIMIT 20""".stripMargin) { (s, dir) =>
       // NULLS FIRST spelled on e1/e2/e3 (r14, ADVICE): DuckDB defaults
       // nulls-last while the Spark side ranks asc (nulls-first) — a
       // null event_type reaching the top-k would split the engines on
       // the tie order (latent: the fixture has no null event_type, but
-      // eventTrigrams never filters it)
+      // eventTrigrams never filters it). n (a count, never null) spells
+      // DESC NULLS LAST since r15 — both engines' desc default, made
+      // explicit so OracleLintSpec can hold the rule uniformly.
       graft.Engine.eventTrigrams(Tables.t(s, dir, "events"),
         col("user_id"), col("ts"), col("event_id"), col("event_type"))
     },

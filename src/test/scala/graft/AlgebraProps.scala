@@ -211,7 +211,7 @@ object AlgebraProps extends Properties("algebra") {
       bag(naive) == bag(fast)
     }
 
-  property("q90l rewrite: banded join admits NO false pair and never " +
+  property("q90d banded rewrite: banded join admits NO false pair and never " +
       "misses an exact duplicate") =
     forAll(
       Gen.listOfN(12, for {

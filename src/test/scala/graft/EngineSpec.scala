@@ -478,7 +478,7 @@ class EngineSpec extends AnyFunSuite {
     // sits at J(A,B) = J(B,C) = 11/17 ~ 0.647 and J(A,C) = 8/20 = 0.4;
     // the test passes bands=32 (r=2), where the banding miss at J=0.647
     // is (1-0.647^2)^32 ~ 3e-8 — safe, unlike the default 16x4's 4%
-    // at this J (exactly q90l's documented borderline honesty bound).
+    // at this J (exactly the banded q90d's documented borderline honesty bound).
     val a = (1 to 15).map(i => s"a$i")
     val bTx = (a.take(12) ++ (1 to 3).map(i => s"b$i")).mkString(" ")
     val cTx = ((1 to 3).map(i => s"c$i") ++ a.slice(3, 12) ++
@@ -2777,6 +2777,53 @@ class EngineSpec extends AnyFunSuite {
     assert(got(1).getDouble(2) ==
       BigDecimal(w("spark")).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("containmentBandingRisk: quiet on near-uniform corpora, fires " +
+      "once length spread blinds banding to a fully-contained pair") {
+    // near-uniform: a C=1 pair at the extremes still has J ~ 0.9 —
+    // inside 16x4 banding reach, nothing asymmetric to warn about
+    assert(Engine.containmentBandingRisk(90, 100, 80, 64, 16).isEmpty)
+    // ratio 1.25 (J_full = 0.8, miss ~2e-4): still structurally safe
+    assert(Engine.containmentBandingRisk(100, 125, 80, 64, 16).isEmpty)
+    // ratio 1.35 (J_full ~ 0.74, miss ~3e-3): past the 0.1% line —
+    // the cleanest wrapper pair at the extremes can now slip banding
+    assert(Engine.containmentBandingRisk(100, 135, 80, 64, 16).nonEmpty)
+    // the q90h fixture's measured spread (8..98 bigrams): fires, and
+    // the note names the exact-path exit — its safety is the per-round
+    // oracle measurement, not structure
+    val w = Engine.containmentBandingRisk(8, 98, 80, 64, 16)
+    assert(w.exists(_.contains("containmentJoin")))
+    // degenerate sides stay quiet (nothing to audit)
+    assert(Engine.containmentBandingRisk(0, 98, 80, 64, 16).isEmpty)
+  }
+
+  test("whitenedCosineTopK: ragged and null vectors are excluded from " +
+      "the search space, never null-padded into the kernel") {
+    import spark.implicits._
+    // zip_with pads a short vector with nulls against the |dims|-wide
+    // stats array and zips a null embedding to a null array — either
+    // would feed the cosine kernel's trusted-equal-dims loop. The guard
+    // keeps them out of the search space (they still contribute their
+    // own coordinates to the per-dim moments, the q92t semantics).
+    val rnd = new java.util.Random(7)
+    def v(d: Int) = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+    val rows: Seq[(Long, Array[Float])] =
+      (2L to 7L).map(i => i -> v(8)) ++
+        Seq(0L -> v(4), 1L -> v(8), 8L -> null)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Engine.whitenedCosineTopK(df, "vec_id", "embedding",
+      col("vec_id") <= 1, k = 3).collect()
+    // ragged query 0 and null vector 8 are excluded on BOTH sides:
+    // only the full-dim query 1 emits rows, and neither 0 nor 8 can be
+    // a neighbour; no score is ever null.
+    assert(got.length == 3, got.mkString("; "))
+    assert(got.forall(_.getLong(0) == 1L))
+    assert(got.forall(r => !r.isNullAt(3)))
+    val ids = got.map(_.getLong(2)).toSet
+    assert(!ids.contains(0L) && !ids.contains(8L))
+    // self-similarity survives whitening: rank 1 of query 1 is itself
+    assert(got.find(_.getInt(1) == 1).map(_.getLong(2)).contains(1L))
   }
 
   test("hashClassifier: zero-token text yields null logit and " +

@@ -31,11 +31,13 @@ class IoEnvelopeSpec extends AnyFunSuite {
   private val expectedWrite: Map[String, Long] = Map(
     "q56_correlated_subquery" -> 14659L,
     "q78_stream_stream_join" -> 40948L,
-    "q90d_incremental_dedup" -> 608239L,
+    // r15: q90d's registered path is the banded construction (the
+    // absorbed q90l's measured envelope — 608239 under the exact
+    // prefix flood before)
+    "q90d_incremental_dedup" -> 320455L,
     // r14: banded candidates replaced the exact prefix flood (708767
     // before the containmentJoinBanded default)
     "q90h_containment_join" -> 331157L,
-    "q90l_banded_incremental_dedup" -> 320455L,
     "q91c_jaccard_join" -> 1020185L,
     "q92g_kmeans_refine" -> 315306L,
     "q92n_mmr_rerank" -> 5959L,

@@ -74,24 +74,25 @@ class QioLedgerSpec extends AnyFunSuite {
         breaches.mkString("; "))
   }
 
-  /** SF1 SPILLER ALLOWLIST — the one DOCUMENTED spill floor of the
-    * exact-recall contrast family, with its committed volume:
-    *  - q90d_incremental_dedup: the deliberate exact prefix-filter
-    *    baseline the banded path (q90l) is measured against — its
-    *    candidate flood on the gram-saturated 10× fixture spills
-    *    ~1.1 GB by design (SURVEY §8, VERDICT r11 "What's wrong #2").
-    * q90h_containment_join left the list in r14: its registered path is
-    * the banded construction (containmentJoinBanded), which erased the
-    * 33.5 MB exact-prefix floor; the exact path survives behind the
-    * priced refusal gate as the wrapper-asymmetry fallback.
-    * Everything else must stay spill-free at sf1. q90p's 2.6 GB sf1
-    * flood (r11) was caught only by a MANUAL sweep — this test is that
-    * sweep's assertion, in CI (r11 verdict item 3). */
-  private val sf1SpillFloors = Map(
-    "q90d_incremental_dedup" -> 1111000876L)
+  /** SF1 SPILLER ALLOWLIST — EMPTY since r15: every registered query
+    * must run the 10× stress sweep spill-free under the contract heap.
+    * History of the two floors this list used to carry:
+    *  - q90h_containment_join left in r14 (registered path → the banded
+    *    containmentJoinBanded, erasing the 33.5 MB exact-prefix floor);
+    *  - q90d_incremental_dedup left in r15 (registered path → the
+    *    banded minHashJoinAcross, erasing the 1.1 GB exact candidate
+    *    flood — a theorem-bound floor of the exact prefix filter on the
+    *    gram-saturated fixture, SURVEY §8/r11 verdict #2).
+    * Both exact forms survive as library operators behind the priced
+    * refusal gate (the wrapper-asymmetry / exact-recall fallbacks), and
+    * DedupRecall keeps the exact-vs-banded contrast MEASURED at sf1
+    * (RECALL.json dedup sections) rather than paid per bench sweep.
+    * q90p's 2.6 GB sf1 flood (r11) was caught only by a MANUAL sweep —
+    * this test is that sweep's assertion, in CI (r11 verdict item 3). */
+  private val sf1SpillFloors = Map.empty[String, Long]
 
-  test("the sf1 stress sweep spills ONLY at the one documented " +
-      "exact-join floor, inside [x/2, 2x] of its committed volume") {
+  test("the sf1 stress sweep spills NOWHERE (the allowlist is empty " +
+      "since r15)") {
     val sf1Opt = readJson("bench_sf1.json")
     assume(sf1Opt.isDefined, "no committed sf1 sweep in this checkout")
     val qio = sf1Opt.get.get("qio")
