@@ -2589,30 +2589,43 @@ object Engine {
     * all-pairs — per-query work is O(tables · (bits+1) · N/2^bits).
     * Queries probe their bucket plus every Hamming-1 flip and ride a
     * broadcast (bounded query set, the q99 contract). */
+  /** Internal: (id, vec, tbl, bucket) hyperplane sign-buckets — the
+    * shared candidate geometry of [[lshTopKHyper]] and the persisted
+    * [[buildWhitenedHyperIndex]]/[[searchWhitenedHyperIndex]] pair (one
+    * construction, so an index probe and an in-memory search can never
+    * disagree on a bucket). Hyperplane h (1-based) = table (h−1) div
+    * bits, bit (h−1) mod bits; all tables·bits dot products in one
+    * fused SignProject pass; the md5 sign matrix is deterministic, so
+    * there is no matrix artifact to persist — (tables, bits, dims) ARE
+    * the index geometry contract. */
+  private[graft] def hyperBuckets(df: DataFrame, idName: String,
+      vecName: String, tables: Int, bits: Int, dims: Int): DataFrame = {
+    require(tables >= 1 && bits >= 1 && bits <= 30 && dims >= 1,
+      s"hyperBuckets(tables=$tables, bits=$bits, dims=$dims)")
+    graft.plans.SignProject.register(df.sparkSession)
+    val matrix = typedLit((1 to tables * bits).map(h =>
+      (1 to dims).map(j => signMatrixEntry(j, h))))
+    val guarded = when(size(col(vecName)) === dims, col(vecName))
+      .otherwise(raise_error(concat(
+        lit(s"hyperBuckets expects $dims-dim vectors, got "),
+        size(col(vecName)).cast(StringType))))
+    df.select(col(idName), col(vecName),
+        call_function(graft.plans.SignProject.name,
+          guarded, matrix).as("__ys"))
+      .select(col(idName), col(vecName), posexplode(
+        array((0 until tables).map { t =>
+          (0 until bits).map(i =>
+            when(element_at(col("__ys"), t * bits + i + 1) > 0,
+              lit(1 << i)).otherwise(lit(0)))
+            .reduce(_ + _) }: _*)).as(Seq("tbl", "bucket")))
+  }
+
   def lshTopKHyper(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qid: String, qvec: String, k: Int,
       tables: Int = 8, bits: Int = 10, dims: Int = 64): DataFrame = {
-    require(tables >= 1 && bits >= 1 && bits <= 30 && dims >= 1,
-      s"lshTopKHyper(tables=$tables, bits=$bits, dims=$dims)")
-    graft.plans.SignProject.register(corpus.sparkSession)
     graft.plans.CosineSimilarity.register(corpus.sparkSession)
-    val matrix = typedLit((1 to tables * bits).map(h =>
-      (1 to dims).map(j => signMatrixEntry(j, h))))
-    def guarded(c: Column) = when(size(c) === dims, c)
-      .otherwise(raise_error(concat(
-        lit(s"lshTopKHyper expects $dims-dim vectors, got "),
-        size(c).cast(StringType))))
-    // hyperplane h (1-based) = table (h-1) div bits, bit (h-1) mod bits
     def tabsOf(df: DataFrame, idName: String, vecName: String) =
-      df.select(col(idName), col(vecName),
-          call_function(graft.plans.SignProject.name,
-            guarded(col(vecName)), matrix).as("__ys"))
-        .select(col(idName), col(vecName), posexplode(
-          array((0 until tables).map { t =>
-            (0 until bits).map(i =>
-              when(element_at(col("__ys"), t * bits + i + 1) > 0,
-                lit(1 << i)).otherwise(lit(0)))
-              .reduce(_ + _) }: _*)).as(Seq("tbl", "bucket")))
+      hyperBuckets(df, idName, vecName, tables, bits, dims)
     val e = tabsOf(corpus.select(col(id).as("vec_id"),
       col(vec).as("embedding")), "vec_id", "embedding")
     val probeXors = 0 +: (0 until bits).map(1 << _)
@@ -2957,28 +2970,124 @@ object Engine {
     * vector that has no value on some standardized axis. EngineSpec
     * pins the ragged+null probe. */
   private def whitenedZ(corpus: DataFrame, id: String, vec: String,
-      isQuery: Column): DataFrame = {
+      isQuery: Column): DataFrame =
+    zApply(corpus, col(id), vec, Seq(isQuery.as("__isq")),
+        packStats(dimStats(corpus, vec)))
+      .persistOnce()
+
+  /** Internal: the q92t per-dim moments as a (d, m, σ) table — one
+    * posexplode → groupBy(dim) exchange with map-side partials, the
+    * DECIMAL(38,6) moment grid and the one pinned mean/σ op order the
+    * oracles mirror. This is the table [[buildWhitenedHyperIndex]]
+    * PERSISTS: standardization parameters are part of an index, not of
+    * a query (see the train/serve-skew note there). */
+  private def dimStats(corpus: DataFrame, vec: String): DataFrame = {
     val ex = corpus.select(posexplode(col(vec)).as(Seq("__d", "__xf")))
       .select(col("__d"), col("__xf").cast(DoubleType).as("__x"))
-    val stats = ex.groupBy(col("__d")).agg(
+    val st = ex.groupBy(col("__d")).agg(
       count(lit(1)).as("__n"),
       graft.Canon.sumDec(col("__x")).as("__sx"),
       graft.Canon.sumDec(col("__x") * col("__x")).as("__sxx"))
     val mean = col("__sx") / col("__n")
     val sd = sqrt(greatest(col("__sxx") / col("__n") -
       (col("__sx") / col("__n")) * (col("__sx") / col("__n")), lit(0.0)))
-    val packed = stats
-      .select(col("__d"), mean.as("__m"), sd.as("__s"))
-      .agg(array_sort(collect_list(struct(col("__d"), col("__m"),
-        col("__s")))).as("__st"))
-    corpus.crossJoin(broadcast(packed))
+    st.select(col("__d"), mean.as("__m"), sd.as("__s"))
+  }
+
+  /** Internal: the |dims|-row stats table packed into ONE broadcastable
+    * row (d-sorted struct array) for the zip_with rewrite. */
+  private def packStats(stats: DataFrame): DataFrame =
+    stats.agg(array_sort(collect_list(struct(col("__d"), col("__m"),
+      col("__s")))).as("__st"))
+
+  /** Internal: z-score `vec` against a packed stats row — the shared
+    * rewrite of [[whitenedZ]] (fresh stats) and
+    * [[searchWhitenedHyperIndex]] (FROZEN stats read from the index).
+    * Carries the fixed-dim guard: only non-null vectors of exactly the
+    * stats width survive (see [[whitenedZ]]'s hazard note). Output is
+    * (vec_id, <keep…>, __z). */
+  private def zApply(df: DataFrame, id: Column, vec: String,
+      keep: Seq[Column], packed: DataFrame): DataFrame =
+    df.crossJoin(broadcast(packed))
       .filter(col(vec).isNotNull && size(col(vec)) === size(col("__st")))
-      .select(col(id).as("vec_id"), isQuery.as("__isq"),
+      .select(id.as("vec_id") +: keep :+
         zip_with(col(vec), col("__st"), (x, s) =>
           when(s.getField("__s") > 0,
             round((x.cast(DoubleType) - s.getField("__m")) /
-              s.getField("__s"), 6)).otherwise(lit(0.0))).as("__z"))
-      .persistOnce()
+              s.getField("__s"), 6)).otherwise(lit(0.0))).as("__z"): _*)
+
+  /** PERSISTED whitened hyperplane index — the q99g/q90m index-artifact
+    * discipline applied to [[whitenedLshTopKHyper]], and the fix for
+    * the TRAIN/SERVE SKEW that in-memory whitened search hides: the
+    * per-dim mean/σ are TRAINING-time statistics, so they must be
+    * FROZEN into the index and applied verbatim to every future query —
+    * a serve path that re-derives moments from "corpus + today's
+    * queries" (or worse, from the query batch alone) scores in a
+    * drifting space and its buckets stop matching its ranking. Layout
+    * under `indexPath`: `stats/` (the |dims|-row (d, mean, σ) table —
+    * THE standardization contract, written once at build), `vecs/`
+    * (vec_id, z — the standardized corpus for exact re-scoring), and
+    * `buckets/` (vec_id, tbl, bucket — the probe table, written
+    * tbl-partition-clustered and bucket-sorted for row-group skipping
+    * on the probe join). The md5 hyperplane matrix is deterministic, so
+    * (tables, bits, dims) are the only geometry to carry — they are the
+    * caller's index contract, exactly like nprobe/centroids for q99g.
+    * The corpus z vectors are derived from the PERSISTED stats read
+    * back (parquet double roundtrip is exact), so index rows and future
+    * query rows standardize through the identical frozen values. */
+  def buildWhitenedHyperIndex(corpus: DataFrame, id: String, vec: String,
+      indexPath: String, tables: Int = 8, bits: Int = 10,
+      dims: Int = 64): Unit = {
+    val ss = corpus.sparkSession
+    dimStats(corpus, vec).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    val packed = packStats(ss.read.parquet(s"$indexPath/stats"))
+    val z = zApply(corpus, col(id), vec, Nil, packed).persistOnce()
+    z.select(col("vec_id"), col("__z").as("z"))
+      .write.mode("overwrite").parquet(s"$indexPath/vecs")
+    hyperBuckets(z, "vec_id", "__z", tables, bits, dims)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+      .repartition(col("tbl")).sortWithinPartitions("tbl", "bucket")
+      .write.mode("overwrite").parquet(s"$indexPath/buckets")
+  }
+
+  /** Serve whitened top-k from a [[buildWhitenedHyperIndex]] artifact:
+    * queries standardize through the index's FROZEN `stats/` (never
+    * fresh moments — a query batch contributes nothing to the space it
+    * is scored in), bucket through the same deterministic hyperplanes,
+    * probe their bucket plus every Hamming-1 flip via one broadcast
+    * equi-join on (tbl, bucket) against `buckets/`, and rank the
+    * candidates by exact rounded cosine over the `vecs/` z rows. Same
+    * geometry params as the build — the index contract. With queries
+    * drawn from the indexed corpus this returns exactly what
+    * [[whitenedLshTopKHyper]] returns over that corpus (EngineSpec pins
+    * the equivalence); NEW query vectors are standardized with the
+    * frozen moments, which is the point. */
+  def searchWhitenedHyperIndex(queries: DataFrame, qid: String,
+      qvec: String, indexPath: String, k: Int, tables: Int = 8,
+      bits: Int = 10, dims: Int = 64): DataFrame = {
+    val ss = queries.sparkSession
+    graft.plans.CosineSimilarity.register(ss)
+    val packed = packStats(ss.read.parquet(s"$indexPath/stats"))
+    val zq = zApply(queries, col(qid), qvec, Nil, packed)
+      .select(col("vec_id").as("query_id"), col("__z").as("__qz"))
+    val probeXors = 0 +: (0 until bits).map(1 << _)
+    val probes = hyperBuckets(zq, "query_id", "__qz", tables, bits, dims)
+      .withColumn("__xor", explode(array(probeXors.map(lit): _*)))
+      .select(col("query_id"), col("__qz"), col("tbl"),
+        col("bucket").bitwiseXOR(col("__xor")).as("bucket"))
+    val cands = ss.read.parquet(s"$indexPath/buckets")
+      .join(broadcast(probes), Seq("tbl", "bucket"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands
+      .join(ss.read.parquet(s"$indexPath/vecs"), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("cosine_sim(__qz, z)"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos_sim")
   }
 
   /** WHITENED hyperplane ANN — [[lshTopKHyper]] run over the

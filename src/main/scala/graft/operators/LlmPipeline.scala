@@ -2978,6 +2978,38 @@ object LlmPipeline {
         "embedding", col("vec_id") < 20, k = 3, tables = 8, bits = bits))
     },
 
+    // Q99o (beyond-survey) — PERSISTED whitened index with FROZEN
+    // standardization ([[graft.Engine.buildWhitenedHyperIndex]] /
+    // [[searchWhitenedHyperIndex]]): the q99g index-artifact discipline
+    // applied to q99n, closing the TRAIN/SERVE SKEW hole the in-memory
+    // form hides — per-dim mean/σ are TRAINING-time statistics, so they
+    // are written into the index (`stats/`) at build and applied
+    // verbatim to every future query batch; a serving path that
+    // re-derived moments from corpus+queries would score each batch in
+    // a drifting space. The fixture makes freezing OBSERVABLE and
+    // hash-gated: the index is built over the history slice
+    // (vec_id % 5 ≠ 0) while the query set (vec_id < 20) includes
+    // vectors OUTSIDE it — the oracle standardizes everything with
+    // history-only moments, so an implementation that peeked at query
+    // rows when deriving stats hash-mismatches immediately. Index
+    // layout: stats/ + vecs/ (standardized corpus for exact re-scoring)
+    // + buckets/ (tbl-clustered, bucket-sorted probe table); at 100 TB
+    // the buckets read is one broadcast equi-join with row-group
+    // skipping, history is standardized/hashed ONCE at build, and each
+    // day's queries cost |Q|·tables·(bits+1) probes.
+    Q("q99o_whitened_index", whitenedIndexOracleSql) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val hist = e.filter(col("vec_id") % 5 =!= 0)
+      val path = IO.scratch("q99o_whitened_index", dir)
+      val bits = graft.Engine.annBits(hist.count(), targetBucket = 32,
+        maxBits = 16)
+      graft.Engine.buildWhitenedHyperIndex(hist, "vec_id", "embedding",
+        path, tables = 8, bits = bits)
+      orderAll(graft.Engine.searchWhitenedHyperIndex(
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", path,
+        k = 3, tables = 8, bits = bits))
+    },
+
     // Q93j (beyond-survey) — BM25 top-k RETRIEVAL: q93h's scorer
     // generalized to a per-query inverted-index search
     // ([[graft.Engine.bm25Search]]) — every query doc (doc_id < 5, the
@@ -4575,6 +4607,82 @@ object LlmPipeline {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
        |  cos_sim NULLS FIRST""".stripMargin
+
+  /** Q99o oracle: the FROZEN-stats replay — moments from the HISTORY
+    * slice only (the index's `stats/` contract), z for history AND
+    * query vectors through those frozen moments, the hyperplane chain
+    * over the history z (the persisted `buckets/`), query buckets from
+    * the same deterministic hyperplanes, Hamming-≤1 probes, exact
+    * whitened-cosine re-rank. An engine that derived stats from
+    * anything but the indexed corpus cannot match this hash. */
+  private def whitenedIndexOracleSql: String = {
+    val signCase = "(CASE (CAST('0x' || substr(md5(" +
+      "CAST(j AS VARCHAR) || ':' || CAST(hh.h AS VARCHAR)), 1, 4) " +
+      "AS BIGINT) % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
+    def bucketChain(src: String, pfx: String): String =
+      s"""${pfx}t AS (SELECT vec_id, CAST(z[j] AS DOUBLE) AS x, j
+         |  FROM $src CROSS JOIN
+         |    unnest(generate_series(1, len(z))) AS g(j)),
+         |${pfx}ys AS (SELECT ${pfx}t.vec_id, hh.h AS h, bb.bits AS bits,
+         |    CAST(sum(CAST(x * $signCase AS DECIMAL(38,6))) AS DOUBLE)
+         |      AS y
+         |  FROM ${pfx}t, bb
+         |  CROSS JOIN unnest(generate_series(1, 8 * bb.bits)) AS hh(h)
+         |  GROUP BY ${pfx}t.vec_id, hh.h, bb.bits),
+         |${pfx}tabs AS (SELECT vec_id, CAST((h - 1) // bits AS INT)
+         |      AS tbl,
+         |    CAST(sum(CASE WHEN y > 0 THEN
+         |      (CAST(1 AS BIGINT) << CAST((h - 1) % bits AS INT))
+         |      ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM ${pfx}ys GROUP BY vec_id, (h - 1) // bits)""".stripMargin
+    s"""WITH exa AS (SELECT vec_id, CAST(dim - 1 AS INT) AS d,
+       |    CAST(embedding[dim] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN
+       |    unnest(generate_series(1, len(embedding))) AS t(dim)),
+       |st AS (SELECT d, count(*) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+       |  FROM exa WHERE vec_id % 5 <> 0 GROUP BY 1),
+       |m AS (SELECT d, sx / n AS mean,
+       |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+       |  FROM st),
+       |zr AS (SELECT vec_id, exa.d AS d,
+       |    CASE WHEN sd > 0 THEN round((x - mean) / sd, 6)
+       |      ELSE 0.0 END AS zx
+       |  FROM exa JOIN m ON exa.d = m.d),
+       |zl AS (SELECT vec_id, list(zx ORDER BY d ASC) AS z
+       |  FROM zr GROUP BY 1),
+       |zh AS (SELECT vec_id, z FROM zl WHERE vec_id % 5 <> 0),
+       |zq AS (SELECT vec_id, z FROM zl WHERE vec_id < 20),
+       |nn AS (SELECT count(*) AS n FROM zh),
+       |bb AS (SELECT coalesce((SELECT min(g.b)
+       |    FROM generate_series(1, 16) g(b), nn
+       |    WHERE (CAST(1 AS BIGINT) << g.b) * 32 >= nn.n), 16) AS bits
+       |  FROM nn),
+       |${bucketChain("zh", "")},
+       |${bucketChain("zq", "q")},
+       |masks AS (SELECT mm.m AS m FROM bb, unnest([0] || list_transform(
+       |    generate_series(0, bb.bits - 1), j -> 1 << j)) AS mm(m)),
+       |probes AS (SELECT q.vec_id AS query_id, q.tbl,
+       |    xor(q.bucket, CAST(ms.m AS BIGINT)) AS bucket
+       |  FROM qtabs q, masks ms),
+       |cand AS (SELECT DISTINCT p.query_id, e.vec_id
+       |  FROM probes p JOIN tabs e
+       |    ON p.tbl = e.tbl AND p.bucket = e.bucket),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(${Similarity.cosineSql("qv.z", "cv.z")}, 6) AS cos_sim
+       |  FROM cand c
+       |  JOIN zq qv ON qv.vec_id = c.query_id
+       |  JOIN zh cv ON cv.vec_id = c.vec_id),
+       |ranked AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)
+       |      AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
+       |  cos_sim NULLS FIRST""".stripMargin
+  }
 
   /** The q92t/q92u standardization pipeline as CTEs — per-dim
     * DECIMAL(38,6) moments, the one pinned mean/σ/z op order, 6-dp z

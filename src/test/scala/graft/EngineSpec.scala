@@ -2826,6 +2826,32 @@ class EngineSpec extends AnyFunSuite {
     assert(got.find(_.getInt(1) == 1).map(_.getLong(2)).contains(1L))
   }
 
+  test("whitened index: persisted build+search == in-memory whitened " +
+      "search when queries are drawn from the indexed corpus") {
+    // The frozen-stats contract collapses to the in-memory form exactly
+    // when the query set is part of the corpus the stats were derived
+    // from — the equivalence that proves the index pair changes WHERE
+    // the standardization lives, never WHAT it computes. (The q99o
+    // oracle covers the other half: queries OUTSIDE the corpus
+    // standardize through the frozen moments.)
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val path = graft.sources.IO.scratch("enginespec-whitened-idx",
+      TestSpark.sfDir)
+    val bits = Engine.annBits(e.count(), targetBucket = 32, maxBits = 16)
+    Engine.buildWhitenedHyperIndex(e, "vec_id", "embedding", path,
+      tables = 8, bits = bits)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val served = rows(Engine.searchWhitenedHyperIndex(
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", path,
+      k = 3, tables = 8, bits = bits))
+    val inMem = rows(Engine.whitenedLshTopKHyper(e, "vec_id",
+      "embedding", col("vec_id") < 20, k = 3, tables = 8, bits = bits))
+    assert(served == inMem)
+    assert(served.nonEmpty)
+  }
+
   test("hashClassifier: zero-token text yields null logit and " +
       "keep=false, never NaN") {
     import spark.implicits._

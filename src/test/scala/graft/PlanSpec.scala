@@ -728,6 +728,8 @@ class PlanSpec extends AnyFunSuite {
       "q91b_neardup_clusters", "q91e_apply_dedup",
       // write their index on build; targeted partition-pruning test
       "q99g_persisted_ivf", "q99h_index_append",
+      // writes the whitened index (stats/vecs/buckets) on build
+      "q99o_whitened_index",
       // writes index + tombstones on build (q99g class)
       "q99j_index_delete",
       // writes the meta-carrying index on build (q99g class)
