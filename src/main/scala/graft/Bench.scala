@@ -106,7 +106,16 @@ object Bench {
     * checkout still produces a number. Every raw total stays in `runs`
     * with its load fingerprint — the median is a REPORTING rule, not a
     * data filter. */
-  private val QuietLoadMax = 5.0 // ~16% of this 32-cpu box
+  /** Calibrated to the sweep's OWN steady-state load on the contract
+    * box: a full 32-thread run records load_mean 4.4–5.5 with the host
+    * otherwise idle (the ledger's runs_load history), so a 5.0 cut
+    * split the bench's self-load band and randomly disqualified clean
+    * runs. 6.0 = self-load + headroom; it still excludes genuinely
+    * contended hosts (the 6.4/7.0/7.3 history entries). CPU load is
+    * only half the screen — the r14 disk-spike runs recorded 4.4–4.9
+    * load_mean, invisible to ANY load cut; the per-query riser re-run
+    * below is what filters those. */
+  private val QuietLoadMax = 6.0
   private val HeadlineMinRuns = 3
   private val HeadlineWindow = 5
 
