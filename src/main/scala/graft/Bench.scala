@@ -195,6 +195,24 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** The headline-selection rule, factored pure so BenchProtocolSpec
+    * can pin its boundaries: candidates are the completed runs whose
+    * load fingerprint is KNOWN and under [[QuietLoadMax]] AND whose
+    * registry size matches the current one; the last [[HeadlineWindow]]
+    * of those feed the median once at least [[HeadlineMinRuns]] exist,
+    * else the current run's raw total stands (labelled single_run). */
+  private[graft] def headlineOf(runs: Seq[Double], runsLoad: Seq[Double],
+      runsOf: Seq[Int], registrySize: Int,
+      thisTotal: Double): (Double, String) = {
+    val quiet = runs.indices.collect {
+      case i if runsLoad(i) >= 0 && runsLoad(i) < QuietLoadMax &&
+        runsOf(i) == registrySize => runs(i)
+    }.takeRight(HeadlineWindow)
+    if (quiet.size >= HeadlineMinRuns)
+      (median(quiet), s"median_quiet_${quiet.size}")
+    else (thisTotal, "single_run")
+  }
+
   def main(args: Array[String]): Unit = {
     // The StreamSizing profiling knob overrides EVERY registered
     // stream's batching, including the q78/q78b mfpt=1 correctness
@@ -521,15 +539,8 @@ object Bench {
     // an ONLY-mode run keeps raw-total semantics.
     val headline =
       if (only.nonEmpty) None
-      else {
-        val quiet = runsOut.indices.collect {
-          case i if runsLoadOut(i) >= 0 && runsLoadOut(i) < QuietLoadMax &&
-            runsOfOut(i) == todo.size => runsOut(i)
-        }.takeRight(HeadlineWindow)
-        if (quiet.size >= HeadlineMinRuns)
-          Some((median(quiet), s"median_quiet_${quiet.size}"))
-        else Some((total, "single_run"))
-      }
+      else Some(headlineOf(runsOut, runsLoadOut, runsOfOut, todo.size,
+        total))
     val headlineValue = headline.map(_._1).getOrElse(total)
     val finalLine = jsonLine(results.toSeq, partial = false, todo.size,
       runsOut, runsLoadOut, runsOfOut, qhistOut, headline)
