@@ -73,8 +73,9 @@ import scala.jdk.CollectionConverters._
   * into the fixed per-trigger state-store/checkpoint machinery vs data
   * volume: at production scale that cost amortizes per trigger, not per
   * row, so a few-trigger replay's wall-time is NOT a per-row throughput
-  * number. Listener events are async, so the count is the per-query delta
-  * across all three passes divided by 3 — exact for the deterministic
+  * number. Listener events are async, so the count is the per-query
+  * delta divided by the number of passes that actually executed
+  * (warm-up + timed + any riser re-runs) — exact for the deterministic
   * replays used here.
   */
 object Bench {
@@ -92,7 +93,8 @@ object Bench {
     * two single-run spikes (q90d, and the sf1 q91c/q90h pair) that were
     * unattributable precisely because the ledger had no load record. */
   private final case class Ledger(runs: Seq[Double], runsLoad: Seq[Double],
-      runsOf: Seq[Int], qhist: Map[String, Seq[Double]])
+      runsOf: Seq[Int], runsDio: Seq[Double],
+      qhist: Map[String, Seq[Double]])
 
   /** NOISE-PROOF HEADLINE PROTOCOL (r15): the committed `value` is the
     * MEDIAN of the most recent (up to [[HeadlineWindow]]) completed
@@ -118,6 +120,24 @@ object Bench {
   private val QuietLoadMax = 6.0
   private val HeadlineMinRuns = 3
   private val HeadlineWindow = 5
+
+  /** IO-PRESSURE fingerprint (r16): CPU load cannot see a disk spike —
+    * the r14 ambient-disk-spike runs recorded load_mean 4.4–4.9, under
+    * any load cut — so each run also records `dio`: the fraction of the
+    * run's wall during which at least one task stalled on IO, from the
+    * kernel PSI accounting (/proc/pressure/io `some total=<µs>` delta /
+    * wall). A run whose dio is KNOWN and at/above [[QuietDioMax]] is
+    * excluded from the headline median exactly like a loud-load run;
+    * unknown dio (−1: pre-field history, or a kernel without PSI) does
+    * NOT disqualify — the whole pre-r16 ledger would otherwise never
+    * qualify again, and load screening still applies to it. Threshold
+    * calibration (same discipline as QuietLoadMax): idle-host sweeps
+    * measure the bench's SELF-dio at ≈ 0.00–0.01 — its fixtures and
+    * shuffle files ride the page cache, so the sweep itself barely
+    * stalls on IO — which leaves 0.15 an order of magnitude of
+    * headroom above self-IO while still far below genuine disk
+    * contention (a saturating parallel writer drives PSI past 0.3). */
+  private val QuietDioMax = 0.15
 
   /** PER-QUERY RISER RE-RUN (r15): a timed result > [[RiserFactor]] ×
     * the query's ledgered median is re-measured (up to [[RiserRetries]]
@@ -145,7 +165,8 @@ object Bench {
   private def readLedger(path: java.nio.file.Path,
       fullRegistry: Int): Ledger = try {
     val root = new ObjectMapper().readTree(java.nio.file.Files.readAllBytes(path))
-    if (root == null || !root.isObject) return Ledger(Nil, Nil, Nil, Map.empty)
+    if (root == null || !root.isObject)
+      return Ledger(Nil, Nil, Nil, Nil, Map.empty)
     def numbers(n: JsonNode): Option[Seq[Double]] =
       if (n != null && n.isArray && n.elements.asScala.forall(_.isNumber))
         Some(n.elements.asScala.map(_.asDouble).toSeq)
@@ -167,15 +188,21 @@ object Bench {
     // registry size per historical run (−1 = recorded before the field
     // existed, or unknown): the headline median may only pool runs of
     // the SAME registry — a 274-query total is not comparable to a
-    // 276-query one. A legacy artifact whose completed `of` matches the
-    // current registry seeds every carried run at that size (they were
-    // only ever appended at completion of a full-registry run).
-    val legacyOf =
-      if (completed && root.path("of").isNumber) root.path("of").asInt(-1)
-      else -1
+    // 276-query one. Runs carried WITHOUT a runs_of entry seed at −1
+    // (never qualifying): the r15 rule stamped them with the artifact's
+    // CURRENT `of`, but old runs were appended when the registry was
+    // smaller — the committed ledger carried ~77 s totals from a
+    // 179-query registry labelled 276, which would have poisoned the
+    // quiet median at the next same-size transition. Unknown must stay
+    // unknown; the HeadlineMinRuns fallback covers the cold start.
     val runsOf = numbers(root.path("runs_of"))
       .map(_.map(_.toInt)).getOrElse(Seq.empty)
-      .padTo(runs.size, legacyOf).take(runs.size)
+      .padTo(runs.size, -1).take(runs.size)
+    // IO-pressure fingerprint per historical run (−1 = pre-r16 / PSI
+    // unavailable — known-unknown, still headline-eligible; see the
+    // QuietDioMax note)
+    val runsDio = numbers(root.path("runs_dio")).getOrElse(Seq.empty)
+      .padTo(runs.size, -1.0).take(runs.size)
     val qhist: Map[String, Seq[Double]] =
       if (root.path("qhist").isObject)
         root.path("qhist").properties.asScala
@@ -186,8 +213,8 @@ object Bench {
             e.getKey -> Seq(e.getValue.asDouble)
         }.toMap
       else Map.empty
-    Ledger(runs, runsLoad, runsOf, qhist)
-  } catch { case _: Throwable => Ledger(Nil, Nil, Nil, Map.empty) }
+    Ledger(runs, runsLoad, runsOf, runsDio, qhist)
+  } catch { case _: Throwable => Ledger(Nil, Nil, Nil, Nil, Map.empty) }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -197,21 +224,39 @@ object Bench {
 
   /** The headline-selection rule, factored pure so BenchProtocolSpec
     * can pin its boundaries: candidates are the completed runs whose
-    * load fingerprint is KNOWN and under [[QuietLoadMax]] AND whose
-    * registry size matches the current one; the last [[HeadlineWindow]]
-    * of those feed the median once at least [[HeadlineMinRuns]] exist,
-    * else the current run's raw total stands (labelled single_run). */
+    * load fingerprint is KNOWN and under [[QuietLoadMax]], whose IO
+    * stall fraction is not KNOWN-dirty (−1 unknown passes; a known
+    * value must be under [[QuietDioMax]]), AND whose registry size
+    * matches the current one; the last [[HeadlineWindow]] of those
+    * feed the median once at least [[HeadlineMinRuns]] exist, else the
+    * current run's raw total stands (labelled single_run). */
   private[graft] def headlineOf(runs: Seq[Double], runsLoad: Seq[Double],
-      runsOf: Seq[Int], registrySize: Int,
+      runsOf: Seq[Int], runsDio: Seq[Double], registrySize: Int,
       thisTotal: Double): (Double, String) = {
     val quiet = runs.indices.collect {
       case i if runsLoad(i) >= 0 && runsLoad(i) < QuietLoadMax &&
+        (runsDio(i) < 0 || runsDio(i) < QuietDioMax) &&
         runsOf(i) == registrySize => runs(i)
     }.takeRight(HeadlineWindow)
     if (quiet.size >= HeadlineMinRuns)
       (median(quiet), s"median_quiet_${quiet.size}")
     else (thisTotal, "single_run")
   }
+
+  /** DIVERGENCE FLAG (r16, ADVICE): the median headline under-reports a
+    * genuine quiet-run regression for up to ~2 rounds (and a loud
+    * current run commits pure history). When the CURRENT run is itself
+    * quiet (load + dio both clean) yet its raw total exceeds the
+    * committed median by [[RiserFactor]], the artifact says so
+    * explicitly — a consumer reading only `value` sees the lag flagged
+    * in the round it lands instead of discovering it two rounds later.
+    * A loud current run never flags (its total is noise, which is the
+    * whole point of the median). */
+  private[graft] def headlineDiverges(committed: Double, thisTotal: Double,
+      thisLoad: Double, thisDio: Double): Boolean =
+    committed > 0 && thisLoad >= 0 && thisLoad < QuietLoadMax &&
+      (thisDio < 0 || thisDio < QuietDioMax) &&
+      thisTotal > committed * RiserFactor
 
   def main(args: Array[String]): Unit = {
     // The StreamSizing profiling knob overrides EVERY registered
@@ -403,10 +448,32 @@ object Bench {
     def loadMean: Double =
       if (loadSamples.isEmpty) -1.0 else loadSamples.sum / loadSamples.size
     def loadMax: Double = if (loadSamples.isEmpty) -1.0 else loadSamples.max
+    // IO-pressure fingerprint: cumulative µs (since boot) during which
+    // at least one task stalled on IO, from the kernel PSI ledger. −1 =
+    // unavailable (no CONFIG_PSI); the quiet filter treats unknown as
+    // eligible (see QuietDioMax).
+    def psiIoStallMicros(): Long = try {
+      val line = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/pressure/io"))
+        .asScala.find(_.startsWith("some "))
+      line.flatMap(_.split("\\s+").collectFirst {
+        case f if f.startsWith("total=") => f.stripPrefix("total=").toLong
+      }).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    val psi0 = psiIoStallMicros()
+    val wall0 = System.nanoTime()
+    // stall-fraction of THIS run's wall so far (−1 when PSI is absent)
+    def dioNow: Double = {
+      val p = psiIoStallMicros()
+      val wallSec = (System.nanoTime() - wall0) / 1e9
+      if (psi0 < 0 || p < 0 || wallSec <= 0) -1.0
+      else (p - psi0) / 1e6 / wallSec
+    }
     def jsonLine(results: Seq[(String, Double, Long, (Long, Long, Long))],
         partial: Boolean,
         of: Int, runs: Seq[Double], runsLoad: Seq[Double],
-        runsOf: Seq[Int], qhist: Map[String, Seq[Double]],
+        runsOf: Seq[Int], runsDio: Seq[Double],
+        qhist: Map[String, Seq[Double]],
         headline: Option[(Double, String)]): String = {
       val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -423,13 +490,17 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       val (value, headlineS) = headline match {
         case Some((v, label)) =>
+          val diverges = headlineDiverges(v, total, loadMean, dioNow)
           (v, f""""value_this_run":$total%.1f,"headline":"$label",""" +
-            f""""quiet_load_max":$QuietLoadMax%.1f,""")
+            f""""headline_diverges":$diverges,""" +
+            f""""quiet_load_max":$QuietLoadMax%.1f,""" +
+            f""""quiet_dio_max":$QuietDioMax%.2f,""")
         case None => (total, "")
       }
       val runsS = runs.map(r => f"$r%.1f").mkString("[", ",", "]")
       val runsLoadS = runsLoad.map(r => f"$r%.1f").mkString("[", ",", "]")
       val runsOfS = runsOf.mkString("[", ",", "]")
+      val runsDioS = runsDio.map(r => f"$r%.3f").mkString("[", ",", "]")
       val qh = qhist.toSeq.sortBy(_._1).map { case (k, vs) =>
         s"\"$k\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
@@ -441,7 +512,8 @@ object Bench {
         s""""done":${results.size},"of":$of,"runs":$runsS,""" +
         s""""runs_of":$runsOfS,""" +
         f""""runs_load":$runsLoadS,"load_mean":$loadMean%.2f,""" +
-        f""""load_max":$loadMax%.2f,"cpus":"$cpus",""" +
+        f""""load_max":$loadMax%.2f,""" +
+        f""""runs_dio":$runsDioS,"dio":$dioNow%.3f,"cpus":"$cpus",""" +
         s""""skipped":$skippedS,"failed":$failedS,""" +
         s""""queries":$qs,"streaming":$st,"qio":$qio,""" +
         s""""qhist":$qh,"qmedian":$qm,"sf":"$sfDir"}"""
@@ -472,11 +544,18 @@ object Bench {
       val io = (ioRead.get() - io0._1, ioWrite.get() - io0._2,
         ioSpill.get() - io0._3)
       // a missing fixture won't appear between passes — skip the timed
-      // runs outright instead of failing the same read twice more
+      // runs outright instead of failing the same read twice more.
+      // `passes` counts every pass that actually EXECUTED (warm-up +
+      // timed + riser retries): the trigger delta spans all of them, so
+      // dividing by a constant 3 inflated n_triggers/sec_per_trigger by
+      // up to ~66% for exactly the streaming risers (q78/q79) the retry
+      // protocol was built for.
+      var passes = 1 // the warm-up ran unconditionally
       val sec =
         if (w == Skipped) Skipped
         else {
           val (a, b) = (once(fn), once(fn))
+          passes += 2
           // any failed run marks the query failed — a flaky query must
           // not masquerade as a healthy timing; a skip on a timed pass
           // (fixture vanished mid-run) is a failure of the run, not a
@@ -491,18 +570,24 @@ object Bench {
             if (hist.size >= 2) {
               val med = median(hist)
               var retries = 0
-              while (best > med * RiserFactor && retries < RiserRetries) {
+              while (best >= 0 && best > med * RiserFactor &&
+                  retries < RiserRetries) {
                 retries += 1
                 System.err.println(f"[bench] $name%-28s riser $best%.2fs >" +
                   f" ${RiserFactor}x median $med%.2fs — re-run $retries")
                 val r = once(fn)
-                if (r >= 0 && r < best) best = r
+                passes += 1
+                // a failed/skipped RETRY is a failed run like any other
+                // pass — a query flaky enough to die on its re-measure
+                // must not commit the earlier passes as a healthy timing
+                if (r < 0) best = Failed
+                else if (r < best) best = r
               }
             }
             best
           }
         }
-      val nTrig = math.round((triggers.get() - trig0) / 3.0)
+      val nTrig = math.round((triggers.get() - trig0) / passes.toDouble)
       results += ((name, sec, nTrig, io))
       if (sec >= 0) rolling += sec
       // Drop THIS query's pinned state before the next query runs: the
@@ -519,31 +604,34 @@ object Bench {
       System.err.println(
         f"[bench] ${i + 1}%3d/${todo.size} $name%-28s ${secS}s  rolling $rolling%8.1fs")
       writeArtifact(jsonLine(results.toSeq, partial = true, todo.size,
-        ledger.runs, ledger.runsLoad, ledger.runsOf, ledger.qhist, None))
+        ledger.runs, ledger.runsLoad, ledger.runsOf, ledger.runsDio,
+        ledger.qhist, None))
     }
     sampleLoad()
     val total = results.map(_._2).filter(_ >= 0).sum
     // Append this run to the ledger only for full-registry runs; cap
     // per-query history so the artifact stays bounded.
-    val (runsOut, runsLoadOut, runsOfOut, qhistOut) =
+    val dioRun = dioNow
+    val (runsOut, runsLoadOut, runsOfOut, runsDioOut, qhistOut) =
       if (only.isEmpty) {
         val qh = results.foldLeft(ledger.qhist) { case (m, (k, v, _, _)) =>
           if (v < 0) m
           else m.updated(k, (m.getOrElse(k, Nil) :+ v).takeRight(QHistCap))
         }
         (ledger.runs :+ total, ledger.runsLoad :+ loadMean,
-          ledger.runsOf :+ todo.size, qh)
-      } else (ledger.runs, ledger.runsLoad, ledger.runsOf, ledger.qhist)
+          ledger.runsOf :+ todo.size, ledger.runsDio :+ dioRun, qh)
+      } else (ledger.runs, ledger.runsLoad, ledger.runsOf,
+        ledger.runsDio, ledger.qhist)
     // Headline: median over the quiet same-size window (see the
     // protocol note at QuietLoadMax). Only full-registry runs qualify —
     // an ONLY-mode run keeps raw-total semantics.
     val headline =
       if (only.nonEmpty) None
-      else Some(headlineOf(runsOut, runsLoadOut, runsOfOut, todo.size,
-        total))
+      else Some(headlineOf(runsOut, runsLoadOut, runsOfOut, runsDioOut,
+        todo.size, total))
     val headlineValue = headline.map(_._1).getOrElse(total)
     val finalLine = jsonLine(results.toSeq, partial = false, todo.size,
-      runsOut, runsLoadOut, runsOfOut, qhistOut, headline)
+      runsOut, runsLoadOut, runsOfOut, runsDioOut, qhistOut, headline)
     println(finalLine)
     // COMPACT trailer: the driver's stdout tail window is ~2,000 chars —
     // the full line overflows it, this one always fits and parses.

@@ -1669,19 +1669,88 @@ object Engine {
   private[graft] def containmentBandingRisk(naMin: Long, nbMax: Long,
       thresholdPct: Int, numHashes: Int, bands: Int): Option[String] = {
     if (naMin <= 0 || nbMax <= 0) return None
-    val jFull = naMin.toDouble / nbMax
     val rows = math.max(numHashes / bands, 1)
-    val miss = math.pow(1.0 - math.pow(math.min(jFull, 1.0), rows), bands)
+    def missAt(j: Double) =
+      math.pow(1.0 - math.pow(math.min(j, 1.0), rows), bands)
+    val jFull = naMin.toDouble / nbMax
+    val miss = missAt(jFull)
+    // τ-DEPENDENT companion bound (r16, ADVICE): the worst Jaccard of
+    // any QUALIFYING pair (C ≥ t but not fully contained) is even
+    // lower — J ≥ t·naMin/(naMin + nbMax − t·naMin) — and its miss
+    // probability is reported alongside. It does NOT gate the firing:
+    // the borderline C ≈ t pair's miss window is the documented recall
+    // characteristic every LSH scheme carries (near-uniform corpora
+    // fire it too — J_qual = t/(2−t) ≈ 0.67 at t=0.8, miss ≈ 3%);
+    // what asymmetry SPECIFICALLY breaks, and what this audit fires
+    // on, is banding losing even the C = 1 wrapper pair.
+    val tna = naMin * thresholdPct / 100.0
+    val jQual = tna / (naMin + nbMax - tna)
     if (miss <= 1e-3) None
     else Some(
       f"length asymmetry (min contained grams $naMin, max container " +
         f"grams $nbMax) puts FULLY-contained pairs at Jaccard " +
         f"$jFull%.4f, which ${bands}x$rows banding misses with " +
-        f"probability up to $miss%.3f — banded recall on this corpus " +
+        f"probability up to $miss%.3f (worst QUALIFYING pair at " +
+        f"threshold $thresholdPct%%: J ≥ $jQual%.4f, miss up to " +
+        f"${missAt(jQual)}%.3f) — banded recall on this corpus " +
         "is certified by the per-round oracle/DedupRecall measurement, " +
         "not by construction; if asymmetric wrappers matter, route " +
         "through containmentJoin (the exact prefix path behind the " +
-        "priced refusal gate)")
+        "priced refusal gate); containmentBandingAudit returns this " +
+        "audit as a gateable row")
+  }
+
+  /** [[containmentBandingRisk]] AS DATA (r16): the audit a pipeline can
+    * actually gate on — stderr on an executor log is where warnings go
+    * to die, but a one-row DataFrame joins into any quality ledger.
+    * One bounded min/max aggregate per side over the same gram tables
+    * the banded join builds, then pure scalar arithmetic:
+    *
+    *  - `j_full` / `miss_full` — the Jaccard of a FULLY-contained
+    *    (C = 1) pair at the corpus' size extremes and the probability
+    *    `bands`×`rows` banding misses it. This is what length
+    *    asymmetry SPECIFICALLY breaks, and what `fires` keys on
+    *    (> 0.1%, the [[containmentBandingRisk]] line).
+    *  - `j_qual` / `miss_qual` — the τ-dependent worst case over every
+    *    QUALIFYING pair (C ≥ t): J ≥ t·naMin/(naMin + nbMax − t·naMin).
+    *    Reported, not fired on: at t = 0.8 even a length-uniform corpus
+    *    has J_qual = t/(2−t) ≈ 0.67 (miss ≈ 3%) — the borderline-J
+    *    recall window every LSH scheme carries by construction.
+    *
+    * Determinism: both engines compute the miss probabilities through
+    * LEFT-ASSOCIATIVE double product chains (x·x·…·x), never libm
+    * `pow` — Math.pow and C pow are not correctly-rounded, so an
+    * oracle replaying `pow` could drift in the last ulp; a fixed
+    * multiplication order is bit-identical IEEE on both sides. */
+  def containmentBandingAudit(contained: DataFrame, container: DataFrame,
+      id: String, text: String, thresholdPct: Int = 80,
+      ngramWords: Int = 2, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes=$numHashes must divide into bands=$bands")
+    val rows = numHashes / bands
+    // integer-exponent power as a left-assoc product chain (see note)
+    def ipow(x: Column, n: Int): Column = Seq.fill(n)(x).reduce(_ * _)
+    val ext = minHashDocTable(contained, id, text, ngramWords)
+      .agg(min(size(col("__sv"))).as("na_min"))
+      .crossJoin(minHashDocTable(container, id, text, ngramWords)
+        .agg(max(size(col("__sv"))).as("nb_max")))
+    // (na·t)/100 then the division — one FP rounding, mirrored verbatim
+    // in the oracle's (na_min * t) / 100.0 spelling
+    val tna = (col("na_min") * thresholdPct) / lit(100.0)
+    ext
+      .withColumn("j_full",
+        least(col("na_min").cast(DoubleType) / col("nb_max"), lit(1.0)))
+      .withColumn("j_qual",
+        least(tna / (col("na_min") + col("nb_max") - tna), lit(1.0)))
+      .withColumn("__mf", lit(1.0) - ipow(col("j_full"), rows))
+      .withColumn("__mq", lit(1.0) - ipow(col("j_qual"), rows))
+      .withColumn("miss_full", ipow(col("__mf"), bands))
+      .withColumn("miss_qual", ipow(col("__mq"), bands))
+      .withColumn("fires", col("miss_full") > lit(1e-3))
+      .select("na_min", "nb_max", "j_full", "miss_full", "j_qual",
+        "miss_qual", "fires")
   }
 
   /** BIPARTITE n-gram Jaccard join — [[jaccardJoin]]'s machinery across

@@ -1033,6 +1033,58 @@ object LlmPipeline {
           "doc_id", "text", thresholdPct = 80, ngramWords = 2))
     },
 
+    // Q90x (beyond-survey) — q90h's banded-containment ASYMMETRY AUDIT
+    // as DATA ([[graft.Engine.containmentBandingAudit]]): the r15
+    // honesty bound went to stderr, where no pipeline can gate on it;
+    // this returns the same quantities as a one-row DataFrame over the
+    // same contained/container split as q90h. j_full/miss_full bound
+    // what asymmetry SPECIFICALLY breaks (the C = 1 wrapper pair at the
+    // corpus' size extremes — `fires` keys on it at the 0.1% line);
+    // j_qual/miss_qual is the τ-dependent worst QUALIFYING pair (C ≥ t),
+    // reported beside it because every LSH scheme carries that window
+    // even on uniform corpora. On this fixture the audit FIRES (length
+    // spread ~12×) — and q90h stays green anyway, which is exactly the
+    // documented posture: a firing corpus is certified by the per-round
+    // oracle measurement, not by construction. Determinism: both
+    // engines compute the miss probabilities through left-associative
+    // double PRODUCT CHAINS, never libm pow (not correctly-rounded —
+    // last-ulp drift would hash-mismatch); one FP rounding per step,
+    // mirrored spelling on both sides.
+    Q("q90x_banding_audit",
+      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |sa AS (SELECT sv FROM sh WHERE len(sv) >= 1
+         |  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |    AS INT) * 100 < 5 * 65536),
+         |sb AS (SELECT sv FROM sh WHERE len(sv) >= 1),
+         |ext AS (SELECT (SELECT min(len(sv)) FROM sa) AS na_min,
+         |               (SELECT max(len(sv)) FROM sb) AS nb_max),
+         |j AS (SELECT na_min, nb_max,
+         |    least(CAST(na_min AS DOUBLE) / nb_max, 1.0) AS j_full,
+         |    least(((na_min * 80) / 100.0)
+         |      / (na_min + nb_max - (na_min * 80) / 100.0), 1.0)
+         |      AS j_qual
+         |  FROM ext),
+         |m AS (SELECT na_min, nb_max, j_full, j_qual,
+         |    1.0 - (j_full * j_full * j_full * j_full) AS mf,
+         |    1.0 - (j_qual * j_qual * j_qual * j_qual) AS mq
+         |  FROM j)
+         |SELECT CAST(na_min AS INT) AS na_min,
+         |  CAST(nb_max AS INT) AS nb_max, j_full,
+         |  mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf AS miss_full,
+         |  j_qual,
+         |  mq*mq*mq*mq*mq*mq*mq*mq*mq*mq*mq*mq*mq*mq*mq*mq AS miss_qual,
+         |  mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf*mf > 0.001
+         |    AS fires
+         |FROM m
+         |ORDER BY na_min NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      orderAll(graft.Engine.containmentBandingAudit(
+        docs.filter(graft.Engine.stableSample(col("doc_id"), 5)), docs,
+        "doc_id", "text", thresholdPct = 80, ngramWords = 2))
+    },
+
     // Q90c (beyond-survey) — CHUNK-LEVEL corpus dedup with order-
     // preserving reassembly (the CCNet/RefinedWeb line-dedup pass, over
     // 5-word windows since this corpus has no newlines): only the FIRST

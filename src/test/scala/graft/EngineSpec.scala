@@ -2796,6 +2796,41 @@ class EngineSpec extends AnyFunSuite {
     assert(w.exists(_.contains("containmentJoin")))
     // degenerate sides stay quiet (nothing to audit)
     assert(Engine.containmentBandingRisk(0, 98, 80, 64, 16).isEmpty)
+    // the firing note now carries the τ-dependent qualifying bound too
+    assert(w.exists(_.contains("QUALIFYING")))
+  }
+
+  test("containmentBandingAudit: a firing corpus produces the audit " +
+      "ROW (gateable data, not just stderr); a uniform corpus reads " +
+      "fires=false") {
+    import spark.implicits._
+    // asymmetric: 3-word contained doc (2 bigrams) vs a 60-word
+    // container (59 bigrams) — ρ ≈ 30, far past the 1.3 firing line
+    val small = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val big = Seq((2L, (1 to 61).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fired = Engine.containmentBandingAudit(small, big,
+      "doc_id", "text", thresholdPct = 80).collect().head
+    assert(fired.getAs[Int]("na_min") == 2 &&
+      fired.getAs[Int]("nb_max") == 60)
+    assert(fired.getAs[Boolean]("fires"))
+    assert(fired.getAs[Double]("miss_full") > 1e-3)
+    // the qualifying bound is STRICTLY worse (lower J, higher miss)
+    // than the fully-contained bound whenever sizes differ
+    assert(fired.getAs[Double]("j_qual") < fired.getAs[Double]("j_full"))
+    assert(fired.getAs[Double]("miss_qual") >=
+      fired.getAs[Double]("miss_full"))
+    // near-uniform lengths: the C=1 pair stays inside banding reach —
+    // no asymmetric blindness, fires=false — while miss_qual still
+    // reports the borderline-J window every LSH scheme carries
+    val u1 = Seq((1L, (1 to 10).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val u2 = Seq((2L, (1 to 11).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val quiet = Engine.containmentBandingAudit(u1, u2,
+      "doc_id", "text", thresholdPct = 80).collect().head
+    assert(!quiet.getAs[Boolean]("fires"))
+    assert(quiet.getAs[Double]("miss_qual") > quiet.getAs[Double]("miss_full"))
   }
 
   test("whitenedCosineTopK: ragged and null vectors are excluded from " +
