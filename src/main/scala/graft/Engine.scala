@@ -2589,6 +2589,48 @@ object Engine {
     b
   }
 
+  /** RECALL-TARGETED table sizing — [[annBits]]'s missing companion
+    * (r16): `annBits` holds the probed FRACTION constant as the corpus
+    * grows, but growing bits also shrinks each table's chance of
+    * catching a given neighbor, so a fixed table count silently
+    * under-provisions at scale — the committed RECALL.json measured
+    * the 8-table default at 0.53 recall on the 10× stress fixture vs
+    * 0.93 at 32 tables. This derives the OR-construction table count
+    * from a recall target instead:
+    *
+    *  - per-hyperplane sign agreement for a neighbor at angle θ is
+    *    q = 1 − θ/π (the Goemans–Williamson identity);
+    *  - one table's bucket catches the neighbor directly or via one of
+    *    the `bits` Hamming-1 probe flips:
+    *    p = q^bits + bits·q^(bits−1)·(1 − q);
+    *  - independent tables miss together with (1−p)^T, so
+    *    T = ⌈ln(1 − recall) / ln(1 − p)⌉.
+    *
+    * `neighborCos` is the DESIGN neighbor — the farthest cosine the
+    * caller still wants retrieved at the target recall. The 0.3
+    * default is deliberately conservative for high-dim top-k tails
+    * (close neighbors over-achieve; calibration against the committed
+    * ledger: sized T = 9 at the sf0.1 geometry and T = 51 at the 10×
+    * stress geometry land measured recall 0.91 / 0.99 where the old
+    * 8-table default measured 0.89 / 0.53 — RECALL.json's
+    * *_hyper_sized rows re-measure this every round). The `maxTables`
+    * clamp is a cost ceiling: past it the geometry is wrong for the
+    * target — lower `bits` via a larger annBits targetBucket (denser
+    * buckets, cheaper per table) rather than paying a runaway
+    * OR-construction. */
+  def annTablesFor(recall: Double, bits: Int, neighborCos: Double = 0.3,
+      maxTables: Int = 64): Int = {
+    require(recall > 0 && recall < 1 && bits >= 1 && bits <= 62 &&
+      neighborCos > -1.0 && neighborCos < 1.0 && maxTables >= 1,
+      s"annTablesFor(recall=$recall, bits=$bits, " +
+        s"neighborCos=$neighborCos, maxTables=$maxTables)")
+    val q = 1.0 - math.acos(neighborCos) / math.Pi
+    val p = math.pow(q, bits) + bits * math.pow(q, bits - 1) * (1.0 - q)
+    if (p >= 1.0) 1
+    else math.max(1, math.min(maxTables,
+      math.ceil(math.log1p(-recall) / math.log1p(-p)).toInt))
+  }
+
   /** OR-CONSTRUCTION multi-probe LSH top-k — the q99 family as a library
     * operator. Each of `tables` hash tables owns a disjoint
     * `coordsPerTable`-coordinate range of the embedding; bit i of table
@@ -3183,6 +3225,62 @@ object Engine {
     val z = whitenedZ(corpus, id, vec, isQuery)
     lshTopKHyper(z, "vec_id", "__z",
       z.filter(col("__isq")), "vec_id", "__z", k, tables, bits, dims)
+  }
+
+  /** WHITENED-INDEX STALENESS AUDIT (r16) — the q93x discipline applied
+    * to [[buildWhitenedHyperIndex]]'s frozen moments: freezing per-dim
+    * mean/σ at build time is what makes the serving space stable (the
+    * train/serve-skew fix), but a standardization frozen over history
+    * goes STALE as appended data drifts — the serve-time z space and
+    * the space a fresh rebuild would rank in pull apart, and nothing
+    * in the oracle gate can see it because each ranking is internally
+    * consistent. Like BM25's stale-IDF audit (q93x), this prices the
+    * approximation into a number per query: the top-k overlap between
+    *
+    *  - FROZEN serving — every vector (history, appends, queries)
+    *    standardized through the moments of the `isHistory` slice
+    *    only, exactly what [[searchWhitenedHyperIndex]] does with its
+    *    persisted `stats/`; and
+    *  - a FRESH REBUILD — the same search with moments re-derived
+    *    over the full current corpus.
+    *
+    * Both rankings are the EXACT whitened search ([[cosineTopK]] over
+    * the z rows) so the overlap isolates the moments' drift, never LSH
+    * bucket noise. Output (query_id, n_common, overlap_ratio) — the
+    * query universe is the full-dim `isQuery` rows, so a query whose
+    * two rankings share nothing still reports (qid, 0, 0.0). The
+    * overlap is what decides REBUILD CADENCE: near 1.0 the frozen
+    * index still serves the fresh geometry; a sustained drop says the
+    * append stream has drifted the space and the index (stats, vecs
+    * and buckets — all three derive from the moments) needs rebuilding.
+    * Plan: two moment exchanges + 1-row broadcasts, two broadcast-query
+    * scoring passes, one k-row-per-query overlap join — nothing
+    * all-pairs; at 100 TB the audit rides a sample of queries, not the
+    * corpus. */
+  def whitenedStalenessAudit(corpus: DataFrame, id: String, vec: String,
+      isHistory: Column, isQuery: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val frozen = packStats(dimStats(corpus.filter(isHistory), vec))
+    val fresh = packStats(dimStats(corpus, vec))
+    def zOf(packed: DataFrame) =
+      zApply(corpus, col(id), vec, Seq(isQuery.as("__isq")), packed)
+        .persistOnce()
+    def topOf(z: DataFrame) =
+      cosineTopK(z, "vec_id", "__z", z.filter(col("__isq")),
+        "vec_id", "__z", k).select(col("query_id"), col("vec_id"))
+    val zF = zOf(frozen)
+    val common = topOf(zF).join(topOf(zOf(fresh)),
+        Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    // universe = the queries that actually searched (full-dim isQuery
+    // rows — the zApply guard excludes ragged/null vectors from both
+    // rankings identically)
+    zF.filter(col("__isq")).select(col("vec_id").as("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+          lit(k.toDouble), 6).as("overlap_ratio"))
   }
 
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most

@@ -42,6 +42,12 @@ object RecallProbe {
         queries, "query_id", "qe", k)
       .select("query_id", "vec_id").persist()
     val denom = truth.count().toDouble
+    // the hyperplane family's shared sizing: bits from corpus size
+    // (annBits), tables from the 0.9 recall target (annTablesFor) —
+    // the sized rows below are the ledger that keeps the sizing rule
+    // honest at both fixtures
+    val hyperBits = Engine.annBits(n, targetBucket = 32, maxBits = 16)
+    val sizedTables = Engine.annTablesFor(0.9, hyperBits)
     def recall(approx: DataFrame): Double =
       truth.join(approx.select("query_id", "vec_id"),
         Seq("query_id", "vec_id")).count() / denom
@@ -125,6 +131,12 @@ object RecallProbe {
       "lsh_hyper_32t" -> recall(Engine.lshTopKHyper(e, "vec_id",
         "embedding", queries, "query_id", "qe", k, tables = 32,
         bits = Engine.annBits(n, targetBucket = 32, maxBits = 16))),
+      // recall-TARGETED table count (annTablesFor at 0.9): the row
+      // that certifies the sizing rule — must read >=0.9 at every
+      // fixture, where the old fixed-8 default measured 0.53 at 10x
+      "lsh_hyper_sizedT" -> recall(Engine.lshTopKHyper(e, "vec_id",
+        "embedding", queries, "query_id", "qe", k, tables = sizedTables,
+        bits = hyperBits)),
       "ivf_nprobe1" -> recall(ivf(1)),
       "ivf_nprobe2" -> recall(ivf(2)),
       "ivf_nprobe4" -> recall(ivf(4)),
@@ -196,12 +208,33 @@ object RecallProbe {
       "whitened_hyper_32t" -> recallW(Engine.whitenedLshTopKHyper(e,
         "vec_id", "embedding", isQ, k, tables = 32,
         bits = Engine.annBits(n, targetBucket = 32, maxBits = 16))),
+      "whitened_hyper_sizedT" -> recallW(Engine.whitenedLshTopKHyper(e,
+        "vec_id", "embedding", isQ, k, tables = sizedTables,
+        bits = hyperBits)),
       // whitened-vs-raw neighborhood agreement (exact vs exact)
-      "whitened_truth_overlap" -> recall(truthW))
+      "whitened_truth_overlap" -> recall(truthW),
+      // FROZEN-stats staleness under the q99p drift fixture (append
+      // slice x → x·1.5 + 0.3): mean top-k overlap between serving
+      // through history-frozen moments and a fresh full-corpus rebuild
+      // — the rebuild-cadence number, ledgered at both fixtures. ~1.0
+      // means the frozen index still serves the fresh geometry; the
+      // drifted fixture reads well below it by construction.
+      "whitened_staleness_overlap" -> {
+        val drifted = e.withColumn("embedding",
+          when(col("vec_id") % 5 === 0,
+            transform(col("embedding"),
+              x => x.cast("double") * lit(1.5) + lit(0.3)))
+            .otherwise(transform(col("embedding"),
+              x => x.cast("double"))))
+        Engine.whitenedStalenessAudit(drifted, "vec_id", "embedding",
+            isHistory = col("vec_id") % 5 =!= 0, isQuery = isQ, k)
+          .agg(avg(col("overlap_ratio"))).collect().head.getDouble(0)
+      })
     val body = results.map { case (m, r) => f""""$m":$r%.4f""" }
       .mkString(",")
     println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +
       s""""n_queries":${truth.select("query_id").distinct().count()},""" +
+      s""""sized_bits":$hyperBits,"sized_tables":$sizedTables,""" +
       s"""$body,"sf":"$dir"}""")
     spark.stop()
   }

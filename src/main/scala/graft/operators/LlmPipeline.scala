@@ -3022,6 +3022,14 @@ object LlmPipeline {
     // both engines compute identical sign bits. Whitened-vs-raw recall
     // at the stress fixtures is ledgered in RECALL.json (RecallProbe's
     // whitened section); this registration hash-gates the construction.
+    // GEOMETRY (r16): tables=8 here is the HASH-GATE geometry — a
+    // fixed, oracle-replayable construction over the bounded k=3 query
+    // set, kept stable so round-over-round hashes compare. It is NOT
+    // the deployment sizing: a recall-targeted deployment derives the
+    // table count via Engine.annTablesFor(target, annBits(n)) — the
+    // fixed 8 measures 0.53 recall at the 10x stress fixture where the
+    // sized count measures >=0.9 (RECALL.json's *_sizedT rows re-check
+    // that claim every round).
     Q("q99n_whitened_ann", whitenedHyperAnnOracleSql) { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       val bits = graft.Engine.annBits(e.count(), targetBucket = 32,
@@ -3048,7 +3056,10 @@ object LlmPipeline {
     // + buckets/ (tbl-clustered, bucket-sorted probe table); at 100 TB
     // the buckets read is one broadcast equi-join with row-group
     // skipping, history is standardized/hashed ONCE at build, and each
-    // day's queries cost |Q|·tables·(bits+1) probes.
+    // day's queries cost |Q|·tables·(bits+1) probes. tables=8 is the
+    // hash-gate geometry (see q99n's note); a deployment sizes tables
+    // from its recall target via Engine.annTablesFor — (tables, bits,
+    // dims) are the index contract, so re-sizing means re-building.
     Q("q99o_whitened_index", whitenedIndexOracleSql) { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       val hist = e.filter(col("vec_id") % 5 =!= 0)
@@ -3060,6 +3071,42 @@ object LlmPipeline {
       orderAll(graft.Engine.searchWhitenedHyperIndex(
         e.filter(col("vec_id") < 20), "vec_id", "embedding", path,
         k = 3, tables = 8, bits = bits))
+    },
+
+    // Q99p (beyond-survey) — WHITENED-INDEX STALENESS audit
+    // ([[graft.Engine.whitenedStalenessAudit]]): q99o freezes per-dim
+    // moments into the index, which fixes train/serve skew but means
+    // the serving space goes STALE as appends drift — and no oracle
+    // gate can see it, because a frozen ranking is internally
+    // consistent. The q93x stale-IDF discipline, mirrored: per query,
+    // top-10 overlap between serving through the FROZEN history-slice
+    // moments and a FRESH full-corpus rebuild. The fixture makes the
+    // drift real: the append slice (vec_id % 5 = 0) is affinely
+    // drifted (x → x·1.5 + 0.3 per coordinate, applied AFTER the
+    // double cast and mirrored verbatim in SQL), which moves every
+    // dim's combined mean/σ away from the frozen ones — the two z
+    // spaces visibly disagree and overlap drops below 1.0, which is
+    // the number that decides rebuild cadence (RECALL.json ledgers the
+    // same audit's mean at both stress fixtures). Both rankings are
+    // the EXACT whitened search, so the overlap isolates moment drift
+    // from LSH bucket noise; queries include drifted vectors
+    // (vec_id 0/5/10/15 < 20) — new data served through old stats,
+    // exactly the deployment hazard.
+    Q("q99p_whitened_staleness", whitenedStalenessOracleSql) {
+      (s, dir) =>
+        val e = Tables.t(s, dir, "embeddings")
+        // drift AFTER the double cast, identically to the oracle's
+        // CASE on the CAST(... AS DOUBLE) column; both branches map to
+        // ARRAY<DOUBLE> so the column type is drift-independent
+        val drifted = e.withColumn("embedding",
+          when(col("vec_id") % 5 === 0,
+            transform(col("embedding"),
+              x => x.cast("double") * lit(1.5) + lit(0.3)))
+            .otherwise(transform(col("embedding"),
+              x => x.cast("double"))))
+        orderAll(graft.Engine.whitenedStalenessAudit(drifted, "vec_id",
+          "embedding", isHistory = col("vec_id") % 5 =!= 0,
+          isQuery = col("vec_id") < 20, k = 10))
     },
 
     // Q93j (beyond-survey) — BM25 top-k RETRIEVAL: q93h's scorer
@@ -4734,6 +4781,61 @@ object LlmPipeline {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
        |  cos_sim NULLS FIRST""".stripMargin
+  }
+
+  /** Q99p oracle: the DRIFTED corpus (append slice x → x·1.5 + 0.3
+    * after the double cast), standardized TWICE — through the frozen
+    * history-slice moments and through fresh full-corpus moments (the
+    * identical q92t moment/z op order both times) — each feeding the
+    * exact whitened cosine top-10, then the per-query overlap of the
+    * two rankings. Engine-side determinism never crosses rankings: the
+    * hash gate compares each engine's own frozen/fresh pair. */
+  private def whitenedStalenessOracleSql: String = {
+    // one standardization chain (moments → z lists) over the drifted
+    // coordinates `exd`, parameterized by the moment slice
+    def zChain(pfx: String, where: String): String =
+      s"""st$pfx AS (SELECT d, count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         |  FROM exd $where GROUP BY 1),
+         |m$pfx AS (SELECT d, sx / n AS mean,
+         |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+         |  FROM st$pfx),
+         |zr$pfx AS (SELECT vec_id, exd.d AS d,
+         |    CASE WHEN sd > 0 THEN round((x - mean) / sd, 6)
+         |      ELSE 0.0 END AS zx
+         |  FROM exd JOIN m$pfx mm ON exd.d = mm.d),
+         |zl$pfx AS (SELECT vec_id, list(zx ORDER BY d ASC) AS z
+         |  FROM zr$pfx GROUP BY 1),
+         |s$pfx AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |    round(${Similarity.cosineSql("q.z", "c.z")}, 6) AS cs
+         |  FROM zl$pfx q CROSS JOIN zl$pfx c WHERE q.vec_id < 20),
+         |r$pfx AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cs DESC, vec_id ASC)
+         |      AS rn
+         |    FROM s$pfx) WHERE rn <= 10)""".stripMargin
+    s"""WITH exd AS (SELECT vec_id, CAST(dim - 1 AS INT) AS d,
+       |    CASE WHEN vec_id % 5 = 0
+       |      THEN CAST(embedding[dim] AS DOUBLE) * 1.5 + 0.3
+       |      ELSE CAST(embedding[dim] AS DOUBLE) END AS x
+       |  FROM embeddings CROSS JOIN
+       |    unnest(generate_series(1, len(embedding))) AS t(dim)),
+       |${zChain("h", "WHERE vec_id % 5 <> 0")},
+       |${zChain("f", "")},
+       |cm AS (SELECT rh.query_id, count(*) AS n
+       |  FROM rh JOIN rf ON rh.query_id = rf.query_id
+       |    AND rh.vec_id = rf.vec_id
+       |  GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(coalesce(cm.n, 0) AS BIGINT) AS n_common,
+       |  round(CAST(coalesce(cm.n, 0) AS DOUBLE) / 10.0, 6)
+       |    AS overlap_ratio
+       |FROM (SELECT DISTINCT vec_id AS query_id FROM zlh
+       |  WHERE vec_id < 20) q
+       |LEFT JOIN cm ON cm.query_id = q.query_id
+       |ORDER BY q.query_id NULLS FIRST, n_common NULLS FIRST,
+       |  overlap_ratio NULLS FIRST""".stripMargin
   }
 
   /** The q92t/q92u standardization pipeline as CTEs — per-dim

@@ -2833,6 +2833,56 @@ class EngineSpec extends AnyFunSuite {
     assert(quiet.getAs[Double]("miss_qual") > quiet.getAs[Double]("miss_full"))
   }
 
+  test("annTablesFor: recall-targeted OR-construction sizing — the " +
+      "annBits companion") {
+    // the two committed fixture geometries (RECALL.json): annBits
+    // gives 6 bits at sf0.1 (2k vectors) and 10 at the 10x stress
+    // fixture (20k) — the sized counts are what the ledgered rows
+    // re-measure at >=0.9 every round
+    assert(Engine.annTablesFor(0.9, 6) == 9)
+    assert(Engine.annTablesFor(0.9, 10) == 51)
+    // more bits → sparser buckets → more tables at the same target
+    // (the exact under-provisioning the fixed 8-table default hid)
+    assert(Engine.annTablesFor(0.9, 10) > Engine.annTablesFor(0.9, 6))
+    // a higher recall target can only cost more tables
+    assert(Engine.annTablesFor(0.99, 10) > Engine.annTablesFor(0.9, 10))
+    // the cost ceiling clamps a geometry that is wrong for the target
+    // (bits=16 wants ~750 tables — resize bits, don't pay this)
+    assert(Engine.annTablesFor(0.9, 16) == 64)
+    // bits=1 with Hamming-1 probing covers the whole space → 1 table
+    assert(Engine.annTablesFor(0.9, 1, neighborCos = 0.9) == 1)
+  }
+
+  test("whitenedStalenessAudit: overlap is exactly 1.0 when the " +
+      "frozen slice IS the corpus, and reports per-query rows for " +
+      "every full-dim query") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    val df = (0L until 40L).map(i =>
+        i -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+      .toDF("vec_id", "embedding")
+    // history = whole corpus → frozen moments == fresh moments → the
+    // two rankings are bit-identical and every overlap reads 1.0
+    val idAudit = Engine.whitenedStalenessAudit(df, "vec_id",
+      "embedding", isHistory = lit(true), isQuery = col("vec_id") < 5,
+      k = 3).collect()
+    assert(idAudit.length == 5)
+    assert(idAudit.forall(_.getAs[Double]("overlap_ratio") == 1.0))
+    // drift the non-history slice hard: per-dim moments move, the two
+    // z spaces disagree, and at least one query's overlap drops — the
+    // audit has signal, not just an identity path
+    val drifted = df.withColumn("embedding",
+      when(col("vec_id") % 2 === 0,
+        transform(col("embedding"),
+          x => x.cast("double") * lit(5.0) + lit(2.0)))
+        .otherwise(transform(col("embedding"), x => x.cast("double"))))
+    val dAudit = Engine.whitenedStalenessAudit(drifted, "vec_id",
+      "embedding", isHistory = col("vec_id") % 2 =!= 0,
+      isQuery = col("vec_id") < 5, k = 3).collect()
+    assert(dAudit.length == 5)
+    assert(dAudit.exists(_.getAs[Double]("overlap_ratio") < 1.0))
+  }
+
   test("whitenedCosineTopK: ragged and null vectors are excluded from " +
       "the search space, never null-padded into the kernel") {
     import spark.implicits._
