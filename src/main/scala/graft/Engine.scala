@@ -2283,6 +2283,67 @@ object Engine {
       .select(col(id), col("batch").cast("long").as("batch"))
   }
 
+  /** [[dedupIngest]] over the BUCKETED index — the 100 TB shape of the
+    * ingest loop, and the construction INGEST_PROFILE.json certifies:
+    * the path-based loop's probe attaches history gram arrays through
+    * a shuffle join (the docs side re-EXCHANGES per slot, so per-slot
+    * shuffle bytes grow linearly with accumulated history — measured
+    * in the profile's path-based arm), while this form probes through
+    * [[searchMinHashIndexBucketed]], whose history side exchanges
+    * NOTHING (bands stream through the broadcast-batch join, the docs
+    * attach reads buckets already clustered on the join key —
+    * PlanSpec-asserted). Per-slot cost is then O(batch hashing) +
+    * O(collisions) + one sequential columnar scan of the bands table
+    * (the documented read-once-per-batch term); nothing re-shuffles
+    * and nothing is re-hashed. Same greedy earliest-wins semantics,
+    * same accepted/batch=<b> provenance layout, same point-in-time
+    * materialization discipline as [[dedupIngest]] — the two loops
+    * return identical survivor sets ([[searchMinHashIndexBucketed]]
+    * is result-identical to [[searchMinHashIndex]] by the shared probe
+    * body). `numBuckets` is the standing parallelism of the history
+    * side (see [[buildMinHashIndexBucketed]]). */
+  def dedupIngestBucketed(docs: DataFrame, id: String, text: String,
+      batchOf: Column, indexPath: String, table: String,
+      numBuckets: Int = 8, thresholdPct: Int = 60,
+      numHashes: Int = 64, bands: Int = 16,
+      ngramWords: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val batchIds = docs.select(batchOf.cast("long").as("__b"))
+      .distinct().orderBy(col("__b")).as[Long].collect()
+    // same rerun discipline as dedupIngest: clear the accepted tree so
+    // a prior run's partitions cannot surface as phantom survivors
+    // (the bucketed build below drops/overwrites its own tables)
+    locally {
+      val acc = new org.apache.hadoop.fs.Path(indexPath, "accepted")
+      val fs = acc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(acc)) fs.delete(acc, true)
+    }
+    batchIds.zipWithIndex.foreach { case (b, i) =>
+      val batch = docs.filter(batchOf.cast("long") === b)
+      val kept0 =
+        if (i == 0) batch
+        else {
+          val dups = searchMinHashIndexBucketed(batch, id, text, table,
+              thresholdPct, numHashes, bands, ngramWords)
+            .select(col("left_id").as(id)).distinct()
+          batch.join(dups, Seq(id), "left_anti")
+        }
+      // point-in-time freeze before the index grows (see dedupIngest)
+      kept0.select(col(id), col(text))
+        .write.mode("overwrite").parquet(s"$indexPath/accepted/batch=$b")
+      val kept = spark.read.parquet(s"$indexPath/accepted/batch=$b")
+      if (i == 0)
+        buildMinHashIndexBucketed(kept, id, text, table, numBuckets,
+          numHashes, bands, ngramWords)
+      else
+        appendMinHashIndexBucketed(kept, id, text, table, numBuckets,
+          numHashes, bands, ngramWords)
+    }
+    spark.read.parquet(s"$indexPath/accepted")
+      .select(col(id), col("batch").cast("long").as("batch"))
+  }
+
   /** Internal: banded signature table (outId, __band, __bh) of a
     * (__id, __sv) doc table — the hash family shared verbatim by the
     * in-memory join and the persisted index. */

@@ -1480,46 +1480,37 @@ object LlmPipeline {
     // the loop run forever at 100 TB accumulated history. Same banding
     // triage note as q90d. Within-batch dups are out of scope by
     // contract (route same-slot dedup through q90/q91 first).
-    Q("q90n_dedup_ingest",
-      s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-         |        FROM documents)),
-         |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS xid, b.doc_id AS yid, count(*) AS i
-         |  FROM ex a JOIN ex b ON a.s = b.s
-         |  WHERE (a.doc_id % 4) < (b.doc_id % 4)
-         |  GROUP BY 1, 2),
-         |pr AS (
-         |  SELECT xid, yid FROM inter
-         |  JOIN sz sa ON sa.doc_id = xid
-         |  JOIN sz sb ON sb.doc_id = yid
-         |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
-         |s0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
-         |s1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 1
-         |  AND NOT EXISTS (SELECT 1 FROM pr, s0
-         |    WHERE pr.xid = s0.doc_id AND pr.yid = d.doc_id)),
-         |s2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 2
-         |  AND NOT EXISTS (SELECT 1 FROM pr
-         |    WHERE pr.xid IN (SELECT doc_id FROM s0
-         |      UNION ALL SELECT doc_id FROM s1)
-         |      AND pr.yid = d.doc_id)),
-         |s3 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 3
-         |  AND NOT EXISTS (SELECT 1 FROM pr
-         |    WHERE pr.xid IN (SELECT doc_id FROM s0
-         |      UNION ALL SELECT doc_id FROM s1
-         |      UNION ALL SELECT doc_id FROM s2)
-         |      AND pr.yid = d.doc_id))
-         |SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch FROM (
-         |  SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
-         |  UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
-         |ORDER BY doc_id NULLS FIRST, batch NULLS FIRST""".stripMargin) {
+    Q("q90n_dedup_ingest", dedupIngestOracleSql) {
       (s, dir) =>
         val docs = Tables.t(s, dir, "documents")
         val path = IO.scratch("q90n_dedup_ingest", dir)
         orderAll(graft.Engine.dedupIngest(docs, "doc_id", "text",
           col("doc_id") % 4, path, thresholdPct = 60))
+    },
+
+    // Q90y (beyond-survey) — the ingest loop over the BUCKETED index
+    // ([[graft.Engine.dedupIngestBucketed]]): q90n's greedy
+    // earliest-wins loop with the probe routed through
+    // searchMinHashIndexBucketed, so the history side exchanges
+    // NOTHING per slot — the path-based loop's docs-attach re-shuffles
+    // accumulated history every batch (INGEST_PROFILE.json measures
+    // that curve growing linearly per slot while this form's probe
+    // shuffle stays flat at the candidate size), which at a
+    // 10-billion-doc history is the difference between re-exchanging
+    // ~10 TB of grams per daily slot and reading clustered buckets in
+    // place. Result-identical to q90n by the shared probe body (same
+    // hash family, same verify kernel — the oracle is the SAME exact
+    // brute-force chain), PlanSpec-asserted exchange-free on the
+    // history side. The two registrations differ in CONSTRUCTION
+    // (catalog bucketBy tables vs path parquet), the q90m/q90q
+    // precedent.
+    Q("q90y_ingest_bucketed", dedupIngestOracleSql) {
+      (s, dir) =>
+        val docs = Tables.t(s, dir, "documents")
+        val path = IO.scratch("q90y_ingest_bucketed", dir)
+        orderAll(graft.Engine.dedupIngestBucketed(docs, "doc_id", "text",
+          col("doc_id") % 4, path, table = "q90y_ingest_idx",
+          thresholdPct = 60))
     },
 
     // Q90u (beyond-survey) — TIME-TRAVEL read of the dedup-ingest
@@ -4782,6 +4773,48 @@ object LlmPipeline {
        |ORDER BY query_id NULLS FIRST, rnk NULLS FIRST, vec_id NULLS FIRST,
        |  cos_sim NULLS FIRST""".stripMargin
   }
+
+  /** Shared oracle for q90n/q90y — the greedy earliest-wins ingest
+    * chain replayed EXACTLY (brute-force pair set, slot-by-slot
+    * acceptance): a doc drops iff it near-matches a doc that itself
+    * survived an earlier slot. One text for both registrations — the
+    * path-based and bucketed loops are result-identical by the shared
+    * probe body, and this is what pins that claim per round. */
+  private def dedupIngestOracleSql: String =
+    s"""WITH sh AS (SELECT doc_id, $bigramsSql AS sv
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents)),
+       |ex AS (SELECT doc_id, unnest(sv) AS s FROM sh),
+       |sz AS (SELECT doc_id, len(sv) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS xid, b.doc_id AS yid, count(*) AS i
+       |  FROM ex a JOIN ex b ON a.s = b.s
+       |  WHERE (a.doc_id % 4) < (b.doc_id % 4)
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT xid, yid FROM inter
+       |  JOIN sz sa ON sa.doc_id = xid
+       |  JOIN sz sb ON sb.doc_id = yid
+       |  WHERE i * 100 >= (sa.n + sb.n - i) * 60),
+       |s0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+       |s1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 1
+       |  AND NOT EXISTS (SELECT 1 FROM pr, s0
+       |    WHERE pr.xid = s0.doc_id AND pr.yid = d.doc_id)),
+       |s2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 2
+       |  AND NOT EXISTS (SELECT 1 FROM pr
+       |    WHERE pr.xid IN (SELECT doc_id FROM s0
+       |      UNION ALL SELECT doc_id FROM s1)
+       |      AND pr.yid = d.doc_id)),
+       |s3 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 4 = 3
+       |  AND NOT EXISTS (SELECT 1 FROM pr
+       |    WHERE pr.xid IN (SELECT doc_id FROM s0
+       |      UNION ALL SELECT doc_id FROM s1
+       |      UNION ALL SELECT doc_id FROM s2)
+       |      AND pr.yid = d.doc_id))
+       |SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch FROM (
+       |  SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+       |  UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
+       |ORDER BY doc_id NULLS FIRST, batch NULLS FIRST""".stripMargin
 
   /** Q99p oracle: the DRIFTED corpus (append slice x → x·1.5 + 0.3
     * after the double cast), standardized TWICE — through the frozen

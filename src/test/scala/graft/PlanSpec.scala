@@ -533,6 +533,55 @@ class PlanSpec extends AnyFunSuite {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("q90y: the ingest loop's probe stays exchange-free on the " +
+      "history side AFTER per-slot appends — the per-slot 100 TB " +
+      "claim as a plan property") {
+    // q90q pins the property for a freshly-BUILT index; the ingest
+    // loop's index is built once then APPENDED per slot (each append
+    // adds one file per bucket), and bucket clustering must survive
+    // those appends or the per-slot probe would re-shuffle history —
+    // the exact defect INGEST_PROFILE.json measures on the path-based
+    // arm. Run a 3-slot ingest, then examine the NEXT slot's probe
+    // plan against the appended tables, broadcasts disabled.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val path = java.nio.file.Files
+      .createTempDirectory("q90y_planspec").toString
+    graft.Engine.dedupIngestBucketed(docs, "doc_id", "text",
+      col("doc_id") % 3, path, table = "q90y_planspec_idx").count()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = graft.Engine.searchMinHashIndexBucketed(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        "q90y_planspec_idx").queryExecution.executedPlan
+      def historyScans(p: SparkPlan, table: String): Int = p.collect {
+        case a: AdaptiveSparkPlanExec => historyScans(a.initialPlan, table)
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == table) => 1
+      }.sum
+      def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.initialPlan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+      assert(historyScans(plan, "q90y_planspec_idx_bands") == 1 &&
+        historyScans(plan, "q90y_planspec_idx_docs") == 1,
+        s"expected both appended history tables scanned in:\n$plan")
+      assert(exchanges(plan).forall(e =>
+        historyScans(e.child, "q90y_planspec_idx_docs") == 0),
+        s"the appended docs table sits under a ShuffleExchange:\n$plan")
+      val histCols = Set("__band", "__bh", "__sb", "grams")
+      assert(exchanges(plan).forall(e =>
+        historyScans(e.child, "q90y_planspec_idx_bands") == 0 ||
+          e.output.forall(a => !histCols(a.name))),
+        s"an exchange above the bands scan ships history payload:\n$plan")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("q90r: the novelty probe's exchanges carry digests, never text") {
     // batch chunks are built in-row and projected to (id, digest, len)
     // BEFORE the index join, so no exchange in the plan may ship the
@@ -858,6 +907,11 @@ class PlanSpec extends AnyFunSuite {
       // 1-row packed per-dim stats cross (the q92t moment shape) +
       // the q92 bounded-query scoring cross
       "q92u_whitened_topk",
+      // q92u's shape TWICE (frozen + fresh standardization, each a
+      // 1-row stats cross + bounded-query scoring cross)
+      "q99p_whitened_staleness",
+      // two 1-row size-extreme aggregates crossed into the audit row
+      "q90x_banding_audit",
       "q93j_bm25_search", // 1-row (N, avgdl) stats scalar, the q93h class
     // two 1-row (N, avgdl) stats scalars (fresh + frozen), q93j class
     "q93x_stale_idf_audit",
