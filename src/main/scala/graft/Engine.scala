@@ -2283,25 +2283,37 @@ object Engine {
       .select(col(id), col("batch").cast("long").as("batch"))
   }
 
-  /** [[dedupIngest]] over the BUCKETED index — the 100 TB shape of the
-    * ingest loop, and the construction INGEST_PROFILE.json certifies:
-    * the path-based loop's probe attaches history gram arrays through
-    * a shuffle join (the docs side re-EXCHANGES per slot, so per-slot
-    * shuffle bytes grow linearly with accumulated history — measured
-    * in the profile's path-based arm), while this form probes through
-    * [[searchMinHashIndexBucketed]], whose history side exchanges
-    * NOTHING (bands stream through the broadcast-batch join, the docs
-    * attach reads buckets already clustered on the join key —
-    * PlanSpec-asserted). Per-slot cost is then O(batch hashing) +
-    * O(collisions) + one sequential columnar scan of the bands table
-    * (the documented read-once-per-batch term); nothing re-shuffles
-    * and nothing is re-hashed. Same greedy earliest-wins semantics,
-    * same accepted/batch=<b> provenance layout, same point-in-time
-    * materialization discipline as [[dedupIngest]] — the two loops
-    * return identical survivor sets ([[searchMinHashIndexBucketed]]
-    * is result-identical to [[searchMinHashIndex]] by the shared probe
-    * body). `numBuckets` is the standing parallelism of the history
-    * side (see [[buildMinHashIndexBucketed]]). */
+  /** [[dedupIngest]] over the BUCKETED index — the ingest loop whose
+    * exchange-free history side is a PLAN guarantee (PlanSpec q90y)
+    * rather than an optimizer outcome. What INGEST_PROFILE.json
+    * actually measured (32 slots, fixed batch, 10× fixture) sharpened
+    * the story in both directions:
+    *
+    *  - the PATH-based loop's per-slot probe shuffle is ALREADY flat
+    *    (~1.4 MB/slot, invariant to index size): AQE sees the bounded
+    *    candidate set and broadcasts it, so the history docs table
+    *    streams without an exchange. Its flatness is therefore an
+    *    ADAPTIVE outcome — it holds exactly while candidates fit the
+    *    broadcast threshold, and a dup-burst batch that overflows it
+    *    re-plans into a full history shuffle, the 100 TB failure mode.
+    *  - THIS form makes the same property STRUCTURAL (bucket
+    *    clustering feeds the SMJ — no replan can shuffle history), at
+    *    a measured maintenance cost: each append adds one file per
+    *    bucket, and the profile's bucketed arm shows probe wall
+    *    growing 1.3 → 4.3 s across 31 appends from file-count
+    *    overhead alone — the in-bucket COMPACTION cadence
+    *    ([[compactMinHashIndex]]'s discipline, q90t) is what holds
+    *    the curve flat in deployment.
+    *
+    * Both arms' probe INPUT scan grows with the index (the documented
+    * read-once-per-batch columnar term); nothing is ever re-hashed.
+    * Same greedy earliest-wins semantics, same accepted/batch=<b>
+    * provenance layout, same point-in-time materialization discipline
+    * as [[dedupIngest]] — the two loops return identical survivor
+    * sets ([[searchMinHashIndexBucketed]] is result-identical to
+    * [[searchMinHashIndex]] by the shared probe body). `numBuckets`
+    * is the standing parallelism of the history side (see
+    * [[buildMinHashIndexBucketed]]). */
   def dedupIngestBucketed(docs: DataFrame, id: String, text: String,
       batchOf: Column, indexPath: String, table: String,
       numBuckets: Int = 8, thresholdPct: Int = 60,

@@ -14,17 +14,27 @@ import org.apache.spark.sql.functions._
   * term), and its APPEND wall — for BOTH constructions:
   *
   *  - `path` — [[Engine.dedupIngest]]'s loop body (searchMinHashIndex /
-  *    appendMinHashIndex over path parquet). Expected curve: the probe
-  *    verify-attach joins candidates against the history docs table
-  *    with no bucket metadata, so per-slot probe SHUFFLE grows
-  *    linearly with accumulated history — the defect arm.
+  *    appendMinHashIndex over path parquet). MEASURED (32 slots, 10×
+  *    fixture): probe shuffle FLAT at ~1.4 MB/slot and probe wall flat
+  *    ~2 s/slot — AQE broadcasts the bounded candidate set, so the
+  *    history docs attach streams without an exchange. That flatness
+  *    is adaptive, not structural: it holds while candidates fit the
+  *    broadcast threshold; a dup-burst batch past it re-plans into a
+  *    full history shuffle (the 100 TB failure mode the bucketed form
+  *    forecloses).
   *  - `bucketed` — [[Engine.dedupIngestBucketed]]'s loop body
   *    (searchMinHashIndexBucketed / appendMinHashIndexBucketed over
-  *    catalog bucketBy tables). Expected curve: probe shuffle stays
-  *    flat at the candidate size (PlanSpec q90y pins the exchange-free
-  *    plan); what still grows is the probe's sequential INPUT scan of
-  *    the bands/docs tables — the documented read-once-per-batch term,
-  *    a columnar streaming read, not a shuffle.
+  *    catalog bucketBy tables). Exchange-free on the history side BY
+  *    PLAN (PlanSpec q90y pins it after appends). MEASURED cost of
+  *    that guarantee: each append adds one file per bucket, and probe
+  *    wall grows 1.3 → 4.3 s across 31 appends from file-count
+  *    overhead alone — the q90t in-bucket compaction cadence is what
+  *    holds the deployment curve flat.
+  *
+  * Both arms' probe INPUT bytes grow with the accumulated index (the
+  * documented read-once-per-batch columnar scan term); per-slot
+  * shuffle never carries history payload in either arm at steady
+  * state.
   *
   * Both arms run the REGISTERED operators' exact per-slot calls (the
   * loop here is the same body with timing seams between the probe and

@@ -1491,19 +1491,21 @@ object LlmPipeline {
     // Q90y (beyond-survey) — the ingest loop over the BUCKETED index
     // ([[graft.Engine.dedupIngestBucketed]]): q90n's greedy
     // earliest-wins loop with the probe routed through
-    // searchMinHashIndexBucketed, so the history side exchanges
-    // NOTHING per slot — the path-based loop's docs-attach re-shuffles
-    // accumulated history every batch (INGEST_PROFILE.json measures
-    // that curve growing linearly per slot while this form's probe
-    // shuffle stays flat at the candidate size), which at a
-    // 10-billion-doc history is the difference between re-exchanging
-    // ~10 TB of grams per daily slot and reading clustered buckets in
-    // place. Result-identical to q90n by the shared probe body (same
-    // hash family, same verify kernel — the oracle is the SAME exact
-    // brute-force chain), PlanSpec-asserted exchange-free on the
-    // history side. The two registrations differ in CONSTRUCTION
-    // (catalog bucketBy tables vs path parquet), the q90m/q90q
-    // precedent.
+    // searchMinHashIndexBucketed, so the history side's exchange-free
+    // probe is a PLAN GUARANTEE (PlanSpec pins it surviving per-slot
+    // appends) instead of an optimizer outcome — INGEST_PROFILE.json
+    // measured the path-based loop's probe shuffle already FLAT at
+    // this scale because AQE broadcasts the bounded candidate set,
+    // which holds exactly until a dup-burst batch overflows the
+    // broadcast threshold and the replan shuffles a 10-billion-doc
+    // history's grams instead. The profile also prices this form's
+    // maintenance honestly: one file per bucket per append grows probe
+    // wall ~3x across 31 appends (file-count overhead), which the q90t
+    // compaction cadence resets. Result-identical to q90n by the
+    // shared probe body (same hash family, same verify kernel — the
+    // oracle is the SAME exact brute-force chain). The two
+    // registrations differ in CONSTRUCTION (catalog bucketBy tables vs
+    // path parquet), the q90m/q90q precedent.
     Q("q90y_ingest_bucketed", dedupIngestOracleSql) {
       (s, dir) =>
         val docs = Tables.t(s, dir, "documents")

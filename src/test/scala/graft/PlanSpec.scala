@@ -539,10 +539,12 @@ class PlanSpec extends AnyFunSuite {
     // q90q pins the property for a freshly-BUILT index; the ingest
     // loop's index is built once then APPENDED per slot (each append
     // adds one file per bucket), and bucket clustering must survive
-    // those appends or the per-slot probe would re-shuffle history —
-    // the exact defect INGEST_PROFILE.json measures on the path-based
-    // arm. Run a 3-slot ingest, then examine the NEXT slot's probe
-    // plan against the appended tables, broadcasts disabled.
+    // those appends or the per-slot probe would re-shuffle history.
+    // This is the STRUCTURAL guarantee the path-based loop lacks: its
+    // measured flatness (INGEST_PROFILE.json) rides AQE broadcasting
+    // the candidate set, which a dup-burst batch can overflow. Run a
+    // 3-slot ingest, then examine the NEXT slot's probe plan against
+    // the appended tables, broadcasts disabled.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
