@@ -116,4 +116,59 @@ class QioLedgerSpec extends AnyFunSuite {
         "10x stress scale (or an intentional change: update the " +
         "documented allowlist): " + breaches.mkString("; "))
   }
+
+  /** SF3 (30×) SPILL TIER — r16: sf1 went zero-spill in r15, so the
+    * next tier was unknown; the committed bench_sf3.json sweeps the
+    * top-20 heaviest queries (plus q90y) at 30× under the contract
+    * heap. Findings, pinned here so regressions surface in CI:
+    *  - the BM25 retrieval family is the first family to spill past
+    *    10×: the per-(query-term, doc) scoring join's posting
+    *    intermediates exceed the 8 GiB envelope at 30× corpus scale —
+    *    ~130 MB spill for the two-ranking forms (q93j, q93r) and
+    *    ~100 MB for the audit (q93x). Orderly SPILL, not failure: the
+    *    queries stay green; a deployment shards the query batch or
+    *    sizes executors to the posting volume.
+    *  - q91c_jaccard_join REFUSES at 30× by design: the priced
+    *    exact-join gate measures 1.12e9 candidate pairs against the
+    *    5e8 default budget and raises with the banded exit named
+    *    (minHashNearDups) — the refusal IS the documented behavior;
+    *    the banded family (q91/q90d/q90h) runs the same corpus
+    *    spill-free.
+    * Floors carry the measured bytes ±2× (the sf1 convention). */
+  private val sf3SpillFloors = Map(
+    "q93j_bm25_search" -> 133161704L,
+    "q93r_hybrid_rrf" -> 133164098L,
+    "q93x_stale_idf_audit" -> 101608728L)
+  private val sf3ExpectedRefusals = Set("q91c_jaccard_join")
+
+  test("the sf3 (30x) stress sweep spills only in the documented BM25 " +
+      "tier, and only the priced q91c refusal fails") {
+    val sf3Opt = readJson("bench_sf3.json")
+    assume(sf3Opt.isDefined, "no committed sf3 sweep in this checkout")
+    val root = sf3Opt.get
+    val failed = root.get("failed").elements.asScala.map(_.asText).toSet
+    assert(failed.subsetOf(sf3ExpectedRefusals),
+      s"unexpected sf3 failures beyond the priced refusal: " +
+        (failed -- sf3ExpectedRefusals).mkString(", "))
+    val qio = root.get("qio")
+    assume(qio != null && qio.size() > 0, "sf3 ledger carries no qio")
+    val breaches = qio.properties().asScala.toSeq.sortBy(_.getKey).flatMap {
+      e =>
+        val (name, node) = (e.getKey, e.getValue)
+        val sp = node.get("spill").asLong()
+        sf3SpillFloors.get(name) match {
+          case None if sp > 0 =>
+            Seq(s"$name: NEW sf3 spill $sp bytes (allowlist: " +
+              s"${sf3SpillFloors.keys.toSeq.sorted.mkString(", ")})")
+          case Some(x) if sp < x / 2 || sp > x * 2 =>
+            Seq(s"$name: sf3 spill $sp outside [${x / 2}, ${x * 2}] — " +
+              "if intentional, update sf3SpillFloors in the same commit")
+          case _ => Seq.empty
+        }
+    }
+    assert(breaches.isEmpty,
+      "sf3 spill envelope breach — a memory-envelope regression at the " +
+        "30x stress scale (or an intentional change: update the " +
+        "documented allowlist): " + breaches.mkString("; "))
+  }
 }
