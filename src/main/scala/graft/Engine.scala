@@ -869,6 +869,17 @@ object Engine {
     sys.props.get("graft.verifyBroadcastMaxDocs").map(_.toLong)
       .getOrElse(250000L)
 
+  /** Gate for [[searchMinHashIndex]]'s PINNED ids-only candidate
+    * broadcast (pairs, not docs — the broadcast ships two longs per
+    * candidate; the batch-side gram arrays ride their own bounded
+    * broadcast either way). Past the gate the probe falls back loudly
+    * to the shuffled history attach — see the probe body's rationale.
+    * Overridable via `-Dgraft.probeBroadcastMaxCands` (the
+    * [[verifyBroadcastMaxDocs]] test/ops discipline). */
+  def probeBroadcastMaxCands: Long =
+    sys.props.get("graft.probeBroadcastMaxCands").map(_.toLong)
+      .getOrElse(1000000L)
+
   /** PRODUCT-QUANTIZATION encode: split each embedding into `blocks`
     * contiguous sub-vectors and assign every block the id of its nearest
     * codebook sub-vector (squared L2, rounded-decimal ties broken by
@@ -2078,7 +2089,8 @@ object Engine {
     probeMinHashIndex(batch, id, text,
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/docs"),
-      thresholdPct, numHashes, bands, ngramWords)
+      thresholdPct, numHashes, bands, ngramWords,
+      pinCandidateBroadcast = true)
   }
 
   /** Shared probe body of [[searchMinHashIndex]] /
@@ -2088,7 +2100,7 @@ object Engine {
   private def probeMinHashIndex(batch: DataFrame, id: String,
       text: String, bandsTbl: DataFrame, docsTbl: DataFrame,
       thresholdPct: Int, numHashes: Int, bands: Int,
-      ngramWords: Int): DataFrame = {
+      ngramWords: Int, pinCandidateBroadcast: Boolean): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
     val spark = batch.sparkSession
     graft.plans.SortedIntersectCount.register(spark)
@@ -2103,15 +2115,44 @@ object Engine {
       .select("left_id", "right_id")
       .dropDuplicates("left_id", "right_id")
     val sl = dl.select(col("__id").as("left_id"), col("__sv").as("__sa"))
-    val verified = cands
-      .join(broadcast(sl), Seq("left_id"))
-      // the index-side array attach joins on the index's own docs table
-      // — history arrays stream through a shuffle join (unbounded side)
-      // unless the docs table is BUCKETED on doc_id, in which case this
-      // join needs no exchange on the history side at all
-      .join(docsTbl
-        .select(col("doc_id").as("right_id"), col("grams").as("__sb")),
-        Seq("right_id"))
+    val docsSide = docsTbl
+      .select(col("doc_id").as("right_id"), col("grams").as("__sb"))
+    // The index-side array attach joins the (bounded, by the
+    // incremental contract) candidate list against the index's own
+    // docs table. The PATH-based index (no catalog bucketing) relied
+    // on AQE broadcasting the candidate side — INGEST_PROFILE.json
+    // measured that flatness (~1.4 MB probe shuffle/slot, invariant
+    // to index size), but it is an ADAPTIVE outcome: a dup-burst
+    // batch whose candidates overflow the size estimate re-plans
+    // into a shuffle of the FULL history docs table. So the path
+    // caller PINS the ids-only candidate broadcast behind an explicit
+    // count gate (the verifyBroadcastMaxDocs discipline): under the
+    // gate, history grams stream through a broadcast hash join and
+    // never ride an exchange; past it, fall back LOUDLY to the
+    // shuffled attach — at deployment scale that regime belongs on
+    // the BUCKETED index, whose clustering makes the exchange-free
+    // history side a plan property no re-plan can undo (q90q/q90y
+    // pins — which is also why the bucketed caller does NOT pin:
+    // an explicit broadcast hint would mask the structural SMJ).
+    val pinned = pinCandidateBroadcast && {
+      val nCands = cands.persistOnce().count()
+      val ok = nCands <= probeBroadcastMaxCands
+      if (!ok) Console.err.println(
+        s"[graft] probeMinHashIndex: $nCands candidate pairs overflow " +
+          s"the pinned broadcast gate ($probeBroadcastMaxCands; " +
+          "-Dgraft.probeBroadcastMaxCands overrides) — the history " +
+          "docs attach will SHUFFLE this slot. A sustained dup-burst " +
+          "regime belongs on the bucketed index (dedupIngestBucketed), " +
+          "whose history side cannot re-shuffle by construction.")
+      ok
+    }
+    val verified =
+      if (pinned)
+        docsSide.join(broadcast(cands), Seq("right_id"))
+          .join(broadcast(sl), Seq("left_id"))
+      else
+        cands.join(broadcast(sl), Seq("left_id"))
+          .join(docsSide, Seq("right_id"))
     val inter = expr("sorted_intersect_count(__sa, __sb, " +
       s"(CAST($thresholdPct AS BIGINT) * (size(__sa) + size(__sb)) + " +
       s"${100 + thresholdPct - 1}) div ${100 + thresholdPct})")
@@ -2200,7 +2241,8 @@ object Engine {
     val spark = batch.sparkSession
     probeMinHashIndex(batch, id, text,
       spark.table(s"${table}_bands"), spark.table(s"${table}_docs"),
-      thresholdPct, numHashes, bands, ngramWords)
+      thresholdPct, numHashes, bands, ngramWords,
+      pinCandidateBroadcast = false)
   }
 
   /** ONLINE corpus construction with an ACCUMULATING dedup index — the
@@ -2289,13 +2331,15 @@ object Engine {
     * actually measured (32 slots, fixed batch, 10× fixture) sharpened
     * the story in both directions:
     *
-    *  - the PATH-based loop's per-slot probe shuffle is ALREADY flat
-    *    (~1.4 MB/slot, invariant to index size): AQE sees the bounded
-    *    candidate set and broadcasts it, so the history docs table
-    *    streams without an exchange. Its flatness is therefore an
-    *    ADAPTIVE outcome — it holds exactly while candidates fit the
-    *    broadcast threshold, and a dup-burst batch that overflows it
-    *    re-plans into a full history shuffle, the 100 TB failure mode.
+    *  - the PATH-based loop's per-slot probe shuffle is flat
+    *    (~1.4 MB/slot, invariant to index size): the probe PINS an
+    *    ids-only candidate broadcast behind the
+    *    [[probeBroadcastMaxCands]] count gate (r16 — the flatness was
+    *    previously an ADAPTIVE outcome of AQE's size estimate, which
+    *    a dup-burst batch could silently re-plan into a full history
+    *    shuffle), so the history docs table streams without an
+    *    exchange up to the gate and the overflow regime announces
+    *    itself on stderr instead of regressing silently.
     *  - THIS form makes the same property STRUCTURAL (bucket
     *    clustering feeds the SMJ — no replan can shuffle history), at
     *    a measured maintenance cost: each append adds one file per
@@ -2702,6 +2746,40 @@ object Engine {
     if (p >= 1.0) 1
     else math.max(1, math.min(maxTables,
       math.ceil(math.log1p(-recall) / math.log1p(-p)).toInt))
+  }
+
+  /** MEASURED design cosine for [[annTablesFor]] — the r16 advice: the
+    * rule's `neighborCos = 0.3` default is calibrated against the test
+    * fixtures' isotropic unit vectors, and a corpus with tighter
+    * neighborhoods (real text embeddings cluster) over-provisions
+    * tables ~2× if sized against it. This estimates the design point
+    * FROM DATA with one bounded exact pass (the RecallProbe truth
+    * machinery): exact [[cosineTopK]] over a query sample, each
+    * query's k-th-neighbor cosine (its worst retrieved neighbor when
+    * fewer than k exist), and the `pct` NEAREST-RANK percentile of
+    * those — a LOW percentile sizes for the hardest queries in the
+    * sample, which is the conservative direction (recall, not cost,
+    * is what a miss breaks). The result is clamped into
+    * [[annTablesFor]]'s open (−1, 1) domain: a duplicate-saturated
+    * sample whose k-th neighbors are exact copies clamps to ~1 and
+    * sizes one table, which is correct — copies collide in every
+    * table. Driver-side Double by design: this is a SIZING pass run
+    * once per (corpus, k) against a bounded query sample, not a
+    * registered operator. RECALL.json ledgers the sized-vs-fixed
+    * table-count ratio at both fixtures. */
+  def annDesignCosine(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String, k: Int,
+      pct: Double = 0.25): Double = {
+    require(k >= 1 && pct > 0.0 && pct <= 1.0,
+      s"annDesignCosine(k=$k, pct=$pct)")
+    val kth = cosineTopK(corpus, id, vec, queries, qid, qvec, k)
+      .withColumn("__last",
+        max(col("rnk")).over(Window.partitionBy(col("query_id"))))
+      .filter(col("rnk") === col("__last"))
+      .select(col("cos_sim")).collect().map(_.getDouble(0)).sorted
+    require(kth.nonEmpty, "annDesignCosine: empty query sample")
+    val v = kth(math.max(0, math.ceil(pct * kth.length).toInt - 1))
+    math.max(-0.999999, math.min(0.999999, v))
   }
 
   /** OR-CONSTRUCTION multi-probe LSH top-k — the q99 family as a library
@@ -3322,10 +3400,14 @@ object Engine {
     * bucket noise. Output (query_id, n_common, overlap_ratio) — the
     * query universe is the full-dim `isQuery` rows, so a query whose
     * two rankings share nothing still reports (qid, 0, 0.0). The
-    * overlap is what decides REBUILD CADENCE: near 1.0 the frozen
-    * index still serves the fresh geometry; a sustained drop says the
-    * append stream has drifted the space and the index (stats, vecs
-    * and buckets — all three derive from the moments) needs rebuilding.
+    * overlap PRICES staleness — near 1.0 the frozen index still serves
+    * the fresh geometry; a sustained drop says the append stream has
+    * drifted the space and the index (stats, vecs and buckets — all
+    * three derive from the moments) needs rebuilding. The gate that
+    * ACTS on the price is [[whitenedRebuildDue]], which runs this
+    * audit against a persisted index's own frozen `stats/` and
+    * reduces it to one thresholded boolean row a pipeline can branch
+    * on.
     * Plan: two moment exchanges + 1-row broadcasts, two broadcast-query
     * scoring passes, one k-row-per-query overlap join — nothing
     * all-pairs; at 100 TB the audit rides a sample of queries, not the
@@ -3354,6 +3436,58 @@ object Engine {
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         round(coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
           lit(k.toDouble), 6).as("overlap_ratio"))
+  }
+
+  /** REBUILD-DUE gate over a persisted [[buildWhitenedHyperIndex]]
+    * artifact — the thin decision layer on top of
+    * [[whitenedStalenessAudit]]'s price: standardize the CURRENT
+    * corpus and query batch twice (through the index's own frozen
+    * `stats/`, and through moments re-derived fresh over the corpus),
+    * run the exact whitened top-k both ways, and reduce the per-query
+    * top-k overlap to ONE boolean row a pipeline can branch on:
+    * (n_queries, mean_overlap, min_overlap, rebuild_due) with
+    * rebuild_due ⟺ mean overlap STRICTLY below `minOverlap` (an
+    * overlap exactly at the threshold still serves — EngineSpec pins
+    * the boundary). The comparison runs on the exact rational
+    * Σ n_common < minOverlap · k · n_queries, never the rounded
+    * display column. Queries that fail the fixed-dim guard against
+    * the frozen stats are excluded from the universe (they cannot be
+    * served by the index at all); an empty surviving query batch
+    * reports rebuild_due = false — no evidence is not drift. Cost is
+    * the audit's: two moment passes + two bounded-query exact
+    * searches; at 100 TB the gate rides a query SAMPLE, and its row
+    * is cheap enough to run per append slot. */
+  def whitenedRebuildDue(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String, indexPath: String,
+      k: Int, minOverlap: Double): DataFrame = {
+    require(k >= 1 && minOverlap >= 0.0 && minOverlap <= 1.0,
+      s"whitenedRebuildDue(k=$k, minOverlap=$minOverlap)")
+    val ss = corpus.sparkSession
+    val frozen = packStats(ss.read.parquet(s"$indexPath/stats"))
+    val fresh = packStats(dimStats(corpus, vec))
+    def topOf(packed: DataFrame) = {
+      val z = zApply(corpus, col(id), vec, Nil, packed).persistOnce()
+      val zq = zApply(queries, col(qid), qvec, Nil, packed)
+      cosineTopK(z, "vec_id", "__z", zq, "vec_id", "__z", k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val total = topOf(frozen)
+      .join(topOf(fresh), Seq("query_id", "vec_id"))
+      .agg(count(lit(1)).as("__c"))
+    val nq = zApply(queries, col(qid), qvec, Nil, frozen)
+      .select(col("vec_id")).distinct().agg(count(lit(1)).as("__q"))
+    total.crossJoin(nq).select(
+      col("__q").as("n_queries"),
+      // ANSI-safe: an empty surviving query batch has no mean (NULL),
+      // and the boolean below is false through the same guard
+      when(col("__q") > 0,
+        round(col("__c").cast(DoubleType) /
+          (col("__q") * lit(k.toLong)).cast(DoubleType), 6))
+        .as("mean_overlap"),
+      lit(minOverlap).as("min_overlap"),
+      (col("__q") > 0 && col("__c").cast(DoubleType) <
+        lit(minOverlap) * (col("__q") * lit(k.toLong)).cast(DoubleType))
+        .as("rebuild_due"))
   }
 
   /** Contrastive HARD-NEGATIVE mining: for each query vector, the k most
@@ -4044,10 +4178,17 @@ object Engine {
     * per-term document frequencies — computed only for QUERY terms, via
     * a semi-join before the df aggregate — are both bounded by the
     * query set, so all three broadcast. The corpus-sized work is one
-    * token scan whose exploded stream is pruned map-side by the
-    * broadcast term join BEFORE the (doc, term) tf aggregate — the
-    * postings read touches only query-term postings, never the corpus
-    * vocabulary. Scoring partial-aggregates per (query, doc) through
+    * token scan whose exploded stream is pruned map-side by a broadcast
+    * SEMI-join on the distinct query-term list, then tf-aggregated per
+    * (doc, term) BEFORE the per-query fan-out: the (query, term)
+    * broadcast multiplies aggregated postings, never raw token
+    * occurrences, so the first shuffle carries distinct (doc, term)
+    * pairs — sized by the corpus alone, invariant to how many queries
+    * share a term. (The pre-r17 form fanned out first and aggregated
+    * per (query, doc, term); its shuffle scaled with corpus × per-term
+    * query overlap and was the first family to spill at the 30× stress
+    * tier — ~133 MB/query retired by this reorder, bench_sf3.json.)
+    * Scoring partial-aggregates per (query, doc) through
     * DECIMAL(38,6); top-k is a rank-k window that compiles to a partial
     * WindowGroupLimit below its exchange (the q44 family). No doc×doc
     * join; at 100 TB this is the scatter-gather inverted-index plan.
@@ -4084,14 +4225,20 @@ object Engine {
     val qterms = broadcast(docs.filter(col("__isq"))
       .select(col("__id").as("__qid"), explode(col("__w")).as("__t"))
       .distinct())
-    val dfT = broadcast(toks.filter(col("__st"))
+    // tf per (doc, term) BEFORE the per-query fan-out: the semi-join
+    // prunes the token stream to query terms map-side, and the
+    // aggregate's shuffle then carries distinct (doc, term) pairs —
+    // Q-invariant. Fanning out first (join qterms, aggregate per
+    // (query, doc, term)) multiplies every token occurrence by the
+    // queries sharing its term and was the 30×-tier spiller.
+    val postings = toks
       .join(qterms.select("__t").distinct(), Seq("__t"), "left_semi")
-      .select(col("__id"), col("__t")).distinct()
-      .groupBy(col("__t")).agg(count(lit(1)).as("__df")))
-    toks.join(qterms, Seq("__t"))
-      .filter(col("__id") =!= col("__qid"))
-      .groupBy(col("__qid"), col("__id"), col("__dl"), col("__t"))
+      .groupBy(col("__id"), col("__dl"), col("__st"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
+    val dfT = broadcast(postings.filter(col("__st"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df")))
+    postings.join(qterms, Seq("__t"))
+      .filter(col("__id") =!= col("__qid"))
       // LEFT: a term absent from the stats slice has df = 0 (the
       // frozen-index maximal-IDF case); with statsOn = true every
       // scored term has df >= 1 and this is the old inner join

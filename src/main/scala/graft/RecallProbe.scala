@@ -48,6 +48,16 @@ object RecallProbe {
     // honest at both fixtures
     val hyperBits = Engine.annBits(n, targetBucket = 32, maxBits = 16)
     val sizedTables = Engine.annTablesFor(0.9, hyperBits)
+    // r16 advice: the sizing rule's neighborCos=0.3 default vs the
+    // MEASURED design point (p25 of the query sample's k-th-neighbor
+    // cosines, one bounded exact pass) — sized_tables_meas /
+    // sized_tables is the ledgered over-provisioning ratio, and the
+    // lsh_hyper_sizedTmeas row checks the measured sizing still
+    // clears the recall target it was derived for
+    val designCos = Engine.annDesignCosine(e, "vec_id", "embedding",
+      queries, "query_id", "qe", k)
+    val sizedTablesMeas = Engine.annTablesFor(0.9, hyperBits,
+      neighborCos = designCos)
     def recall(approx: DataFrame): Double =
       truth.join(approx.select("query_id", "vec_id"),
         Seq("query_id", "vec_id")).count() / denom
@@ -137,6 +147,11 @@ object RecallProbe {
       "lsh_hyper_sizedT" -> recall(Engine.lshTopKHyper(e, "vec_id",
         "embedding", queries, "query_id", "qe", k, tables = sizedTables,
         bits = hyperBits)),
+      // table count re-derived from the MEASURED design cosine — the
+      // data-driven sizing path (annDesignCosine feeding annTablesFor)
+      "lsh_hyper_sizedTmeas" -> recall(Engine.lshTopKHyper(e, "vec_id",
+        "embedding", queries, "query_id", "qe", k,
+        tables = sizedTablesMeas, bits = hyperBits)),
       "ivf_nprobe1" -> recall(ivf(1)),
       "ivf_nprobe2" -> recall(ivf(2)),
       "ivf_nprobe4" -> recall(ivf(4)),
@@ -235,6 +250,8 @@ object RecallProbe {
     println(s"""{"metric":"ann_recall@$k","n_vectors":$n,""" +
       s""""n_queries":${truth.select("query_id").distinct().count()},""" +
       s""""sized_bits":$hyperBits,"sized_tables":$sizedTables,""" +
+      f""""design_cos":$designCos%.6f,""" +
+      s""""sized_tables_meas":$sizedTablesMeas,""" +
       s"""$body,"sf":"$dir"}""")
     spark.stop()
   }

@@ -2937,6 +2937,121 @@ class EngineSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("whitenedRebuildDue: strict-below threshold boundary, drift " +
+      "fires the gate, and an empty surviving query batch never does") {
+    import spark.implicits._
+    val rnd = new java.util.Random(13)
+    val df = (0L until 40L).map(i =>
+        i -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("rebuild_due_idx").toString
+    try {
+      Engine.buildWhitenedHyperIndex(df, "vec_id", "embedding", path,
+        tables = 4, bits = 4, dims = 8)
+      val q = df.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      // corpus == the indexed corpus → frozen == fresh → mean overlap
+      // is exactly 1.0, and the STRICT comparison must not fire at a
+      // threshold of exactly 1.0 (at-threshold still serves)
+      val id0 = Engine.whitenedRebuildDue(df, "vec_id", "embedding",
+        q, "qid", "qe", path, k = 3, minOverlap = 1.0).collect().head
+      assert(id0.getAs[Long]("n_queries") == 5L)
+      assert(id0.getAs[Double]("mean_overlap") == 1.0)
+      assert(!id0.getAs[Boolean]("rebuild_due"))
+      // drift half the corpus hard after the build: fresh moments pull
+      // away from the frozen stats, overlap drops, the gate fires
+      val drifted = df.withColumn("embedding",
+        when(col("vec_id") % 2 === 0,
+          transform(col("embedding"),
+            x => x.cast("double") * lit(5.0) + lit(2.0)))
+          .otherwise(transform(col("embedding"), x => x.cast("double"))))
+      val dr = Engine.whitenedRebuildDue(drifted, "vec_id", "embedding",
+        q, "qid", "qe", path, k = 3, minOverlap = 1.0).collect().head
+      assert(dr.getAs[Double]("mean_overlap") < 1.0)
+      assert(dr.getAs[Boolean]("rebuild_due"))
+      // and a threshold at/below the measured mean must NOT fire
+      val at = Engine.whitenedRebuildDue(drifted, "vec_id", "embedding",
+        q, "qid", "qe", path, k = 3,
+        minOverlap = dr.getAs[Double]("mean_overlap") - 0.01)
+        .collect().head
+      assert(!at.getAs[Boolean]("rebuild_due"))
+      // queries that all fail the frozen fixed-dim guard: no evidence
+      // is not drift — n_queries 0, rebuild_due false
+      val ragged = Seq(100L -> Array.fill(4)(0.5f)).toDF("qid", "qe")
+      val none = Engine.whitenedRebuildDue(df, "vec_id", "embedding",
+        ragged, "qid", "qe", path, k = 3, minOverlap = 1.0)
+        .collect().head
+      assert(none.getAs[Long]("n_queries") == 0L)
+      assert(!none.getAs[Boolean]("rebuild_due"))
+    } finally graft.sources.IO.deleteRec(new java.io.File(path))
+  }
+
+  test("searchMinHashIndex: forced shuffled-attach fallback == the " +
+      "pinned candidate-broadcast branch, and the pinned probe ships " +
+      "no history payload across an exchange") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("mh_probe_gate").toString
+    try {
+      Engine.buildMinHashIndex(hist, "doc_id", "text", path)
+      def got() = Engine.searchMinHashIndex(batch, "doc_id", "text",
+          path).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pinned = got()
+      assert(pinned.nonEmpty)
+      // the pinned plan's exchanges carry candidate ids / batch-side
+      // payload only — history gram arrays are read in place via the
+      // candidate broadcast, never shuffled (the q90q histCols rule)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.initialPlan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+      val plan = Engine.searchMinHashIndex(batch, "doc_id", "text",
+        path).queryExecution.executedPlan
+      assert(exchanges(plan).forall(e =>
+        e.output.forall(a => a.name != "__sb" && a.name != "grams")),
+        s"history payload crossed an exchange:\n$plan")
+      // the overflow regime (gate forced to 0) falls back loudly to
+      // the shuffled attach — result-identical, the 100 TB-burst shape
+      sys.props("graft.probeBroadcastMaxCands") = "0"
+      try assert(got() == pinned)
+      finally sys.props -= "graft.probeBroadcastMaxCands"
+    } finally graft.sources.IO.deleteRec(new java.io.File(path))
+  }
+
+  test("annDesignCosine: measured design point sits in the open " +
+      "domain, rises with pct, and a duplicate-saturated sample " +
+      "sizes one table") {
+    import spark.implicits._
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val d25 = Engine.annDesignCosine(e, "vec_id", "embedding",
+      q, "qid", "qe", k = 10)
+    val dMax = Engine.annDesignCosine(e, "vec_id", "embedding",
+      q, "qid", "qe", k = 10, pct = 1.0)
+    assert(d25 > -1.0 && d25 < 1.0)
+    assert(dMax >= d25) // nearest-rank percentile is monotone in pct
+    // harder design point (lower cosine) must never size FEWER tables
+    assert(Engine.annTablesFor(0.9, 10, neighborCos = d25) >=
+      Engine.annTablesFor(0.9, 10, neighborCos = dMax))
+    // every k-th neighbour an exact duplicate → cosine clamps just
+    // under 1 → copies collide in any single table
+    val dup = (0L until 30L).map(i => i -> Array.fill(8)(0.25f))
+      .toDF("vec_id", "embedding")
+    val dq = dup.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dcos = Engine.annDesignCosine(dup, "vec_id", "embedding",
+      dq, "qid", "qe", k = 5)
+    assert(Engine.annTablesFor(0.9, 10, neighborCos = dcos) == 1)
+  }
+
   test("hashClassifier: zero-token text yields null logit and " +
       "keep=false, never NaN") {
     import spark.implicits._

@@ -47,7 +47,10 @@ class IoEnvelopeSpec extends AnyFunSuite {
     // cap ever escaped into them
     "q92q_maxsim" -> 27396L,
     "q94p_clip_neardup" -> 130116L,
-    "q93j_bm25_search" -> 806833L,
+    // r16: tf now aggregates per (doc, term) BEFORE the query fan-out
+    // (the 30×-tier spill fix) — down from 806833 under the old
+    // fan-out-first shape, and the Q-multiplier is out of the exchange
+    "q93j_bm25_search" -> 367303L,
     "q93u_kcore" -> 41454L,
     "q93v_communities" -> 55782L)
 
