@@ -2027,9 +2027,16 @@ object Engine {
 
   private def writeMinHashIndex(df: DataFrame, id: String, text: String,
       path: String, numHashes: Int, bands: Int, ngramWords: Int,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean): Unit =
+    writeMinHashIndexDocs(
+      minHashDocTable(df, id, text, ngramWords).persistOnce(),
+      path, numHashes, bands, overwrite)
+
+  /** Index write over an already-built (__id, __sv) doc table — the
+    * other half of the [[probeMinHashIndexDocs]] hash-once seam. */
+  private def writeMinHashIndexDocs(docs: DataFrame, path: String,
+      numHashes: Int, bands: Int, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
-    val docs = minHashDocTable(df, id, text, ngramWords).persistOnce()
     minHashBandTable(docs, "doc_id", numHashes, bands)
       // file-local sort on the probe key: row-group min/max skipping
       .sortWithinPartitions("__band", "__bh")
@@ -2071,6 +2078,16 @@ object Engine {
       require(fs.rename(src, trash) && fs.rename(tmp, src),
         s"compactMinHashIndex: swap failed for $src")
       fs.delete(trash, true): Unit
+      // The rename swap changes the directory's files WITHOUT going
+      // through a DataFrameWriter, so nothing invalidates the session's
+      // cached plans/file listings for this path — a persisted plan
+      // built over the pre-compaction read (sameResult matches on the
+      // path) can later recompute against files the swap deleted:
+      // FAILED_READ_FILE.FILE_NOT_EXIST, seen once in the r16 baseline
+      // bench on q90t's second pass. Writers do this invalidation
+      // implicitly (InsertIntoHadoopFsRelationCommand refreshes the
+      // output path); a rename must do it explicitly.
+      spark.catalog.refreshByPath(src.toString)
     }
     swap("bands", Seq("__band", "__bh"))
     swap("docs", Seq("doc_id"))
@@ -2100,11 +2117,27 @@ object Engine {
   private def probeMinHashIndex(batch: DataFrame, id: String,
       text: String, bandsTbl: DataFrame, docsTbl: DataFrame,
       thresholdPct: Int, numHashes: Int, bands: Int,
-      ngramWords: Int, pinCandidateBroadcast: Boolean): DataFrame = {
+      ngramWords: Int, pinCandidateBroadcast: Boolean): DataFrame =
+    probeMinHashIndexDocs(
+      minHashDocTable(batch, id, text, ngramWords).persistOnce(),
+      bandsTbl, docsTbl, thresholdPct, numHashes, bands,
+      pinCandidateBroadcast)
+
+  /** Probe body over an ALREADY-BUILT (and persisted) batch doc table —
+    * the seam the ingest loops use to hash each batch exactly ONCE per
+    * slot: the same (__id, __sv) table feeds the probe here and the
+    * accepted-survivor index append ([[writeMinHashIndexDocs]]), where
+    * before r16 the append re-shingled and re-hashed the survivors from
+    * the frozen text file (~40% of every slot's CPU, per
+    * INGEST_PROFILE.json's append walls). Hash values are deterministic
+    * in the text, so reuse is value-identical. */
+  private def probeMinHashIndexDocs(dl: DataFrame,
+      bandsTbl: DataFrame, docsTbl: DataFrame,
+      thresholdPct: Int, numHashes: Int, bands: Int,
+      pinCandidateBroadcast: Boolean): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100)
-    val spark = batch.sparkSession
+    val spark = dl.sparkSession
     graft.plans.SortedIntersectCount.register(spark)
-    val dl = minHashDocTable(batch, id, text, ngramWords).persistOnce()
     // the batch-side band table is bands × |batch| rows — the bounded
     // side by the incremental contract, so pin the broadcast (the q90d
     // rationale: AQE size estimates flap on freshly-derived tables)
@@ -2186,11 +2219,19 @@ object Engine {
       text: String, table: String, numBuckets: Int = 8,
       numHashes: Int = 64, bands: Int = 16, ngramWords: Int = 2): Unit = {
     require(numBuckets >= 1)
-    val spark = corpus.sparkSession
-    // rebuild is a true overwrite even across JVMs: an in-memory
-    // catalog forgets the table between runs but its managed LOCATION
-    // survives in the warehouse dir, and CREATE then fails with
-    // LOCATION_ALREADY_EXISTS — drop both the entry and the directory
+    dropBucketedIndexTables(corpus.sparkSession, table)
+    writeMinHashIndexBucketedDocs(
+      minHashDocTable(corpus, id, text, ngramWords).persistOnce(),
+      table, numBuckets, numHashes, bands, overwrite = true)
+  }
+
+  /** Drop a bucketed index's tables AND their managed locations —
+    * rebuild must be a true overwrite even across JVMs: an in-memory
+    * catalog forgets the table between runs but its managed LOCATION
+    * survives in the warehouse dir, and CREATE then fails with
+    * LOCATION_ALREADY_EXISTS. */
+  private def dropBucketedIndexTables(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
     Seq(s"${table}_bands", s"${table}_docs").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       val loc = new org.apache.hadoop.fs.Path(
@@ -2199,13 +2240,20 @@ object Engine {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val docs = minHashDocTable(corpus, id, text, ngramWords).persistOnce()
+
+  /** Bucketed-index write over an already-built (__id, __sv) doc table
+    * — the [[writeMinHashIndexDocs]] seam for the catalog form. */
+  private def writeMinHashIndexBucketedDocs(docs: DataFrame,
+      table: String, numBuckets: Int, numHashes: Int, bands: Int,
+      overwrite: Boolean): Unit = {
+    require(numBuckets >= 1)
+    val mode = if (overwrite) "overwrite" else "append"
     minHashBandTable(docs, "doc_id", numHashes, bands)
-      .write.mode("overwrite")
+      .write.mode(mode)
       .bucketBy(numBuckets, "__band", "__bh").sortBy("__band", "__bh")
       .format("parquet").saveAsTable(s"${table}_bands")
     docs.select(col("__id").as("doc_id"), col("__sv").as("grams"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_docs")
   }
@@ -2219,17 +2267,10 @@ object Engine {
     * [[appendMinHashIndex]]: delta ids are NEW. */
   def appendMinHashIndexBucketed(delta: DataFrame, id: String,
       text: String, table: String, numBuckets: Int = 8,
-      numHashes: Int = 64, bands: Int = 16, ngramWords: Int = 2): Unit = {
-    val docs = minHashDocTable(delta, id, text, ngramWords).persistOnce()
-    minHashBandTable(docs, "doc_id", numHashes, bands)
-      .write.mode("append")
-      .bucketBy(numBuckets, "__band", "__bh").sortBy("__band", "__bh")
-      .format("parquet").saveAsTable(s"${table}_bands")
-    docs.select(col("__id").as("doc_id"), col("__sv").as("grams"))
-      .write.mode("append")
-      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(s"${table}_docs")
-  }
+      numHashes: Int = 64, bands: Int = 16, ngramWords: Int = 2): Unit =
+    writeMinHashIndexBucketedDocs(
+      minHashDocTable(delta, id, text, ngramWords).persistOnce(),
+      table, numBuckets, numHashes, bands, overwrite = false)
 
   /** Probe a [[buildMinHashIndexBucketed]] index: result-identical to
     * [[searchMinHashIndex]] over the same corpus (same shared probe
@@ -2293,6 +2334,17 @@ object Engine {
     }
     batchIds.zipWithIndex.foreach { case (b, i) =>
       val batch = docs.filter(batchOf.cast("long") === b)
+      // NOTE (r16 optimization round): a "hash once per slot" variant —
+      // share the batch's (__id, __sv) doc table between the probe and
+      // the index append via a semi-join against the frozen survivor
+      // file — was built and A/B-measured here (alternating warm runs,
+      // direct JVM): 9.0–9.3 s OLD vs 10.4–11.3 s SHARED at sf0.1.
+      // Re-shingling the ~|batch| survivors is cheaper at any benched
+      // scale than the machinery the sharing needs (a broadcast
+      // semi-join build plus an extra cached copy of the shingle
+      // arrays per slot), and it is not the scale term either — the
+      // append is O(batch) each way, history is never re-hashed
+      // (INGEST_PROFILE.json). Kept the measured-faster form.
       val kept0 =
         if (i == 0) batch
         else {
@@ -2377,6 +2429,9 @@ object Engine {
     }
     batchIds.zipWithIndex.foreach { case (b, i) =>
       val batch = docs.filter(batchOf.cast("long") === b)
+      // "hash once per slot" measured slower here too — see the
+      // dedupIngest note; the re-shingle of O(batch) survivors beats
+      // the semi-join + extra-cache machinery at benched scales
       val kept0 =
         if (i == 0) batch
         else {
@@ -5767,13 +5822,21 @@ object Engine {
     // every pick is |Q| rows but is REFERENCED three times by the next
     // step (anti-join, semi-join, union): uncached, the unrolled plan
     // re-derives the whole history ~3^k times (the kCore lineage
-    // lesson; measured 11–14 s -> ~2 s at sf0.1 once cached)
+    // lesson; measured 11–14 s -> ~2 s at sf0.1 once cached). r16:
+    // cache alone fixes only EXECUTION — the LOGICAL plan still holds
+    // ~3^k copies of the pick subtree and Catalyst analyzes/optimizes
+    // every copy on the single final action (driver-side planning was
+    // the residual ~5 s of this query's bench wall, guide §7.3 "very
+    // large query plans"). localCheckpoint is eager and TRUNCATES the
+    // lineage, so step t's plan sees step t−1 as a leaf: planning cost
+    // returns to linear in k. Values are unchanged — each pick is the
+    // same deterministic |Q|-row table, just materialized.
     val firstPick = cand
       .withColumn("__s100", lit(lambdaPct) * col("__rel").cast(dec))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("__q"), col("__i"), col("__s100"),
         lit(1).as("step"))
-      .persistOnce()
+      .localCheckpoint()
     var selected = firstPick
     for (t <- 2 to k) {
       val rem = cand.join(
@@ -5794,7 +5857,7 @@ object Engine {
         .filter(col("__rn") === 1)
         .select(col("__q"), col("__i"), col("__s100"),
           lit(t).as("step"))
-        .persistOnce()
+        .localCheckpoint() // lineage truncation, see firstPick note
       selected = selected.unionByName(pick)
     }
     selected.select(col("__q").as("query_id"),
