@@ -40,17 +40,30 @@ object Tables {
     *    naive datetime maps to the identical instant DuckDB sees.
     * Both normalizations are value-identical across engines, so oracle
     * hashes are unaffected by whichever flavor a round's fixture carries. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
-    }
-  }
+  /** Analyzed-plan cache for the fixture tables, keyed by (session,
+    * dir, name). METADATA only — no rows are ever cached: reusing the
+    * DataFrame handle skips the per-call directory listing + parquet
+    * footer schema inference that `spark.read.parquet` repeats on every
+    * construction (a real deployment gets the same amortization from
+    * its catalog/metastore; the inputs here are immutable fixture
+    * dirs). Keyed by the session object so a new session (new JVM, new
+    * test SparkSession) re-lists from scratch; entries hold no data and
+    * are few (10 tables × sf dirs). */
+  private val tCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    tCache.computeIfAbsent((spark, dir, name), _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.find(f => f.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    })
 }
 
 /** The two deterministic corpus VERSIONS q58b (snapshot diff) and q100c
