@@ -52,7 +52,17 @@ object Tables {
   private val tCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Entry bound before stale-session eviction: one live session holds
+    * ≤ (10 tables × a few sf dirs) entries, so crossing this means dead
+    * sessions' handles (and their pinned SparkSession references — the
+    * r16-flagged leak for embedded use) are piling up; drop every other
+    * session's entries before inserting. Eviction only costs a re-list
+    * on a session that somehow comes back — correctness is unaffected. */
+  private val tCacheMaxEntries = 64
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (tCache.size > tCacheMaxEntries)
+      tCache.keySet.removeIf(k => k._1 ne spark)
     tCache.computeIfAbsent((spark, dir, name), _ => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -64,6 +74,7 @@ object Tables {
         case _ => df
       }
     })
+  }
 }
 
 /** The two deterministic corpus VERSIONS q58b (snapshot diff) and q100c
@@ -95,6 +106,37 @@ object SnapshotFixture {
       |  FROM documents WHERE doc_id % 11 <> 7),
       |snh AS (SELECT doc_id, text, lang, n_chars,
       |    md5(concat_ws('|', text, lang)) AS h FROM sn)""".stripMargin
+}
+
+/** Input-parallelism guard (guide §2.5 "input skew: one huge
+  * unsplittable file"). Parquet scan parallelism is bounded by ROW-GROUP
+  * count, not split count — a task whose byte range contains no
+  * row-group start reads nothing — and the driver fixtures are
+  * single-file single-row-group tables, so every fixture scan runs as
+  * effectively ONE task and all per-row work fused into the scan stage
+  * (decimal casts, Expand fan-out, percentile buffers, format_string)
+  * serializes on it at ANY core count (measured r17: q46_stats 2.25 s
+  * wall with 1.95 s summed task time — ~zero overlap on local[32]).
+  * [[Spread.byKey]] hash-repartitions on a caller-chosen
+  * high-cardinality key to the session default parallelism, moving the
+  * per-row work onto all cores for one narrow exchange of the projected
+  * columns; keyed hashing (vs keyless round-robin) avoids the
+  * sort-before-repartition pass AND stays deterministic under task
+  * retry. The guard is conditional: any input that already scans wider
+  * (every production-scale table) passes through untouched, so this is
+  * the small-input-regime floor, not a local[32] constant — same
+  * discipline as Engine.spreadInput on the shingling paths. */
+object Spread {
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // trigger only on MATERIALLY deficient parallelism (< half the
+    // cores): a scan already within 2× of core count gains less from
+    // the extra exchange than the exchange costs (measured on the 10×
+    // fixture, whose ~27 row-group splits at 32 cores must pass through
+    // untouched)
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want, key)
+    else df
+  }
 }
 
 /** Canonicalization helpers (SURVEY.md §2, determinism rules).

@@ -49,6 +49,24 @@ object Engine {
       else df
   }
 
+  /** Run two INDEPENDENT write actions concurrently (guide §2.6 —
+    * overlap independent jobs: actions are only sequential because the
+    * driver calls them sequentially). The index writers land two
+    * disjoint outputs (bands table, docs table) from the same persisted
+    * doc table; submitting both lets the second job's tasks back-fill
+    * executors freed by the first job's tail instead of waiting for its
+    * last straggler. Both are awaited and the first failure rethrown —
+    * never return with a write still in flight. */
+  private def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fs = Seq(Future(a), Future(b))
+    fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      .foreach(_.get)
+  }
+
   /** Raise a DataFrame to at least the session's default parallelism
     * before a CPU-heavy per-row stage (shingling, hashing). A small
     * parquet input arrives as one or two scan partitions, and when every
@@ -2037,12 +2055,13 @@ object Engine {
   private def writeMinHashIndexDocs(docs: DataFrame, path: String,
       numHashes: Int, bands: Int, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
+    inParallel(
     minHashBandTable(docs, "doc_id", numHashes, bands)
       // file-local sort on the probe key: row-group min/max skipping
       .sortWithinPartitions("__band", "__bh")
-      .write.mode(mode).parquet(s"$path/bands")
+      .write.mode(mode).parquet(s"$path/bands"),
     docs.select(col("__id").as("doc_id"), col("__sv").as("grams"))
-      .write.mode(mode).parquet(s"$path/docs")
+      .write.mode(mode).parquet(s"$path/docs"))
   }
 
   /** COMPACT a [[buildMinHashIndex]] index in place: each append lands
@@ -2232,30 +2251,133 @@ object Engine {
     * LOCATION_ALREADY_EXISTS. */
   private def dropBucketedIndexTables(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit =
-    Seq(s"${table}_bands", s"${table}_docs").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(t)))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+    Seq(s"${table}_bands", s"${table}_docs")
+      .foreach(dropManagedTable(spark, _))
+
+  private def dropManagedTable(
+      spark: org.apache.spark.sql.SparkSession, t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
+  }
+
+  /** COMPACT a [[buildMinHashIndexBucketed]] index in place: fold each
+    * bucket's accumulated append files back to ONE sorted file per
+    * bucket — [[compactMinHashIndex]]'s discipline (q90t) for the
+    * catalog form. Each append lands one new file per bucket (the
+    * aligned write above), so a long-lived bucketed index pays probe
+    * file-listing + per-file open cost that grows linearly with append
+    * count until compacted (INGEST_PROFILE's bucketed arm measured the
+    * probe wall 3×ing across 31 appends from exactly this). Rows and
+    * bucket spec are untouched: a post-compaction probe is
+    * result-identical and keeps the exchange-free history plan (the
+    * bucket clustering is re-asserted by the bucketed saveAsTable).
+    * Swap discipline: rewrite into a sibling `__compact` table, rename
+    * live → `__trash`, rename compact in, drop trash — the same
+    * either-old-or-new crash window as the path swap, with the catalog
+    * rename as the atom; `refreshTable` afterwards because a rename is
+    * not a writer and invalidates nothing by itself (the q90t
+    * FILE_NOT_EXIST lesson). */
+  def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, numBuckets: Int = 8): Unit = {
+    require(numBuckets >= 1)
+    def swapRewrite(sub: String, keys: Seq[String]): Unit = {
+      val t = s"${table}_$sub"
+      val tmp = s"${table}__compact_$sub"
+      val trash = s"${table}__trash_$sub"
+      // a crashed prior compaction can leave either behind
+      Seq(tmp, trash).foreach(dropManagedTable(spark, _))
+      // read the table's FILES as plain parquet, not spark.table(t): the
+      // bucketed scan advertises HashPartitioning(keys, numBuckets), so
+      // the planner ELIDES the aligning repartition below while the scan
+      // actually runs one partition per FILE — the rewrite then emits
+      // one file per (input file), compacting nothing (measured: a
+      // 2-file-per-bucket table "compacted" to 2 files per bucket). A
+      // path read carries no partitioning claim, so the exchange really
+      // runs and each write task holds exactly one whole bucket.
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      spark.read.parquet(loc.toString)
+        .repartition(numBuckets, keys.map(col): _*)
+        .write.bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet").saveAsTable(tmp)
+      spark.sql(s"ALTER TABLE `$t` RENAME TO `$trash`")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      dropManagedTable(spark, trash)
+      spark.catalog.refreshTable(t)
     }
+    swapRewrite("bands", Seq("__band", "__bh"))
+    swapRewrite("docs", Seq("doc_id"))
+  }
+
+  /** Compaction CADENCE gate for the bucketed-index ingest loop: count
+    * the bands table's data files on the filesystem (cheap — one
+    * listStatus of ≤ buckets × appends entries, and the file count IS
+    * the cost being bounded) and compact when the average per-bucket
+    * file count exceeds `maxFilesPerBucket`. Returns whether it
+    * compacted, so a profiler can mark the sawtooth teeth. */
+  def maybeCompactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, numBuckets: Int = 8,
+      maxFilesPerBucket: Int = bucketCompactMaxFiles): Boolean = {
+    require(maxFilesPerBucket >= 1)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_bands")))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles =
+      if (!fs.exists(loc)) 0
+      else fs.listStatus(loc).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_"))
+    val due = nFiles > numBuckets.toLong * maxFilesPerBucket
+    if (due) compactBucketedIndex(spark, table, numBuckets)
+    due
+  }
+
+  /** Default files-per-bucket compaction threshold for
+    * [[maybeCompactBucketedIndex]] (`-Dgraft.bucketCompactMaxFiles`
+    * overrides). Deployment sizing: each append adds one file per
+    * bucket, so the threshold is the append count between compactions —
+    * pay one in-bucket rewrite every K appends to keep probe listing +
+    * file-open cost bounded at K files/bucket instead of unbounded. */
+  def bucketCompactMaxFiles: Int =
+    sys.props.get("graft.bucketCompactMaxFiles").map(_.toInt).getOrElse(8)
 
   /** Bucketed-index write over an already-built (__id, __sv) doc table
-    * — the [[writeMinHashIndexDocs]] seam for the catalog form. */
+    * — the [[writeMinHashIndexDocs]] seam for the catalog form.
+    *
+    * Each side is REPARTITIONED onto its bucket key into exactly
+    * `numBuckets` partitions before the write (r17, guide §6 small
+    * files / §2.2 fewer map tasks): `repartition(n, keys)` is the same
+    * Murmur3 `pmod(hash, n)` placement the bucket spec uses, so every
+    * write task holds exactly one bucket and emits ONE file. Without
+    * it the bucketed writer fans out one file per (input partition ×
+    * bucket) — a 32-partition append landed up to 32 files in EVERY
+    * bucket, and the probe's file-listing + per-file open cost grew
+    * with that product (the INGEST_PROFILE 1.3→4.3 s probe curve was
+    * mostly this, not genuine data growth). One aligned exchange of
+    * O(batch) rows buys a file count that grows one file per bucket
+    * per append — the layout the in-bucket compaction cadence
+    * ([[compactBucketedIndex]]) then folds back to one. */
   private def writeMinHashIndexBucketedDocs(docs: DataFrame,
       table: String, numBuckets: Int, numHashes: Int, bands: Int,
       overwrite: Boolean): Unit = {
     require(numBuckets >= 1)
     val mode = if (overwrite) "overwrite" else "append"
+    inParallel(
     minHashBandTable(docs, "doc_id", numHashes, bands)
+      .repartition(numBuckets, col("__band"), col("__bh"))
       .write.mode(mode)
       .bucketBy(numBuckets, "__band", "__bh").sortBy("__band", "__bh")
-      .format("parquet").saveAsTable(s"${table}_bands")
+      .format("parquet").saveAsTable(s"${table}_bands"),
     docs.select(col("__id").as("doc_id"), col("__sv").as("grams"))
+      .repartition(numBuckets, col("doc_id"))
       .write.mode(mode)
       .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(s"${table}_docs")
+      .format("parquet").saveAsTable(s"${table}_docs"))
   }
 
   /** Append a delta corpus into a [[buildMinHashIndexBucketed]] index:
@@ -2447,9 +2569,20 @@ object Engine {
       if (i == 0)
         buildMinHashIndexBucketed(kept, id, text, table, numBuckets,
           numHashes, bands, ngramWords)
-      else
+      else {
         appendMinHashIndexBucketed(kept, id, text, table, numBuckets,
           numHashes, bands, ngramWords)
+        // AUTO-COMPACTION (r17, VERDICT item 1 / guide §6): each append
+        // adds one file per bucket, and the probe's listing + file-open
+        // cost grows with that count (INGEST_PROFILE measured the
+        // bucketed probe wall 3×ing across 31 appends). Folding each
+        // bucket back to one sorted file every [[bucketCompactMaxFiles]]
+        // appends holds the curve flat (sawtooth); rows, bucket spec
+        // and therefore the probe result and its exchange-free plan are
+        // untouched (PlanSpec q90y pins the latter, the shared oracle
+        // pins the former).
+        maybeCompactBucketedIndex(spark, table, numBuckets): Unit
+      }
     }
     spark.read.parquet(s"$indexPath/accepted")
       .select(col(id), col("batch").cast("long").as("batch"))
@@ -6277,24 +6410,46 @@ object Engine {
     * multiplicity); pairs are canonical (a < b) and both rule
     * directions are emitted since confidence is asymmetric.
     *
-    * Plan shape: one distinct-pass, one per-item count, and ONE
-    * within-basket self-join keyed on the basket id — candidate pairs
-    * are Σ|basket|²/2, never corpus², the [[semanticDedup]] cell
-    * argument; the item-count lookups broadcast-join onto the
-    * pair counts (dimension-sized). Ratios are single IEEE divides of
-    * exact counts, round 6. `minSupport` prunes the pair tail BEFORE
-    * the rule expansion. */
+    * Plan shape (r17, guide §2.4 remove shuffles outright): ONE keyed
+    * exchange of the corpus — the per-basket `collect_set` — then pair
+    * generation runs ROW-LOCAL (posexplode × slice over the sorted
+    * item array: exactly the i<j combinations, Σ|basket|²/2 candidates,
+    * never corpus²), feeding a partially-aggregated pair count whose
+    * shuffle carries only distinct (i, j, partial-count) rows. The
+    * previous form self-joined the distinct (basket, item) table on the
+    * basket id — two more full exchanges of the basket-item table (the
+    * registry's largest shuffle, 17 MB at sf0.1) and a join fan-out the
+    * map side then re-aggregated (measured 35 CPU-seconds at sf0.1;
+    * row-local: the same pairs for ~1/10th of it). The item-count
+    * lookups broadcast-join onto the pair counts (dimension-sized).
+    * Ratios are single IEEE divides of exact counts, round 6.
+    * `minSupport` prunes the pair tail BEFORE the rule expansion. */
   def associationRules(df: DataFrame, basket: Column, item: Column,
       minSupport: Int = 2): DataFrame = {
     require(minSupport >= 1)
-    val bi = df.filter(basket.isNotNull && item.isNotNull)
-      .select(basket.as("__b"), item.as("__i")).distinct().persistOnce()
-    val nBaskets = bi.select(col("__b")).distinct()
-      .agg(count(lit(1)).as("__nb"))
-    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
-    val pairs = bi.join(bi.select(col("__b"), col("__i").as("__j")),
-        Seq("__b"))
-      .filter(col("__i") < col("__j"))
+    // per-basket DISTINCT SORTED item array: collect_set dedups within
+    // the basket (presence, not multiplicity), sort_array makes the
+    // in-row combination emit each unordered pair once with __i < __j.
+    // Spread KEYED ON THE BASKET ID (guide §2.4/§2.5): a single-row-
+    // group scan would otherwise build every basket's set serially in
+    // the map-side partial, and hashing on __b lets the groupBy reuse
+    // this same exchange instead of adding one.
+    val baskets = Spread.byKey(
+        df.filter(basket.isNotNull && item.isNotNull)
+          .select(basket.as("__b"), item.as("__i")), col("__b"))
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__items"))
+      .persistOnce()
+    val nBaskets = baskets.agg(count(lit(1)).as("__nb"))
+    val itemCnt = baskets
+      .select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val pairs = baskets
+      .select(posexplode(col("__items")).as(Seq("__p", "__i")),
+        col("__items"))
+      // elements after 0-based position __p: 1-based start __p + 2
+      .select(col("__i"), explode(slice(col("__items"), col("__p") + 2,
+        size(col("__items")) - col("__p") - 1)).as("__j"))
       .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__cab"))
       .filter(col("__cab") >= minSupport)
     val rules = pairs.select(col("__i").as("__a"), col("__j").as("__b2"),

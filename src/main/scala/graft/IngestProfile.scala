@@ -149,7 +149,15 @@ object IngestProfile {
     val bktCosts = runArm(bktDir,
       b => Engine.searchMinHashIndexBucketed(b, "doc_id", "text", bktTable),
       k => Engine.buildMinHashIndexBucketed(k, "doc_id", "text", bktTable),
-      k => Engine.appendMinHashIndexBucketed(k, "doc_id", "text", bktTable))
+      k => {
+        // same maintenance cadence dedupIngestBucketed runs (r17): the
+        // append phase's ledgered wall includes the periodic in-bucket
+        // compaction, so the probe curve shows the deployment sawtooth
+        // rather than the unmaintained growth line
+        Engine.appendMinHashIndexBucketed(k, "doc_id", "text", bktTable)
+        val compacted = Engine.maybeCompactBucketedIndex(spark, bktTable)
+        if (compacted) System.err.println("[ingest]   (compacted)")
+      })
 
     def armJson(cs: Seq[SlotCost]): String = cs.map { c =>
       f"""{"slot":${c.slot},"probe_sec":${c.probeSec}%.3f,""" +

@@ -285,7 +285,10 @@ object Scalars {
         |FROM events
         |ORDER BY event_id NULLS FIRST""".stripMargin) { (s, dir) =>
       val k = get_json_object(col("props"), "$.k").cast("int")
-      Tables.t(s, dir, "events").select(
+      // three per-row JSON parses otherwise run inside the single-row-
+      // group scan task (Spread scaladoc; guide §2.5)
+      graft.Spread.byKey(Tables.t(s, dir, "events"), col("event_id"))
+        .select(
         col("event_id"),
         k.as("k"),
         (from_json(col("props"),

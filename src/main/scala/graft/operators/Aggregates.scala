@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.{Canon, Q, Tables}
+import graft.{Canon, Q, Spread, Tables}
 import graft.Canon.{avgDec, avgDecSql, orderAll, sumDec, sumDecSql}
 import graft.functions.WeightedMeanCents
 
@@ -35,8 +35,11 @@ object Aggregates {
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
       (s, dir) =>
         val li = Tables.t(s, dir, "lineitem")
-        orderAll(li
-          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        // spread the single-row-group scan before the 7-measure decimal
+        // partial aggregate (Spread scaladoc; guide §2.5)
+        orderAll(Spread.byKey(li
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp")),
+            col("l_orderkey"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sumDec(col("l_quantity")).as("sum_qty"),
@@ -146,7 +149,8 @@ object Aggregates {
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        orderAll(Tables.t(s, dir, "lineitem")
+        orderAll(Spread.byKey(Tables.t(s, dir, "lineitem"),
+            col("l_orderkey"))
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
             grouping_id().cast("long").as("gid"),
@@ -170,7 +174,8 @@ object Aggregates {
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
          |  gid NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        orderAll(Tables.t(s, dir, "lineitem")
+        orderAll(Spread.byKey(Tables.t(s, dir, "lineitem"),
+            col("l_orderkey"))
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(
             grouping_id().cast("long").as("gid"),
@@ -195,7 +200,8 @@ object Aggregates {
          |  (l_linestatus), ())
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        orderAll(Tables.t(s, dir, "lineitem")
+        orderAll(Spread.byKey(Tables.t(s, dir, "lineitem"),
+            col("l_orderkey"))
           .groupingSets(
             Seq(Seq(col("l_returnflag"), col("l_linestatus")),
               Seq(col("l_linestatus")), Seq.empty),
@@ -220,9 +226,19 @@ object Aggregates {
         |  arg_max(l_orderkey, printf('%019d%019d', CAST(floor(epoch(l_shipdate)) AS BIGINT), l_orderkey)) AS last_order
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
-      val ord = format_string("%019d%019d",
-        unix_timestamp(col("l_shipdate")), col("l_orderkey"))
-      orderAll(Tables.t(s, dir, "lineitem")
+      // STRUCT ordering key, not the oracle's zero-padded string (r17,
+      // guide §1.2 per-task work): struct comparison is field-by-field
+      // (epoch, then orderkey) — the identical total order the printf
+      // key encodes byte-wise — without materializing two 38-char
+      // strings per row inside the aggregate (format_string was
+      // evaluated once per min_by AND once per max_by). DuckDB keeps
+      // the printf form because its arg_min has no struct-key overload;
+      // the WINNER (the emitted l_orderkey) is unchanged, which is what
+      // the oracle hashes.
+      val ord = struct(unix_timestamp(col("l_shipdate")).as("e"),
+        col("l_orderkey").as("k"))
+      orderAll(Spread.byKey(Tables.t(s, dir, "lineitem"),
+          col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(
           min_by(col("l_orderkey"), ord).as("first_order"),
@@ -286,7 +302,8 @@ object Aggregates {
       """SELECT l_returnflag, true AS within_tol
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, dir) =>
-      orderAll(Tables.t(s, dir, "lineitem")
+      orderAll(Spread.byKey(Tables.t(s, dir, "lineitem"),
+          col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, 0.5D)").as("ap"),
           expr("percentile(l_extendedprice, 0.5D)").as("ex"))
@@ -446,7 +463,8 @@ object Aggregates {
     }) { (s, dir) =>
       val x = col("l_quantity")
       val y = col("l_extendedprice")
-      val mo = Tables.t(s, dir, "lineitem")
+      val mo = Spread.byKey(Tables.t(s, dir, "lineitem"),
+          col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("double").as("n"),
           sumDec(x).as("sx"), sumDec(y).as("sy"),

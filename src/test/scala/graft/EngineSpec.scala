@@ -634,6 +634,52 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("compactBucketedIndex: per-bucket files fold to one, the probe " +
+      "is bit-identical, and a leftover temp table from a crash is " +
+      "ignored") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val table = "engspec_bkt_compact_idx"
+    val buckets = 4
+    def files(sub: String) = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_$sub")))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(loc).count(_.getPath.getName.startsWith("part-"))
+    }
+    def probe() = Engine.searchMinHashIndexBucketed(
+        batch, "doc_id", "text", table, thresholdPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    Engine.buildMinHashIndexBucketed(
+      hist.filter(col("doc_id") % 10 =!= 4), "doc_id", "text", table,
+      numBuckets = buckets)
+    Engine.appendMinHashIndexBucketed(
+      hist.filter(col("doc_id") % 10 === 4), "doc_id", "text", table,
+      numBuckets = buckets)
+    val before = probe()
+    // the aligned write lands one file per bucket per write
+    assert(files("bands") == 2 * buckets && files("docs") == 2 * buckets,
+      s"expected ${2 * buckets} files, got bands=${files("bands")} " +
+        s"docs=${files("docs")}")
+    // a dead compaction's temp table must not break the next run
+    spark.range(1).write.mode("overwrite")
+      .saveAsTable(s"${table}__compact_bands")
+    // below threshold: the cadence gate must NOT compact
+    assert(!Engine.maybeCompactBucketedIndex(spark, table, buckets,
+      maxFilesPerBucket = 2))
+    assert(files("bands") == 2 * buckets)
+    // at threshold 1 it must: one sorted file per bucket, same rows
+    assert(Engine.maybeCompactBucketedIndex(spark, table, buckets,
+      maxFilesPerBucket = 1))
+    assert(files("bands") == buckets && files("docs") == buckets,
+      s"expected $buckets files, got bands=${files("bands")} " +
+        s"docs=${files("docs")}")
+    assert(probe() == before && before.nonEmpty)
+  }
+
   test("dedupIngest: a rerun at the same indexPath with a CHANGED batch " +
       "set leaves no phantom survivors from the prior run") {
     import spark.implicits._
