@@ -2108,8 +2108,11 @@ object Engine {
       // output path); a rename must do it explicitly.
       spark.catalog.refreshByPath(src.toString)
     }
-    swap("bands", Seq("__band", "__bh"))
-    swap("docs", Seq("doc_id"))
+    // the two tables' rewrites touch disjoint dirs — overlap them
+    // (guide §2.6); each swap's internal order is unchanged
+    inParallel(
+      swap("bands", Seq("__band", "__bh")),
+      swap("docs", Seq("doc_id")))
   }
 
   /** Probe a persisted [[buildMinHashIndex]] index with a new batch:
@@ -2310,8 +2313,12 @@ object Engine {
       dropManagedTable(spark, trash)
       spark.catalog.refreshTable(t)
     }
-    swapRewrite("bands", Seq("__band", "__bh"))
-    swapRewrite("docs", Seq("doc_id"))
+    // disjoint tables — overlap the rewrites (guide §2.6); the catalog
+    // mutations (create/rename/drop) are on distinct identifiers and
+    // the session catalog serializes them internally
+    inParallel(
+      swapRewrite("bands", Seq("__band", "__bh")),
+      swapRewrite("docs", Seq("doc_id")))
   }
 
   /** Compaction CADENCE gate for the bucketed-index ingest loop: count
@@ -2765,7 +2772,12 @@ object Engine {
     * assembles per-bit flags with bitwise OR, not addition: bit 63's flag
     * IS Long.MinValue and must not ride an ANSI-checked sum. */
   def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("__t"))
+    // per-token md5 + base-conv + 64 bit-sums otherwise run inside the
+    // (row-group-bounded) scan stage — serial on the fixture inputs at
+    // any core count (Spread scaladoc; guide §2.5). No-op at real scale.
+    val tok = Spread.byKey(df.select(id.as("doc_id"), text.as("__txt")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(split(col("__txt"), " ")).as("__t"))
       .select(col("doc_id"), md5(col("__t")).as("__m"))
       .select(col("doc_id"),
         shiftleft(conv(substring(col("__m"), 1, 8), 16, 10)
@@ -3238,6 +3250,13 @@ object Engine {
       centroids.select(col(cid).as("__cid"), col(cvec).as("__ce")))
     val w = Window.partitionBy(col("__vid"))
       .orderBy(col("__cos").desc, col("__cid").asc)
+    // NOTE (r17, §1 negative result): spreading the vecs before this
+    // crossJoin was A/B-measured at 30× — 22.97 s original vs 27.23 s
+    // spread — because the wall is NOT the centroid scoring but the
+    // within-cell pair join below (partitioned by `cell`, parallelism
+    // bounded by cell count and skewed by the largest cell), and the
+    // extra embedding exchange only added cost. Left as-is; the cell
+    // skew is priced in OPTIMIZATION_r17.md's not-optimized list.
     val cells = vecs.select(col(id).as("__vid"), col(vec).as("__e"))
       .crossJoin(cent)
       .select(col("__vid"), col("__e"), col("__cid"),
@@ -3493,12 +3512,16 @@ object Engine {
       .write.mode("overwrite").parquet(s"$indexPath/stats")
     val packed = packStats(ss.read.parquet(s"$indexPath/stats"))
     val z = zApply(corpus, col(id), vec, Nil, packed).persistOnce()
+    // vecs/ and buckets/ are independent projections of the persisted z
+    // — overlap them (guide §2.6); stats/ stays strictly first (z is
+    // derived from the persisted stats by contract)
+    inParallel(
     z.select(col("vec_id"), col("__z").as("z"))
-      .write.mode("overwrite").parquet(s"$indexPath/vecs")
+      .write.mode("overwrite").parquet(s"$indexPath/vecs"),
     hyperBuckets(z, "vec_id", "__z", tables, bits, dims)
       .select(col("vec_id"), col("tbl"), col("bucket"))
       .repartition(col("tbl")).sortWithinPartitions("tbl", "bucket")
-      .write.mode("overwrite").parquet(s"$indexPath/buckets")
+      .write.mode("overwrite").parquet(s"$indexPath/buckets"))
   }
 
   /** Serve whitened top-k from a [[buildWhitenedHyperIndex]] artifact:

@@ -383,11 +383,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q92c/q95b: per-row quantize/redact plans carry no data shuffle") {
-    // the ONLY exchange allowed is the oracle-canonicalization range sort;
-    // a hashpartitioning exchange would mean the projection shuffled data
+    // the ONLY exchanges allowed are the oracle-canonicalization range
+    // sort and (q95b, r17) the REPARTITION_BY_NUM input spread directly
+    // above the scan — the Spread.byKey guard that parallelizes the
+    // row-group-bounded fixture scan before the per-row regex work (a
+    // no-op at production split counts). A hashpartitioning exchange
+    // ANYWHERE ELSE would mean the projection itself shuffled data —
+    // the 100 TB regression this pin guards.
     for (n <- Seq("q92c_quantize", "q95b_pii_redact")) {
       val p = planOf(n)
-      assert(!p.contains("hashpartitioning"), s"$n:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+      val spreadEx = "REPARTITION_BY_NUM".r.findAllMatchIn(p).size
+      assert(hashEx == spreadEx,
+        s"$n: ${hashEx - spreadEx} non-spread hash exchange(s):\n$p")
     }
   }
 
