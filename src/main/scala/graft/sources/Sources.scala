@@ -324,8 +324,14 @@ object Sources {
         // session's Hadoop conf, shipped serializably to the executors.
         val hc = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
-        Tables.t(s, dir, "documents")
-          .filter(col("doc_id") < 200).select("doc_id", "text")
+        // the 200 one-blob files are the DESIGN; creating them from the
+        // single-row-group fixture scan serially on one task is not —
+        // spread the write side so the fs.create/write/close round-trips
+        // run on all cores (Spread scaladoc; guide §2.5). Read side and
+        // the returned plan are untouched.
+        graft.Spread.byKey(Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 200).select("doc_id", "text"),
+            col("doc_id"))
           .foreachPartition { (it: Iterator[Row]) =>
             val base = new org.apache.hadoop.fs.Path(out)
             val fs = base.getFileSystem(hc.value)
