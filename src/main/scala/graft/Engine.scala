@@ -3264,16 +3264,48 @@ object Engine {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("__vid"), col("__e"), col("__cid").as("cell"))
-    val dropped = cells.select(col("cell"), col("__vid").as("__va"),
-        col("__e").as("__ea"))
-      .join(cells.select(col("cell"), col("__vid").as("__vb"),
-        col("__e").as("__eb")), Seq("cell"))
-      .filter(col("__va") < col("__vb") &&
+    // GRID-DECOMPOSED within-cell pair join (r17, guide §2 "split hot
+    // keys"): keyed on `cell` alone, the pair join's parallelism is
+    // bounded by the CELL COUNT (K=8 in the registered query) and
+    // skewed by the largest cell — measured at 30× as the whole
+    // operator running at concurrency ~6.7 on 32 cores. Slice each row
+    // by an id hash into S slices and join block (p, q), p ≤ q, on
+    // (cell, p, q): the pair space of one cell splits into S(S+1)/2
+    // independently-scheduled blocks at the cost of re-shuffling each
+    // side ~(S+1)/2×. RESULT-IDENTICAL by construction: every
+    // unordered within-cell pair {u, w} lands in at least one block
+    // (the (min, max) of its two slices; same-slice pairs land twice,
+    // once per arrangement), qualification (rounded cosine ≥ tau) is
+    // symmetric, the emitted id is greatest(va, vb) — exactly the
+    // `__vb` of the previous `__va < __vb` form — and the DISTINCT
+    // collapses multiplicity. S=1 degenerates to the unsalted join.
+    val nSlices = semDedupSlices
+    val sliced = cells.withColumn("__s",
+      pmod(xxhash64(col("__vid")), lit(nSlices)).cast("int"))
+    val lhs = sliced
+      .withColumn("__q", explode(expr(s"sequence(__s, ${nSlices - 1})")))
+      .select(col("cell"), col("__s").as("__p"), col("__q"),
+        col("__vid").as("__va"), col("__e").as("__ea"))
+    val rhs = sliced
+      .withColumn("__p", explode(expr("sequence(0, __s)")))
+      .select(col("cell"), col("__p"), col("__s").as("__q"),
+        col("__vid").as("__vb"), col("__e").as("__eb"))
+    val dropped = lhs.join(rhs, Seq("cell", "__p", "__q"))
+      .filter(col("__va") =!= col("__vb") &&
         round(expr("cosine_sim(__ea, __eb)"), 6) >= lit(tau))
-      .select(col("__vb").as("__vid")).distinct()
+      .select(greatest(col("__va"), col("__vb")).as("__vid")).distinct()
     cells.join(dropped, Seq("__vid"), "left_anti")
       .select(col("__vid").as(id), col("cell"))
   }
+
+  /** Slice count for [[semanticDedup]]'s grid-decomposed pair join
+    * (`-Dgraft.semDedupSlices` overrides). Sizing: the hot cell's
+    * quadratic splits into S(S+1)/2 blocks while each side's shuffle
+    * grows ~(S+1)/2× — S=8 turns one 8-cell join into 288 schedulable
+    * blocks for a ~4.5× wider (but embedding-sized, not pair-sized)
+    * exchange. */
+  def semDedupSlices: Int =
+    sys.props.get("graft.semDedupSlices").map(_.toInt).getOrElse(8)
 
   /** SEMANTIC decontamination: flag every corpus vector whose rounded
     * cosine to ANY benchmark vector reaches `tau` — the embedding-space

@@ -350,6 +350,33 @@ class EngineSpec extends AnyFunSuite {
     assert(relabeled == Set(1L, 3L, 4L))
   }
 
+  test("semanticDedup: the grid-decomposed pair join is slice-invariant") {
+    // The r17 grid decomposition's correctness claim, pinned: every
+    // unordered within-cell pair lands in >= 1 (p, q) block and the
+    // dropped set is greatest(va, vb) de-duplicated — so survivors must
+    // be BIT-IDENTICAL for any slice count, including S=1 (the unsalted
+    // degenerate). Run the registered q92f shape on the fixture
+    // embeddings at S=1 vs the default vs a non-divisor S.
+    val e = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val cents = e.filter(col("vec_id").isin(
+      Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L): _*))
+    def survivorsAt(slices: String): Set[(Long, Long)] = {
+      val prev = sys.props.get("graft.semDedupSlices")
+      sys.props("graft.semDedupSlices") = slices
+      try Engine.semanticDedup(e, "vec_id", "embedding",
+          cents, "vec_id", "embedding", tau = 0.35)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      finally prev match {
+        case Some(v) => sys.props("graft.semDedupSlices") = v
+        case None => sys.props.remove("graft.semDedupSlices"): Unit
+      }
+    }
+    val unsalted = survivorsAt("1")
+    assert(unsalted.nonEmpty)
+    assert(survivorsAt("8") == unsalted)
+    assert(survivorsAt("5") == unsalted) // non-divisor of the id space
+  }
+
   test("q99/q99b ANN recall@3 against the exact top-k is a bound, not prose") {
     // The q92→q99 cutover's quantified cost: run both approximate ANN
     // operators exactly as registered and measure recall@3 against
